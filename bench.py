@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's heavy queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Results are forced with the noop sink (full distributed computation, no
+driver collect) for row-heavy outputs, and collect() for scalar aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "event_time_tumbling",
+    "cdc_compaction",
+    "cdc_apply_full",
+    "monitor_sync_check",
+]
+
+
+def _force(df) -> None:
+    # noop sink: full execution on executors, zero driver materialization
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from postgres_cdc_example_spark import queries as q
+    from postgres_cdc_example_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = q.queries()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen per query shape on the smallest SF so per-query
+    # numbers measure the plan, not first-run class loading / broadcast setup
+    for name in BENCH_QUERIES:
+        try:
+            _force(registry[name](spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        # best of 2: the first run in a fresh JVM can pay one-time JIT
+        # compilation of generated code; we measure the plan, not the JIT
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""CDC core queries — compaction and full I/U/D apply over the fixtures.
+
+The `events` table plays the change stream (FIXTURES.md §B role mapping):
+``event_id`` is the WAL sequence (LSN stand-in), a deterministic mapping of
+``event_type`` plays the wal2json action, and `orders` plays the keyed state
+table.  The DuckDB oracles encode the same closed-form fold documented in
+:mod:`postgres_cdc_example_spark.operators.cdc_apply`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators.cdc_apply import apply_changes, compact_changes
+from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.sources.tables import load_table
+
+# event_type -> wal2json action ("I" insert, "D" delete, everything else "U")
+_ACTION = (
+    "CASE WHEN event_type = 'signup' THEN 'I' "
+    "WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+)
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat change log derived deterministically from `events`."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("action"),
+        (F.col("event_id") % 120).alias("id"),
+        F.col("event_type").alias("status"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("created_at"),
+    )
+
+
+_CHANGES_SQL = f"""
+        SELECT event_id AS seq,
+               {_ACTION} AS action,
+               event_id % 120 AS id,
+               event_type AS status,
+               value AS amount,
+               ts AS created_at
+        FROM events
+"""
+
+
+def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("created_at"),
+    ).filter(F.col("id") < 100)
+
+
+_STATE_SQL = """
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               o_totalprice AS amount, o_orderdate AS created_at
+        FROM orders WHERE o_orderkey < 100
+"""
+
+
+# --- T4/§7: last-write-wins compaction ----------------------------------------
+@register(
+    "cdc_compaction",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key latest event (WAL order, never arrival order) — the set-wise
+    replacement for the reference's one-at-a-time apply loop
+    (``replicator/main.go:175-270``; SURVEY.md §7.4 hard part 2)."""
+    ev = load_table(spark, "events", sf_dir)
+    return compact_changes(ev, key="user_id", seq="event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+# --- J1-J4/P3/T5: full I/U/D apply with created_at preservation -----------------
+@register(
+    "cdc_apply_full",
+    oracle=f"""
+    WITH state AS ({_STATE_SQL}),
+    changes AS ({_CHANGES_SQL}),
+    summary AS (
+        SELECT id,
+               max(CASE WHEN action = 'D' THEN seq END) AS d_max,
+               max(CASE WHEN action IN ('I','U') THEN seq END) AS iu_last
+        FROM changes GROUP BY id
+    ),
+    ifirst AS (
+        SELECT c.id, min(c.seq) AS i_first
+        FROM changes c JOIN summary s ON c.id = s.id
+        WHERE c.action = 'I' AND c.seq > COALESCE(s.d_max, -1)
+        GROUP BY c.id
+    ),
+    lastvals AS (
+        SELECT c.id, c.status, c.amount
+        FROM changes c JOIN summary s ON c.id = s.id AND c.seq = s.iu_last
+    ),
+    created AS (
+        SELECT c.id, c.created_at
+        FROM changes c JOIN ifirst f ON c.id = f.id AND c.seq = f.i_first
+    )
+    SELECT COALESCE(s.id, st.id) AS id,
+           CASE WHEN s.id IS NULL THEN st.status
+                WHEN lv.id IS NOT NULL THEN lv.status
+                ELSE st.status END AS status,
+           CASE WHEN s.id IS NULL THEN st.amount
+                WHEN lv.id IS NOT NULL THEN lv.amount
+                ELSE st.amount END AS amount,
+           CASE WHEN s.id IS NULL THEN st.created_at
+                WHEN s.d_max IS NULL AND st.id IS NOT NULL THEN st.created_at
+                ELSE cr.created_at END AS created_at
+    FROM summary s
+    FULL OUTER JOIN state st ON s.id = st.id
+    LEFT JOIN lastvals lv ON s.id = lv.id
+    LEFT JOIN ifirst f ON s.id = f.id
+    LEFT JOIN created cr ON s.id = cr.id
+    WHERE (s.id IS NULL AND st.id IS NOT NULL)
+       OR (s.id IS NOT NULL
+           AND ((s.d_max IS NULL AND st.id IS NOT NULL) OR f.i_first IS NOT NULL))
+    """,
+)
+def cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference apply semantics (``replicator/main.go:175-270``):
+    I = upsert keeping created_at on conflict, U = update-if-present,
+    D = delete; strict WAL order; insert-after-delete recreates with the new
+    created_at.  Computed as the closed-form fold in
+    :func:`operators.cdc_apply.apply_changes`."""
+    return apply_changes(
+        _state(spark, sf_dir),
+        _changes(spark, sf_dir),
+        key="id",
+        seq="seq",
+        action="action",
+        value_cols=["status", "amount"],
+        created_col="created_at",
+    ).select("id", "status", "amount", "created_at")

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[*]``; the conf below is chosen so the *same plans*
+hold on a 1000-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB the static plan is never exactly right.
+- Arrow execution for the few Pandas-UDF paths (multimodal / embedding ops).
+- UTC session timezone so parquet TIMESTAMP (no tz) round-trips match the
+  DuckDB oracle bit-for-bit.
+- Broadcast threshold raised: TPC-H-ish dims (region/nation/supplier/part at
+  bench SF) are far below 64 MB and must never shuffle-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "postgres-cdc-example-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # 128 MB splits — right at cluster scale (~800k tasks at 100 TB).
+        # Test fixtures are single ≤11 MB files (one scan task regardless);
+        # operators that expand rows (shingling, explodes) repartition
+        # explicitly before the expansion so parallelism never depends on
+        # input split count.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark can't decode
+        # natively — read as long ns, normalized to timestamp_ntz in
+        # sources.tables.load_table (micros, matching DuckDB's truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

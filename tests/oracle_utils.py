@@ -1,0 +1,69 @@
+"""Local replica of the driver's oracle comparison: run the Spark query and
+the DuckDB oracle SQL on the same parquet fixtures, compare row count,
+column names (sorted), and values order-insensitively and exactly — at least
+as strict as the driver's value hash."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+
+from postgres_cdc_example_spark.schemas import FIXTURE_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and represent with enough digits to be exact
+        return repr(v + 0.0)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def normalize_result(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (driver semantics), then rows by repr."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare_to_oracle(spark, sf_dir: str, fn, oracle: str) -> None:
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connection(sf_dir)
+    try:
+        res = con.sql(oracle)
+        d_cols = list(res.columns)
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    sn = normalize_result(s_cols, s_rows)
+    dn = normalize_result(d_cols, d_rows)
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not diffs, f"value mismatch ({len(diffs)} rows), first: {diffs[0]}"
