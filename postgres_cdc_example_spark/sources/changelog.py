@@ -1,0 +1,125 @@
+"""S5/S6: change-event source + decode (reference ``replicator/main.go:152-193``).
+
+The reference polls ``pg_logical_slot_get_changes(… 'format-version','2' …)``
+every 2 s and gets one JSON line per change; each line is ``json.Unmarshal``-ed
+into a declared struct, malformed lines are logged and skipped, and events for
+other tables are filtered out before any per-event work.
+
+Spark-first equivalents:
+
+- a (streaming or batch) DataFrame of raw JSON lines (file source in tests;
+  a Kafka/Debezium topic in production — capture itself is external, see
+  SURVEY.md §7.5),
+- ``from_json`` with the declared schema — malformed lines yield a null
+  struct, split off into a dead-letter frame instead of crashing (T7),
+- an early ``filter(table == …)`` that Catalyst pushes below the decode of
+  per-column values (P2).
+
+Each event carries a monotonic ``seq`` (the LSN stand-in — wal2json order is
+implicit in the reference; a distributed engine must carry it explicitly,
+SURVEY.md §7.4 hard part 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from postgres_cdc_example_spark.schemas import CHANGE_EVENT_SCHEMA
+
+# wire schema = wal2json v2 envelope + explicit seq
+WIRE_SCHEMA = StructType(
+    [StructField("seq", LongType(), nullable=False), *CHANGE_EVENT_SCHEMA.fields]
+)
+
+
+def decode_change_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode raw JSON lines into typed change events.
+
+    Returns all input rows with a ``change`` struct column; malformed lines
+    have ``change IS NULL`` (the skip-and-log path,
+    ``replicator/main.go:183-188``).  Works identically on batch and
+    streaming DataFrames.
+    """
+    return lines.withColumn(
+        "change", F.from_json(F.col(value_col).cast("string"), WIRE_SCHEMA)
+    )
+
+
+def split_corrupt(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) — the reference logs and skips; we keep a
+    dead-letter frame so nothing is silently dropped (T7)."""
+    # from_json yields a null struct only when the whole line is unparseable;
+    # a parseable line always has a non-null action.
+    ok = F.col("change").isNotNull() & F.col("change.action").isNotNull()
+    return decoded.filter(ok), decoded.filter(~ok)
+
+
+def flatten_person_changes(decoded: DataFrame, table: str = "person") -> DataFrame:
+    """Typed flat change log for one table (FIXTURES.md §A2 shape).
+
+    - early table filter (``change.Table != "person"`` skip,
+      ``replicator/main.go:191-193``)
+    - columns→map pivot (``replicator/main.go:198-201``) via
+      ``map_from_entries`` — then typed casts per column
+    - the key for D comes from ``identity`` (old-row image,
+      ``replicator/main.go:252-268``); for I/U from ``columns``.
+    """
+    ch = decoded.filter(F.col("change.table") == table)
+    cols_map = F.map_from_entries(
+        F.transform("change.columns", lambda c: F.struct(c["name"], c["value"]))
+    )
+    ident_map = F.map_from_entries(
+        F.transform("change.identity", lambda c: F.struct(c["name"], c["value"]))
+    )
+    get = lambda m, k: F.element_at(m, F.lit(k))  # noqa: E731
+    return ch.select(
+        F.col("change.seq").alias("seq"),
+        F.col("change.action").alias("action"),
+        F.coalesce(get(cols_map, "id"), get(ident_map, "id"))
+        .cast("long")
+        .alias("id"),
+        get(cols_map, "name").alias("name"),
+        get(cols_map, "uid").alias("uid"),
+        get(cols_map, "score").cast("int").alias("score"),
+        get(cols_map, "created_at").cast("timestamp_ntz").alias("created_at"),
+    )
+
+
+def person_change_json(
+    seq: int,
+    action: str,
+    row: dict | None = None,
+    identity: dict | None = None,
+    table: str = "person",
+    ts: str | None = None,
+) -> str:
+    """Serialize one wal2json-v2-shaped line (test/data-gen helper)."""
+    import json
+
+    def cols(d: dict) -> list[dict]:
+        type_of = {
+            "id": "integer",
+            "name": "character varying(100)",
+            "uid": "uuid",
+            "score": "integer",
+            "created_at": "timestamp without time zone",
+        }
+        return [
+            {"name": k, "type": type_of.get(k, "text"), "value": None if v is None else str(v)}
+            for k, v in d.items()
+        ]
+
+    payload: dict = {
+        "seq": seq,
+        "action": action,
+        "timestamp": ts,
+        "schema": "public",
+        "table": table,
+    }
+    if row is not None:
+        payload["columns"] = cols(row)
+    if identity is not None:
+        payload["identity"] = cols(identity)
+    return json.dumps(payload)

@@ -1,0 +1,123 @@
+"""The end-to-end CDC pipeline — the reference's replicator + pubsub as ONE
+Structured Streaming query (SURVEY.md §3.3: "this is literally one streaming
+query").
+
+Reference shape (``replicator/main.go`` / ``pubsub/main.go``):
+
+    slot create ──► snapshot copy ──► poll wal2json every 2 s ──► parse
+    ──► filter table ──► [row filter] ──► apply I/U/D per event ──► target
+
+Spark shape::
+
+    backfill batch (snapshot_copy)            # T3 snapshot+stream handoff
+    readStream (JSON lines)                   # S5 — file source in tests,
+                                              #      Kafka/Debezium in prod
+      → decode_change_lines / split_corrupt   # S6 + T7 dead-letter
+      → flatten_person_changes                # P2/P7
+      → filter(predicate)                     # P4 publication row filter
+      → foreachBatch: apply_changes + commit  # P3/J1-J4/T5, versioned state
+    checkpointLocation                        # S7 — the "replication slot":
+                                              # offset tracking, drop dir =
+                                              # drop slot
+
+Delivery: checkpointed offsets + idempotent per-version state commit =
+exactly-once state (strictly stronger than the reference's at-most-once slot
+consumption, T2 — deliberate divergence documented in SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from postgres_cdc_example_spark.operators.cdc_apply import apply_changes
+from postgres_cdc_example_spark.schemas import PERSON_SCHEMA
+from postgres_cdc_example_spark.sources.changelog import (
+    decode_change_lines,
+    flatten_person_changes,
+    split_corrupt,
+)
+from postgres_cdc_example_spark.sources.snapshot import snapshot_copy
+from postgres_cdc_example_spark.streaming.state import VersionedStateStore
+
+
+class CdcPipeline:
+    """Filtered CDC replication: change-log JSON lines → person state table.
+
+    Parameters mirror the reference's deployment knobs:
+
+    - ``predicate``: the publication row filter (``WHERE (score %% 2 = 0)``,
+      ``pubsub/main.go:79``) — None replicates everything (replicator mode).
+    - ``trigger_interval``: the 2 s poll cadence
+      (``time.NewTicker(2*time.Second)``, ``replicator/main.go:154``);
+      ``available_now=True`` drains the backlog and stops (tests).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        state_root: str,
+        checkpoint_dir: str,
+        predicate: Column | None = None,
+        trigger_interval: str = "2 seconds",
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.predicate = predicate
+        self.trigger_interval = trigger_interval
+        self.store = VersionedStateStore(spark, state_root, PERSON_SCHEMA)
+        self.dead_letter_count = 0  # observability counter (T7)
+
+    # --- T3: snapshot + stream handoff ------------------------------------
+    def backfill(self, source_snapshot: DataFrame) -> None:
+        """Initial copy (Phase B, ``replicator/main.go:95-140``): filtered
+        insert-if-absent into state version 0.  Like the reference (slot
+        created *before* copy), the stream's checkpoint starts at offset 0,
+        so events concurrent with the copy are replayed and deduped by the
+        idempotent apply."""
+        snap = source_snapshot
+        if self.predicate is not None:
+            snap = snap.filter(self.predicate)
+        merged = snapshot_copy(self.store.read(), snap)
+        self.store.commit(merged, version=0)
+
+    # --- the per-micro-batch apply (P3/J1-J4/T5) ---------------------------
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_change_lines(batch_df)
+        valid, dead = split_corrupt(decoded)
+        ndead = dead.count()
+        self.dead_letter_count += ndead  # reference logs & skips (T7)
+        changes = flatten_person_changes(valid)
+        if self.predicate is not None:
+            # publication row filter evaluated on the event's new image;
+            # deletes carry no image and always pass (PG row filters apply
+            # to old+new; key-only deletes replicate)
+            from pyspark.sql import functions as F
+
+            changes = changes.filter((F.col("action") == "D") | self.predicate)
+        state = self.store.read()
+        new_state = apply_changes(state, changes)
+        # version = batch_id + 1 (0 is the backfill); replays are idempotent
+        self.store.commit(new_state.select(*state.columns), version=batch_id + 1)
+
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        lines = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 16)  # T8 backpressure
+            .load(self.source_dir)
+        )
+        writer = (
+            lines.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.trigger_interval)
+        return writer.start()
+
+    def state(self) -> DataFrame:
+        return self.store.read()

@@ -1,0 +1,155 @@
+"""apply_changes must equal the reference's serial per-event fold
+(replicator/main.go:175-270) on randomized change logs — including
+insert-after-delete recreation, U-on-absent no-ops, and created_at
+preservation across upserts."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from postgres_cdc_example_spark.operators.cdc_apply import apply_changes, compact_changes
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("status", StringType(), True),
+        StructField("amount", DoubleType(), True),
+        StructField("created_at", TimestampNTZType(), True),
+    ]
+)
+CHANGE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("action", StringType(), False),
+        StructField("id", LongType(), False),
+        StructField("status", StringType(), True),
+        StructField("amount", DoubleType(), True),
+        StructField("created_at", TimestampNTZType(), True),
+    ]
+)
+
+
+def serial_fold(state_rows, events):
+    """The reference's apply loop, literally."""
+    state = {r[0]: {"status": r[1], "amount": r[2], "created_at": r[3]} for r in state_rows}
+    for seq, action, id_, status, amount, created in sorted(events):
+        if action == "I":
+            if id_ in state:  # ON CONFLICT DO UPDATE — created_at untouched
+                state[id_]["status"] = status
+                state[id_]["amount"] = amount
+            else:
+                state[id_] = {"status": status, "amount": amount, "created_at": created}
+        elif action == "U":
+            if id_ in state:  # UPDATE WHERE id — absent row = no-op
+                state[id_]["status"] = status
+                state[id_]["amount"] = amount
+        elif action == "D":
+            state.pop(id_, None)
+    return {
+        i: (v["status"], v["amount"], v["created_at"]) for i, v in state.items()
+    }
+
+
+def run_case(spark, state_rows, events):
+    state = spark.createDataFrame(state_rows, STATE_SCHEMA)
+    changes = spark.createDataFrame(events, CHANGE_SCHEMA)
+    got = {
+        r["id"]: (r["status"], r["amount"], r["created_at"])
+        for r in apply_changes(
+            state, changes, value_cols=["status", "amount"], created_col="created_at"
+        ).collect()
+    }
+    want = serial_fold(state_rows, events)
+    assert got == want
+
+
+TS = lambda d: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)  # noqa: E731
+
+
+def test_explicit_edge_cases(spark):
+    state = [(1, "old", 10.0, TS(0)), (2, "old", 20.0, TS(0)), (3, "old", 30.0, TS(0))]
+    events = [
+        # upsert on existing key: values change, created_at preserved
+        (1, "I", 1, "upserted", 11.0, TS(5)),
+        # update then delete: row gone
+        (2, "U", 2, "updated", 21.0, TS(5)),
+        (3, "D", 2, None, None, None),
+        # delete then re-insert: created_at is the NEW insert's
+        (4, "D", 3, None, None, None),
+        (5, "I", 3, "reborn", 33.0, TS(7)),
+        # U on absent key: no-op (row must not appear)
+        (6, "U", 99, "ghost", 0.0, TS(9)),
+        # I then U on brand-new key: values from U, created_at from I
+        (7, "I", 50, "new", 50.0, TS(3)),
+        (8, "U", 50, "new2", 55.0, TS(4)),
+        # I, D, I, U chain: final = last U values, created from 2nd I
+        (9, "I", 60, "a", 1.0, TS(1)),
+        (10, "D", 60, None, None, None),
+        (11, "I", 60, "b", 2.0, TS(2)),
+        (12, "U", 60, "c", 3.0, TS(6)),
+        # only-D on absent key: nothing
+        (13, "D", 77, None, None, None),
+    ]
+    run_case(spark, state, events)
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_randomized_logs_match_serial_fold(spark, seed):
+    rng = random.Random(seed)
+    keys = list(range(25))
+    state = [
+        (k, f"s{k}", float(k * 10), TS(rng.randint(0, 3)))
+        for k in keys
+        if rng.random() < 0.6
+    ]
+    events = []
+    for seq in range(1, 250):
+        k = rng.choice(keys)
+        a = rng.choices(["I", "U", "D"], weights=[3, 4, 2])[0]
+        if a == "D":
+            events.append((seq, "D", k, None, None, None))
+        else:
+            events.append(
+                (seq, a, k, f"{a}{seq}", round(rng.uniform(0, 100), 2), TS(rng.randint(4, 30)))
+            )
+    run_case(spark, state, events)
+
+
+def test_empty_changes_is_identity(spark):
+    state = [(1, "x", 1.0, TS(0))]
+    run_case(spark, state, [])
+
+
+def test_empty_state(spark):
+    events = [
+        (1, "I", 5, "a", 1.0, TS(1)),
+        (2, "U", 6, "nope", 2.0, TS(2)),  # U before any I: no-op
+        (3, "I", 6, "b", 3.0, TS(3)),
+    ]
+    run_case(spark, [], events)
+
+
+def test_compact_changes_last_write_wins(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "I", 1, "a", 1.0, TS(1)),
+            (3, "U", 1, "c", 3.0, TS(3)),
+            (2, "U", 1, "b", 2.0, TS(2)),
+            (4, "I", 2, "x", 9.0, TS(4)),
+        ],
+        CHANGE_SCHEMA,
+    )
+    got = {r["id"]: r["status"] for r in compact_changes(changes).collect()}
+    assert got == {1: "c", 2: "x"}  # seq order, not insertion order

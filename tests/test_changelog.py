@@ -1,0 +1,54 @@
+"""Change-event decode: malformed lines → dead letter (not crashes), other
+tables filtered early, column pivots typed correctly."""
+
+from __future__ import annotations
+
+import datetime
+
+from postgres_cdc_example_spark.sources.changelog import (
+    decode_change_lines,
+    flatten_person_changes,
+    person_change_json,
+    split_corrupt,
+)
+
+
+def make_lines(spark):
+    lines = [
+        person_change_json(1, "I", row={"id": 1, "name": "alice_1", "uid": "u1", "score": 10, "created_at": "2024-01-01 00:00:00"}),
+        person_change_json(2, "U", row={"id": 1, "name": "alice_1b", "uid": "u1", "score": 12}, identity={"id": 1}),
+        "{this is not json",  # malformed — reference logs & skips
+        person_change_json(3, "D", identity={"id": 1}),
+        person_change_json(4, "I", table="other_table", row={"id": 9, "name": "x", "uid": "u9", "score": 1}),
+        "",  # blank line
+    ]
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_split_corrupt_and_table_filter(spark):
+    decoded = decode_change_lines(make_lines(spark))
+    valid, dead = split_corrupt(decoded)
+    assert valid.count() == 4
+    assert dead.count() == 2  # malformed + blank
+    flat = flatten_person_changes(valid)
+    assert flat.count() == 3  # other_table dropped
+
+    rows = {r["seq"]: r for r in flat.collect()}
+    assert rows[1]["action"] == "I"
+    assert rows[1]["id"] == 1 and isinstance(rows[1]["id"], int)
+    assert rows[1]["score"] == 10
+    assert rows[1]["created_at"] == datetime.datetime(2024, 1, 1)
+    # delete: key recovered from identity, image columns null
+    assert rows[3]["action"] == "D" and rows[3]["id"] == 1 and rows[3]["name"] is None
+
+
+def test_decode_is_schema_declared_not_inferred(spark):
+    # a line with extra unknown fields parses fine; unknown fields dropped
+    import json
+
+    extra = json.dumps({"seq": 9, "action": "I", "table": "person", "bogus": 1,
+                        "columns": [{"name": "id", "type": "integer", "value": "7"}]})
+    df = spark.createDataFrame([(extra,)], "value string")
+    valid, dead = split_corrupt(decode_change_lines(df))
+    assert valid.count() == 1 and dead.count() == 0
+    assert flatten_person_changes(valid).collect()[0]["id"] == 7
