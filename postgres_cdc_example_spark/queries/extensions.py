@@ -1,0 +1,406 @@
+"""Large-scale training-data extension queries (SURVEY.md §7.2 step 7).
+
+Dedup / similarity-search / text-analysis / multimodal operators over the
+``documents`` and ``embeddings`` fixtures, each with a DuckDB oracle that
+reproduces the Spark values bit-for-bit (hashes are md5 hex; ratios are
+either integer micro-units or 6-dp-rounded doubles computed in the same
+operation order).
+
+The reference has no extension surface (SURVEY.md §2.8) — these are the
+capabilities a 100 TB training-data pipeline needs on top of CDC parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgres_cdc_example_spark.operators import dedup, multimodal, similarity, text
+from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')"
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _occ(padded: str, phrase: str) -> str:
+    """Occurrence count via the replace-length trick (text.occurrence_count)."""
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{phrase}', '')))"
+        f" / {len(phrase)} AS INT)"
+    )
+
+
+def _nib(h: str, k: int) -> str:
+    """Hex-nibble value via ascii arithmetic (dedup._hex_nibble)."""
+    a = f"ascii(substr({h}, {k}, 1))"
+    return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk, length(text) AS nc,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS ns
+      FROM documents
+    )
+    SELECT doc_id, len(tk) AS n_tokens, nc AS n_chars_measured,
+           ns AS n_nonspace_chars,
+           CAST(ceil(ns / 4) AS BIGINT) AS n_subword_est,
+           round(ns / greatest(len(tk), 1), 4) AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate — narrow
+    projection, zero shuffles, all inside whole-stage codegen."""
+    return text.token_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS tk,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id, length(text) AS nc,
+             punct / greatest(length(text), 1) AS punct_ratio,
+             len(list_distinct(tk)) / greatest(len(tk), 1) AS distinct_ratio,
+             len(list_intersect(tk, ['the','a','and','of','to','in','is','it','for','on'])) AS stop_hits,
+             least(length(text) / 400.0::DOUBLE, 1.0::DOUBLE) AS length_score
+      FROM t
+    )
+    SELECT doc_id, nc AS n_chars_measured,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(distinct_ratio, 6) AS distinct_token_ratio,
+           stop_hits AS stopword_hits,
+           round(0.4::DOUBLE * length_score + 0.3::DOUBLE * distinct_ratio
+                 + 0.2::DOUBLE * (1.0::DOUBLE - least(punct_ratio * 10, 1.0::DOUBLE))
+                 + 0.1::DOUBLE * least(stop_hits / 5.0::DOUBLE, 1.0::DOUBLE), 6) AS quality
+    FROM r
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length / punctuation / stopword / repetition) — the
+    cheap corpus pre-filter, pure column arithmetic."""
+    return text.quality_score(load_table(spark, "documents", sf_dir))
+
+
+def _lang_oracle() -> str:
+    pads = "(' ' || lower(text) || ' ')"
+    cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        total = " + ".join(_occ(pads, m) for m in markers)
+        cols.append(f"({total}) AS hits_{lang}")
+    return f"""
+    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents)
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END AS detected_lang
+    FROM c
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-phrase counting (n-gram-profile shape, built-ins
+    only; the when-chain tie-break order matches the oracle CASE exactly)."""
+    return text.lang_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+    s AS (
+      SELECT doc_id, nm,
+             list_transform(generate_series(1, greatest(length(nm) - 7, 1)),
+                            i -> md5(substr(nm, i, 8))) AS hs
+      FROM d
+    )
+    SELECT doc_id, md5(nm) AS content_hash,
+           list_aggregate(hs, 'min') AS min_shingle_hash,
+           list_aggregate(hs, 'max') AS max_shingle_hash
+    FROM s
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: content md5 + extremal shingle
+    hashes (order-invariant locality signature)."""
+    return text.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5 (uniform key — the
+    one groupBy that can never skew); survivor = min doc_id."""
+    return dedup.exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min')"
+        for i in range(dedup.NUM_HASHES)
+    )
+    jac = "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
+    return f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(length(nm) - 7, 1)),
+                           i -> substr(nm, i, 8))) AS ss
+      FROM d
+    ),
+    sig AS (SELECT doc_id, ss, [{mins}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+             md5(concat_ws('|', sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4])) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, len(list_intersect(sa.ss, sb.ss)) AS common,
+             len(sa.ss) AS size_a, len(sb.ss) AS size_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, common, size_a, size_b, {jac} AS jac_micro
+    FROM verified WHERE {jac} >= 500000
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 salted-md5 mins) + LSH (4 bands × 4 rows) candidate pairs,
+    exact-Jaccard-verified at ≥ 0.5 — the scale path for all-pairs dedup."""
+    return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for b in range(dedup.SIMHASH_BITS):
+        nib = _nib("h", b // 4 + 1)
+        sums.append(
+            f"sum((CAST(floor({nib} / {2 ** (b % 4)}) AS BIGINT) % 2) * 2 - 1) AS s{b}"
+        )
+    weights = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    s AS (SELECT doc_id, {", ".join(sums)} FROM hs GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({weights}) AS simhash FROM s)
+    SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket FROM sh
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash + bucket sizes: one explode + one
+    groupBy(doc_id) shuffle; bits from md5 nibbles via ascii arithmetic."""
+    return dedup.simhash_buckets(load_table(spark, "documents", sf_dir))
+
+
+def _ngram_oracle() -> str:
+    jac = "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {dedup.MAX_DOC_FREQ}),
+    kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare ON ex.g = rare.g),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b
+      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, common, size_a, size_b, {jac} AS jac_micro
+    FROM verified WHERE {jac} >= 500000
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join with a
+    doc-frequency cutoff (prefix-filter analog) guarding against hot-shingle
+    quadratic blowup."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+
+
+_VEC_BASE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_VEC_BASE
+    + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs verification shape;
+    discovery at scale goes through ivf_assign / sign-LSH bucketing)."""
+    return similarity.embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_VEC_BASE
+    + """
+    , q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM q JOIN n c ON c.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, nbr_id, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the ANN exactness
+    baseline: broadcast query side, per-query ranking window."""
+    return similarity.brute_force_topk(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_VEC_BASE
+    + """
+    , cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    asg0 AS (
+      SELECT n.vec_id, n.v, n.nrm, cid,
+             round(list_dot_product(n.v, cv) / (n.nrm * cn), 6) AS ccos
+      FROM n, cent
+    ),
+    asg AS (
+      SELECT vec_id, v, nrm, cid AS cluster_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+            FROM asg0)
+      WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cluster_id FROM asg WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, q.cluster_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM q JOIN asg c ON c.cluster_id = q.cluster_id AND c.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, cluster_id, nbr_id, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (probe=1): nearest-centroid assignment (broadcast against the
+    centroid set), then top-5 within the query's own cluster only — the
+    bucketed scale path."""
+    return similarity.ivf_topk(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def _features_oracle() -> str:
+    nibs = ", ".join(f"{_nib('h', k)} AS x{k}" for k in range(1, 9))
+    return f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS n_bytes
+               FROM documents),
+    nibs AS (SELECT doc_id, h, n_bytes, {nibs} FROM m)
+    SELECT doc_id, 'text/plain' AS mime, n_bytes, h AS content_md5,
+           ((x1 * 16 + x2) * 256 + (x3 * 16 + x4)) % 1024 AS fake_width,
+           ((x5 * 16 + x6) * 256 + (x7 * 16 + x8)) % 1024 AS fake_height
+    FROM nibs
+    """
+
+
+@register("multimodal_features", oracle=_features_oracle())
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched ``mapInPandas``
+    (deterministic fake decode — real codecs are stubbed, see
+    operators/multimodal.py); the oracle recomputes the md5-byte features."""
+    return multimodal.extract_features(
+        multimodal.with_payload(load_table(spark, "documents", sf_dir))
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(octet_length(encode(text)) / {multimodal.FRAME_BYTES}) AS BIGINT), 1) AS n_frames
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, text, unnest(generate_series(0, n_frames - 1)) AS i FROM d)
+    SELECT doc_id, i AS frame_idx,
+           length(substr(text, i * {multimodal.FRAME_BYTES} + 1, {multimodal.FRAME_BYTES})) AS n_frame_bytes,
+           md5(substr(text, i * {multimodal.FRAME_BYTES} + 1, {multimodal.FRAME_BYTES})) AS frame_md5
+    FROM idx WHERE i % {multimodal.FRAME_STRIDE} = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1:many row-exploding ``mapInPandas`` over binary
+    payloads (64-byte frames, stride 4). ASCII fixtures make byte slices and
+    char substrings coincide, so DuckDB can check the hashes exactly."""
+    return multimodal.sample_frames(
+        multimodal.with_payload(load_table(spark, "documents", sf_dir))
+    )

@@ -1,0 +1,82 @@
+"""Extension-operator tests: oracle parity for every dedup / similarity /
+text / multimodal query, plus behavioral checks the oracle can't express
+(planted near-dup detection, LSH candidate ⊆ all-pairs soundness, stub
+gating)."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_cdc_example_spark import queries as q
+from postgres_cdc_example_spark.operators import dedup, multimodal, similarity
+from postgres_cdc_example_spark.sources.tables import load_table
+from tests.oracle_utils import compare_to_oracle
+
+EXTENSION_QUERIES = [
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+]
+
+
+@pytest.mark.parametrize("name", EXTENSION_QUERIES)
+def test_extension_matches_oracle(spark, sf_dir, name):
+    registry = q.queries()
+    oracles = q.oracle_sql()
+    compare_to_oracle(spark, sf_dir, registry[name], oracles[name])
+
+
+def test_minhash_finds_high_jaccard_pairs(spark, sf_dir):
+    """Every exact-Jaccard ≥ 0.9 pair must survive LSH banding (at s=0.9 the
+    4×4 banding miss probability is (1-0.9^4)^4 ≈ 1.6% per pair — the planted
+    fixture dups are all well above it, so equality should hold here)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_ivf_is_subset_quality_of_brute_force(spark, sf_dir):
+    """IVF probe=1 returns ranked neighbors drawn from the query's cluster;
+    each returned neighbor's cosine can't exceed the brute-force rank-1."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    bf = {
+        (r.q_id, r.rank): r.cos_r for r in similarity.brute_force_topk(emb).collect()
+    }
+    ivf = similarity.ivf_topk(emb).collect()
+    assert ivf, "IVF should return neighbors"
+    for r in ivf:
+        assert r.cos_r <= bf[(r.q_id, 1)] + 1e-9
+
+
+def test_multimodal_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF fake")
+
+
+def test_frame_sample_covers_every_doc(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    frames = multimodal.sample_frames(multimodal.with_payload(docs))
+    n_docs = docs.count()
+    assert frames.select("doc_id").distinct().count() == n_docs
+    assert frames.filter(frames.frame_idx % multimodal.FRAME_STRIDE != 0).count() == 0
