@@ -139,8 +139,13 @@ def minhash_lsh_pairs(
     true bucket collisions meet — all-pairs is never materialized; the
     verification joins shingle rows back in semi-joined down to the (tiny)
     candidate list, counting common shingles relationally.
+
+    Shingle basis: word n-grams (``ngram_rows``) — the standard granularity
+    for document-level near-dup (and ~6× fewer min-hash inputs per doc than
+    char shingles; use :func:`shingle_rows` instead for short-text /
+    fuzzy-edit workloads).
     """
-    sh = shingle_rows(df, text_col, id_col)
+    sh = ngram_rows(df, text_col, id_col).withColumnRenamed("g", "s")
     sig = minhash_signatures(sh, id_col)
     rows = NUM_HASHES // NUM_BANDS
     bands = sig.select(

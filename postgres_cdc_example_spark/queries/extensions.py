@@ -168,12 +168,12 @@ def _minhash_oracle() -> str:
     )
     jac = "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
     return f"""
-    WITH d AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, greatest(length(nm) - 7, 1)),
-                           i -> substr(nm, i, 8))) AS ss
-      FROM d
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
+      FROM toks
     ),
     sig AS (SELECT doc_id, ss, [{mins}] AS sg FROM sh),
     bands AS (
@@ -200,8 +200,9 @@ def _minhash_oracle() -> str:
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 salted-md5 mins) + LSH (4 bands × 4 rows) candidate pairs,
-    exact-Jaccard-verified at ≥ 0.5 — the scale path for all-pairs dedup."""
+    """MinHash (16 salted-md5 mins over word-3-gram shingles) + LSH (4 bands
+    × 4 rows) candidate pairs, exact-Jaccard-verified at ≥ 0.5 — the scale
+    path for all-pairs dedup."""
     return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
 
 
