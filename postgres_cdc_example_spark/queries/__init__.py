@@ -62,6 +62,7 @@ def _load_all() -> None:
         analytics,
         cdc,
         parity,
+        windows,
     )
 
     try:  # extension modules land incrementally

@@ -1,0 +1,153 @@
+"""Event-time windowing family over the ``events`` stream table (batch
+analogs of the Structured Streaming operators; SURVEY.md §2.7 notes the
+reference has NO event-time processing — these are extension surface).
+
+Three shapes beyond the tumbling window in ``analytics.py``:
+
+- **sliding windows** (1 h window / 30 min slide): each event lands in two
+  buckets; Spark's ``F.window`` emits both, the oracle unnests the two
+  covering window starts explicitly.
+- **sessionization** (gaps-and-islands): 6-hour-gap sessions built from
+  ``lag`` + running sum — the portable formulation every SQL engine can run.
+- **native session windows**: Spark's ``F.session_window`` operator, checked
+  against the islands-derived oracle (window_end = last event + gap).
+
+All are pure window/agg plans: one shuffle on the grouping key, map-side
+partial aggregation, no UDFs. Interval arithmetic (never epoch casts) keeps
+sub-second timestamp semantics identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.sources.tables import load_table
+
+SESSION_GAP = "6 hours"
+_GAP_SQL = "INTERVAL 6 HOUR"
+
+
+@register(
+    "event_time_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS bucket,
+             value
+      FROM events
+    ),
+    ex AS (
+      SELECT unnest([bucket, bucket - INTERVAL 30 MINUTE]) AS window_start, value
+      FROM b
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM ex GROUP BY window_start
+    """,
+)
+def event_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: ``F.window`` duplicates each
+    event into its two covering buckets before one grouped aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_ISLANDS_SQL = f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + {_GAP_SQL} THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+"""
+
+
+@register(
+    "event_sessionization",
+    oracle=_ISLANDS_SQL
+    + """
+    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour-gap sessions via gaps-and-islands (lag + running sum): the
+    portable sessionization every engine can express; also the oracle for
+    the streaming ``applyInPandasWithState`` sessionizer
+    (streaming/stateful.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.lag("ts").over(order).isNull()
+        | (F.col("ts") > F.lag("ts").over(order) + F.expr(_GAP_SQL)),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "event_session_window",
+    oracle=_ISLANDS_SQL
+    + f"""
+    SELECT user_id, min(ts) AS window_start, max(ts) + {_GAP_SQL} AS window_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` operator (merging session state
+    inside the aggregation — the streaming-capable form), verified against
+    the islands-derived oracle: window_end = last event + gap."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,118 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference's only stateful construct is the target table itself (T5,
+``replicator/main.go:195-269``) — handled by the CDC pipeline. This module
+adds the *in-engine keyed state* flavor a training-data/event pipeline
+needs: per-key session state that survives micro-batches AND restarts (state
+lives in the checkpoint's state store), plus the watermarked windowed
+aggregation builder.
+
+Semantics contract: the streaming sessionizer must agree with the batch
+``event_sessionization`` query (queries/windows.py) — same 6 h gap, same
+(ts, event_id) ordering, session_end = last event's ts. Each key's final
+session stays open in state (a stream never ends); tests therefore compare
+emitted sessions against batch sessions minus each user's last.
+
+Scale shape: state is partitioned by the grouping key across executors
+(shuffle on ``user_id``); per-batch work is Arrow-batched pandas per key
+group — no driver involvement, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_NS = 6 * 3600 * 1_000_000_000  # 6 hours, matches queries/windows.py
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, "
+    "n_events long, total_value double"
+)
+# state carried between micro-batches: open session per user (ns epoch ints)
+SESSION_STATE_SCHEMA = "start_ns long, last_ns long, n_events long, total_value double"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    batch = pd.concat(list(pdfs))
+    batch = batch.sort_values(["ts", "event_id"])
+    ts_ns = pd.DatetimeIndex(batch["ts"]).asi8
+    values = batch["value"].to_numpy()
+
+    if state.exists:
+        start_ns, last_ns, n_events, total_value = state.get
+    else:
+        start_ns = last_ns = None
+        n_events, total_value = 0, 0.0
+
+    closed: list[tuple] = []
+    for t, v in zip(ts_ns, values):
+        if last_ns is not None and t - last_ns > SESSION_GAP_NS:
+            closed.append((user_id, start_ns, last_ns, n_events, total_value))
+            start_ns = last_ns = None
+        if last_ns is None:
+            start_ns, last_ns, n_events, total_value = t, int(t), 1, float(v)
+        else:
+            last_ns, n_events, total_value = int(t), n_events + 1, total_value + float(v)
+
+    state.update((int(start_ns), int(last_ns), int(n_events), float(total_value)))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"])
+        out["session_end"] = pd.to_datetime(out["session_end"])
+        yield out
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """6-hour-gap sessionization as a custom stateful operator: state is the
+    open session per user; a batch's events close sessions whose gap elapsed
+    and the closed sessions are appended downstream. ``NoTimeout`` keeps the
+    tail session open indefinitely (swap in ``EventTimeTimeout`` + watermark
+    to flush idle sessions in production)."""
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (append mode): the streaming
+    twin of the batch ``event_time_tumbling`` query. Late data beyond the
+    watermark is dropped; a window is emitted once the watermark passes its
+    end."""
+    # watermarks require TIMESTAMP (with tz); sessions run in UTC so the
+    # NTZ→TZ cast is instant-preserving, and outputs cast back to NTZ
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
