@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_frame_sample",
+    "event_sessionization",
+    "event_time_sliding",
+    "skew_salted_agg",
 ]
 
 

@@ -13,8 +13,9 @@ capabilities a 100 TB training-data pipeline needs on top of CDC parity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from postgres_cdc_example_spark.operators import dedup, multimodal, similarity, text
+from postgres_cdc_example_spark.operators import dedup, multimodal, similarity, skew, text
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -353,6 +354,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set), then top-5 within the query's own cluster only — the
     bucketed scale path."""
     return similarity.ivf_topk(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the 5-value ``event_type`` key (the
+    hot-key shape that would funnel a 100 TB scan into 5 reducers): shuffle
+    on (key, salt) with map-side combine, then a tiny final shuffle on key.
+    The salt never reaches the result, so the plain GROUP BY oracle applies."""
+    ev = load_table(spark, "events", sf_dir)
+    out = skew.salted_agg(
+        ev,
+        key_col="event_type",
+        salt_source="event_id",
+        aggs={"n_events": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    return out.select(
+        "event_type", "n_events", F.round("total_value", 4).alias("total_value")
+    )
 
 
 # ---------------------------------------------------------------------------

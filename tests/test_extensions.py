@@ -26,6 +26,7 @@ EXTENSION_QUERIES = [
     "ann_ivf_topk",
     "multimodal_features",
     "multimodal_frame_sample",
+    "skew_salted_agg",
 ]
 
 
@@ -65,6 +66,29 @@ def test_ivf_is_subset_quality_of_brute_force(spark, sf_dir):
     assert ivf, "IVF should return neighbors"
     for r in ivf:
         assert r.cos_r <= bf[(r.q_id, 1)] + 1e-9
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result: salted fact⋈dim == plain
+    fact⋈dim (the dim replicated n_salts times meets each scattered row
+    exactly once)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_example_spark.operators import skew
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("double")
+    )
+    plain = ev.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("wv")
+    )
+    salted = skew.salted_join(ev, dim, "event_type", "event_id").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("wv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
 def test_multimodal_decode_stub_gated():
