@@ -61,13 +61,25 @@ class CdcPipeline:
         checkpoint_dir: str,
         predicate: Column | None = None,
         trigger_interval: str = "2 seconds",
+        bucketed: bool = False,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.predicate = predicate
         self.trigger_interval = trigger_interval
-        self.store = VersionedStateStore(spark, state_root, PERSON_SCHEMA)
+        if bucketed:
+            # scale path: O(changed buckets) per batch instead of O(state)
+            from postgres_cdc_example_spark.streaming.bucket_state import (
+                BucketedStateStore,
+            )
+
+            self.store = BucketedStateStore(
+                spark, state_root, PERSON_SCHEMA, n_buckets=n_buckets
+            )
+        else:
+            self.store = VersionedStateStore(spark, state_root, PERSON_SCHEMA)
         self.dead_letter_count = 0  # observability counter (T7)
 
     # --- T3: snapshot + stream handoff ------------------------------------
@@ -81,7 +93,10 @@ class CdcPipeline:
         if self.predicate is not None:
             snap = snap.filter(self.predicate)
         merged = snapshot_copy(self.store.read(), snap)
-        self.store.commit(merged, version=0)
+        if hasattr(self.store, "commit_full"):
+            self.store.commit_full(merged)
+        else:
+            self.store.commit(merged, version=0)
 
     # --- the per-micro-batch apply (P3/J1-J4/T5) ---------------------------
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -97,6 +112,11 @@ class CdcPipeline:
             from pyspark.sql import functions as F
 
             changes = changes.filter((F.col("action") == "D") | self.predicate)
+        if hasattr(self.store, "apply_and_commit"):
+            # incremental path: read + rewrite only the changed buckets;
+            # replay after crash re-applies idempotently (merge semantics)
+            self.store.apply_and_commit(changes)
+            return
         state = self.store.read()
         new_state = apply_changes(state, changes)
         # version = batch_id + 1 (0 is the backfill); replays are idempotent

@@ -1,0 +1,103 @@
+"""BucketedStateStore: the O(changed-buckets) CDC apply must agree exactly
+with the O(state) full-rewrite path, prune untouched partitions at the scan,
+express bucket-emptying deletes, and stay idempotent under batch replay."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import random
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators.cdc_apply import apply_changes
+from postgres_cdc_example_spark.streaming.bucket_state import BucketedStateStore
+from tests.test_cdc_apply import CHANGE_SCHEMA, STATE_SCHEMA
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _mk_state(spark, n=200):
+    rows = [
+        (i, f"s{i % 7}", float(i) * 1.5, T0 + datetime.timedelta(minutes=i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, STATE_SCHEMA)
+
+
+def _mk_changes(spark, seed, keys, n_events=300, seq0=0):
+    rng = random.Random(seed)
+    rows = []
+    for seq in range(seq0, seq0 + n_events):
+        k = rng.choice(keys)
+        action = rng.choice(["I", "U", "D"])
+        rows.append(
+            (
+                seq,
+                action,
+                k,
+                f"v{seq % 11}",
+                float(seq) * 0.25,
+                T0 + datetime.timedelta(minutes=seq),
+            )
+        )
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _snap(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bucketed_apply_equals_full_rewrite(spark, tmp_path):
+    state = _mk_state(spark)
+    store = BucketedStateStore(spark, str(tmp_path / "st"), STATE_SCHEMA, n_buckets=16)
+    store.commit_full(state)
+
+    # two sequential batches, keys drawn from a subset (some buckets untouched)
+    keys = [k for k in range(250) if k % 3 != 1]
+    full = state
+    for batch, seed in enumerate([7, 11]):
+        changes = _mk_changes(spark, seed, keys, seq0=batch * 1000)
+        buckets = store.apply_and_commit(changes)
+        assert 0 < len(buckets) <= 16
+        full = apply_changes(full, changes)
+    assert _snap(store.read()) == _snap(full)
+
+
+def test_read_buckets_prunes_partitions(spark, tmp_path):
+    store = BucketedStateStore(spark, str(tmp_path / "st"), STATE_SCHEMA, n_buckets=16)
+    store.commit_full(_mk_state(spark))
+    df = store.read_buckets([3, 5])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "__bucket" in plan, "bucket filter must be a partition filter at the scan"
+    # and only rows of those buckets come back
+    got_buckets = {r[0] % 16 for r in df.select("id").collect()}
+    assert got_buckets <= {3, 5}
+
+
+def test_delete_empties_bucket(spark, tmp_path):
+    store = BucketedStateStore(spark, str(tmp_path / "st"), STATE_SCHEMA, n_buckets=16)
+    store.commit_full(_mk_state(spark, n=64))  # ids 0..63: bucket b holds {b, b+16, ...}
+    victims = [5, 21, 37, 53]  # the whole of bucket 5
+    deletes = spark.createDataFrame(
+        [(i, "D", k, None, None, None) for i, k in enumerate(victims)], CHANGE_SCHEMA
+    )
+    store.apply_and_commit(deletes)
+    remaining = {r[0] for r in store.read().select("id").collect()}
+    assert remaining == set(range(64)) - set(victims)
+    assert 5 not in store._existing_buckets(), "emptied partition must be dropped"
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    store = BucketedStateStore(spark, str(tmp_path / "st"), STATE_SCHEMA, n_buckets=8)
+    store.commit_full(_mk_state(spark))
+    changes = _mk_changes(spark, seed=13, keys=list(range(100)))
+    store.apply_and_commit(changes)
+    once = _snap(store.read())
+    store.apply_and_commit(changes)  # foreachBatch replay after crash
+    assert _snap(store.read()) == once

@@ -134,3 +134,33 @@ def test_pipeline_restart_is_idempotent(spark, tmp_path):
     run_to_completion(pipe2)
     ids = {r["id"] for r in pipe2.state().collect()}
     assert 50 not in ids and len(ids) == 3
+
+
+def test_bucketed_pipeline_matches_full_rewrite(spark, tmp_path):
+    """The O(changed-buckets) bucketed store must produce byte-identical
+    state to the full-rewrite versioned store on the same change stream."""
+    src = str(tmp_path / "changes")
+    lines = [
+        person_change_json(1, "I", row=row(30, "a", 10)),
+        person_change_json(2, "U", row=row(1, "b", 20), identity={"id": 1}),
+        person_change_json(3, "D", identity={"id": 2}),
+        person_change_json(4, "I", row=row(31, "c", 30)),
+        person_change_json(5, "U", row=row(31, "c2", 31), identity={"id": 31}),
+        person_change_json(6, "D", identity={"id": 31}),
+    ]
+    write_lines(src, "b0.jsonl", lines)
+    pipes = {}
+    for mode, bucketed in [("full", False), ("bucketed", True)]:
+        pipe = CdcPipeline(
+            spark,
+            source_dir=src,
+            state_root=str(tmp_path / f"state_{mode}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{mode}"),
+            bucketed=bucketed,
+            n_buckets=8,
+        )
+        pipe.backfill(person_batch(spark, 5, seed=3))
+        run_to_completion(pipe)
+        pipes[mode] = sorted(map(tuple, pipe.state().collect()))
+    assert pipes["bucketed"] == pipes["full"]
+    assert {r[0] for r in pipes["bucketed"]} == {1, 3, 4, 5, 30}
