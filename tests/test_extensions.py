@@ -104,3 +104,23 @@ def test_frame_sample_covers_every_doc(spark, sf_dir):
     n_docs = docs.count()
     assert frames.select("doc_id").distinct().count() == n_docs
     assert frames.filter(frames.frame_idx % multimodal.FRAME_STRIDE != 0).count() == 0
+
+
+def test_pandas_udf_cosine_matches_jvm(spark, sf_dir):
+    """The Arrow pandas_udf cosine and the JVM zip_with/aggregate cosine are
+    interchangeable implementations of the same math (<=1e-9)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_example_spark.functions.vector import cosine_pandas
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(2000)
+    va, vb = similarity.as_double(F.col("va")), similarity.as_double(F.col("vb"))
+    jvm = similarity.dot(va, vb) / (similarity.norm(va) * similarity.norm(vb))
+    rows = pairs.select(
+        jvm.alias("jvm"), cosine_pandas("va", "vb").alias("py")
+    ).collect()
+    assert rows
+    assert all(abs(r.jvm - r.py) < 1e-9 for r in rows)

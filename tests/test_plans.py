@@ -9,20 +9,14 @@ dedup operators."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
 from postgres_cdc_example_spark import queries as q
+from postgres_cdc_example_spark.plans.inspect import explain_str, has_exchange
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = q.queries()[name](spark, sf_dir)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+    return explain_str(q.queries()[name](spark, sf_dir))
 
 
 def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
@@ -89,3 +83,37 @@ def test_multimodal_is_arrow_batched(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "MapInPandas" in plan, "multimodal decode must be Arrow-batched mapInPandas"
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed fact⋈fact join: the shuffle is paid once at write time;
+    the join itself must plan with ZERO exchanges on either side."""
+    from postgres_cdc_example_spark.sources.bucketed import bucketed_join, save_bucketed
+    from postgres_cdc_example_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    # at fixture scale Catalyst would (rightly) broadcast the tiny side —
+    # disable it so the plan is the SMJ a 100 TB fact⋈fact would get
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(
+            load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice"),
+            "bkt.orders_b", "o_orderkey", n_buckets=8,
+        )
+        save_bucketed(
+            load_table(spark, "lineitem", sf_dir)
+            .select("l_orderkey", "l_extendedprice")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt.lineitem_b", "o_orderkey", n_buckets=8,
+        )
+        joined = bucketed_join(spark, "bkt.orders_b", "bkt.lineitem_b", "o_orderkey")
+        assert not has_exchange(joined), explain_str(joined)
+        # and it actually runs and matches the shuffled equivalent
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        plain = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
