@@ -165,6 +165,87 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over DataFrames — the iterative-algorithm shape.
+
+    Per iteration: centroids (k×dim — genuinely small data) are collected to
+    the driver and re-broadcast for assignment; the new means come from one
+    ``posexplode`` + groupBy(cluster, dim) average — a single shuffle whose
+    key count is k×dim regardless of input size. Assignment = max cosine
+    (ties → lowest centroid id), deterministic init = first k vectors, so
+    runs are reproducible. This is the real centroid generator for
+    :func:`ivf_topk`'s stand-in centroids; not SQL-expressible as one
+    statement (driver-side iteration), hence a rows-only driver check.
+    """
+    base = _normed(df, id_col, vec_col).select(F.col(id_col).alias("_vid"), "v", "nrm")
+    spark = df.sparkSession
+    cent_rows = [
+        (i, r.v) for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
+    ]
+    for _ in range(iterations):
+        cent = spark.createDataFrame(
+            cent_rows, "cluster_id int, cv array<double>"
+        ).withColumn("cn", norm(F.col("cv")))
+        scored = base.crossJoin(F.broadcast(cent)).select(
+            "_vid",
+            "v",
+            "cluster_id",
+            cosine_rounded(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias(
+                "ccos"
+            ),
+        )
+        w = Window.partitionBy("_vid").orderBy(F.col("ccos").desc(), F.col("cluster_id"))
+        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        means = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.m
+        cent_rows = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+    final = spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>")
+    counts = (
+        base.crossJoin(
+            F.broadcast(final.withColumn("cn", norm(F.col("centroid"))))
+        )
+        .select(
+            "_vid",
+            "cluster_id",
+            cosine_rounded(
+                F.col("v"), F.col("nrm"), F.col("centroid"), F.col("cn")
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("_vid").orderBy(
+                    F.col("ccos").desc(), F.col("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return final.join(counts, "cluster_id", "left").select(
+        "cluster_id",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -356,6 +356,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 
+@register("kmeans_centroids", oracle=None)  # iterative — rows-only driver check
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations, k=8, deterministic first-k init — the iterative-
+    algorithm class (driver-side loop re-broadcasting k×dim centroids; not
+    expressible as one SQL statement, so no DuckDB oracle)."""
+    return similarity.kmeans_centroids(load_table(spark, "embeddings", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # skew mitigation
 # ---------------------------------------------------------------------------

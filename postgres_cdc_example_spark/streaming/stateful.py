@@ -92,6 +92,24 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact streaming deduplication: first occurrence of each key wins;
+    keyed state is dropped once the watermark passes, so state stays bounded
+    by the (horizon × arrival rate) instead of growing with the stream —
+    the only viable exact-dedup shape on an unbounded 100 TB/day feed.
+    Duplicates straggling in later than the watermark are the documented
+    trade-off (tighten or widen per pipeline SLA)."""
+    keys = keys or ["event_id"]
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+
+
 def windowed_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

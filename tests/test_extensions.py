@@ -124,3 +124,15 @@ def test_pandas_udf_cosine_matches_jvm(spark, sf_dir):
     ).collect()
     assert rows
     assert all(abs(r.jvm - r.py) < 1e-9 for r in rows)
+
+
+def test_kmeans_centroids_deterministic_and_complete(spark, sf_dir):
+    """k clusters, every vector assigned, and two runs agree exactly
+    (deterministic init + rounded outputs)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c1 = similarity.kmeans_centroids(emb).collect()
+    assert len(c1) == similarity.N_CENTROIDS
+    assert sum(r.n_members for r in c1) == emb.count()
+    assert all(len(r.centroid_r) == 64 for r in c1)
+    c2 = similarity.kmeans_centroids(emb).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))

@@ -102,3 +102,21 @@ def test_windowed_counts_append_matches_batch(spark, sf_dir, tmp_path):
     cutoff = datetime.datetime(2024, 1, 15, 22, 0, 0)
     finalized = {ws for ws in batch if ws < cutoff}
     assert finalized <= set(got), "all watermark-passed windows must be emitted"
+
+
+def test_dedup_stream_emits_each_key_once(spark, sf_dir, tmp_path):
+    """A doubled stream (every event written twice across two files) must
+    come out with each event_id exactly once."""
+    ev = load_table(spark, "events", sf_dir).limit(500)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact duplicates
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    from postgres_cdc_example_spark.streaming.stateful import dedup_stream
+
+    emitted: list = []
+    _drain(dedup_stream(stream), ckpt, emitted)
+    ids = [r.event_id for r in emitted]
+    assert len(ids) == len(set(ids)), "no key may be emitted twice"
+    assert set(ids) == {r.event_id for r in ev.collect()}, "every key emitted once"
