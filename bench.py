@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "event_sessionization",
     "event_time_sliding",
     "skew_salted_agg",
+    "high_volume_orders",
 ]
 
 

@@ -209,3 +209,84 @@ def event_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# --- TPC-H Q18-shaped: agg subquery feeding a join (decorrelation class) --------
+@register(
+    "high_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price,
+           round(s.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) s ON s.l_orderkey = o.o_orderkey
+    """,
+)
+def high_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders: the HAVING-subquery→join shape. The aggregate
+    runs FIRST (shrinking lineitem to one row per order before the join), so
+    the join input is orders-sized, not lineitem-sized — the order of
+    operations that matters at 100 TB."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+# --- NOT EXISTS (anti-join) -----------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS decorrelated to a left-anti hash join (the same rewrite
+    Catalyst applies to the SQL form)."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+
+
+# --- IN-subquery (semi-join) ----------------------------------------------------
+@register(
+    "suppliers_of_big_parts",
+    oracle="""
+    SELECT s_suppkey, s_name, n_nationkey
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+    )
+    """,
+)
+def suppliers_of_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery decorrelated to a left-semi join; the quantity filter is
+    pushed to the lineitem scan before the semi-join shrinks it to distinct
+    supplier keys."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_quantity") >= 49
+    ).select("l_suppkey")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey")
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_nationkey")
+    )
