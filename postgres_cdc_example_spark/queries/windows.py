@@ -151,3 +151,25 @@ def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- semi-structured JSON column (F11 extension over the stream table) ----------
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: extract a typed field from the JSON
+    ``props`` column (JVM-side ``get_json_object`` — pushdown-friendly, no
+    Python) and aggregate on it; the declared-schema ``from_json`` variant
+    is the same plan with a struct projection (sources/changelog.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
