@@ -443,3 +443,113 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.with_payload(load_table(spark, "documents", sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling, quantization, redaction
+# ---------------------------------------------------------------------------
+
+from postgres_cdc_example_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "sample_hash_10pct",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5-prefix threshold on the stable key:
+    reproducible across runs/engines/partitionings (unlike Bernoulli
+    df.sample), pure per-row filter — no shuffle, pushdown-compatible."""
+    return sampling.hash_sample(
+        load_table(spark, "documents", sf_dir), "doc_id", "1a"
+    ).select("doc_id", "source")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT source, count(*) AS n_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN source = 'src1' THEN '80'
+               WHEN source = 'src0' THEN '80'
+               ELSE '1a' END
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rates via per-stratum hash thresholds: keep ~50% of the
+    curated sources (src0/src1), ~10% of everything else."""
+    sampled = sampling.stratified_sample(
+        load_table(spark, "documents", sf_dir),
+        key_col="doc_id",
+        stratum_col="source",
+        rates={"src0": "80", "src1": "80"},
+        default="1a",
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE AS scale
+      FROM e
+    ),
+    qd AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS INT)) AS q
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano,
+           q[1] AS q_first,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1_norm,
+           CAST(floor(list_max(list_transform(generate_series(1, len(v)),
+                i -> abs(v[i] - q[i] * scale))) * 1e9) AS BIGINT) AS max_abs_err_nano
+    FROM qd
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4× storage cut) with integer
+    audit columns: scale, first code, L1 norm of codes, and the worst-case
+    reconstruction error in nano units."""
+    return sampling.quantize_int8(load_table(spark, "embeddings", sf_dir))
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+@register(
+    "text_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<email>', 'g'),
+                              '{_URL_RE}', '<url>', 'g')) AS redacted_hash
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass (emails/URLs): match counts + the hash of
+    the redacted text, all JVM-side regex (same RE2-compatible patterns run
+    in the oracle)."""
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<email>"), _URL_RE, "<url>"
+    )
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

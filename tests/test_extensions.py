@@ -136,3 +136,28 @@ def test_kmeans_centroids_deterministic_and_complete(spark, sf_dir):
     assert all(len(r.centroid_r) == 64 for r in c1)
     c2 = similarity.kmeans_centroids(emb).collect()
     assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+
+
+def test_hash_sample_is_partitioning_invariant(spark, sf_dir):
+    """The whole point vs df.sample(): the sampled id set must not change
+    when the data is repartitioned."""
+    from postgres_cdc_example_spark.operators import sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id").select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(7), "doc_id").select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Symmetric int8: worst-case reconstruction error <= scale/2 per vector."""
+    from postgres_cdc_example_spark.operators import sampling
+
+    rows = sampling.quantize_int8(load_table(spark, "embeddings", sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err_nano <= r.scale_nano / 2 + 1  # +1 for floor slack
+        assert -127 <= r.q_first <= 127
