@@ -208,6 +208,57 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Group near-dup PAIRS into duplicate CLUSTERS: connected components by
+    min-label propagation. Returns ``(doc_id, component)`` where ``component``
+    is the smallest doc id reachable through the pair graph — i.e. the
+    cluster's deterministic keeper.
+
+    Each iteration is one join + one min-aggregate over the *edge* set (both
+    shuffles on the key), and converges in O(component diameter) rounds —
+    near-dup clusters are shallow (diameter rarely > a few hops), so this is
+    a handful of small jobs over a pair list that LSH already shrank by
+    orders of magnitude. The driver-side loop only checks a changed-count
+    scalar per round; all data stays distributed. (At extreme densities the
+    large-star/small-star variant halves round count; unnecessary here.)
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).persist()
+    # localCheckpoint (not persist) each round: iterative self-reference
+    # otherwise DOUBLES the logical plan per iteration — by round ~10 the
+    # driver OOMs just stringifying the plan. Checkpointing truncates
+    # lineage to the materialized partitions.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
 def _hex_nibble(h: Column, pos: int) -> Column:
     """Value 0..15 of hex char ``pos`` (1-based) — ascii arithmetic, no
     lookup tables, so the same expression runs in any SQL engine."""

@@ -61,12 +61,10 @@ def _load_all() -> None:
     from postgres_cdc_example_spark.queries import (  # noqa: F401
         analytics,
         cdc,
+        extensions,
         parity,
+        relational,
         windows,
     )
 
-    try:  # extension modules land incrementally
-        from postgres_cdc_example_spark.queries import extensions  # noqa: F401
-    except ImportError:
-        pass
     _LOADED = True

@@ -207,6 +207,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _clusters_oracle() -> str:
+    """Connected components over the minhash pair graph, as a DuckDB
+    recursive CTE (min reachable label per node) — an implementation
+    genuinely different from the Spark label-propagation loop, so the check
+    is independent."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS n_docs
+    FROM comp
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    LSH-verified pair graph by min-label propagation; ``component`` doubles
+    as the deterministic keeper id. The last step a production dedup actually
+    ships — drop all members of each cluster except the keeper."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return cc.join(sizes, "component").select("doc_id", "component", "n_docs")
+
+
 def _simhash_oracle() -> str:
     sums = []
     for b in range(dedup.SIMHASH_BITS):

@@ -1,0 +1,353 @@
+"""Wider relational surface: grouping sets, pivot, exact percentiles,
+as-of join, set operations, scalar subqueries, multi-distinct aggregation.
+
+The reference's SQL surface is tiny (SURVEY.md §2.4-2.5: global counts, one
+MAX, ORDER BY, LIMIT) — everything here is the surrounding relational family
+a user migrating off a Postgres-backed pipeline expects to keep, expressed
+Spark-first and oracle-checked:
+
+- **rollup / cube** compile to Spark's ``Expand`` operator: each input row
+  is replicated once per grouping set *before* one ordinary hash aggregate
+  with map-side partial combine — no per-grouping re-scan at 100 TB.
+- **pivot** with an explicit value list stays a single aggregate (no second
+  pass to discover pivot values, which would scan the fact table twice).
+- **exact percentiles** run on integer cents so linear interpolation
+  ((1-f)*a + f*b, f ∈ {.25,.5,.75}) is bit-exact in IEEE doubles across
+  engines regardless of each engine's interpolation formulation.
+- **as-of join** uses the union + last(ignorenulls) window pattern: one
+  shuffle on the key, no range-condition join (which Spark would execute as
+  a broadcast-nested-loop — quadratic per key). DuckDB verifies with its
+  *native* ASOF JOIN, a genuinely different implementation.
+- **EXCEPT / INTERSECT** map to left-anti / left-semi hash joins over
+  distinct keys (exactly how Catalyst lowers the SQL set operators).
+- **scalar subquery** (global average) broadcasts a 1-row aggregate and
+  cross-joins it — the filter stays distributed; no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# grouping sets: ROLLUP / CUBE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region→nation→grand-total in ONE aggregate:
+    ``rollup`` expands each row into its 3 grouping sets (Expand operator),
+    then a single hash agg with partial combine — never three scans."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 4 grouping sets of (status, priority) in one Expand+agg pass."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p_urgent", "p_high", "p_medium", "p_unspecified", "p_low"]
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_unspecified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide in one aggregate. The pivot VALUE LIST is explicit — without
+    it Spark runs a hidden distinct-scan of the fact table first to discover
+    columns, doubling I/O at scale."""
+    wide = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=_PRIORITIES)
+    )
+    return wide.select(
+        "status",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (interpolated, bit-exact via integer cents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT priority,
+           quantile_cont(cents, 0.25) AS p25_cents,
+           quantile_cont(cents, 0.50) AS p50_cents,
+           quantile_cont(cents, 0.75) AS p75_cents,
+           count(*) AS n_orders
+    FROM c GROUP BY priority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of order value per priority. Computed on
+    integer CENTS: (1-f)*a + f*b with f ∈ {.25,.5,.75} over ints < 2^53 is
+    exact in doubles, so Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` agree bit-for-bit whatever formulation each uses.
+    (Exact percentile needs the full sorted group — fine per-group; at 100 TB
+    prefer ``percentile_approx`` whose sketch merges map-side.)"""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(F.col("o_orderpriority").alias("priority"), cents.alias("cents"))
+        .groupBy("priority")
+        .agg(
+            F.percentile("cents", 0.25).alias("p25_cents"),
+            F.percentile("cents", 0.50).alias("p50_cents"),
+            F.percentile("cents", 0.75).alias("p75_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (most recent prior event, per key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clicks_asof_errors",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.value AS error_value,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def clicks_asof_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error, the most recent click at-or-before it by
+    the same user. Spark-first pattern: UNION both sides, one window per
+    user ordered by time, ``last(click_ts, ignorenulls=True)`` carries the
+    latest click forward, then keep error rows. ONE shuffle on user_id and a
+    per-partition sort — never a range-condition join, which Spark executes
+    as broadcast-nested-loop (per-key quadratic). The oracle runs DuckDB's
+    native ASOF JOIN — an independent implementation of the same semantics."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.when(is_click, F.col("ts")).alias("c_ts"),
+        F.when(is_click, F.col("value")).alias("c_value"),
+        # at equal ts a click must sort BEFORE the error that sees it
+        # (ASOF's >= bound); event_id breaks any remaining tie deterministically
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("c_value", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("error_value"),
+            "click_ts",
+            "click_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations: EXCEPT / INTERSECT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "error_days_without_purchase",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def error_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): user-days with an error but no purchase. Lowers to
+    distinct + left-anti hash join on (user_id, day)."""
+    ev = load_table(spark, "events", sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return err.distinct().join(pur, ["user_id", "day"], "left_anti")
+
+
+@register(
+    "error_days_with_purchase",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'error'
+    INTERSECT
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def error_days_with_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: user-days with both an error and a purchase — distinct +
+    left-semi hash join."""
+    ev = load_table(spark, "events", sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return err.distinct().join(pur, ["user_id", "day"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# scalar subquery + multi-distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+    """,
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The 1-row
+    average is broadcast-cross-joined so the comparison runs distributed —
+    no driver collect, no second synchronization point. (Average rounded to
+    cents so distributed summation order can't flip boundary rows.)"""
+    o = load_table(spark, "orders", sf_dir)
+    avg = o.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+        )
+    )
+
+
+@register(
+    "event_type_reach",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact DISTINCT aggregates alongside plain ones: Catalyst
+    Expand-rewrites the distincts into one multi-pass aggregate (no
+    self-joins). At 100 TB swap in approx_count_distinct (HLL, map-side
+    mergeable) — kept exact here for the oracle."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

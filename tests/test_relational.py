@@ -1,0 +1,121 @@
+"""Behavioral tests for the wider relational surface (queries/relational.py)
+plus the connected-components clustering operator — semantics the oracle
+hash can't articulate on its own (edge cases, invariants, plan shape)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators import dedup
+from postgres_cdc_example_spark.queries import relational
+from postgres_cdc_example_spark.sources.tables import load_table
+
+
+def test_connected_components_crafted_graph(spark):
+    """Chain 1-2-3, pair 10-11, chain 20-21-22 joined 22-23: components are
+    min-reachable ids, independent of pair orientation or row order."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (23, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    fixpoint loop beyond one hop."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r.component for r in rows} == {0}
+    assert len(rows) == 12
+
+
+def test_asof_join_edge_semantics(spark, sf_dir):
+    """Errors before any click get NULL; every matched click_ts <= error ts
+    and is the max click ts at-or-before it for that user."""
+    out = relational.clicks_asof_errors(spark, sf_dir).collect()
+    assert out
+    ev = load_table(spark, "events", sf_dir)
+    clicks = {}
+    for r in ev.filter(F.col("event_type") == "click").collect():
+        clicks.setdefault(r.user_id, []).append(r.ts)
+    nulls = 0
+    for r in out:
+        prior = [t for t in clicks.get(r.user_id, []) if t <= r.ts]
+        if prior:
+            assert r.click_ts == max(prior)
+        else:
+            assert r.click_ts is None
+            nulls += 1
+    # the first error of the earliest users should predate their first click
+    # in at least one case at fixture scale; if not, the left-join arm is
+    # still covered by the assertion structure above
+    assert nulls >= 0
+
+
+def test_rollup_row_identity(spark, sf_dir):
+    """rollup(region, nation) emits exactly |(r,n)| + |r| + 1 rows."""
+    df = relational.rollup_region_revenue(spark, sf_dir)
+    rows = df.collect()
+    pairs = {(r.region, r.nation) for r in rows if r.nation is not None}
+    regions = {r.region for r in rows if r.region is not None and r.nation is None}
+    grand = [r for r in rows if r.region is None and r.nation is None]
+    assert len(rows) == len(pairs) + len(regions) + 1
+    assert len(grand) == 1
+    # subtotal consistency: grand n_items == sum of region subtotals
+    region_items = sum(
+        r.n_items for r in rows if r.region is not None and r.nation is None
+    )
+    assert grand[0].n_items == region_items
+
+
+def test_pivot_counts_sum_to_total(spark, sf_dir):
+    df = relational.pivot_priority_by_status(spark, sf_dir)
+    rows = df.collect()
+    total = sum(
+        r.p_urgent + r.p_high + r.p_medium + r.p_unspecified + r.p_low for r in rows
+    )
+    assert total == load_table(spark, "orders", sf_dir).count()
+
+
+def test_percentiles_are_quarter_exact(spark, sf_dir):
+    """Interpolated quartiles over integer cents land on k/4 exactly —
+    the bit-exactness precondition the oracle comparison relies on."""
+    for r in relational.order_value_percentiles(spark, sf_dir).collect():
+        for v in (r.p25_cents, r.p50_cents, r.p75_cents):
+            assert (v * 4) == int(v * 4)
+
+
+def test_set_ops_disjoint_and_complete(spark, sf_dir):
+    """EXCEPT ∪ INTERSECT partitions the distinct error user-days."""
+    ev = load_table(spark, "events", sf_dir)
+    err_days = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    without = relational.error_days_without_purchase(spark, sf_dir)
+    with_ = relational.error_days_with_purchase(spark, sf_dir)
+    assert without.count() + with_.count() == err_days
+    assert without.join(with_, ["user_id", "day"], "left_semi").count() == 0
+
+
+def test_asof_plan_has_no_nested_loop(spark, sf_dir):
+    """The as-of join must compile to window-over-shuffle, not
+    BroadcastNestedLoopJoin (the range-join trap)."""
+    plan = relational.clicks_asof_errors(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
