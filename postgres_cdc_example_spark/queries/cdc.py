@@ -88,9 +88,7 @@ def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- J1-J4/P3/T5: full I/U/D apply with created_at preservation -----------------
-@register(
-    "cdc_apply_full",
-    oracle=f"""
+_APPLY_ORACLE = f"""
     WITH state AS ({_STATE_SQL}),
     changes AS ({_CHANGES_SQL}),
     summary AS (
@@ -131,8 +129,10 @@ def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (s.id IS NULL AND st.id IS NOT NULL)
        OR (s.id IS NOT NULL
            AND ((s.d_max IS NULL AND st.id IS NOT NULL) OR f.i_first IS NOT NULL))
-    """,
-)
+    """
+
+
+@register("cdc_apply_full", oracle=_APPLY_ORACLE)
 def cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference apply semantics (``replicator/main.go:175-270``):
     I = upsert keeping created_at on conflict, U = update-if-present,
@@ -148,3 +148,45 @@ def cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["status", "amount"],
         created_col="created_at",
     ).select("id", "status", "amount", "created_at")
+
+
+# --- incremental aggregate maintenance (materialized-view delta) ----------------
+def _cents() -> "F.Column":
+    """Integer-cents column (lazy: Column creation needs a live SparkContext,
+    so this cannot run at import time)."""
+    return F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    SELECT status, count(*) AS n_rows,
+           sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS sum_cents
+    FROM ({_APPLY_ORACLE})
+    GROUP BY status
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the grouped aggregate is advanced from
+    its PRE-change snapshot using only the change batch and the touched-key
+    slice of state — O(delta), never O(state) (operators/incremental.py).
+    The oracle recomputes the same aggregate from the fully-applied state
+    (a genuinely different path), so the hash match IS the maintenance-
+    equivalence invariant. Sums in integer cents: bigint addition is
+    associative, so incremental == recompute bit-for-bit."""
+    from postgres_cdc_example_spark.operators import incremental
+
+    state = _state(spark, sf_dir)
+    prev = incremental.agg_snapshot(state, "status", _cents())
+    return incremental.maintain_agg(
+        prev,
+        state,
+        _changes(spark, sf_dir),
+        group_col="status",
+        cents=_cents(),
+        key="id",
+        seq="seq",
+        action="action",
+        value_cols=["status", "amount"],
+        created_col="created_at",
+    )

@@ -153,3 +153,54 @@ def test_compact_changes_last_write_wins(spark):
     )
     got = {r["id"]: r["status"] for r in compact_changes(changes).collect()}
     assert got == {1: "c", 2: "x"}  # seq order, not insertion order
+
+
+# --- incremental aggregate maintenance ------------------------------------------
+
+
+def test_maintain_agg_multi_batch_equals_recompute(spark, sf_dir):
+    """Fold maintain_agg over 3 sequential change batches; after each batch
+    the maintained aggregate must equal a from-scratch recompute over the
+    applied state — the materialized-view invariant, exercised across batch
+    boundaries (group churn: event-type groups appear, order-status groups
+    drain)."""
+    from postgres_cdc_example_spark.operators import incremental
+    from postgres_cdc_example_spark.queries.cdc import _cents, _changes, _state
+
+    state = _state(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
+    cuts = [int(q * 1000) for q in (0.2, 0.6)]
+    batches = [
+        changes.filter(F.col("seq") < cuts[0]),
+        changes.filter((F.col("seq") >= cuts[0]) & (F.col("seq") < cuts[1])),
+        changes.filter(F.col("seq") >= cuts[1]),
+    ]
+    agg = incremental.agg_snapshot(state, "status", _cents())
+    kw = dict(
+        seq="seq", action="action", value_cols=["status", "amount"],
+        created_col="created_at",
+    )
+    for batch in batches:
+        agg = incremental.maintain_agg(
+            agg, state, batch, group_col="status", cents=_cents(), key="id", **kw
+        ).localCheckpoint()
+        state = apply_changes(state, batch, key="id", **kw).localCheckpoint()
+        expect = {
+            (r.status, r.n_rows, r.sum_cents)
+            for r in incremental.agg_snapshot(state, "status", _cents()).collect()
+        }
+        got = {(r.status, r.n_rows, r.sum_cents) for r in agg.collect()}
+        assert got == expect
+
+
+def test_maintain_agg_only_reads_touched_slice(spark, sf_dir):
+    """The state-side input to the maintenance plan is the semi-joined
+    touched-key slice — row count proportional to the delta, not the state."""
+    from postgres_cdc_example_spark.operators import incremental
+    from postgres_cdc_example_spark.queries.cdc import _cents, _changes, _state
+
+    state = _state(spark, sf_dir)
+    changes = _changes(spark, sf_dir).filter(F.col("id") < 10)
+    touched = changes.select("id").distinct()
+    pre = state.join(touched, "id", "left_semi")
+    assert pre.count() <= 10 < state.count()
