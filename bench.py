@@ -37,6 +37,13 @@ BENCH_QUERIES = [
     "event_time_sliding",
     "skew_salted_agg",
     "high_volume_orders",
+    # relational surface + CDC-native maintenance
+    "rollup_region_revenue",
+    "pivot_priority_by_status",
+    "order_value_percentiles",
+    "clicks_asof_errors",
+    "incremental_agg_maintenance",
+    "dedup_clusters",
 ]
 
 

@@ -165,6 +165,98 @@ def ivf_topk(
     )
 
 
+N_PLANES = 8  # sign-LSH hyperplanes → 2^8 buckets
+EMB_DIM = 64  # fixture embedding dimension
+
+
+def hyperplane_weights(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — no RNG
+    state, so the exact same doubles are embeddable as literals in the
+    DuckDB oracle (shortest-roundtrip repr parses back bit-identically).
+    Components are uniform in [-0.5, 0.5): md5-32-bit / 2^32 − 0.5, all
+    dyadic rationals, hence exactly representable."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(v: Column, weights: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = (⟨v, h_j⟩ ≥ 0), packed little-endian.
+    Cosine-similar vectors agree on most signs → land in the same bucket
+    with probability (1 − θ/π)^planes. The dot is rounded to 6 dp before
+    the sign test (same guard as every cosine comparison here)."""
+    bits = []
+    for j, row in enumerate(weights):
+        hp = F.array(*[F.lit(x) for x in row])
+        bits.append(
+            F.when(F.round(dot(v, hp), 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Sign-LSH ANN: rank only candidates in the query's hyperplane bucket.
+
+    Unlike IVF there is no centroid table to learn or broadcast — the bucket
+    is a pure per-row expression, so assignment is embarrassingly parallel
+    and the ONLY shuffle is the per-query ranking window (the candidate join
+    keeps the tiny query side broadcast). More buckets (planes) trade recall
+    for candidate-set size; multi-probe = also search buckets at Hamming
+    distance 1, which adds a small explode, not a rescan."""
+    base = _normed(df, id_col, vec_col)
+    w = hyperplane_weights()
+    sig = base.withColumn("bucket", hyperplane_bucket(F.col("v"), w))
+    q = sig.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = sig.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("c_bucket") == F.col("bucket"))
+            & (F.col("nbr_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "bucket",
+            "nbr_id",
+            cosine_rounded(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")).alias(
+                "cos_r"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "nbr_id", "rank", "cos_r")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -394,6 +394,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def _hyperplane_oracle() -> str:
+    """Sign-LSH oracle: identical weight literals (shortest-roundtrip repr
+    parses to the same doubles) and the same round-6 sign guard."""
+    terms = []
+    for j, row in enumerate(similarity.hyperplane_weights()):
+        lits = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"CASE WHEN round(list_dot_product(v, [{lits}]), 6) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return (
+        _VEC_BASE
+        + f"""
+    , sig AS (SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM n),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM sig WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, q.bucket, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, bucket, nbr_id, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """
+    )
+
+
+@register("ann_hyperplane_topk", oracle=_hyperplane_oracle())
+def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: 8 deterministic hyperplanes pack a 256-bucket signature
+    per vector as a pure per-row expression (no centroid table, no learned
+    state); candidates = same-bucket vectors only. The third point on the
+    ANN cost/recall curve next to brute-force (exact) and IVF (learned)."""
+    return similarity.hyperplane_topk(load_table(spark, "embeddings", sf_dir))
+
+
 @register("kmeans_centroids", oracle=None)  # iterative — rows-only driver check
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, k=8, deterministic first-k init — the iterative-

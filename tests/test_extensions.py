@@ -6,6 +6,7 @@ gating)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark import queries as q
 from postgres_cdc_example_spark.operators import dedup, multimodal, similarity
@@ -161,3 +162,47 @@ def test_quantize_int8_error_bound(spark, sf_dir):
     for r in rows:
         assert r.max_abs_err_nano <= r.scale_nano / 2 + 1  # +1 for floor slack
         assert -127 <= r.q_first <= 127
+
+
+def test_hyperplane_lsh_recall_and_consistency(spark, sf_dir):
+    """Sign-LSH: every neighbor shares the query's bucket, and per query the
+    result is EXACTLY the cosine ranking restricted to same-bucket
+    candidates (recall vs global top-k is a property of the data — random
+    fixture embeddings collide rarely — so correctness is bucket-local)."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lsh = similarity.hyperplane_topk(emb).collect()
+    assert lsh
+    w = similarity.hyperplane_weights()
+    assert len(w) == 8 and len(w[0]) == 64
+    rows = (
+        similarity._normed(emb, "vec_id", "embedding")
+        .withColumn("bucket", similarity.hyperplane_bucket(F.col("v"), w))
+        .collect()
+    )
+    buckets = {r.vec_id: r.bucket for r in rows}
+    vecs = {r.vec_id: np.array(r.v) for r in rows}
+    for r in lsh:
+        assert buckets[r.nbr_id] == buckets[r.q_id] == r.bucket
+    got = {}
+    for r in lsh:
+        got.setdefault(r.q_id, []).append((r.rank, r.nbr_id))
+    got = {q: [i for _, i in sorted(v)] for q, v in got.items()}
+    for q_id, nbrs in got.items():
+        cands = [i for i in vecs if i != q_id and buckets[i] == buckets[q_id]]
+        qv = vecs[q_id]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(np.dot(qv, vecs[i]))
+                        / (float(np.linalg.norm(qv)) * float(np.linalg.norm(vecs[i]))),
+                        6,
+                    ),
+                    i,
+                )
+                for i in cands
+            ),
+        )[:5]
+        assert nbrs == [i for _, i in scored]
