@@ -224,6 +224,11 @@ def connected_components(
     scalar per round; all data stays distributed. (At extreme densities the
     large-star/small-star variant halves round count; unnecessary here.)
     """
+    # materialize the (tiny) pair list ONCE before fanning out: the union
+    # below reads it twice, the size/label joins more — without this the
+    # upstream pair-discovery pipeline (e.g. the whole MinHash+LSH plan)
+    # re-executes per branch
+    pairs = pairs.select(a_col, b_col).localCheckpoint()
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).persist()
