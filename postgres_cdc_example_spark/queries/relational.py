@@ -351,3 +351,130 @@ def event_type_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# window frames: running totals, time-range moving windows, lead/lag, ntile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS running_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend (ROWS frame): one shuffle on the
+    partition key, per-partition sort, O(1) state per row. Integer cents so
+    the prefix sums are exact. Tie-break by o_orderkey makes every prefix
+    deterministic."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "events_trailing_hour",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_window,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS sum_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving window per user (RANGE frame over event time —
+    a per-row window, unlike the bucketed F.window aggregates). Spark's
+    rangeBetween needs a numeric sort key, so the frame runs over epoch
+    microseconds with a [-3.6e9, 0] bound — semantically identical to the
+    oracle's INTERVAL bound ((user_id, ts) is unique in the fixtures, so
+    RANGE peers never differ)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(cents).over(w).alias("sum_cents"),
+    )
+
+
+@register(
+    "event_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation per user: inter-event gap (exact integer
+    microseconds) and the next action — the per-row flavor of the
+    sessionization family, one shuffle + sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "order_value_quartile_stats",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, count(*) AS n_orders,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM t GROUP BY quartile
+    """,
+)
+def order_value_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + per-bucket stats. The unpartitioned ORDER BY is a
+    single-partition sort — fine for ranked summaries over aggregated or
+    sampled inputs, and flagged here as the one operator in this family that
+    does NOT scale unpartitioned (at 100 TB: approx quantile cutpoints +
+    range-bucket join instead)."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    t = load_table(spark, "orders", sf_dir).select(
+        cents.alias("cents"),
+        F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("quartile"),
+    )
+    return t.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
