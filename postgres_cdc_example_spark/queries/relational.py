@@ -478,3 +478,46 @@ def order_value_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# range join (temporal proximity) — bucketed equi-join plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "errors_nearby_clicks",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, count(c.event_id) AS n_nearby_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON abs(date_diff('microsecond', e.ts, c.ts)) <= 1800000000
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def errors_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-proximity join: clicks within ±30 min of each error, by
+    anyone. Bucketed-range-join plan (operators/rangejoin.py): quantize,
+    explode 3 probe buckets, EQUI-join on the bucket, residual-filter — an
+    O(matches) shuffle plan where the naive range predicate (the oracle's
+    formulation) is a nested-loop O(L·R)."""
+    from postgres_cdc_example_spark.operators.rangejoin import (
+        bucketed_range_join,
+        ts_micros,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", ts_micros(F.col("ts")).alias("e_us")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), ts_micros(F.col("ts")).alias("c_us")
+    )
+    pairs = bucketed_range_join(err, clk, "e_us", "c_us", 1_800_000_000)
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return err.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby_clicks"),
+    )

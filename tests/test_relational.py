@@ -119,3 +119,15 @@ def test_asof_plan_has_no_nested_loop(spark, sf_dir):
     plan = relational.clicks_asof_errors(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_range_join_plan_is_equi_join(spark, sf_dir):
+    """The range join must compile to a hash/sort-merge EQUI-join on the
+    bucket — never BroadcastNestedLoopJoin."""
+    from postgres_cdc_example_spark.queries.relational import errors_nearby_clicks
+
+    plan = (
+        errors_nearby_clicks(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
