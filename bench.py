@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "event_time_sliding",
     "skew_salted_agg",
     "high_volume_orders",
+    # TPC-H join family
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
     # relational surface + CDC-native maintenance
     "rollup_region_revenue",
     "pivot_priority_by_status",

@@ -64,6 +64,7 @@ def _load_all() -> None:
         extensions,
         parity,
         relational,
+        tpch,
         windows,
     )
 
