@@ -521,3 +521,33 @@ def errors_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby_clicks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate sketches — the 100 TB path for the exact stats above
+# ---------------------------------------------------------------------------
+
+
+@register("event_reach_approx", oracle=None)  # sketch outputs are engine-specific
+def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user reach + approx quartiles per event type.
+    These are the operators that REPLACE `event_type_reach` /
+    `order_value_percentiles` at 100 TB: both sketches merge map-side
+    (mergeable partial state), so cost is one combine-shuffle of sketch
+    bytes instead of an Expand-rewrite (exact distinct) or a full per-group
+    sort (exact percentile). Outputs are engine-specific (no DuckDB oracle);
+    the accuracy contract vs the exact answers is pinned by
+    tests/test_relational.py::test_approx_sketches_within_error_bounds."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.percentile_approx(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                [0.25, 0.5, 0.75],
+                10_000,
+            ).alias("value_quartiles_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

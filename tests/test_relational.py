@@ -131,3 +131,27 @@ def test_bucketed_range_join_plan_is_equi_join(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """HLL reach within 3×rsd of exact; approx quartiles within 2% of exact
+    rank (accuracy=10000 → rank error <= N/10000, loose-checked by value)."""
+    approx = {r.event_type: r for r in relational.event_reach_approx(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "percentile(CAST(floor(value * 100 + 0.5) AS LONG), array(0.25, 0.5, 0.75))"
+            ).alias("q"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.n_users_approx - e.n_users) <= max(2, 0.06 * e.n_users)
+        for qa, qe in zip(a.value_quartiles_cents, e.q):
+            assert abs(qa - qe) <= max(50, 0.05 * qe)
