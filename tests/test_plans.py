@@ -117,3 +117,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_tpch_date_filters_push_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "o_orderdate" in plan and "GreaterThanOrEqual(o_orderdate" in plan, (
+        "order-date range must reach the orders scan"
+    )
+    plan14 = plan_of(spark, sf_dir, "q14_promo_revenue_share")
+    assert "GreaterThanOrEqual(l_shipdate" in plan14, (
+        "ship-date range must reach the lineitem scan"
+    )
+
+
+def test_q10_topn_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, "top-20 must be heap-based, not a full sort"
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_rollup_is_single_expand_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rollup_region_revenue")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 10, (
+        "rollup must not rescan the fact table per grouping set"
+    )
