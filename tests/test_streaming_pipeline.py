@@ -199,3 +199,41 @@ def test_progress_listener_records_batches(spark, tmp_path):
         assert all(p["durationMs"].get("triggerExecution", 0) > 0 for p in listener.progress)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Change stream enriched against a static dimension (broadcast,
+    stateless): every emitted row carries its dimension attributes; rows
+    with no dimension match follow the join mode (inner drops them)."""
+    from postgres_cdc_example_spark.sources.changelog import (
+        decode_change_lines,
+        flatten_person_changes,
+        split_corrupt,
+    )
+    from postgres_cdc_example_spark.streaming.enrich import enrich_stream
+
+    src = str(tmp_path / "changes")
+    write_lines(src, "b0.jsonl", [
+        person_change_json(1, "I", row=row(1, "a", 10)),
+        person_change_json(2, "I", row=row(2, "b", 11)),
+        person_change_json(3, "I", row=row(3, "c", 12)),
+    ])
+    dim = spark.createDataFrame(
+        [(0, "even-tier"), (1, "odd-tier")], "parity int, tier string"
+    )
+    lines = spark.readStream.format("text").load(src)
+    valid, _ = split_corrupt(decode_change_lines(lines))
+    changes = flatten_person_changes(valid).withColumn(
+        "parity", F.pmod(F.col("score"), F.lit(2)).cast("int")
+    )
+    enriched = enrich_stream(changes, dim, "parity")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.id: r.tier for r in spark.sql("SELECT * FROM enriched_sink").collect()}
+    assert out == {1: "even-tier", 2: "odd-tier", 3: "even-tier"}
