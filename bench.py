@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "clicks_asof_errors",
     "incremental_agg_maintenance",
     "dedup_clusters",
+    "corpus_curation_pipeline",
+    "skew_salted_join",
 ]
 
 

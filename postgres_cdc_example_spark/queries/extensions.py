@@ -470,6 +470,37 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, cents,
+           sum(cents) OVER (PARTITION BY event_type) AS type_total_cents
+    FROM c
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-stats join on the 5-value hot key via salting: the skewed
+    side scatters across (event_type, salt) sub-keys and the tiny stats side
+    replicates to match, so one hot key's rows spread over n_salts
+    partitions instead of one reducer. The salt never reaches the output —
+    the oracle is a plain partition-total window."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", cents.alias("cents")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("cents").alias("type_total_cents")
+    )
+    return skew.salted_join(
+        ev, stats, key="event_type", salt_source="event_id"
+    ).select("event_id", "event_type", "cents", "type_total_cents")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -519,6 +550,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     char substrings coincide, so DuckDB can check the hashes exactly."""
     return multimodal.sample_frames(
         multimodal.with_payload(load_table(spark, "documents", sf_dir))
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang,
+             len({_TOKS}) AS n_toks,
+             md5({_NORM}) AS content_hash
+      FROM documents
+      WHERE n_chars >= 100
+    ),
+    quality AS (SELECT * FROM scored WHERE n_toks >= 20),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    sampled AS (
+      SELECT * FROM kept
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    )
+    SELECT source, lang, count(*) AS n_docs, sum(n_toks) AS total_tokens
+    FROM sampled GROUP BY source, lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages a training-data run actually chains, as ONE
+    declarative plan Catalyst optimizes end-to-end: length+token quality
+    gate (pushed to the scan where possible) → exact dedup keeping the
+    lowest doc_id per content hash (one window shuffle on the near-uniform
+    hash) → deterministic 50% hash sample (pure filter, partitioning-
+    independent) → per-(source, lang) accounting. No stage materializes an
+    intermediate dataset."""
+    from postgres_cdc_example_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") >= 100)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(dedup.word_tokens(F.col("text"))).alias("n_toks"),
+        F.md5(dedup.normalized(F.col("text"))).alias("content_hash"),
+    ).filter(F.col("n_toks") >= 20)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(hash_bucket(F.col("doc_id")) < "80")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
     )
 
 
