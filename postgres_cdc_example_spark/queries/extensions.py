@@ -433,6 +433,52 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def _hyperplane_multiprobe_oracle() -> str:
+    terms = []
+    for j, row in enumerate(similarity.hyperplane_weights()):
+        lits = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"CASE WHEN round(list_dot_product(v, [{lits}]), 6) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(similarity.N_PLANES)]
+    )
+    return (
+        _VEC_BASE
+        + f"""
+    , sig AS (SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM n),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS home_bucket,
+             unnest([{probe_list}]) AS probe_bucket
+      FROM sig WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q_id, q.home_bucket AS bucket, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM q JOIN sig c ON c.bucket = q.probe_bucket AND c.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, bucket, nbr_id, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """
+    )
+
+
+@register("ann_hyperplane_multiprobe", oracle=_hyperplane_multiprobe_oracle())
+def ann_hyperplane_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each query also searches the 8 buckets one
+    sign-flip away (the borderline-hyperplane misses), multiplying recall
+    for a ×9 growth of the tiny query side only — the corpus is never
+    re-hashed."""
+    return similarity.hyperplane_topk_multiprobe(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("kmeans_centroids", oracle=None)  # iterative — rows-only driver check
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, k=8, deterministic first-k init — the iterative-

@@ -206,3 +206,25 @@ def test_hyperplane_lsh_recall_and_consistency(spark, sf_dir):
             ),
         )[:5]
         assert nbrs == [i for _, i in scored]
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 probing must (a) return a superset-or-equal recall vs
+    single-probe against the exact top-5, (b) only return candidates whose
+    bucket is within Hamming distance 1 of the query's."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    single = {(r.q_id, r.nbr_id) for r in similarity.hyperplane_topk(emb).collect()}
+    multi_rows = similarity.hyperplane_topk_multiprobe(emb).collect()
+    multi = {(r.q_id, r.nbr_id) for r in multi_rows}
+    exact = {(r.q_id, r.nbr_id) for r in similarity.brute_force_topk(emb).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
+    w = similarity.hyperplane_weights()
+    buckets = {
+        r.vec_id: r.bucket
+        for r in similarity._normed(emb, "vec_id", "embedding")
+        .withColumn("bucket", similarity.hyperplane_bucket(F.col("v"), w))
+        .collect()
+    }
+    for r in multi_rows:
+        assert bin(buckets[r.q_id] ^ buckets[r.nbr_id]).count("1") <= 1
