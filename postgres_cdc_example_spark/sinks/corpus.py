@@ -1,0 +1,45 @@
+"""Partitioned, sorted, size-bounded parquet output — the curated-corpus
+write path.
+
+The naive ``df.write.partitionBy(...)`` is the classic small-files factory:
+every task holds an open writer per partition VALUE it encounters, so a
+1000-task stage over 100 sources emits up to 100,000 files — and each
+file's rows arrive unsorted. The shape that works at 100 TB:
+
+1. ``repartition(partition_cols)`` first — clusters each output partition's
+   rows into one task, so each ``source=.../`` directory gets one writer
+   (AQE may split genuinely huge partitions; that's the good kind of split);
+2. ``sortWithinPartitions(sort_cols)`` — rows land ordered inside each
+   file, so parquet min/max column stats become selective and downstream
+   range reads (id lookups, incremental re-processing) prune row groups;
+3. ``maxRecordsPerFile`` — bounds the worst file so a skewed partition
+   value can't produce a 500 GB parquet file no executor can read back.
+
+Hive-style directory layout (``source=web/``) means readers get partition
+PRUNING for free: a filter on the partition column never lists, let alone
+reads, the other directories.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_curated(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("source",),
+    sort_by: Sequence[str] = ("doc_id",),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.repartition(*[df[c] for c in partition_by])
+        .sortWithinPartitions(*sort_by)
+        .write.partitionBy(*partition_by)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )

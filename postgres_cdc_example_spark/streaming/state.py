@@ -64,3 +64,32 @@ class VersionedStateStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._latest_path())
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop committed version directories older than the
+        newest ``keep_last``. Never touches the latest (readers resolve it
+        via _LATEST, which is left alone) and never removes versions AHEAD
+        of _LATEST (a concurrent commit's write-ahead data). Returns the
+        removed version numbers.
+
+        At 100 TB each version is a full state snapshot, so retention is
+        what keeps the store O(keep_last × state) instead of O(history ×
+        state) — the same job Delta's VACUUM does after its log compaction.
+        """
+        import shutil
+
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= latest - keep_last:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(v)
+        return removed
