@@ -764,3 +764,82 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(_URL_RE), 0)).alias("n_urls"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+@register(
+    "common_ngram_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 4, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+             ))) AS g
+      FROM toks
+    )
+    SELECT g AS span, count(*) AS n_docs
+    FROM grams GROUP BY g HAVING count(*) >= 5
+    """,
+)
+def common_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-5-gram spans shared by >= 5 documents —
+    the repeated headers/footers/license blocks that exact-dedup misses
+    because the surrounding document differs. Explode to rows + one count
+    shuffle on the gram (inverted-index build); at 100 TB this doubles as
+    the hot-span list fed to a removal pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n = 5
+    leads = toks.select(
+        "doc_id",
+        "pos",
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)],
+    )
+    gram = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)])
+    grams = (
+        leads.filter(F.col(f"t{n-1}").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", gram.alias("span"))
+        .distinct()
+    )
+    return (
+        grams.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "lang_mix_by_source",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang),
+    t AS (SELECT source, sum(n_docs) AS total FROM c GROUP BY source)
+    SELECT c.source, c.lang, c.n_docs,
+           round(100.0 * c.n_docs / t.total, 4) AS pct_of_source
+    FROM c JOIN t ON c.source = t.source
+    """,
+)
+def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source (the curation dashboard staple).
+    Percentages derive from exact integer counts, so the ratio is
+    deterministic; the per-source total reuses the grouped counts (no second
+    scan of documents)."""
+    c = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    t = c.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return c.join(F.broadcast(t), "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(F.lit(100.0) * F.col("n_docs") / F.col("total"), 4).alias(
+            "pct_of_source"
+        ),
+    )
