@@ -313,7 +313,11 @@ def ngram_rows(
     """Distinct word n-grams as ROWS ``(id, g)`` via posexplode + lead()
     windows — fully codegen (no array lambdas). Tail rule matches the
     list-index oracle: a document shorter than ``n`` tokens yields exactly
-    one short gram (its whole token sequence)."""
+    one short gram (its whole token sequence). A ZERO-token document
+    (empty/whitespace-only) yields no rows at all and therefore never
+    enters the minhash/Jaccard universe — deliberate: Jaccard over empty
+    sets is 0/0, and empty-content duplicates are exactly what
+    :func:`exact_dedup`'s normalized content hash already groups."""
     toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok")
     )

@@ -204,3 +204,65 @@ def test_maintain_agg_only_reads_touched_slice(spark, sf_dir):
     touched = changes.select("id").distinct()
     pre = state.join(touched, "id", "left_semi")
     assert pre.count() <= 10 < state.count()
+
+
+@pytest.mark.parametrize("seed", [11, 99])
+def test_maintain_agg_randomized_logs(spark, seed):
+    """Randomized I/U/D logs split into 3 batches: the maintained aggregate
+    must equal a recompute after every batch — including group churn,
+    delete-then-reinsert chains, and U-on-absent no-ops."""
+    from postgres_cdc_example_spark.operators import incremental
+
+    rng = random.Random(seed)
+    keys = list(range(20))
+    state_rows = [
+        (k, f"g{k % 3}", float(k), TS(rng.randint(0, 3)))
+        for k in keys
+        if rng.random() < 0.5
+    ]
+    events = []
+    for seq in range(1, 150):
+        k = rng.choice(keys)
+        a = rng.choices(["I", "U", "D"], weights=[3, 4, 2])[0]
+        if a == "D":
+            events.append((seq, "D", k, None, None, None))
+        else:
+            events.append(
+                (seq, a, k, f"g{rng.randint(0, 4)}",
+                 round(rng.uniform(0, 100), 2), TS(rng.randint(4, 30)))
+            )
+    state = spark.createDataFrame(state_rows, STATE_SCHEMA)
+    cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+    agg = incremental.agg_snapshot(state, "status", cents)
+    kw = dict(seq="seq", action="action", value_cols=["status", "amount"],
+              created_col="created_at")
+    cuts = [0, 50, 100, 150]
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = spark.createDataFrame(
+            [e for e in events if lo < e[0] <= hi], CHANGE_SCHEMA
+        )
+        agg = incremental.maintain_agg(
+            agg, state, batch, group_col="status", cents=cents, key="id", **kw
+        ).localCheckpoint()
+        state = apply_changes(state, batch, key="id", **kw).localCheckpoint()
+        expect = sorted(
+            map(tuple, incremental.agg_snapshot(state, "status", cents).collect())
+        )
+        assert sorted(map(tuple, agg.collect())) == expect
+
+
+def test_maintain_agg_empty_batch_is_identity(spark):
+    from postgres_cdc_example_spark.operators import incremental
+
+    state = spark.createDataFrame(
+        [(1, "a", 10.0, TS(0)), (2, "b", 20.0, TS(0))], STATE_SCHEMA
+    )
+    cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+    agg = incremental.agg_snapshot(state, "status", cents)
+    empty = spark.createDataFrame([], CHANGE_SCHEMA)
+    out = incremental.maintain_agg(
+        agg, state, empty, group_col="status", cents=cents, key="id",
+        seq="seq", action="action", value_cols=["status", "amount"],
+        created_col="created_at",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, agg.collect()))

@@ -228,3 +228,49 @@ def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
     }
     for r in multi_rows:
         assert bin(buckets[r.q_id] ^ buckets[r.nbr_id]).count("1") <= 1
+
+
+def test_text_operators_survive_degenerate_docs(spark):
+    """Empty strings, whitespace-only, single-char, and shorter-than-shingle
+    docs must flow through every text/dedup stage without raising — the rows
+    that crash a 100 TB job at hour nine. Contract: per-doc ops (exact
+    dedup, token stats, quality) cover ALL docs; token-set ops (n-grams,
+    simhash, minhash) cover exactly the token-bearing docs (zero-token docs
+    are deliberately outside the Jaccard universe — see ngram_rows)."""
+    from postgres_cdc_example_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "   ", "en", "s", 3),
+            (3, "x", "en", "s", 1),
+            (4, "one two", "en", "s", 7),  # < 3 tokens, < 8 chars normalized
+            (5, "a perfectly ordinary document with enough words", "en", "s", 47),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n = docs.count()
+    tokened = {3, 4, 5}
+    assert dedup.exact_dedup(docs).agg(F.sum("n_docs")).collect()[0][0] == n
+    assert text.token_stats(docs).count() == n
+    assert text.quality_score(docs).count() == n
+    ng_docs = {r.doc_id for r in dedup.ngram_rows(docs).select("doc_id").distinct().collect()}
+    assert ng_docs == tokened
+    sig_docs = {
+        r.doc_id
+        for r in dedup.minhash_signatures(
+            dedup.ngram_rows(docs).withColumnRenamed("g", "s")
+        ).collect()
+    }
+    assert sig_docs == tokened
+    sh_docs = {r.doc_id for r in dedup.simhash_buckets(docs).collect()}
+    assert sh_docs == tokened
+    # pair discovery must not crash and must never pair a zero-token doc
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    for p in pairs:
+        assert p.doc_a in tokened and p.doc_b in tokened
+    # exact dedup groups the two empty-content docs together
+    empties = [
+        r for r in dedup.exact_dedup(docs).collect() if r.n_docs == 2
+    ]
+    assert len(empties) == 1 and empties[0].keeper_id == 1
