@@ -120,3 +120,46 @@ def test_dedup_stream_emits_each_key_once(spark, sf_dir, tmp_path):
     ids = [r.event_id for r in emitted]
     assert len(ids) == len(set(ids)), "no key may be emitted twice"
     assert set(ids) == {r.event_id for r in ev.collect()}, "every key emitted once"
+
+
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    """An event arriving far behind the watermark must be DROPPED: its
+    (already finalized) window is never re-emitted and never re-counted —
+    the bounded-state guarantee that keeps streaming aggregation viable on
+    an unbounded feed."""
+    import datetime as dt
+
+    def rows(*ts_list):
+        return [(dt.datetime(2024, 1, d, h, m), 1.0) for d, h, m in ts_list]
+
+    schema = "ts timestamp_ntz, value double"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # run 1: steady stream 10:00→23:00 advances watermark to 21:00,
+    # finalizing windows that end at or before it
+    first = spark.createDataFrame(
+        rows(*[(1, h, 0) for h in range(10, 24)]), schema
+    )
+    first.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    emitted: list = []
+    _drain(windowed_counts(stream), ckpt, emitted)
+    first_emission = {r.window_start: r.n_events for r in emitted}
+    assert dt.datetime(2024, 1, 1, 10, 0) in first_emission
+    assert first_emission[dt.datetime(2024, 1, 1, 10, 0)] == 1
+
+    # run 2: one VERY late event (10:30 day 1 — 2 days behind) + one fresh
+    # event (day 3) that advances the watermark past everything from run 1
+    late_and_fresh = spark.createDataFrame(
+        rows((1, 10, 30), (3, 12, 0)), schema
+    )
+    late_and_fresh.coalesce(1).write.mode("append").parquet(src)
+    _drain(windowed_counts(stream), ckpt, emitted)
+
+    counts_10 = [
+        r.n_events
+        for r in emitted
+        if r.window_start == dt.datetime(2024, 1, 1, 10, 0)
+    ]
+    assert counts_10 == [1], (
+        f"late event must be dropped, not re-emitted/re-counted: {counts_10}"
+    )
