@@ -56,13 +56,29 @@ def split_corrupt(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
     return decoded.filter(ok), decoded.filter(~ok)
 
 
-def flatten_person_changes(decoded: DataFrame, table: str = "person") -> DataFrame:
-    """Typed flat change log for one table (FIXTURES.md §A2 shape).
+PERSON_COLUMNS = {
+    "name": "string",
+    "uid": "string",
+    "score": "int",
+    "created_at": "timestamp_ntz",
+}
 
-    - early table filter (``change.Table != "person"`` skip,
-      ``replicator/main.go:191-193``)
+
+def flatten_changes(
+    decoded: DataFrame,
+    table: str,
+    columns: dict[str, str],
+    key: str = "id",
+    key_type: str = "long",
+) -> DataFrame:
+    """Typed flat change log for ONE table (FIXTURES.md §A2 shape),
+    schema-driven so any replicated table gets the same treatment:
+
+    - early table filter (``change.Table != …`` skip,
+      ``replicator/main.go:191-193``) — Catalyst pushes it below the
+      per-column work, so other tables' events cost a string compare;
     - columns→map pivot (``replicator/main.go:198-201``) via
-      ``map_from_entries`` — then typed casts per column
+      ``map_from_entries`` — then the declared cast per column;
     - the key for D comes from ``identity`` (old-row image,
       ``replicator/main.go:252-268``); for I/U from ``columns``.
     """
@@ -77,14 +93,29 @@ def flatten_person_changes(decoded: DataFrame, table: str = "person") -> DataFra
     return ch.select(
         F.col("change.seq").alias("seq"),
         F.col("change.action").alias("action"),
-        F.coalesce(get(cols_map, "id"), get(ident_map, "id"))
-        .cast("long")
-        .alias("id"),
-        get(cols_map, "name").alias("name"),
-        get(cols_map, "uid").alias("uid"),
-        get(cols_map, "score").cast("int").alias("score"),
-        get(cols_map, "created_at").cast("timestamp_ntz").alias("created_at"),
+        F.coalesce(get(cols_map, key), get(ident_map, key))
+        .cast(key_type)
+        .alias(key),
+        *[get(cols_map, name).cast(tp).alias(name) for name, tp in columns.items()],
     )
+
+
+def route_changes(
+    decoded: DataFrame, tables: dict[str, dict[str, str]], key: str = "id"
+) -> dict[str, DataFrame]:
+    """Fan one decoded change stream out to per-table flat change logs (the
+    multi-table generalization the reference hard-codes away). Each entry is
+    an independent lazy plan over the SAME decoded frame — in foreachBatch,
+    persist the batch once and every table's filter reads the cached decode
+    instead of re-parsing JSON per table."""
+    return {
+        t: flatten_changes(decoded, t, cols, key=key) for t, cols in tables.items()
+    }
+
+
+def flatten_person_changes(decoded: DataFrame, table: str = "person") -> DataFrame:
+    """The reference's single table, via the generic flatten."""
+    return flatten_changes(decoded, table, PERSON_COLUMNS)
 
 
 def person_change_json(

@@ -52,3 +52,44 @@ def test_decode_is_schema_declared_not_inferred(spark):
     valid, dead = split_corrupt(decode_change_lines(df))
     assert valid.count() == 1 and dead.count() == 0
     assert flatten_person_changes(valid).collect()[0]["id"] == 7
+
+
+def test_route_changes_multi_table_isolation(spark):
+    """One stream carrying two tables' events routes each to its own typed
+    change log: no cross-contamination, per-table schemas, shared decode."""
+    from postgres_cdc_example_spark.sources.changelog import (
+        decode_change_lines,
+        person_change_json,
+        route_changes,
+    )
+
+    lines = [
+        person_change_json(1, "I", row={"id": 1, "name": "a", "uid": "u1", "score": 10,
+                                        "created_at": "2024-02-01 00:00:00"}),
+        person_change_json(2, "I", table="audit",
+                           row={"id": 7, "who": "root", "what": "login"}),
+        person_change_json(3, "D", identity={"id": 1}),
+        person_change_json(4, "U", table="audit",
+                           row={"id": 7, "who": "root", "what": "logout"},
+                           identity={"id": 7}),
+        person_change_json(5, "I", table="unreplicated", row={"id": 9}),
+    ]
+    decoded = decode_change_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    routed = route_changes(
+        decoded,
+        {
+            "person": {"name": "string", "score": "int"},
+            "audit": {"who": "string", "what": "string"},
+        },
+    )
+    person = routed["person"].collect()
+    audit = routed["audit"].collect()
+    assert [(r.seq, r.action, r.id) for r in person] == [(1, "I", 1), (3, "D", 1)]
+    assert [(r.seq, r.action, r.id, r.who, r.what) for r in audit] == [
+        (2, "I", 7, "root", "login"),
+        (4, "U", 7, "root", "logout"),
+    ]
+    assert set(routed) == {"person", "audit"}  # unreplicated table ignored
+    assert person[0].score == 10 and isinstance(person[0].score, int)
