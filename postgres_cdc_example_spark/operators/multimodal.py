@@ -116,6 +116,40 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, n_bytes long, orig_bytes long, resized_md5 string"
+)
+
+
+def resize_payload(df: DataFrame, scale: float = 0.5) -> DataFrame:
+    """Resize plumbing: binary IN → binary OUT through an Arrow-batched
+    ``mapInPandas`` stage — the shape a real image-resize (decode → PIL
+    thumbnail → re-encode) runs in at scale, where the transformed bytes
+    continue down the pipeline columnar instead of detouring through the
+    driver or a filesystem. Codec-less stand-in: keep the leading
+    ``ceil(n_bytes × scale)`` bytes (deterministic, size-contracted like a
+    real downscale); swap ``_shrink`` for the PIL path when the codec
+    library exists (see :func:`decode_image`'s gating pattern)."""
+
+    def _shrink(payload: bytes) -> bytes:
+        return payload[: max(math.ceil(len(payload) * scale), 1)]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_shrink(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame) -> DataFrame:
     """Frame sampling: chunk each payload into ``FRAME_BYTES`` frames, keep
     every ``FRAME_STRIDE``-th, one output row per kept frame — the

@@ -843,3 +843,15 @@ def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_source"
         ),
     )
+
+
+@register("multimodal_resize", oracle=None)  # binary-out — rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary resize stage (Arrow both directions); the md5 audit
+    column exists so downstream stages can verify payload integrity without
+    re-reading bytes. Rows-only driver check: DuckDB can't md5 truncated
+    BLOBs portably; determinism + size contracts are pinned in
+    tests/test_extensions.py."""
+    return multimodal.resize_payload(
+        multimodal.with_payload(load_table(spark, "documents", sf_dir))
+    ).drop("payload")

@@ -274,3 +274,21 @@ def test_text_operators_survive_degenerate_docs(spark):
         r for r in dedup.exact_dedup(docs).collect() if r.n_docs == 2
     ]
     assert len(empties) == 1 and empties[0].keeper_id == 1
+
+
+def test_resize_payload_contracts(spark, sf_dir):
+    """Resize: binary out through Arrow, sizes contracted by the scale
+    factor, deterministic across runs, payload prefix preserved."""
+    docs = load_table(spark, "documents", sf_dir)
+    resized = multimodal.resize_payload(multimodal.with_payload(docs), scale=0.5)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    import hashlib
+    import math as m
+
+    for r in rows:
+        assert r.n_bytes == max(m.ceil(r.orig_bytes * 0.5), 1)
+        assert len(r.payload) == r.n_bytes
+        assert hashlib.md5(bytes(r.payload)).hexdigest() == r.resized_md5
+    again = {r.doc_id: r.resized_md5 for r in resized.collect()}
+    assert again == {r.doc_id: r.resized_md5 for r in rows}
