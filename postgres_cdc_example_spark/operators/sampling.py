@@ -21,7 +21,7 @@ operators/dedup.py on higher-order-function re-evaluation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,28 @@ def quantize_int8(
         ),
         F.floor(err * F.lit(1e9)).cast("long").alias("max_abs_err_nano"),
     )
+
+
+def quota_sample(
+    df: DataFrame, key_col: str, stratum_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash rank —
+    the balanced-dataset builder. Unlike rate-based sampling the quota is a
+    COUNT, so small strata are kept whole while huge ones are capped; unlike
+    ``rand()`` ordering the hash rank is reproducible across runs, engines,
+    and partitionings. One window shuffle on the stratum; ties broken by the
+    key itself so the cut is total-ordered."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket_full(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def hash_bucket_full(key: Column) -> Column:
+    """Full md5 hex of the key — a total hash order (vs the 2-char bucket
+    used for rate sampling)."""
+    return F.md5(key.cast("string"))

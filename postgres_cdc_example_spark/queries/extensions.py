@@ -855,3 +855,28 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payload(
         multimodal.with_payload(load_table(spark, "documents", sf_dir))
     ).drop("payload")
+
+
+@register(
+    "sample_quota_per_source",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    """,
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: exactly min(40, |source|) docs per source by
+    deterministic hash rank — small sources survive whole, huge ones are
+    capped, and the selection is identical on any engine/partitioning."""
+    from postgres_cdc_example_spark.operators import sampling
+
+    return sampling.quota_sample(
+        load_table(spark, "documents", sf_dir), "doc_id", "source", 40
+    ).select("source", "doc_id")
