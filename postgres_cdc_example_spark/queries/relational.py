@@ -551,3 +551,86 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (edit distance over the distinct value set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_part_names",
+    oracle="""
+    WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs by edit distance — the entity-resolution
+    primitive. The 100 TB move is the FIRST line: aggregate the fact table
+    to its distinct value set (vocabulary ≪ rows — 64 names for 20k parts
+    here; product catalogs behave the same), THEN all-pairs-compare the tiny
+    vocabulary broadcast-side. Levenshtein runs on pairs of distinct values,
+    never per fact row; beyond ~100k distinct values add q-gram blocking in
+    front (same inverted-index shape as dedup.ngram_jaccard_pairs)."""
+    names = (
+        load_table(spark, "part", sf_dir)
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 2)
+        .select("name_a", "name_b", dist.alias("dist"), "n_a", "n_b")
+    )
+
+
+@register(
+    "region_priority_grid",
+    oracle="""
+    WITH counts AS (
+      SELECT r.r_name AS region, o.o_orderpriority AS priority, count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_orderpriority
+    )
+    SELECT g.region, g.priority, COALESCE(counts.n_orders, 0) AS n_orders
+    FROM (SELECT r_name AS region, priority
+          FROM region, (SELECT DISTINCT o_orderpriority AS priority FROM orders)) g
+    LEFT JOIN counts ON g.region = counts.region AND g.priority = counts.priority
+    """,
+)
+def region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting grid: EVERY (region, priority) cell, zero-filled —
+    the one place an explicit cross join is correct (dims × dims, 5×5 rows;
+    the fact table never enters the cartesian). Absent combinations surface
+    as 0 instead of silently missing, which sparse GROUP BY output would."""
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    r = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    counts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = r.select(F.col("r_name").alias("region")).crossJoin(
+        o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    )
+    return grid.join(counts, ["region", "priority"], "left").select(
+        "region", "priority", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
+    )
