@@ -880,3 +880,107 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.quota_sample(
         load_table(spark, "documents", sf_dir), "doc_id", "source", 40
     ).select("source", "doc_id")
+
+
+@register(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS actions,
+           count(*) AS n_events,
+           date_diff('microsecond', min(ts), max(ts)) AS span_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly: each user's chronologically-ordered action list —
+    the row shape sequence-model training data actually ships in. One
+    shuffle on user_id; ordering comes from ``array_sort`` over
+    (ts, event_id, type) structs AFTER the aggregate (collect_list order is
+    nondeterministic under parallel merge — sorting inside the row is the
+    only shape that survives distributed execution), then a projection back
+    to the bare action strings."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq_struct = F.struct(
+        ts_us.alias("us"), F.col("event_id").alias("eid"), F.col("event_type").alias("et")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(seq_struct)).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(ts_us) - F.min(ts_us)).alias("span_us"),
+        )
+        .select(
+            "user_id",
+            F.transform("seq", lambda s: s["et"]).alias("actions"),
+            "n_events",
+            "span_us",
+        )
+    )
+
+
+@register(
+    "pack_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             len({_TOKS}) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, bucket, n_toks,
+             sum(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    ),
+    p AS (
+      SELECT bucket, CAST(floor((cum - n_toks) / 2048) AS BIGINT) AS pack_id,
+             doc_id, n_toks
+      FROM c
+    )
+    SELECT bucket, pack_id, count(*) AS n_docs, sum(n_toks) AS pack_tokens,
+           min(doc_id) AS first_doc
+    FROM p GROUP BY bucket, pack_id
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing: assign documents to fixed-token-budget packs (2048
+    tokens) — the batch-assembly step of an LLM training pipeline. Docs are
+    hash-spread into 16 independent buckets (so packing parallelizes — a
+    global greedy pack would serialize on one cumulative sum), then packed
+    greedily by running token sum inside each bucket; ``pack_id`` = the pack
+    the doc STARTS in (straddling is the downstream concatenator's problem,
+    as in standard sequence packing). Everything is one window over
+    (bucket, doc order) + one aggregate."""
+    from postgres_cdc_example_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(dedup.word_tokens(F.col("text"))).alias("n_toks"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = t.select(
+        "bucket",
+        "doc_id",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(2048)).alias(
+            "pack_id"
+        ),
+    )
+    return p.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
