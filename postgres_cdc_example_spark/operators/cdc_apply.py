@@ -143,3 +143,28 @@ def apply_changes(
             .alias(created_col)
         )
     return joined.filter(exists_final).select(*out_cols)
+
+
+def align_to_schema(df: DataFrame, target: "StructType") -> DataFrame:
+    """Schema evolution for the state table (the ALTER TABLE the reference
+    never faces, every long-lived CDC pipeline does):
+
+    - columns missing from ``df`` are added as typed NULLs (ADD COLUMN —
+      existing rows get NULL, exactly Postgres' default-less semantics);
+    - columns present in both are cast to the target type (widening, e.g.
+      int→bigint when a SERIAL overflows to BIGSERIAL);
+    - columns absent from ``target`` are DROPPED.
+
+    Pure projection — no shuffle, no data rewrite; the versioned store
+    materializes the new shape at the next commit. Column ORDER follows the
+    target schema so parquet footers stay uniform across versions.
+    """
+    from pyspark.sql import functions as F
+
+    have = {f.name for f in df.schema.fields}
+    cols = [
+        (F.col(f.name).cast(f.dataType) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cols)

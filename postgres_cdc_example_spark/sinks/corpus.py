@@ -43,3 +43,36 @@ def write_curated(
         .mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: "SparkSession",
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ~``target_file_bytes`` files. Streaming sinks and incremental commits
+    accrete files over time; at 100 TB the cost is real — every query pays
+    per-file open/footer-parse overhead, and the NameNode/listing layer pays
+    per-object. Returns the output file count.
+
+    Sizing reads the CURRENT bytes on disk (compressed), so the coalesce
+    target reflects actual storage, not row counts. Write lands in
+    ``dst_path`` — swap via rename/pointer-flip (see VersionedStateStore's
+    commit pattern) rather than overwriting the live path in place.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -266,3 +266,47 @@ def test_maintain_agg_empty_batch_is_identity(spark):
         created_col="created_at",
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_schema_evolution_mid_stream(spark):
+    """ALTER TABLE mid-stream: a new column appears in the change feed —
+    align the state (old rows get NULL), apply the new-schema batch, and
+    verify old rows keep NULL while new/updated rows carry values. Then
+    drop a column and verify the projection contract."""
+    from pyspark.sql.types import StringType, StructField
+
+    from postgres_cdc_example_spark.operators.cdc_apply import align_to_schema
+
+    state = spark.createDataFrame(
+        [(1, "a", 10.0, TS(0)), (2, "b", 20.0, TS(0))], STATE_SCHEMA
+    )
+    evolved_schema = StructType(
+        STATE_SCHEMA.fields + [StructField("email", StringType(), True)]
+    )
+    evolved_state = align_to_schema(state, evolved_schema)
+    assert evolved_state.columns == ["id", "status", "amount", "created_at", "email"]
+    assert all(r.email is None for r in evolved_state.collect())
+
+    change_schema = StructType(
+        CHANGE_SCHEMA.fields + [StructField("email", StringType(), True)]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "a2", 11.0, TS(1), "a@x.io"),
+            (2, "I", 3, "c", 30.0, TS(2), "c@x.io"),
+        ],
+        change_schema,
+    )
+    new_state = apply_changes(
+        evolved_state, changes, key="id", seq="seq", action="action",
+        value_cols=["status", "amount", "email"], created_col="created_at",
+    )
+    rows = {r.id: r for r in new_state.collect()}
+    assert rows[1].email == "a@x.io" and rows[1].status == "a2"
+    assert rows[2].email is None and rows[2].status == "b"  # untouched old row
+    assert rows[3].email == "c@x.io"
+
+    # DROP COLUMN: projecting back to the original schema removes it
+    back = align_to_schema(new_state, STATE_SCHEMA)
+    assert back.columns == ["id", "status", "amount", "created_at"]
+    assert back.count() == 3

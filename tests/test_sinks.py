@@ -71,3 +71,22 @@ def test_state_store_vacuum_keeps_latest(spark, tmp_path):
     assert removed == [0, 1, 2]
     assert store.read().count() == 5  # latest version untouched
     assert store.vacuum(keep_last=2) == []  # idempotent
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from postgres_cdc_example_spark.sinks.corpus import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    docs = load_table(spark, "documents", sf_dir)
+    docs.repartition(50).write.parquet(frag)
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_frag >= 50
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out == n <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
