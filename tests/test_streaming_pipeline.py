@@ -237,3 +237,69 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(120)
     out = {r.id: r.tier for r in spark.sql("SELECT * FROM enriched_sink").collect()}
     assert out == {1: "even-tier", 2: "odd-tier", 3: "even-tier"}
+
+
+def test_multi_table_stream_routes_to_separate_stores(spark, tmp_path):
+    """One change stream carrying two tables → two independently-applied
+    state stores in a single pass (the decode is shared; each table's
+    filter+flatten+apply runs off the same micro-batch)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from postgres_cdc_example_spark.operators.cdc_apply import apply_changes
+    from postgres_cdc_example_spark.sources.changelog import (
+        decode_change_lines,
+        person_change_json,
+        route_changes,
+        split_corrupt,
+    )
+    from postgres_cdc_example_spark.streaming.state import VersionedStateStore
+
+    src = str(tmp_path / "changes")
+    person_schema = StructType([
+        StructField("id", LongType(), True),
+        StructField("name", StringType(), True),
+        StructField("score", LongType(), True),
+    ])
+    audit_schema = StructType([
+        StructField("id", LongType(), True),
+        StructField("who", StringType(), True),
+        StructField("what", StringType(), True),
+    ])
+    stores = {
+        "person": VersionedStateStore(spark, str(tmp_path / "p"), person_schema),
+        "audit": VersionedStateStore(spark, str(tmp_path / "a"), audit_schema),
+    }
+    tables = {
+        "person": {"name": "string", "score": "long"},
+        "audit": {"who": "string", "what": "string"},
+    }
+
+    def apply_batch(batch_df, batch_id):
+        valid, _ = split_corrupt(decode_change_lines(batch_df))
+        valid = valid.persist()  # shared decode: parse JSON once for all tables
+        for t, changes in route_changes(valid, tables).items():
+            st = stores[t].read()
+            new = apply_changes(
+                st, changes, key="id", seq="seq", action="action",
+                value_cols=list(tables[t]), created_col=None,
+            )
+            stores[t].commit(new.select(*st.columns), version=batch_id + 1)
+        valid.unpersist()
+
+    write_lines(src, "b0.jsonl", [
+        person_change_json(1, "I", row={"id": 1, "name": "a", "score": 5}),
+        person_change_json(2, "I", table="audit", row={"id": 9, "who": "root", "what": "login"}),
+        person_change_json(3, "U", row={"id": 1, "name": "a2", "score": 6}, identity={"id": 1}),
+        person_change_json(4, "D", table="audit", identity={"id": 9}),
+    ])
+    q = (
+        spark.readStream.format("text").load(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    person = {(r.id, r.name, r.score) for r in stores["person"].read().collect()}
+    assert person == {(1, "a2", 6)}
+    assert stores["audit"].read().count() == 0  # insert then delete
