@@ -208,8 +208,15 @@ def minhash_lsh_pairs(
     )
 
 
+DRIVER_CC_THRESHOLD = 100_000  # pairs; below this, union-find on the driver
+
+
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Group near-dup PAIRS into duplicate CLUSTERS: connected components by
     min-label propagation. Returns ``(doc_id, component)`` where ``component``
@@ -229,6 +236,37 @@ def connected_components(
     # upstream pair-discovery pipeline (e.g. the whole MinHash+LSH plan)
     # re-executes per branch
     pairs = pairs.select(a_col, b_col).localCheckpoint()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        # LSH shrinks the pair graph by orders of magnitude, so the common
+        # case is a FEW HUNDRED edges — running 2 Spark jobs per propagation
+        # round on that is pure scheduler overhead. Union-find on the driver
+        # is exact, deterministic (min root), and done in microseconds; the
+        # distributed loop below remains the >threshold path and stays
+        # exercised by tests via driver_threshold=0.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, f"doc_id {pairs.schema[a_col].dataType.simpleString()}, "
+                  f"component {pairs.schema[a_col].dataType.simpleString()}"
+        )
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).persist()

@@ -33,13 +33,16 @@ def test_connected_components_crafted_graph(spark):
 
 def test_connected_components_long_chain_converges(spark):
     """A 12-node path needs multiple propagation rounds — exercises the
-    fixpoint loop beyond one hop."""
+    DISTRIBUTED fixpoint loop (driver_threshold=0 forces it) beyond one
+    hop, and the driver union-find path must agree exactly."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
     )
-    rows = dedup.connected_components(pairs).collect()
+    rows = dedup.connected_components(pairs, driver_threshold=0).collect()
     assert {r.component for r in rows} == {0}
     assert len(rows) == 12
+    driver_rows = dedup.connected_components(pairs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, driver_rows))
 
 
 def test_asof_join_edge_semantics(spark, sf_dir):
