@@ -634,3 +634,34 @@ def region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(counts, ["region", "priority"], "left").select(
         "region", "priority", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
     )
+
+
+@register(
+    "unpivot_priority_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus AS status,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+             count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+             count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_unspecified,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, priority_bucket, n_orders
+    FROM wide
+    UNPIVOT (n_orders FOR priority_bucket
+             IN (p_urgent, p_high, p_medium, p_unspecified, p_low))
+    """,
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long (the pivot inverse): `unpivot` lowers to a row-local Expand
+    — one output row per (row × value column), no shuffle at all; the only
+    shuffle in this plan is the upstream pivot aggregate it unpivots."""
+    wide = pivot_priority_by_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["status"],
+        values=_PRIORITY_ALIASES,
+        variableColumnName="priority_bucket",
+        valueColumnName="n_orders",
+    )
