@@ -168,3 +168,78 @@ def align_to_schema(df: DataFrame, target: "StructType") -> DataFrame:
         for f in target.fields
     ]
     return df.select(*cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str = "id",
+    seq: str = "seq",
+    action: str = "action",
+    value_cols: list[str] | None = None,
+    state_keys: DataFrame | None = None,
+) -> DataFrame:
+    """SCD Type-2 view of a change log: instead of overwriting state (the
+    reference's semantics), KEEP every version with its validity interval —
+    the shape dimension history, auditing, and point-in-time training
+    snapshots need.
+
+    Versioning replicates the reference's replay EXACTLY (the subtle part is
+    aliveness): an I always opens a version; a U opens one only if the row
+    is alive at that point (U on a deleted/never-inserted row is a no-op,
+    ``replicator/main.go:234-243``); a D on an alive row closes the open
+    version and opens nothing; no-op events close nothing. Initial
+    aliveness comes from ``state_keys`` (keys present in the snapshot);
+    without it, only I-rooted lineages version.
+
+    Aliveness is one ``last(ignorenulls)`` window over the key's log order
+    (the last prior I/D boundary decides), and closing is one ``lead`` over
+    the *effective* events only — two window passes sharing a single shuffle
+    on the key, no joins, no recursion. ``is_current`` marks versions still
+    open at end-of-log; the current set provably equals ``apply_changes``
+    output values (tests/test_cdc_apply.py reconciliation).
+    """
+    if value_cols is None:
+        value_cols = [c for c in changes.columns if c not in {key, seq, action}]
+    ch = changes
+    if state_keys is not None:
+        ch = ch.join(
+            F.broadcast(state_keys.select(F.col(key)).distinct().withColumn(
+                "__in_state", F.lit(True)
+            )),
+            key,
+            "left",
+        ).withColumn("__in_state", F.coalesce(F.col("__in_state"), F.lit(False)))
+    else:
+        ch = ch.withColumn("__in_state", F.lit(False))
+    w_order = Window.partitionBy(key).orderBy(seq)
+    # the most recent I/D at-or-before each event; for the event itself a U
+    # contributes null, so a U row sees the PRIOR boundary
+    boundary = F.last(
+        F.when(F.col(action).isin("I", "D"), F.col(action)), ignorenulls=True
+    ).over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # for a U row the inclusive-window boundary equals the PRIOR boundary
+    # (U contributes null), so: alive iff last prior boundary is I, or no
+    # boundary yet and the key was in the snapshot
+    alive_for_u = (boundary == "I") | (boundary.isNull() & F.col("__in_state"))
+    opens = (F.col(action) == "I") | ((F.col(action) == "U") & alive_for_u)
+    # a D is effective (closes something) iff the row was alive: its
+    # boundary-before is I, or no boundary and the key was in the snapshot
+    prior_boundary = F.last(
+        F.when(F.col(action).isin("I", "D"), F.col(action)), ignorenulls=True
+    ).over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    d_effective = (F.col(action) == "D") & (
+        (prior_boundary == "I") | (prior_boundary.isNull() & F.col("__in_state"))
+    )
+    marked = ch.select(
+        F.col(key), F.col(seq), F.col(action), *value_cols,
+        opens.alias("__opens"), d_effective.alias("__closes"),
+    ).filter(F.col("__opens") | F.col("__closes"))
+    w_eff = Window.partitionBy(key).orderBy(seq)
+    v = marked.withColumn("__next_seq", F.lead(seq).over(w_eff))
+    return v.filter(F.col("__opens")).select(
+        F.col(key),
+        F.col(seq).alias("version_seq"),
+        *value_cols,
+        F.col("__next_seq").alias("valid_to_seq"),
+        F.col("__next_seq").isNull().alias("is_current"),
+    )

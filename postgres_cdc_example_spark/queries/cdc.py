@@ -190,3 +190,51 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["status", "amount"],
         created_col="created_at",
     )
+
+
+# --- SCD2 history (keep every version; the anti-overwrite flavor) ---------------
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    st AS (SELECT DISTINCT id FROM ({_STATE_SQL})),
+    b AS (
+      SELECT ch.*, st.id IS NOT NULL AS in_state,
+             last_value(CASE WHEN action IN ('I','D') THEN action END IGNORE NULLS)
+               OVER (PARTITION BY ch.id ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS boundary,
+             last_value(CASE WHEN action IN ('I','D') THEN action END IGNORE NULLS)
+               OVER (PARTITION BY ch.id ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_boundary
+      FROM ch LEFT JOIN st ON ch.id = st.id
+    ),
+    m AS (
+      SELECT *,
+             (action = 'I' OR (action = 'U' AND
+               (boundary = 'I' OR (boundary IS NULL AND in_state)))) AS opens,
+             (action = 'D' AND
+               (prior_boundary = 'I' OR (prior_boundary IS NULL AND in_state))) AS closes
+      FROM b
+    ),
+    eff AS (
+      SELECT *, lead(seq) OVER (PARTITION BY id ORDER BY seq) AS next_seq
+      FROM m WHERE opens OR closes
+    )
+    SELECT id, seq AS version_seq, status, amount,
+           next_seq AS valid_to_seq, next_seq IS NULL AS is_current
+    FROM eff WHERE opens
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 over the change log: every version of every key with its
+    validity interval — the history the reference's UPDATE-in-place
+    discards. Replay-faithful aliveness (U on a deleted/absent row opens
+    nothing; initial aliveness from the snapshot keys); two windows sharing
+    one shuffle on the key (operators/cdc_apply.py::scd2_history)."""
+    from postgres_cdc_example_spark.operators.cdc_apply import scd2_history
+
+    return scd2_history(
+        _changes(spark, sf_dir), key="id", seq="seq", action="action",
+        value_cols=["status", "amount"],
+        state_keys=_state(spark, sf_dir).select("id"),
+    )

@@ -310,3 +310,29 @@ def test_schema_evolution_mid_stream(spark):
     back = align_to_schema(new_state, STATE_SCHEMA)
     assert back.columns == ["id", "status", "amount", "created_at"]
     assert back.count() == 3
+
+
+def test_scd2_current_versions_match_apply(spark, sf_dir):
+    """Reconciliation: for every key whose LAST event is I/U, the SCD2
+    current version's values must equal the overwrite-semantics state from
+    apply_changes — two different formulations of 'latest value wins'."""
+    from postgres_cdc_example_spark.operators.cdc_apply import scd2_history
+    from postgres_cdc_example_spark.queries.cdc import _changes, _state
+
+    changes = _changes(spark, sf_dir)
+    hist = scd2_history(
+        changes, value_cols=["status", "amount"],
+        state_keys=_state(spark, sf_dir).select("id"),
+    )
+    current = {
+        r.id: (r.status, r.amount) for r in hist.filter("is_current").collect()
+    }
+    applied = apply_changes(
+        _state(spark, sf_dir), changes, key="id", seq="seq", action="action",
+        value_cols=["status", "amount"], created_col="created_at",
+    )
+    applied_vals = {r.id: (r.status, r.amount) for r in applied.collect()}
+    assert current, "changelog must produce open versions"
+    for k, vals in current.items():
+        assert applied_vals[k] == vals, f"key {k}: scd2 {vals} != applied {applied_vals[k]}"
+
