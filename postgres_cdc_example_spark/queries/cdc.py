@@ -238,3 +238,60 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["status", "amount"],
         state_keys=_state(spark, sf_dir).select("id"),
     )
+
+
+# --- point-in-time (time travel) over the SCD2 history --------------------------
+_ASOF_SEQ = 500  # bites at every SF (sf0.001 midpoint; sf0.01 early log)
+
+
+@register(
+    "cdc_state_asof",
+    oracle=f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    st AS (SELECT DISTINCT id FROM ({_STATE_SQL})),
+    b AS (
+      SELECT ch.*, st.id IS NOT NULL AS in_state,
+             last_value(CASE WHEN action IN ('I','D') THEN action END IGNORE NULLS)
+               OVER (PARTITION BY ch.id ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS boundary,
+             last_value(CASE WHEN action IN ('I','D') THEN action END IGNORE NULLS)
+               OVER (PARTITION BY ch.id ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_boundary
+      FROM ch LEFT JOIN st ON ch.id = st.id
+    ),
+    m AS (
+      SELECT *,
+             (action = 'I' OR (action = 'U' AND
+               (boundary = 'I' OR (boundary IS NULL AND in_state)))) AS opens,
+             (action = 'D' AND
+               (prior_boundary = 'I' OR (prior_boundary IS NULL AND in_state))) AS closes
+      FROM b
+    ),
+    eff AS (
+      SELECT *, lead(seq) OVER (PARTITION BY id ORDER BY seq) AS next_seq
+      FROM m WHERE opens OR closes
+    )
+    SELECT id, status, amount, seq AS version_seq
+    FROM eff
+    WHERE opens AND seq <= {_ASOF_SEQ}
+      AND (next_seq IS NULL OR next_seq > {_ASOF_SEQ})
+    """,
+)
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the state table AS OF log position {_ASOF_SEQ}, read
+    straight off the SCD2 history by interval containment
+    (version_seq <= S < valid_to_seq) — a FILTER, not a replay. The
+    capability the overwrite path gives up and the versioned/SCD2 paths
+    keep; snapshot-keys-only rows (never touched by the log before S) are
+    out of scope here by construction (they never enter the history)."""
+    from postgres_cdc_example_spark.operators.cdc_apply import scd2_history
+
+    hist = scd2_history(
+        _changes(spark, sf_dir), key="id", seq="seq", action="action",
+        value_cols=["status", "amount"],
+        state_keys=_state(spark, sf_dir).select("id"),
+    )
+    return hist.filter(
+        (F.col("version_seq") <= _ASOF_SEQ)
+        & (F.col("valid_to_seq").isNull() | (F.col("valid_to_seq") > _ASOF_SEQ))
+    ).select("id", "status", "amount", "version_seq")
