@@ -984,3 +984,78 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "user_profile_similarity",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, hour(ts) AS hr, count(*) AS n
+      FROM events GROUP BY user_id, hour(ts)
+    ),
+    m AS (
+      SELECT user_id,
+             map(list(hr ORDER BY hr), list(CAST(n AS DOUBLE) ORDER BY hr)) AS mp
+      FROM h GROUP BY user_id
+    ),
+    prof AS (
+      SELECT user_id,
+             list_transform(generate_series(0, 23),
+               g -> COALESCE(map_extract(mp, g)[1], 0.0)) AS v
+      FROM m
+    ),
+    n AS (SELECT user_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM prof),
+    scored AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+      FROM n a JOIN n b ON a.user_id != b.user_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_a ORDER BY cos_r DESC, user_b) AS rnk
+      FROM scored
+    )
+    SELECT user_a, user_b, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """,
+)
+def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity, relationally: each user's 24-hour activity
+    histogram becomes a dense profile vector (counts → exact integer dot
+    products), then cosine top-5 neighbors per user — the distributed
+    profile-similarity shape (EDBT'19 streaming-similarity family) built
+    from groupBy + map-fill + the same broadcast ranking plan as ANN. The
+    profile build is one shuffle; the pair scoring is all-pairs over
+    DISTINCT USERS (vocabulary-sized, like fuzzy_part_names — never over
+    events)."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.groupBy("user_id", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prof = h.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("hr"), F.col("n").cast("double")))
+        ).alias("m")
+    ).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda g: F.coalesce(F.element_at(F.col("m"), g), F.lit(0.0)),
+        ).alias("v"),
+    )
+    n = prof.withColumn("nrm", similarity.norm(F.col("v")))
+    a = n.select(F.col("user_id").alias("user_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("user_id").alias("user_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    from pyspark.sql import Window
+
+    scored = a.join(F.broadcast(b), F.col("user_a") != F.col("user_b")).select(
+        "user_a",
+        "user_b",
+        similarity.cosine_rounded(
+            F.col("va"), F.col("na"), F.col("vb"), F.col("nb")
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("user_a").orderBy(F.col("cos_r").desc(), F.col("user_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("user_a", "user_b", "rank", "cos_r")
+    )
