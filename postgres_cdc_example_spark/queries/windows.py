@@ -173,3 +173,31 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via Spark 4 VariantType: ``parse_json`` → binary
+    variant (parsed ONCE, byte-addressable) → typed ``variant_get`` paths.
+    Against repeated ``get_json_object`` calls this is the difference
+    between one parse and N re-parses per row — the semi-structured scan
+    cost model at 100 TB (and the shredding-friendly storage format). The
+    oracle extracts the same paths with DuckDB's JSON functions."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
