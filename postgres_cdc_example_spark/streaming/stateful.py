@@ -134,3 +134,76 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+# --- transformWithStateInPandas (the Spark 4 stateful API) ---------------------
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 successor to applyInPandasWithState: typed state handles
+    (ValueState/ListState/MapState), optional timers, and state that
+    composes across multiple variables. Here one ValueState per user carries
+    (n_events, total_cents) across micro-batches AND restarts (RocksDB
+    state store in the checkpoint); each batch emits the updated totals for
+    the users it touched — the continuously-current per-key counter the
+    reference's monitor polls for with full-table COUNT(*)s
+    (pubsub/main.go:159-169), at O(touched keys) per tick.
+
+    Exact integer cents (as everywhere) so restarts/replays can't drift."""
+    try:  # the TWS protocol needs protobuf, absent in this container —
+        # gate like the multimodal codecs (same pattern as decode_image)
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf (not in "
+            "this environment); use sessionize_stream/applyInPandasWithState"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

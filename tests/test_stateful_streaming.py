@@ -163,3 +163,75 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     assert counts_10 == [1], (
         f"late event must be dropped, not re-emitted/re-counted: {counts_10}"
     )
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas: per-user totals accumulate across
+    micro-batches and RESTARTS (state in the checkpoint's RocksDB store),
+    exactly matching a batch recompute after each drain. SKIPS where the
+    TWS protocol's protobuf dependency is absent (this container) — the
+    operator raises NotImplementedError there by design."""
+    import datetime as dt
+
+    import pytest
+
+    from postgres_cdc_example_spark.streaming.stateful import running_totals_stream
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        with pytest.raises(NotImplementedError):
+            running_totals_stream(df)
+        pytest.skip("google.protobuf absent: TWS gated, gate verified")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+        def rows(batch, ids):
+            return [
+                (i, dt.datetime(2024, 1, 1, batch, i % 60), i % 3, float(i))
+                for i in ids
+            ]
+
+        first = spark.createDataFrame(rows(1, range(10)), schema)
+        first.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        emitted: list = []
+
+        def drain():
+            q = (
+                running_totals_stream(stream)
+                .writeStream.foreachBatch(lambda bdf, _b: emitted.extend(bdf.collect()))
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        latest = {r.user_id: (r.n_events, r.total_cents) for r in emitted}
+        assert latest == {
+            0: (4, 1800), 1: (3, 1200), 2: (3, 1500)
+        }  # ids 0..9 mod 3; cents = sum(i)*100
+
+        # restart with a second file: totals must CONTINUE, not reset
+        spark.createDataFrame(rows(2, range(10, 16)), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        emitted.clear()
+        drain()
+        latest = {r.user_id: (r.n_events, r.total_cents) for r in emitted}
+        assert latest[0] == (6, 1800 + 2400)   # +12, +15
+        assert latest[1] == (5, 1200 + 2300)   # +10, +13
+        assert latest[2] == (5, 1500 + 2500)   # +11, +14
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
