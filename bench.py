@@ -79,10 +79,12 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = registry[name]
-        # best of 2: the first run in a fresh JVM can pay one-time JIT
-        # compilation of generated code; we measure the plan, not the JIT
+        # best of 3: run 1 can pay one-time JIT of generated code, and any
+        # single run can be inflated by transient machine contention (same
+        # query has measured 2.4 s and 16.9 s under load) — we measure the
+        # plan, not the JIT or the neighbors
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
