@@ -161,7 +161,7 @@ def _cents() -> "F.Column":
     "incremental_agg_maintenance",
     oracle=f"""
     SELECT status, count(*) AS n_rows,
-           sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM ({_APPLY_ORACLE})
     GROUP BY status
     """,

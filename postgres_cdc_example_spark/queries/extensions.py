@@ -483,8 +483,14 @@ def ann_hyperplane_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, k=8, deterministic first-k init — the iterative-
     algorithm class (driver-side loop re-broadcasting k×dim centroids; not
-    expressible as one SQL statement, so no DuckDB oracle)."""
-    return similarity.kmeans_centroids(load_table(spark, "embeddings", sf_dir))
+    expressible as one SQL statement, so no DuckDB oracle). Centroids are
+    exploded to scalar ``(cluster_id, dim, value)`` rows: array cells are
+    unhashable in the driver's pandas canonicalizer; ``value`` is rounded to
+    6 decimals so float-sum ordering noise never reaches the result."""
+    res = similarity.kmeans_centroids(load_table(spark, "embeddings", sf_dir))
+    return res.select(
+        "cluster_id", "n_members", F.posexplode("centroid_r").alias("dim", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -525,7 +531,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, event_type, cents,
-           sum(cents) OVER (PARTITION BY event_type) AS type_total_cents
+           CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS type_total_cents
     FROM c
     """,
 )
@@ -620,7 +626,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM kept
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
     )
-    SELECT source, lang, count(*) AS n_docs, sum(n_toks) AS total_tokens
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
     FROM sampled GROUP BY source, lang
     """,
 )
@@ -845,13 +852,29 @@ def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize", oracle=None)  # binary-out — rows-only check
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS orig_bytes,
+             greatest(CAST(ceil(octet_length(encode(text)) * 0.5) AS BIGINT), 1)
+               AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, orig_bytes,
+           md5(substr(text, 1, CAST(n_bytes AS INT))) AS resized_md5
+    FROM r
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary→binary resize stage (Arrow both directions); the md5 audit
-    column exists so downstream stages can verify payload integrity without
-    re-reading bytes. Rows-only driver check: DuckDB can't md5 truncated
-    BLOBs portably; determinism + size contracts are pinned in
-    tests/test_extensions.py."""
+    column lets downstream stages verify payload integrity without
+    re-reading bytes. The binary payload itself is dropped from the result
+    (driver output must be scalar); the size contract (out = ceil(in×0.5))
+    AND the truncated-payload md5 are oracle-checked — ASCII fixtures make
+    byte slices and char substrings coincide, exactly as in
+    ``multimodal_frame_sample``."""
     return multimodal.resize_payload(
         multimodal.with_payload(load_table(spark, "documents", sf_dir))
     ).drop("payload")
@@ -886,7 +909,7 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_sequences",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS actions,
+           array_to_string(list(event_type ORDER BY ts, event_id), '|') AS actions,
            count(*) AS n_events,
            date_diff('microsecond', min(ts), max(ts)) AS span_us
     FROM events
@@ -915,7 +938,9 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.transform("seq", lambda s: s["et"]).alias("actions"),
+            # '|'-joined scalar, not array<string>: array cells are unhashable
+            # in the driver's pandas canonicalizer
+            F.array_join(F.transform("seq", lambda s: s["et"]), "|").alias("actions"),
             "n_events",
             "span_us",
         )
@@ -942,7 +967,8 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              doc_id, n_toks
       FROM c
     )
-    SELECT bucket, pack_id, count(*) AS n_docs, sum(n_toks) AS pack_tokens,
+    SELECT bucket, pack_id, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc
     FROM p GROUP BY bucket, pack_id
     """,
@@ -986,9 +1012,25 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "user_profile_similarity",
-    oracle="""
+PROFILE_PLANES = 4  # sign-LSH planes over the 24-dim hour profile → 16 buckets
+PROFILE_DIM = 24
+
+
+def _profile_similarity_oracle() -> str:
+    terms = []
+    for j, row in enumerate(
+        similarity.hyperplane_weights(PROFILE_PLANES, PROFILE_DIM)
+    ):
+        lits = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"CASE WHEN round(list_dot_product(v, [{lits}]), 6) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(PROFILE_PLANES)]
+    )
+    return f"""
     WITH h AS (
       SELECT user_id, hour(ts) AS hr, count(*) AS n
       FROM events GROUP BY user_id, hour(ts)
@@ -1005,27 +1047,39 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ),
     n AS (SELECT user_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM prof),
+    sig AS (SELECT user_id, v, nrm, ({bucket}) AS bucket FROM n),
+    q AS (
+      SELECT user_id AS user_a, v AS va, nrm AS na,
+             unnest([{probe_list}]) AS probe_bucket
+      FROM sig
+    ),
     scored AS (
-      SELECT a.user_id AS user_a, b.user_id AS user_b,
-             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
-      FROM n a JOIN n b ON a.user_id != b.user_id
+      SELECT user_a, b.user_id AS user_b,
+             round(list_dot_product(va, b.v) / (na * b.nrm), 6) AS cos_r
+      FROM q JOIN sig b ON b.bucket = q.probe_bucket AND b.user_id != q.user_a
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY user_a ORDER BY cos_r DESC, user_b) AS rnk
       FROM scored
     )
     SELECT user_a, user_b, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("user_profile_similarity", oracle=_profile_similarity_oracle())
 def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity, relationally: each user's 24-hour activity
     histogram becomes a dense profile vector (counts → exact integer dot
-    products), then cosine top-5 neighbors per user — the distributed
-    profile-similarity shape (EDBT'19 streaming-similarity family) built
-    from groupBy + map-fill + the same broadcast ranking plan as ANN. The
-    profile build is one shuffle; the pair scoring is all-pairs over
-    DISTINCT USERS (vocabulary-sized, like fuzzy_part_names — never over
-    events)."""
+    products), then cosine top-5 neighbors per user via multi-probe sign-LSH
+    — the same hyperplane machinery as ``ann_hyperplane_multiprobe``, reused
+    over profile vectors instead of stored embeddings. Users grow with data,
+    so the r1 all-pairs self-join (O(U²)) is replaced by a bucketed join:
+    each user scores only candidates in its bucket or a Hamming-1 probe
+    bucket (×(planes+1) row expansion on the probe side only). The join
+    shuffles on bucket id; at larger U raise ``PROFILE_PLANES`` so bucket
+    occupancy, not pair count, stays the working-set bound. The oracle
+    replicates the identical bucketing from the same weight literals, so the
+    match is exact, not recall-approximate."""
     ev = load_table(spark, "events", sf_dir)
     h = ev.groupBy("user_id", F.hour("ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1041,12 +1095,33 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: F.coalesce(F.element_at(F.col("m"), g), F.lit(0.0)),
         ).alias("v"),
     )
-    n = prof.withColumn("nrm", similarity.norm(F.col("v")))
-    a = n.select(F.col("user_id").alias("user_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("user_id").alias("user_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    weights = similarity.hyperplane_weights(PROFILE_PLANES, PROFILE_DIM)
+    sig = prof.withColumn("nrm", similarity.norm(F.col("v"))).withColumn(
+        "bucket", similarity.hyperplane_bucket(F.col("v"), weights)
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(PROFILE_PLANES)],
+    )
+    a = sig.select(
+        F.col("user_id").alias("user_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(probes).alias("probe_bucket"),
+    )
+    b = sig.select(
+        F.col("user_id").alias("user_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("b_bucket"),
+    )
     from pyspark.sql import Window
 
-    scored = a.join(F.broadcast(b), F.col("user_a") != F.col("user_b")).select(
+    scored = a.join(
+        b,
+        (F.col("b_bucket") == F.col("probe_bucket"))
+        & (F.col("user_a") != F.col("user_b")),
+    ).select(
         "user_a",
         "user_b",
         similarity.cosine_rounded(

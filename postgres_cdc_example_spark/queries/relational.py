@@ -363,7 +363,7 @@ def event_type_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS order_seq,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS running_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -395,7 +395,7 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            count(*) OVER w AS n_window,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS sum_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS sum_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

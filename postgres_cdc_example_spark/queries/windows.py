@@ -81,8 +81,8 @@ _ISLANDS_SQL = f"""
     ),
     numbered AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     )
 """
@@ -180,7 +180,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
     FROM events
     GROUP BY event_type

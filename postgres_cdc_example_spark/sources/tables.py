@@ -27,7 +27,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     truncation DuckDB applies, so oracle comparisons line up.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # self-heal on vanilla sessions (no factory conf)
+        # events.parquet is INT64 TIMESTAMP(NANOS); a session built outside
+        # session.py lacks the legacy-nanos conf and throws PARQUET_TYPE_ILLEGAL.
+        # The conf is runtime-settable, so set it and retry once.
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -44,6 +44,34 @@ def normalize_result(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _assert_driver_canonicalizable(s_pdf, d_pdf) -> None:
+    """The driver compares via pandas (`toPandas` vs `fetchdf`), stringifying
+    values after a sort-canonicalization. Two failure modes invisible to the
+    exact fetchall() compare below:
+
+    - DuckDB HUGEINT (e.g. sum(BIGINT)) arrives as float64 while Spark sends
+      int64 -> "117.0" != "117" hash mismatch. Catch: dtype-kind mismatch.
+    - list/array-valued cells are unhashable in the driver's pandas sort.
+    """
+    d_kinds = {c: d_pdf[c].dtype.kind for c in d_pdf.columns}
+    for c in s_pdf.columns:
+        sk, dk = s_pdf[c].dtype.kind, d_kinds.get(c, "?")
+        numeric = {"i", "u", "f"}
+        if sk in numeric or dk in numeric:
+            assert (sk in {"i", "u"}) == (dk in {"i", "u"}), (
+                f"driver-visible dtype mismatch on {c!r}: spark kind={sk} "
+                f"duckdb kind={dk} (HUGEINT->float64? cast the oracle sum)"
+            )
+        if sk == "O":
+            import numpy as np
+
+            for cell in s_pdf[c].head(5):
+                assert not isinstance(cell, (list, tuple, dict, np.ndarray)), (
+                    f"column {c!r} holds array values — unhashable in the driver "
+                    "canonicalizer; project to scalars (array_join / explode)"
+                )
+
+
 def compare_to_oracle(spark, sf_dir: str, fn, oracle: str) -> None:
     sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
@@ -54,6 +82,7 @@ def compare_to_oracle(spark, sf_dir: str, fn, oracle: str) -> None:
         res = con.sql(oracle)
         d_cols = list(res.columns)
         d_rows = [tuple(r) for r in res.fetchall()]
+        _assert_driver_canonicalizable(sdf.limit(20).toPandas(), con.sql(oracle).fetchdf())
     finally:
         con.close()
 

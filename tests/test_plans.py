@@ -52,6 +52,14 @@ def test_dedup_joins_are_keyed_not_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_profile_similarity_is_bucket_keyed_not_all_pairs(spark, sf_dir):
+    """Users grow with data: the pair join must be keyed on the LSH bucket
+    (equi-join), never an all-pairs user_a != user_b nested loop."""
+    plan = plan_of(spark, sf_dir, "user_profile_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
