@@ -116,10 +116,20 @@ class BucketedStateStore:
             .parquet(staging)
         )
         for b in buckets:
-            shutil.rmtree(self._bucket_dir(b), ignore_errors=True)
+            live = self._bucket_dir(b)
             staged = os.path.join(staging, f"{BUCKET_COL}={b}")
+            # Rename the live dir ASIDE (not rmtree-first): a crash between
+            # removing the live bucket and moving the staged one in must not
+            # lose the bucket — recovery can restore from the .old dir. The
+            # dot-prefix keeps Spark partition discovery and
+            # _existing_buckets from ever seeing the aside copy.
+            old = os.path.join(self.root, f".old.{BUCKET_COL}={b}")
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(live):
+                os.rename(live, old)
             if os.path.isdir(staged):
-                os.rename(staged, self._bucket_dir(b))
+                os.rename(staged, live)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
     # --- the incremental CDC apply ----------------------------------------

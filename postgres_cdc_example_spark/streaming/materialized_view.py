@@ -82,6 +82,12 @@ class StreamingAggView:
         valid, _dead = split_corrupt(decode_change_lines(batch_df))
         changes = flatten_person_changes(valid)
         v_next = batch_id + 1
+        # replay guard (see CdcPipeline._apply_batch): the agg store commits
+        # BEFORE the state store, so state at v_next implies both are done —
+        # re-running would read-and-overwrite the same version directory.
+        state_v = self.state_store.latest_version()
+        if state_v is not None and state_v >= v_next:
+            return
         state = self.state_store.read()
         agg_v = self.agg_store.latest_version()
         if agg_v is None:

@@ -106,21 +106,42 @@ class CdcPipeline:
         self.dead_letter_count += ndead  # reference logs & skips (T7)
         changes = flatten_person_changes(valid)
         if self.predicate is not None:
-            # publication row filter evaluated on the event's new image;
-            # deletes carry no image and always pass (PG row filters apply
-            # to old+new; key-only deletes replicate)
+            # Publication row filter on the event's new image, with
+            # Postgres's filter-crossing UPDATE transform (UPDATE docs,
+            # "publication row filters"): an UPDATE whose new image leaves
+            # the filter becomes a DELETE on the key (else the stale row
+            # lingers in the target), and one whose new image satisfies it
+            # is applied as an upsert I (the old image may have failed the
+            # filter, so the key can be absent — plain U would no-op).
+            # Deletes carry no image and always replicate.
             from pyspark.sql import functions as F
 
-            changes = changes.filter((F.col("action") == "D") | self.predicate)
+            a = F.col("action")
+            passes = F.coalesce(self.predicate, F.lit(False))
+            changes = changes.withColumn(
+                "action",
+                F.when((a == "U") & ~passes, F.lit("D"))
+                .when(a == "U", F.lit("I"))
+                .otherwise(a),
+            ).filter((F.col("action") == "D") | passes)
         if hasattr(self.store, "apply_and_commit"):
             # incremental path: read + rewrite only the changed buckets;
             # replay after crash re-applies idempotently (merge semantics)
             self.store.apply_and_commit(changes)
             return
+        # version = batch_id + 1 (0 is the backfill). A crash between commit
+        # and checkpoint ack replays this batch: without the guard the replay
+        # would read v{batch_id+1} and overwrite the same directory — Spark
+        # refuses ("Cannot overwrite a path that is also being read from")
+        # and the pipeline wedges. An already-committed version makes the
+        # replay a no-op, which is exactly the exactly-once contract (T2).
+        target = batch_id + 1
+        latest = self.store.latest_version()
+        if latest is not None and latest >= target:
+            return
         state = self.store.read()
         new_state = apply_changes(state, changes)
-        # version = batch_id + 1 (0 is the backfill); replays are idempotent
-        self.store.commit(new_state.select(*state.columns), version=batch_id + 1)
+        self.store.commit(new_state.select(*state.columns), version=target)
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         lines = (

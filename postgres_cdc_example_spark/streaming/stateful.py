@@ -188,7 +188,12 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             n, cents = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+                import numpy as np
+
+                # floor(x*100 + 0.5): the repo's half-up integer-cents
+                # convention (astype truncates toward zero, mis-rounding
+                # negatives: -0.01 -> 0 instead of -1)
+                cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
             self._agg.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -136,6 +136,72 @@ def test_pipeline_restart_is_idempotent(spark, tmp_path):
     assert 50 not in ids and len(ids) == 3
 
 
+def test_replayed_batch_commit_is_noop(spark, tmp_path):
+    """Crash between state commit and checkpoint ack → Spark replays the
+    micro-batch. The store is already at v{batch_id+1}; the replay must be
+    a guarded no-op. Without the guard the replay reads v{batch_id+1} and
+    overwrites the same directory — Spark refuses and the pipeline wedges
+    on every restart."""
+    pipe = CdcPipeline(
+        spark,
+        source_dir=str(tmp_path / "changes"),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pipe.backfill(person_batch(spark, 3, seed=7))
+    batch = spark.createDataFrame(
+        [(person_change_json(1, "I", row=row(40, "n", 4)),)], "value string"
+    )
+    pipe._apply_batch(batch, batch_id=0)
+    v1 = sorted(map(tuple, pipe.state().collect()))
+    assert pipe.store.latest_version() == 1
+    pipe._apply_batch(batch, batch_id=0)  # the replay — must not raise
+    assert pipe.store.latest_version() == 1
+    assert sorted(map(tuple, pipe.state().collect())) == v1
+
+
+def test_filter_crossing_updates(spark, tmp_path):
+    """Postgres row-filter semantics on UPDATEs that cross the filter
+    boundary: new image leaves the filter → DELETE (no stale row); new
+    image enters the filter → INSERT (row was absent, plain U would no-op).
+    Violating either breaks target == σ(pred)(source)."""
+    src = str(tmp_path / "changes")
+    pipe = CdcPipeline(
+        spark,
+        source_dir=src,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        predicate=F.col("score") % 2 == 0,
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "a", "uid-1", 10, None), (2, "b", "uid-2", 11, None)],
+        pipe.state().schema,
+    )
+    pipe.backfill(snapshot)  # only id=1 (even) replicates
+    assert {r["id"] for r in pipe.state().collect()} == {1}
+
+    write_lines(src, "b0.jsonl", [
+        # id=1: 10 → 11, leaves the filter → must be deleted from target
+        person_change_json(1, "U", row=row(1, "a", 11), identity={"id": 1}),
+        # id=2: 11 → 12, enters the filter → must be inserted into target
+        person_change_json(2, "U", row=row(2, "b2", 12), identity={"id": 2}),
+    ])
+    run_to_completion(pipe)
+    state = {r["id"]: r for r in pipe.state().collect()}
+    assert set(state) == {2}
+    assert state[2]["name"] == "b2" and state[2]["score"] == 12
+
+    verdict = sync_check(
+        spark.createDataFrame(
+            [(1, "a", "uid-1", 11, None), (2, "b2", "uid-2", 12, None)],
+            pipe.state().schema,
+        ),
+        pipe.state(),
+        F.col("score") % 2 == 0,
+    ).collect()[0]
+    assert verdict["in_sync"] == 1
+
+
 def test_bucketed_pipeline_matches_full_rewrite(spark, tmp_path):
     """The O(changed-buckets) bucketed store must produce byte-identical
     state to the full-rewrite versioned store on the same change stream."""
