@@ -130,6 +130,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -144,8 +145,19 @@ def minhash_lsh_pairs(
     for document-level near-dup (and ~6× fewer min-hash inputs per doc than
     char shingles; use :func:`shingle_rows` instead for short-text /
     fuzzy-edit workloads).
+
+    ``shingles``: optionally pass a precomputed (ideally persisted)
+    ``ngram_rows`` result. The shingle subtree feeds FOUR consumers in this
+    plan (signatures, sizes, both verification sides); a persisted input
+    turns those into cache reads instead of four explode+distinct
+    re-executions — and lets callers share the same shingles across several
+    dedup queries in one session.
     """
-    sh = ngram_rows(df, text_col, id_col).withColumnRenamed("g", "s")
+    sh = (
+        shingles
+        if shingles is not None
+        else ngram_rows(df, text_col, id_col)
+    ).withColumnRenamed("g", "s")
     sig = minhash_signatures(sh, id_col)
     rows = NUM_HASHES // NUM_BANDS
     bands = sig.select(
@@ -379,6 +391,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int = MAX_DOC_FREQ,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs via an inverted-index self-join.
 
@@ -388,7 +401,7 @@ def ngram_jaccard_pairs(
     Sizes and intersections are computed over the *filtered* universe so
     Jaccard stays internally consistent.
     """
-    ex = ngram_rows(df, text_col, id_col)
+    ex = shingles if shingles is not None else ngram_rows(df, text_col, id_col)
     rare = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
     kept = ex.join(rare.select("g"), "g")
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
