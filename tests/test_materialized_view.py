@@ -93,3 +93,24 @@ def test_agg_commit_precedes_state_commit(spark, tmp_path):
     assert (view.agg_store.latest_version() or 0) >= (
         view.state_store.latest_version() or 0
     )
+
+
+def test_replayed_view_batch_is_noop(spark, tmp_path):
+    """Replay guard (same contract as CdcPipeline): re-running an
+    already-committed micro-batch must not raise or change either store."""
+    view = StreamingAggView(
+        spark,
+        source_dir=str(tmp_path / "changes"),
+        store_root=str(tmp_path / "mv"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = spark.createDataFrame(
+        [(person_change_json(1, "I", row=row(1, "alice", 10)),)], "value string"
+    )
+    view._apply_batch(batch, batch_id=0)
+    agg1 = sorted(map(tuple, view.view().collect()))
+    st1 = sorted(map(tuple, view.state().collect()))
+    view._apply_batch(batch, batch_id=0)  # replay — must be a no-op
+    assert sorted(map(tuple, view.view().collect())) == agg1
+    assert sorted(map(tuple, view.state().collect())) == st1
+    _assert_view_matches_recompute(view)
