@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "corpus_curation_pipeline",
     "skew_salted_join",
+    # model-centric LLM-data surface (queries/llmdata.py)
+    "text_unigram_nll",
+    "tfidf_keywords",
+    "benchmark_contamination",
+    "text_repetition",
 ]
 
 

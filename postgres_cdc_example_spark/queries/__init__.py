@@ -62,6 +62,7 @@ def _load_all() -> None:
         analytics,
         cdc,
         extensions,
+        llmdata,
         parity,
         relational,
         tpch,

@@ -1,0 +1,449 @@
+"""Model-centric training-data operators: LM scoring, keyword extraction,
+benchmark contamination, repetition signals, mixture reweighting, vocabulary.
+
+These extend the curation surface in ``queries/extensions.py`` with the
+*model-facing* half of a training-data pipeline: what gets scored against a
+language model's statistics (perplexity proxy), what leaks from evaluation
+sets (contamination), what repeats pathologically (Gopher-style repetition
+gates), and how domains are re-weighted into the final mixture.
+
+Exactness policy (same as the rest of the repo): every ratio that reaches a
+result is either pure integer arithmetic (``floor(a*1e6/b)`` over bigint
+counts — order-independent, engine-independent) or a transcendental rounded
+onto a fixed micro-grid per ROW before any SUM (so aggregate order can never
+move the result). No Python UDFs; everything is codegen-able built-ins.
+
+The reference has no such surface (SURVEY.md §2.8) — like
+``queries/extensions.py`` these are SURVEY.md §7.2-step-7 extension ops on
+the ``documents`` fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators import dedup
+from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.sources.tables import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')"
+
+# one row per token OCCURRENCE (not distinct) — the LM-statistics layout
+_OCC_SQL = f"""
+    occ AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    )
+"""
+
+
+def _occurrences(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(dedup.word_tokens(F.col("text"))).alias("tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM negative log likelihood (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_nll",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    cnt AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM cnt),
+    lp AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(t + v AS DOUBLE) / (c + 1)) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM cnt, tot
+    )
+    SELECT o.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lp_micro) AS BIGINT) AS nll_micro_sum,
+           CAST(floor(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_nll_micro
+    FROM occ o JOIN lp ON o.tok = lp.tok
+    GROUP BY o.doc_id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: each document's mean negative log
+    likelihood under an add-one-smoothed unigram model of the corpus itself
+    (the cheap first-pass LM filter; perplexity = exp(mean_nll), monotone in
+    this score). Two corpus passes: token counts (one shuffle on token,
+    map-side combined), then occurrences join the per-token log-prob and
+    aggregate per doc. The per-token log is rounded onto a micro-grid
+    BEFORE the per-doc SUM, so the aggregate is integer addition —
+    order-independent across engines and partitionings. The token join's
+    hot keys (stopwords) are exactly the skew-salting case
+    ``skew_salted_join`` demonstrates; at vocab ≪ corpus the count table
+    also broadcasts (AQE picks this up from stats)."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ = _occurrences(docs)
+    cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log((F.col("t") + F.col("v")).cast("double") / (F.col("c") + 1))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        occ.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro_sum",
+            F.floor(
+                F.col("nll_micro_sum").cast("double") / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("mean_nll_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT tok, df,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_micro
+      FROM df, n
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, idf.idf_micro,
+             CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+      FROM tf JOIN idf ON tf.tok = idf.tok
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, idf_micro, score_micro, rnk AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document — the classic feature-extraction
+    pass (topic tagging, index keys, weak labels). tf and df come from the
+    same occurrence explode (two groupBy shuffles, both map-side combined);
+    idf is rounded onto the micro-grid per TOKEN so ``tf × idf_micro`` is
+    integer arithmetic and the per-doc top-3 ranking (row_number window,
+    shuffle on doc_id) is deterministic with the alphabetical tie-break."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ = _occurrences(docs)
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "idf_micro",
+        (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "idf_micro", "score_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8  # span width for decontamination checks
+BENCH_MOD = 20  # doc_id % 20 == 0 -> the stand-in "benchmark" split
+
+
+def _gram_sql(n: int) -> str:
+    cat = ", ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - {n - 1}, 1)),
+               i -> concat_ws(' ', {cat})
+             ))) AS g
+      FROM toks WHERE len(tk) >= {n}
+    )
+    """
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_gram_sql(CONTAM_NGRAM)}
+    SELECT c.doc_id,
+           count(*) AS n_matched_grams,
+           count(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM grams c JOIN grams b ON c.g = b.g
+    WHERE c.doc_id % {BENCH_MOD} != 0 AND b.doc_id % {BENCH_MOD} = 0
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: corpus documents sharing any 8-gram with the
+    held-out benchmark split (stand-in: ``doc_id %% 20 == 0``) — the overlap
+    check every serious pretraining run performs against its eval suites.
+    One distinct-8-gram explode feeds both sides; the join is an
+    inverted-index equi-join on the gram (only colliding spans meet — never
+    doc×doc), exactly the ``common_ngram_spans`` machinery pointed at a
+    corpus/benchmark partition. At 100 TB the benchmark side is tiny and
+    broadcasts; the corpus side never shuffles more than its matched rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n = CONTAM_NGRAM
+    leads = toks.select(
+        "doc_id",
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)],
+    )
+    grams = (
+        leads.filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("g"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 2),
+    big AS (
+      SELECT doc_id, n,
+             unnest(list_transform(generate_series(1, n - 1),
+                    i -> concat_ws(' ', tk[i], tk[i+1]))) AS bg
+      FROM base
+    ),
+    bstats AS (
+      SELECT doc_id,
+             CAST(max(n) - 1 AS BIGINT) AS bg_total,
+             count(DISTINCT bg) AS bg_distinct,
+             CAST(max(cnt) AS BIGINT) AS bg_top
+      FROM (SELECT doc_id, n, bg, count(*) OVER (PARTITION BY doc_id, bg) AS cnt
+            FROM big)
+      GROUP BY doc_id
+    ),
+    tstats AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS tok_top, count(*) AS n_tokens
+      FROM (
+        SELECT o.doc_id, count(*) OVER (PARTITION BY o.doc_id, o.tok) AS cnt
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM base) o
+      )
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           t.n_tokens,
+           CAST(floor((bg_total - bg_distinct) * 1000000.0 / bg_total) AS BIGINT)
+             AS dup_bigram_micro,
+           CAST(floor(bg_top * 1000000.0 / bg_total) AS BIGINT)
+             AS top_bigram_micro,
+           CAST(floor(tok_top * 1000000.0 / t.n_tokens) AS BIGINT)
+             AS top_token_micro
+    FROM bstats b JOIN tstats t ON b.doc_id = t.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gates (the Gopher rules): fraction of duplicate
+    word-bigram occurrences, share of the single most frequent bigram, and
+    share of the single most frequent token — the signals that catch
+    keyword-stuffed / template / looping-generator text that length and
+    stopword ratios miss. One bigram explode + per-doc aggregates (shuffles
+    on doc_id only, never global); every reported fraction is
+    ``floor(a*1e6/b)`` over bigint counts, so the values are exact on any
+    engine. Docs under 2 tokens have no bigram universe and are excluded
+    (they are the length gate's job, not the repetition gate's)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("nxt"),
+    )
+    big = pairs.filter(F.col("nxt").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg")
+    )
+    bcnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    bstats = bcnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("bg_total"),
+        F.count(F.lit(1)).alias("bg_distinct"),
+        F.max("cnt").cast("long").alias("bg_top"),
+    )
+    tcnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tstats = tcnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"), F.max("cnt").cast("long").alias("tok_top")
+    )
+    return (
+        bstats.join(tstats, "doc_id")
+        .filter(F.col("bg_total") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("bg_total") - F.col("bg_distinct"))
+                * F.lit(1_000_000.0)
+                / F.col("bg_total")
+            )
+            .cast("long")
+            .alias("dup_bigram_micro"),
+            F.floor(F.col("bg_top") * F.lit(1_000_000.0) / F.col("bg_total"))
+            .cast("long")
+            .alias("top_bigram_micro"),
+            F.floor(F.col("tok_top") * F.lit(1_000_000.0) / F.col("n_tokens"))
+            .cast("long")
+            .alias("top_token_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_toks FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS toks
+      FROM occ GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t, count(*) AS s FROM per)
+    SELECT source, n_docs, toks,
+           CAST(floor(toks * 1000000.0 / t) AS BIGINT) AS actual_share_micro,
+           CAST(floor(1000000.0 / s) AS BIGINT) AS target_share_micro,
+           CAST(floor(t * 1000000.0 / (s * toks)) AS BIGINT) AS weight_micro
+    FROM per, tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token shares and the sampling
+    weight that moves the mixture to uniform-over-sources (the DoReMi /
+    Pile-style knob; swap the uniform target for learned weights without
+    changing the plan). One narrow aggregate per source + a broadcast scalar
+    join; all shares are integer micro-units of exact bigint token counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "source", "doc_id", F.size(dedup.word_tokens(F.col("text"))).alias("n_toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("toks"),
+    )
+    tot = per.agg(
+        F.sum("toks").cast("long").alias("t"), F.count(F.lit(1)).alias("s")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        F.floor(F.col("toks") * F.lit(1_000_000.0) / F.col("t"))
+        .cast("long")
+        .alias("actual_share_micro"),
+        F.floor(F.lit(1_000_000.0) / F.col("s")).cast("long").alias(
+            "target_share_micro"
+        ),
+        F.floor(F.col("t") * F.lit(1_000_000.0) / (F.col("s") * F.col("toks")))
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 100
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok)
+    SELECT tok, n, rnk AS rank FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM cnt
+    ) WHERE rnk <= {VOCAB_TOP}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-{100} tokens by corpus frequency with rank — the
+    seed list a tokenizer build (BPE merges, special-token audits) starts
+    from. The count is one map-side-combined shuffle; the global top-N is
+    TakeOrdered over the (already tiny) distinct-token table, never a full
+    sort of the corpus. Ties break alphabetically so the ranking is total
+    and engine-independent."""
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = _occurrences(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), "tok").limit(VOCAB_TOP)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok", "n", "rank"
+    )
