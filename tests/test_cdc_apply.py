@@ -336,3 +336,42 @@ def test_scd2_current_versions_match_apply(spark, sf_dir):
     for k, vals in current.items():
         assert applied_vals[k] == vals, f"key {k}: scd2 {vals} != applied {applied_vals[k]}"
 
+
+
+# --- property-based: hypothesis drives the event-log space -----------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _KEYS = st.integers(min_value=0, max_value=7)  # tiny pool -> dense chains
+    _EVENT = st.tuples(_KEYS, st.sampled_from("IUD"), st.integers(0, 30))
+
+    @settings(
+        max_examples=12,  # each example is a full Spark round-trip
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+        derandomize=True,  # CI-stable corpus; hypothesis still shrinks failures
+    )
+    @given(
+        state_keys=st.sets(_KEYS, max_size=8),
+        raw=st.lists(_EVENT, max_size=40),
+    )
+    def test_property_logs_match_serial_fold(spark, state_keys, raw):
+        """For ANY interleaving of I/U/D over colliding keys, the closed-form
+        apply equals the reference's serial fold — hypothesis explores the
+        corners the seeded random logs may miss (all-D prefixes, I-after-D
+        at log start, single-event logs, empty everything) and shrinks any
+        counterexample to a minimal log."""
+        state = [(k, f"s{k}", float(k), TS(0)) for k in sorted(state_keys)]
+        events = []
+        for seq, (k, a, day) in enumerate(raw, start=1):
+            if a == "D":
+                events.append((seq, "D", k, None, None, None))
+            else:
+                events.append((seq, a, k, f"{a}{seq}", float(seq), TS(4 + day)))
+        run_case(spark, state, events)
