@@ -60,6 +60,28 @@ def test_profile_similarity_is_bucket_keyed_not_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_join_is_gram_keyed_not_cartesian(spark, sf_dir):
+    """Corpus×benchmark must meet only on colliding 8-grams (inverted-index
+    equi-join with the benchmark side broadcast) — never doc×doc."""
+    plan = plan_of(spark, sf_dir, "benchmark_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["text_unigram_nll", "tfidf_keywords", "text_repetition"]
+)
+def test_llmdata_scans_prune_to_two_columns(spark, sf_dir, name):
+    """The LM-statistics queries touch only (doc_id, text) — a scan that
+    drags the other document columns through the token explode is wrong."""
+    plan = plan_of(spark, sf_dir, name)
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text", "source"}, f"unpruned scan: {cols}"
+
+
 @pytest.mark.parametrize(
     "name",
     [
