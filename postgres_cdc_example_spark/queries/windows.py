@@ -201,3 +201,73 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.countDistinct(k).alias("n_distinct_k"),
     )
+
+
+GAPFILL_USERS = 10  # deterministic subset: user_id <= 10 exists at every SF
+
+
+@register(
+    "event_hourly_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id <= {GAPFILL_USERS}
+    ),
+    agg AS (
+      SELECT user_id, hr, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM b GROUP BY user_id, hr
+    ),
+    span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM agg GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    )
+    SELECT g.user_id, g.hr AS hour_ts,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.sum_cents, 0) AS sum_cents,
+           CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr
+    """,
+)
+def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill (the Timescale
+    ``time_bucket_gapfill`` shape): each user's hourly event counts with
+    every silent hour in their active span materialized as an explicit
+    zero row — the dense layout forecasting / anomaly models train on, and
+    the reporting dense-grid pattern (``region_priority_grid``) applied to
+    TIME. Per user: one aggregate shuffle, a per-user hour grid from
+    ``sequence()`` (explode bounded by span length — never a global
+    calendar cross join), and a left join back on (user, hour). Counts and
+    integer cents only, so the fill is exact. The deterministic user subset
+    keeps the grid result-comparable at every SF."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= GAPFILL_USERS)
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    agg = b.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("sum_cents")
+    )
+    span = agg.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    a = agg.withColumnRenamed("user_id", "a_user")
+    return (
+        grid.join(
+            a, (grid["user_id"] == a["a_user"]) & (grid["hr"] == a["hr"]), "left"
+        )
+        .select(
+            grid["user_id"],
+            grid["hr"].alias("hour_ts"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_cents"), F.lit(0)).alias("sum_cents"),
+            F.when(F.col("a_user").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        )
+    )
