@@ -125,6 +125,32 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH band keys from a minhash signature table: ``NUM_BANDS`` small
+    rows per doc, ``band_key`` = md5 over the band's hash slice. The band
+    table is what both same-set pair discovery and delta-vs-corpus
+    incremental dedup join on."""
+    rows = NUM_HASHES // NUM_BANDS
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -159,25 +185,7 @@ def minhash_lsh_pairs(
         else ngram_rows(df, text_col, id_col)
     ).withColumnRenamed("g", "s")
     sig = minhash_signatures(sh, id_col)
-    rows = NUM_HASHES // NUM_BANDS
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    bands = minhash_bands(sig, id_col)
 
     ba = bands.select(
         F.col(id_col).alias("doc_a"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
@@ -421,5 +429,74 @@ def ngram_jaccard_pairs(
         pairs.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
         .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
         .select("doc_a", "doc_b", "common", "size_a", "size_b", jac_micro.alias("jac_micro"))
+        .filter(F.col("jac_micro") >= int(threshold * 1_000_000))
+    )
+
+
+def minhash_lsh_pairs_between(
+    delta_sh: DataFrame,
+    corpus_sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup discovery — the production
+    dedup shape: a new ingest batch is checked against the existing corpus
+    WITHOUT re-pairing the corpus with itself. Both inputs are shingle rows
+    (``ngram_rows`` output). The delta's band table is tiny and broadcasts;
+    the corpus side never shuffles more than its band rows, and corpus×
+    corpus pairs are never enumerated — per-batch cost is O(delta bands +
+    collisions), independent of corpus pair count. Returns
+    ``(new_id, corpus_id, common, size_new, size_corpus, jac_micro)`` at
+    ``jac_micro >= threshold``.
+
+    At 100 TB the corpus band table is the thing you PERSIST between
+    batches (bucketed by band_key); each ingest batch then runs this join
+    against it unchanged.
+    """
+    ds = delta_sh.withColumnRenamed("g", "s")
+    cs = corpus_sh.withColumnRenamed("g", "s")
+    db = minhash_bands(minhash_signatures(ds, id_col), id_col).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_key"
+    )
+    cb = minhash_bands(minhash_signatures(cs, id_col), id_col).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+    )
+    cand = (
+        F.broadcast(db)
+        .join(cb, ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    size_d = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
+    size_c = cs.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_corpus"))
+    da = ds.select(F.col(id_col).alias("new_id"), F.col("s").alias("s_a"))
+    ca = cs.select(F.col(id_col).alias("corpus_id2"), F.col("s").alias("s_b"))
+    common = (
+        cand.join(da, "new_id")
+        .join(
+            ca,
+            (F.col("s_a") == F.col("s_b"))
+            & (F.col("corpus_id2") == F.col("corpus_id")),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac_micro = F.floor(
+        F.col("common").cast("double")
+        / (F.col("size_new") + F.col("size_corpus") - F.col("common"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        common.join(
+            size_d.select(F.col(id_col).alias("new_id"), "size_new"), "new_id"
+        )
+        .join(
+            size_c.select(F.col(id_col).alias("corpus_id"), "size_corpus"),
+            "corpus_id",
+        )
+        .select(
+            "new_id", "corpus_id", "common", "size_new", "size_corpus",
+            jac_micro.alias("jac_micro"),
+        )
         .filter(F.col("jac_micro") >= int(threshold * 1_000_000))
     )

@@ -276,6 +276,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(sizes, "component").select("doc_id", "component", "n_docs")
 
 
+def _incremental_minhash_oracle() -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min')"
+        for i in range(dedup.NUM_HASHES)
+    )
+    jac = (
+        "CAST(floor(CAST(common AS DOUBLE) / (size_new + size_corpus - common)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, ss, [{mins}] AS sg FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+             md5(concat_ws('|', sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4])) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands d JOIN bands c
+        ON d.band_idx = c.band_idx AND d.band_key = c.band_key
+      WHERE d.doc_id % {DELTA_MOD} = 0 AND c.doc_id % {DELTA_MOD} != 0
+    ),
+    verified AS (
+      SELECT new_id, corpus_id, len(list_intersect(sd.ss, sc.ss)) AS common,
+             len(sd.ss) AS size_new, len(sc.ss) AS size_corpus
+      FROM cand
+      JOIN sh sd ON sd.doc_id = cand.new_id
+      JOIN sh sc ON sc.doc_id = cand.corpus_id
+    )
+    SELECT new_id, corpus_id, common, size_new, size_corpus, {jac} AS jac_micro
+    FROM verified WHERE {jac} >= 500000
+    """
+
+
+DELTA_MOD = 10  # doc_id % 10 == 0 -> the stand-in "new ingest batch"
+
+
+@register("dedup_incremental", oracle=_incremental_minhash_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new ingest batch (stand-in: ``doc_id %% 10 ==
+    0``) checked against the existing corpus via LSH band join — the
+    per-batch production shape where corpus×corpus pairs are never
+    re-enumerated and the (persisted) corpus band table is all an ingest
+    batch touches. Delta bands broadcast; cost is O(delta bands +
+    collisions), independent of corpus pair count."""
+    sh = _doc_ngrams(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_between(
+        sh.filter(F.col("doc_id") % DELTA_MOD == 0),
+        sh.filter(F.col("doc_id") % DELTA_MOD != 0),
+    )
+
+
 def _simhash_oracle() -> str:
     sums = []
     for b in range(dedup.SIMHASH_BITS):

@@ -45,7 +45,8 @@ def test_ann_broadcasts_query_side(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"]
+    "name",
+    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "dedup_incremental"],
 )
 def test_dedup_joins_are_keyed_not_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
