@@ -43,6 +43,29 @@ def _occurrences(docs: DataFrame) -> DataFrame:
     )
 
 
+_OCC_SHARE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted token-occurrence rows shared across the LM-statistics
+    queries (NLL, tf-idf, vocabulary) — same memo pattern as
+    ``extensions._doc_ngrams``: the explode is the family's common floor,
+    and ``text_unigram_nll`` alone consumes it twice (count pass + scoring
+    join)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _OCC_SHARE.get(key)
+    if df is None:
+        df = _occurrences(load_table(spark, "documents", sf_dir)).persist()
+        while len(_OCC_SHARE) >= 4:
+            _, old = _OCC_SHARE.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _OCC_SHARE[key] = df
+    return df
+
+
 # ---------------------------------------------------------------------------
 # unigram-LM negative log likelihood (perplexity proxy)
 # ---------------------------------------------------------------------------
@@ -81,8 +104,7 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot keys (stopwords) are exactly the skew-salting case
     ``skew_salted_join`` demonstrates; at vocab ≪ corpus the count table
     also broadcasts (AQE picks this up from stats)."""
-    docs = load_table(spark, "documents", sf_dir)
-    occ = _occurrences(docs)
+    occ = _doc_occurrences(spark, sf_dir)
     cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(
         F.sum("c").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
@@ -157,7 +179,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic and the per-doc top-3 ranking (row_number window,
     shuffle on doc_id) is deterministic with the alphabetical tie-break."""
     docs = load_table(spark, "documents", sf_dir)
-    occ = _occurrences(docs)
+    occ = _doc_occurrences(spark, sf_dir)
     tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -440,8 +462,9 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over the (already tiny) distinct-token table, never a full
     sort of the corpus. Ties break alphabetically so the ranking is total
     and engine-independent."""
-    docs = load_table(spark, "documents", sf_dir)
-    cnt = _occurrences(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    cnt = _doc_occurrences(spark, sf_dir).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     top = cnt.orderBy(F.col("n").desc(), "tok").limit(VOCAB_TOP)
     w = Window.orderBy(F.col("n").desc(), "tok")
     return top.withColumn("rank", F.row_number().over(w)).select(
