@@ -330,7 +330,10 @@ def _hex_nibble(h: Column, pos: int) -> Column:
 
 
 def simhash_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """32-bit SimHash per doc + bucket size (docs sharing the hash).
 
@@ -339,9 +342,16 @@ def simhash_buckets(
     map-side combined); the window count is a second small shuffle on the
     hash. Bits come from md5 hex nibbles via ascii arithmetic so the oracle
     reproduces them exactly.
+
+    ``tokens``: optionally pass precomputed (ideally persisted) occurrence
+    rows ``(id, tok)`` — shared with the LM-statistics family.
     """
-    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    toks = (
+        tokens
+        if tokens is not None
+        else _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+        )
     )
     h = F.md5("tok")
     sums = []

@@ -359,7 +359,12 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit frequency-weighted SimHash + bucket sizes: one explode + one
     groupBy(doc_id) shuffle; bits from md5 nibbles via ascii arithmetic."""
-    return dedup.simhash_buckets(load_table(spark, "documents", sf_dir))
+    from postgres_cdc_example_spark.queries.llmdata import _doc_occurrences
+
+    return dedup.simhash_buckets(
+        load_table(spark, "documents", sf_dir),
+        tokens=_doc_occurrences(spark, sf_dir),
+    )
 
 
 def _ngram_oracle() -> str:
