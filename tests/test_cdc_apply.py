@@ -375,3 +375,41 @@ if _HAS_HYPOTHESIS:
             else:
                 events.append((seq, a, k, f"{a}{seq}", float(seq), TS(4 + day)))
         run_case(spark, state, events)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+        derandomize=True,
+    )
+    @given(
+        state_keys=st.sets(_KEYS, max_size=8),
+        raw=st.lists(_EVENT, max_size=30),
+    )
+    def test_property_scd2_current_matches_serial_fold(spark, state_keys, raw):
+        """For ANY log, the SCD2 view's open (is_current) versions must be
+        exactly the serially-folded end state restricted to keys the log
+        touched — alive keys have one open version with the latest values,
+        dead or never-created keys have none."""
+        from postgres_cdc_example_spark.operators.cdc_apply import scd2_history
+
+        state = [(k, f"s{k}", float(k), TS(0)) for k in sorted(state_keys)]
+        events = []
+        for seq, (k, a, day) in enumerate(raw, start=1):
+            if a == "D":
+                events.append((seq, "D", k, None, None, None))
+            else:
+                events.append((seq, a, k, f"{a}{seq}", float(seq), TS(4 + day)))
+        changes = spark.createDataFrame(events, CHANGE_SCHEMA)
+        ids = spark.createDataFrame([(k,) for k in sorted(state_keys)], "id long")
+        hist = scd2_history(changes, value_cols=["status", "amount"], state_keys=ids)
+        current = {
+            r["id"]: (r["status"], r["amount"])
+            for r in hist.filter("is_current").collect()
+        }
+        fold = serial_fold(state, events)
+        touched = {e[2] for e in events}
+        expected = {
+            k: (v[0], v[1]) for k, v in fold.items() if k in touched
+        }
+        assert current == expected
