@@ -53,6 +53,7 @@ class BucketedStateStore:
         self.key = key
         self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
+        self.recover()
 
     # --- bucket arithmetic -------------------------------------------------
     def bucket_expr(self, col: str | None = None) -> F.Column:
@@ -87,6 +88,36 @@ class BucketedStateStore:
             F.col(BUCKET_COL).isin(present)
         )
         return df.select(*[f.name for f in self.schema.fields])
+
+    def recover(self) -> list[int]:
+        """Finish (or roll back) a swap interrupted mid-``commit_buckets``.
+
+        Invariant from the rename-aside ordering: a ``.old.`` dir exists
+        only during the window between moving the live bucket aside and
+        deleting the aside copy. Two cases per leftover:
+
+        - live bucket dir MISSING → the crash hit between the two renames;
+          restore the aside copy (the pre-batch slice — the replayed batch
+          will re-apply on top, idempotently).
+        - live bucket dir PRESENT → the staged dir made it in; the aside
+          copy is garbage from a completed swap — delete it.
+
+        Runs on every store construction, so a restarted pipeline is always
+        structurally consistent before its first read. Returns the bucket
+        ids that were restored."""
+        restored = []
+        for name in os.listdir(self.root):
+            if not name.startswith(f".old.{BUCKET_COL}="):
+                continue
+            b = int(name.rsplit("=", 1)[1])
+            live = self._bucket_dir(b)
+            aside = os.path.join(self.root, name)
+            if os.path.isdir(live):
+                shutil.rmtree(aside, ignore_errors=True)
+            else:
+                os.rename(aside, live)
+                restored.append(b)
+        return restored
 
     # --- writes ------------------------------------------------------------
     def commit_full(self, df: DataFrame) -> None:

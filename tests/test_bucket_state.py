@@ -101,3 +101,32 @@ def test_replay_is_idempotent(spark, tmp_path):
     once = _snap(store.read())
     store.apply_and_commit(changes)  # foreachBatch replay after crash
     assert _snap(store.read()) == once
+
+
+def test_recover_restores_interrupted_swap(spark, tmp_path):
+    """Crash between rename-aside and staged-move-in must be recoverable:
+    a leftover .old dir with no live bucket is the pre-batch slice and gets
+    restored; one next to a live bucket is completed-swap garbage."""
+    import os
+    import shutil
+
+    from postgres_cdc_example_spark.streaming.bucket_state import BUCKET_COL
+
+    root = str(tmp_path / "bstate")
+    store = BucketedStateStore(spark, root, STATE_SCHEMA, n_buckets=8)
+    store.commit_full(_mk_state(spark, 64))
+    before = sorted(map(tuple, store.read().collect()))
+
+    # simulate the crash window on bucket 3: live dir moved aside, staged
+    # dir never arrived
+    live = os.path.join(root, f"{BUCKET_COL}=3")
+    aside = os.path.join(root, f".old.{BUCKET_COL}=3")
+    os.rename(live, aside)
+    # and a completed-swap leftover on bucket 5: live present + stale aside
+    shutil.copytree(os.path.join(root, f"{BUCKET_COL}=5"),
+                    os.path.join(root, f".old.{BUCKET_COL}=5"))
+
+    store2 = BucketedStateStore(spark, root, STATE_SCHEMA, n_buckets=8)  # recovers
+    assert sorted(map(tuple, store2.read().collect())) == before
+    assert not os.path.exists(aside)
+    assert not os.path.exists(os.path.join(root, f".old.{BUCKET_COL}=5"))
