@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "benchmark_contamination",
     "text_repetition",
+    "dedup_incremental",
+    "event_hourly_gapfill",
 ]
 
 
