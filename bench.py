@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "dedup_incremental",
     "event_hourly_gapfill",
+    "corpus_curation_v2",
 ]
 
 

@@ -523,3 +523,163 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_toks").alias("max_toks"),
         F.sum("n_toks").cast("long").alias("total_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation v2: the round-2 gates composed
+# ---------------------------------------------------------------------------
+
+REP_DUP_MAX_MICRO = 300_000  # drop docs with > 30% duplicate bigrams
+REP_TOP_TOKEN_MAX_MICRO = 300_000  # or one token > 30% of occurrences
+
+
+@register(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH dtoks AS (SELECT doc_id, source, lang, n_chars, {_TOKS} AS tk FROM documents),
+    base AS (
+      SELECT doc_id, source, lang, tk, len(tk) AS n FROM dtoks
+      WHERE n_chars >= 100 AND len(tk) >= 20
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n - 1),
+                    i -> concat_ws(' ', tk[i], tk[i+1]))) AS bg
+      FROM base
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS bg_total,
+             count(DISTINCT bg) AS bg_distinct,
+             CAST(max(cnt) AS BIGINT) AS bg_top
+      FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS cnt FROM big)
+      GROUP BY doc_id
+    ),
+    tokstat AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS tok_top, count(*) AS n_tokens
+      FROM (
+        SELECT b.doc_id, count(*) OVER (PARTITION BY b.doc_id, o.tok) AS cnt
+        FROM base b, unnest(b.tk) AS o(tok)
+      )
+      GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT b.doc_id, b.source, b.lang, t.n_tokens
+      FROM base b
+      JOIN rep r ON b.doc_id = r.doc_id
+      JOIN tokstat t ON b.doc_id = t.doc_id
+      WHERE floor((r.bg_total - r.bg_distinct) * 1000000.0 / r.bg_total)
+              < {REP_DUP_MAX_MICRO}
+        AND floor(t.tok_top * 1000000.0 / t.n_tokens) < {REP_TOP_TOKEN_MAX_MICRO}
+    ),
+    {_gram_sql(CONTAM_NGRAM).strip().lstrip()},
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN grams b ON c.g = b.g
+      WHERE c.doc_id % {BENCH_MOD} != 0 AND b.doc_id % {BENCH_MOD} = 0
+    ),
+    eligible AS (
+      SELECT cl.* FROM clean cl
+      WHERE cl.doc_id % {BENCH_MOD} != 0
+        AND cl.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    hashed AS (
+      SELECT e.*, md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS h
+      FROM eligible e JOIN documents d ON e.doc_id = d.doc_id
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM hashed
+      ) WHERE rn = 1
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source, lang
+    """,
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain a round-2 pipeline actually ships, as ONE
+    declarative plan: length + token-count gates → Gopher repetition gates
+    (duplicate-bigram share and top-token share, integer micro-units) →
+    benchmark decontamination (drop the held-out split AND anything sharing
+    an 8-gram with it) → exact-dedup keeper per content hash → per-(source,
+    lang) accounting. Every stage is the standalone operator registered
+    elsewhere (``text_repetition``, ``benchmark_contamination``,
+    ``dedup_exact``) composed by Catalyst into one DAG: the doc_id-keyed
+    stages share a shuffle, the gram join stays inverted-index-keyed, and
+    nothing materializes between stages."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        dedup.word_tokens(F.col("text")).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    base = toks.filter((F.col("n_chars") >= 100) & (F.col("n") >= 20))
+
+    occ = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        occ.select("doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bcnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    rep = bcnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("bg_total"),
+        F.count(F.lit(1)).alias("bg_distinct"),
+        F.max("cnt").cast("long").alias("bg_top"),
+    )
+    tcnt = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tokstat = tcnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"), F.max("cnt").cast("long").alias("tok_top")
+    )
+    clean = (
+        base.join(rep, "doc_id")
+        .join(tokstat, "doc_id")
+        .filter(
+            (
+                F.floor(
+                    (F.col("bg_total") - F.col("bg_distinct"))
+                    * F.lit(1_000_000.0)
+                    / F.col("bg_total")
+                )
+                < REP_DUP_MAX_MICRO
+            )
+            & (
+                F.floor(F.col("tok_top") * F.lit(1_000_000.0) / F.col("n_tokens"))
+                < REP_TOP_TOKEN_MAX_MICRO
+            )
+        )
+        .select("doc_id", "source", "lang", "n_tokens", "text")
+    )
+
+    n = CONTAM_NGRAM
+    leads = occ.select(
+        "doc_id", *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)]
+    )
+    grams = (
+        leads.filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("g"),
+        )
+        .distinct()
+    )
+    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    eligible = clean.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    hashed = eligible.withColumn("h", F.md5(dedup.normalized(F.col("text"))))
+    wk = Window.partitionBy("h").orderBy("doc_id")
+    kept = hashed.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") == 1)
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
