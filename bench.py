@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "event_hourly_gapfill",
     "corpus_curation_v2",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -66,6 +66,7 @@ def _load_all() -> None:
         parity,
         relational,
         tpch,
+        tpch_full,
         windows,
     )
 

@@ -97,6 +97,9 @@ def test_llmdata_scans_prune_to_two_columns(spark, sf_dir, name):
         "text_lang_id",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q21_waiting_suppliers",
     ],
 )
 def test_no_python_evaluation_in_jvm_operators(spark, sf_dir, name):
@@ -114,6 +117,33 @@ def test_multimodal_is_arrow_batched(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "MapInPandas" in plan, "multimodal decode must be Arrow-batched mapInPandas"
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir):
+    """Q6's cost at 100 TB is the I/O: every predicate must reach the
+    parquet scan and the plan must contain no join at all."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "date filter must push down"
+    assert "Join" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read_schema, "unused key column must be pruned"
+
+
+def test_q19_disjunction_plans_as_equi_join(spark, sf_dir):
+    """The three OR'd brand/size/qty bands share the l_partkey equi-term;
+    Catalyst must extract it (hash join + residual filter), never fall back
+    to a nested-loop over lineitem×part."""
+    plan = plan_of(spark, sf_dir, "q19_brand_size_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_topn_is_take_ordered(spark, sf_dir):
+    """Top-100 orders must be a per-partition heap + driver merge, not a
+    global sort of every qualifying order."""
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
