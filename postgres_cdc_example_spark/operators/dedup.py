@@ -44,6 +44,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from postgres_cdc_example_spark.operators import hints
+
 # tunables — mirrored literally in the DuckDB oracle strings
 SHINGLE_CHARS = 8  # char-shingle width for minhash
 NUM_HASHES = 16  # minhash signature length
@@ -448,14 +450,18 @@ def minhash_lsh_pairs_between(
     corpus_sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    broadcast_max_rows: int | None = hints.BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Incremental (delta-vs-corpus) near-dup discovery — the production
     dedup shape: a new ingest batch is checked against the existing corpus
     WITHOUT re-pairing the corpus with itself. Both inputs are shingle rows
-    (``ngram_rows`` output). The delta's band table is tiny and broadcasts;
-    the corpus side never shuffles more than its band rows, and corpus×
-    corpus pairs are never enumerated — per-batch cost is O(delta bands +
-    collisions), independent of corpus pair count. Returns
+    (``ngram_rows`` output). The delta's band table is normally tiny and
+    broadcasts — but only after the size gate proves it
+    (``hints.broadcast_if_small``; an oversized ingest batch degrades to a
+    shuffle join instead of OOMing executors). The corpus side never
+    shuffles more than its band rows, and corpus×corpus pairs are never
+    enumerated — per-batch cost is O(delta bands + collisions), independent
+    of corpus pair count. Returns
     ``(new_id, corpus_id, common, size_new, size_corpus, jac_micro)`` at
     ``jac_micro >= threshold``.
 
@@ -471,8 +477,17 @@ def minhash_lsh_pairs_between(
     cb = minhash_bands(minhash_signatures(cs, id_col), id_col).select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
     )
+    # Gate evidence: the band table has exactly NUM_BANDS rows per delta
+    # doc, so a distinct-doc count of the (typically cached) shingle rows
+    # bounds it — far cheaper than computing the minhash pipeline twice.
+    if broadcast_max_rows is not None:
+        max_docs = broadcast_max_rows // NUM_BANDS
+        n_docs = ds.select(id_col).distinct().limit(max_docs + 1).count()
+        bound = n_docs * NUM_BANDS
+    else:
+        bound = None
     cand = (
-        F.broadcast(db)
+        hints.broadcast_if_small(db, broadcast_max_rows, upper_bound=bound)
         .join(cb, ["band_idx", "band_key"])
         .select("new_id", "corpus_id")
         .distinct()

@@ -357,10 +357,19 @@ def kmeans_centroids(
         )
         w = Window.partitionBy("_vid").orderBy(F.col("ccos").desc(), F.col("cluster_id"))
         assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        # Exact order-independent mean: sum integer nano-units (bigint — no
+        # float summation-order drift), divide once in double. Both factors
+        # are exact, so the mean is the same double on every engine — the
+        # DuckDB oracle replicates this arithmetic literally.
         means = (
             assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+                ).alias("m")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

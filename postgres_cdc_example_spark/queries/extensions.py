@@ -335,6 +335,58 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT ex.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT) AS novelty_micro
+    FROM ex JOIN first f ON ex.g = f.g
+    GROUP BY ex.doc_id
+    """,
+)
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word-3-grams
+    whose FIRST corpus occurrence (min doc_id) is this doc — the
+    contribution gate curation pipelines use to drop documents that add
+    nothing the corpus hasn't already seen (near-dup catches copies; this
+    catches recombinations). Reuses the shared shingle layer; one gram-keyed
+    min-aggregate (map-side combined) + a 1:1 join back on the gram — the
+    inverted-index shape, never doc×doc. Hot grams (stopword trigrams) are
+    the usual skew caveat; AQE's skew-join split handles the join-back at
+    scale. Integer micro-fraction keeps the output engine-exact."""
+    sh = _doc_ngrams(spark, sf_dir)
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), novel.alias("n_novel"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(F.col("n_novel") * F.lit(1_000_000.0) / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     sums = []
     for b in range(dedup.SIMHASH_BITS):
@@ -577,14 +629,87 @@ def ann_hyperplane_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_centroids", oracle=None)  # iterative — rows-only driver check
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled Lloyd's: the run is fully deterministic (first-k init, fixed
+    iteration count, exact nano-grid means), so each iteration becomes one
+    assign + recompute CTE pair. Means replicate the engine's arithmetic
+    literally: sum of ``round(x*1e9)`` bigints (exact, order-independent)
+    divided once in double — bitwise-identical centroids on both engines;
+    cosine uses the same round-6 guard as every ANN oracle."""
+    parts = [
+        _VEC_BASE,
+        f"""
+    , c0 AS (
+      SELECT cluster_id, v AS cv, nrm AS cn FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v, nrm FROM n)
+      WHERE cluster_id < {k}
+    )""",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"""
+    , s{t} AS (
+      SELECT n.vec_id, n.v, c.cluster_id,
+             round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS ccos
+      FROM n, c{t} c
+    ),
+    a{t} AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster_id) AS r
+        FROM s{t})
+      WHERE r = 1
+    ),
+    m{t} AS (
+      SELECT cluster_id, list(mu ORDER BY pos) AS cv
+      FROM (
+        SELECT cluster_id, pos,
+               CAST(sum(xi) AS DOUBLE) / (count(*)::DOUBLE * 1e9) AS mu
+        FROM (
+          SELECT cluster_id, CAST(round(x * 1e9) AS BIGINT) AS xi, pos
+          FROM (SELECT cluster_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a{t})
+        )
+        GROUP BY cluster_id, pos
+      )
+      GROUP BY cluster_id
+    ),
+    c{t + 1} AS (SELECT cluster_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM m{t})"""
+        )
+    cf = f"c{iterations}"
+    parts.append(
+        f"""
+    , fs AS (
+      SELECT n.vec_id, c.cluster_id,
+             round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS ccos
+      FROM n, {cf} c
+    ),
+    fa AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster_id) AS r
+        FROM fs)
+      WHERE r = 1
+    ),
+    cnt AS (SELECT cluster_id, count(*) AS n_members FROM fa GROUP BY cluster_id),
+    fin AS (
+      SELECT c.cluster_id, COALESCE(cnt.n_members, 0) AS n_members, c.cv
+      FROM {cf} c LEFT JOIN cnt ON c.cluster_id = cnt.cluster_id
+    )
+    SELECT cluster_id, n_members, pos - 1 AS dim, round(x, 6) AS value
+    FROM (SELECT cluster_id, n_members, unnest(cv) AS x,
+                 generate_subscripts(cv, 1) AS pos FROM fin)"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_centroids", oracle=_kmeans_oracle())
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, k=8, deterministic first-k init — the iterative-
-    algorithm class (driver-side loop re-broadcasting k×dim centroids; not
-    expressible as one SQL statement, so no DuckDB oracle). Centroids are
-    exploded to scalar ``(cluster_id, dim, value)`` rows: array cells are
-    unhashable in the driver's pandas canonicalizer; ``value`` is rounded to
-    6 decimals so float-sum ordering noise never reaches the result."""
+    algorithm class (driver-side loop re-broadcasting k×dim centroids). The
+    loop is unrollable because every step is deterministic: the DuckDB oracle
+    replays assign/recompute as CTE stages, with means computed on an exact
+    bigint nano-grid (see ``_kmeans_oracle``). Centroids are exploded to
+    scalar ``(cluster_id, dim, value)`` rows: array cells are unhashable in
+    the driver's pandas canonicalizer; ``value`` is rounded to 6 decimals so
+    float-sum ordering noise never reaches the result."""
     res = similarity.kmeans_centroids(load_table(spark, "embeddings", sf_dir))
     return res.select(
         "cluster_id", "n_members", F.posexplode("centroid_r").alias("dim", "value")

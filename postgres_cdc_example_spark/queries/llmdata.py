@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from postgres_cdc_example_spark.operators import dedup
+from postgres_cdc_example_spark.operators import dedup, hints
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -250,7 +250,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index equi-join on the gram (only colliding spans meet — never
     doc×doc), exactly the ``common_ngram_spans`` machinery pointed at a
     corpus/benchmark partition. At 100 TB the benchmark side is tiny and
-    broadcasts; the corpus side never shuffles more than its matched rows."""
+    broadcasts — behind a size gate (``hints.broadcast_if_small``): a huge
+    eval suite's distinct-8-gram table falls back to the shuffle join
+    instead of OOMing executors; the corpus side never shuffles more than
+    its matched rows."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
@@ -273,13 +276,132 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "g"
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # gate evidence: benchmark token count ≥ benchmark distinct-gram count,
+    # and costs one narrow scan instead of running the gram DAG twice
+    bench_tokens = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .agg(F.sum(F.size(dedup.word_tokens(F.col("text")))).alias("n"))
+        .collect()[0][0]
+        or 0
+    )
     return (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(hints.broadcast_if_small(bench, upper_bound=bench_tokens), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched_grams"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_N_TERMS = 5
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    terms AS (
+      SELECT tok, df FROM df, stats WHERE df * 4 <= n_docs
+      ORDER BY df DESC, tok LIMIT {BM25_N_TERMS}
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_micro
+      FROM terms, stats
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dl.dl, idf.idf_micro,
+             CAST(floor(idf.idf_micro * (tf.tf * {1 + BM25_K1})
+                  / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+                  AS BIGINT) AS score_micro
+      FROM tf JOIN idf ON tf.tok = idf.tok
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY tok ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT tok, doc_id, tf, dl, idf_micro, score_micro, rnk AS rank
+    FROM ranked WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a deterministic query-term set (the 5 most
+    frequent tokens appearing in ≤ a quarter of docs — common enough to
+    rank, discriminative enough to mean something) — the lexical retrieval
+    baseline next to the embedding ANN family. tf/df/dl come from the shared
+    occurrence layer (map-side-combined shuffles); the 5-term idf table
+    broadcasts, so the scoring join filters the tf table to matching terms
+    only before the per-term top-10 window. idf is micro-gridded per term;
+    the remaining per-row double arithmetic mirrors the oracle expression
+    token-for-token, and floor lands both engines on the same bigint."""
+    occ = _doc_occurrences(spark, sf_dir)
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        df_.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(BM25_N_TERMS)
+    )
+    idf = terms.select(
+        "tok",
+        F.floor(
+            F.log(
+                F.lit(1)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "dl",
+            "idf_micro",
+            F.floor(
+                F.col("idf_micro") * (F.col("tf") * F.lit(1 + BM25_K1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("tok", "doc_id", "tf", "dl", "idf_micro", "score_micro", "rank")
     )
 
 
@@ -616,12 +738,17 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", F.size("tk"))
     base = toks.filter((F.col("n_chars") >= 100) & (F.col("n") >= 20))
 
-    occ = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        occ.select("doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt"))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    occ = base.select("doc_id", F.explode("tk").alias("tok"))
+    # n-grams come straight off the token ARRAY (transform over an index
+    # sequence) — a pure per-row projection, versus the r2 shape's two
+    # window-lead evaluations which each cost a doc_id shuffle + per-doc
+    # sort. Same multisets, two fewer sorts in the DAG. (base's n >= 20
+    # filter guarantees every doc clears both gram widths.)
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))")
+        ).alias("bg"),
     )
     bcnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     rep = bcnt.groupBy("doc_id").agg(
@@ -654,21 +781,27 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = CONTAM_NGRAM
-    leads = occ.select(
-        "doc_id", *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)]
-    )
+    gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
     grams = (
-        leads.filter(F.col(f"t{n - 1}").isNotNull())
-        .select(
+        base.select(
             "doc_id",
-            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("g"),
+            F.explode(
+                F.expr(f"transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {gram_cat}))")
+            ).alias("g"),
         )
         .distinct()
     )
     bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    # same token-count upper bound as benchmark_contamination's gate
+    bench_tokens = (
+        base.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .agg(F.sum(F.size("tk")).alias("n"))
+        .collect()[0][0]
+        or 0
+    )
     contaminated = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench_grams), "g")
+        .join(hints.broadcast_if_small(bench_grams, upper_bound=bench_tokens), "g")
         .select("doc_id")
         .distinct()
     )

@@ -537,7 +537,8 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes instead of an Expand-rewrite (exact distinct) or a full per-group
     sort (exact percentile). Outputs are engine-specific (no DuckDB oracle);
     the accuracy contract vs the exact answers is pinned by
-    tests/test_relational.py::test_approx_sketches_within_error_bounds."""
+    tests/test_relational.py::test_approx_sketches_within_error_bounds and
+    driver-checked via the ``event_reach_approx_error`` companion query."""
     return (
         load_table(spark, "events", sf_dir)
         .groupBy("event_type")
@@ -550,6 +551,51 @@ def event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_quartiles_cents"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@register(
+    "event_reach_approx_error",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS reach_within_5pct,
+           TRUE AS median_within_p40_p60
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_reach_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the sketch operators: the raw
+    sketch outputs are engine-specific (``event_reach_approx`` is rows-only),
+    but the CLAIM — approx within bound of exact — is checkable anywhere.
+    Emits, per event type, the exact reach plus two booleans: HLL++ reach
+    (rsd=2%) within ±5% of exact (≈2.5σ), and the approx median landing
+    between the exact 40th and 60th percentiles (rank error ≤ n/10000 makes
+    both bounds loose). The oracle asserts TRUE literally: a sketch drifting
+    out of bound hash-mismatches the row. Booleans absorb sketch
+    merge-order variation, so the result is partitioning-stable."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx(cents, 0.5, 10_000).alias("median_approx"),
+        F.expr(
+            "percentile(CAST(floor(value * 100 + 0.5) AS BIGINT), array(0.4, 0.6))"
+        ).alias("p40_p60"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact")) * 100
+            <= F.col("n_users_exact") * 5
+        ).alias("reach_within_5pct"),
+        (
+            (F.col("median_approx") >= F.col("p40_p60")[0])
+            & (F.col("median_approx") <= F.col("p40_p60")[1])
+        ).alias("median_within_p40_p60"),
     )
 
 

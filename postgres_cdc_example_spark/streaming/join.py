@@ -42,11 +42,14 @@ def interval_join(
     watermark: str = "10 minutes",
     how: str = "inner",
 ) -> DataFrame:
-    """Join ``right`` rows to ``left`` rows of the same ``key`` whose event
-    time is within ``(left_ts - max_delay, left_ts]`` — "what led up to
-    this event". Both inputs must be streaming DataFrames with event-time
-    columns; all non-key columns should be disjointly named (rename before
-    calling, as with any self-ish join).
+    """Join each ``right`` row to the ``left`` rows of the same ``key``
+    whose event time falls within ``(right_ts - max_delay, right_ts]`` —
+    left events lead up to each right event ("what led up to this right
+    event"). The interval is asymmetric: a left row AFTER its right row
+    never matches (pinned by ``tests/test_stream_join.py``). Both inputs
+    must be streaming DataFrames with event-time columns; all non-key
+    columns should be disjointly named (rename before calling, as with any
+    self-ish join).
 
     ``watermark`` bounds BOTH sides' lateness; together with the interval
     it fixes the state-store retention Spark computes per side.

@@ -205,3 +205,39 @@ def test_rollup_is_single_expand_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 10, (
         "rollup must not rescan the fact table per grouping set"
     )
+
+
+def test_incremental_dedup_broadcast_is_size_gated(spark, sf_dir):
+    """The delta band table broadcasts only when the size gate proves it
+    small; an over-threshold delta must degrade to a shuffle join (the
+    OOM-proof fallback), not keep the forced hint."""
+    from postgres_cdc_example_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+        ngram_rows,
+    )
+    from postgres_cdc_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = ngram_rows(docs)
+    delta = sh.filter(sh.doc_id % 17 == 0)
+    corpus = sh.filter(sh.doc_id % 17 != 0)
+
+    gated = minhash_lsh_pairs_between(delta, corpus)
+    plan_small = explain_str(gated)
+    assert "BroadcastHashJoin" in plan_small
+    assert "CartesianProduct" not in plan_small
+
+    # With the gate tripped AND the optimizer's own size-based broadcast
+    # disabled, no broadcast may remain — proving the hint is truly gone
+    # (Spark re-choosing broadcast from accurate stats is fine; a forced
+    # hint surviving the gate is not).
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ungated = minhash_lsh_pairs_between(delta, corpus, broadcast_max_rows=0)
+        plan_big = explain_str(ungated)
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        assert "CartesianProduct" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)

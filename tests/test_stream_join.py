@@ -35,6 +35,10 @@ def test_interval_join_matches_preceding_clicks(spark, tmp_path):
         json.dumps({"user_id": 1, "click_ts": "2024-01-01 00:08:30", "tag": "c2"}),
         json.dumps({"user_id": 1, "click_ts": "2024-01-01 00:20:00", "tag": "c3"}),
         json.dumps({"user_id": 2, "click_ts": "2024-01-01 00:09:00", "tag": "c4"}),
+        # 30 s AFTER e1 — inside a symmetric ±10 min window but NOT in the
+        # implemented (right_ts - max_delay, right_ts] interval: pins the
+        # join's direction (left events lead UP TO each right event).
+        json.dumps({"user_id": 1, "click_ts": "2024-01-01 00:10:30", "tag": "c5"}),
     ])
     write_lines(errors_dir, "e0.jsonl", [
         json.dumps({"user_id": 1, "error_ts": "2024-01-01 00:10:00", "tag": "e1"}),
@@ -61,7 +65,8 @@ def test_interval_join_matches_preceding_clicks(spark, tmp_path):
         (r.user_id, r.error_ts_tag, r.click_ts_tag)
         for r in spark.sql("SELECT * FROM sj_sink").collect()
     }
-    # e1 @00:10 matches user-1 clicks in (00:00, 00:10]: c1, c2 (not c3 @00:20)
+    # e1 @00:10 matches user-1 clicks in (00:00, 00:10]: c1, c2 — not c3
+    # @00:20, and not c5 @00:10:30 (asymmetry: after-the-error never matches)
     # e2 @00:25 matches user-2 clicks in (00:15, 00:25]: none (c4 @00:09 too old)
     assert got == {(1, "e1", "c1"), (1, "e1", "c2")}
 
