@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "corpus_curation_v2",
     "doc_novelty",
     "bm25_doc_ranking",
+    "source_token_kl",
+    "dedup_cross_source_matrix",
+    "ann_ivf_kmeans_topk",
+    "retention_cohorts",
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",

@@ -20,6 +20,8 @@ SURVEY.md §7.2-step-7 extension operators on the ``embeddings`` fixture.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,6 +131,14 @@ def ivf_topk(
     """IVF ANN, probe=1: search only the query's own cluster. The candidate
     join shuffles on ``cluster_id`` — per-bucket work, never all-pairs."""
     assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    return _cluster_search(assigned, id_col, k, n_queries)
+
+
+def _cluster_search(
+    assigned: DataFrame, id_col: str, k: int, n_queries: int
+) -> DataFrame:
+    """Shared IVF search phase: per-query top-k within the query's own
+    cluster (equi-join on cluster_id, query side broadcast)."""
     q = assigned.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"),
         F.col("v").alias("qv"),
@@ -163,6 +173,32 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "cluster_id", "nbr_id", "rank", "cos_r")
     )
+
+
+def ivf_topk_learned(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF ANN over LEARNED centroids: :func:`kmeans_centroids` trains the
+    coarse quantizer, vectors assign to its (round-6) centroids via the
+    same zero-shuffle literal projection the trainer uses, and the search
+    runs within the query's cluster — the real IVF build/search composition
+    (train once, assign in bulk, probe per query). Rounded centroids make
+    assignment engine-exact, so the whole chain stays oracle-checkable."""
+    cent_rows = sorted(
+        (r.cluster_id, list(r.centroid_r))
+        for r in kmeans_centroids(df, id_col, vec_col)
+        .select("cluster_id", "centroid_r")
+        .collect()
+    )
+    base = _normed(df, id_col, vec_col)
+    assigned = base.select(
+        F.col(id_col), "v", "nrm", assign_to_literal_centroids(cent_rows)
+    )
+    return _cluster_search(assigned, id_col, k, n_queries)
 
 
 N_PLANES = 8  # sign-LSH hyperplanes → 2^8 buckets
@@ -320,6 +356,28 @@ def hyperplane_topk(
     )
 
 
+def assign_to_literal_centroids(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-cosine cluster assignment as ONE zero-shuffle projection.
+
+    Centroids live on the driver (k×dim — genuinely small), so each becomes
+    a literal array and the assignment is ``greatest`` over per-centroid
+    ``(round-6 cosine, -cluster_id)`` structs — max cosine, ties → lowest
+    id, all inside whole-stage codegen with NO shuffle, versus the
+    crossJoin + row_number-window formulation that shuffles every vector
+    per iteration. Norms are computed in Python with the same left-to-right
+    summation order as the engine's in-order fold, so the doubles are
+    bit-identical to the DuckDB oracle's ``sqrt(list_dot_product(cv, cv))``.
+    """
+    structs = []
+    for cid, cv in cent_rows:
+        cn = math.sqrt(sum(x * x for x in cv))  # left-to-right, like dot()
+        lit_v = F.array(*[F.lit(float(x)) for x in cv])
+        ccos = F.round(dot(F.col("v"), lit_v) / (F.col("nrm") * F.lit(cn)), 6)
+        structs.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("n")))
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return (-best["n"]).cast("int").alias("cluster_id")
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -330,33 +388,25 @@ def kmeans_centroids(
     """Lloyd's k-means over DataFrames — the iterative-algorithm shape.
 
     Per iteration: centroids (k×dim — genuinely small data) are collected to
-    the driver and re-broadcast for assignment; the new means come from one
-    ``posexplode`` + groupBy(cluster, dim) average — a single shuffle whose
-    key count is k×dim regardless of input size. Assignment = max cosine
-    (ties → lowest centroid id), deterministic init = first k vectors, so
-    runs are reproducible. This is the real centroid generator for
-    :func:`ivf_topk`'s stand-in centroids; not SQL-expressible as one
-    statement (driver-side iteration), hence a rows-only driver check.
-    """
+    the driver and pushed back as LITERALS, so assignment is a zero-shuffle
+    projection (:func:`assign_to_literal_centroids`); the new means come
+    from one ``posexplode`` + groupBy(cluster, dim) — the only shuffle per
+    iteration, keyed on k×dim regardless of input size. Assignment = max
+    cosine (ties → lowest centroid id), deterministic init = first k
+    vectors, so runs are reproducible; the DuckDB oracle replays the whole
+    loop (see ``queries/extensions._kmeans_cte``)."""
     base = _normed(df, id_col, vec_col).select(F.col(id_col).alias("_vid"), "v", "nrm")
+    # materialize once, lineage-truncated: the training loop re-reads base
+    # every iteration plus init and the final member count — localCheckpoint
+    # (same pattern as dedup.connected_components) turns the repeated
+    # scan+norm recomputations into one, and is GC'd with the returned frame
+    base = base.localCheckpoint(eager=True)
     spark = df.sparkSession
     cent_rows = [
         (i, r.v) for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
     ]
     for _ in range(iterations):
-        cent = spark.createDataFrame(
-            cent_rows, "cluster_id int, cv array<double>"
-        ).withColumn("cn", norm(F.col("cv")))
-        scored = base.crossJoin(F.broadcast(cent)).select(
-            "_vid",
-            "v",
-            "cluster_id",
-            cosine_rounded(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias(
-                "ccos"
-            ),
-        )
-        w = Window.partitionBy("_vid").orderBy(F.col("ccos").desc(), F.col("cluster_id"))
-        assigned = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        assigned = base.select("v", assign_to_literal_centroids(cent_rows))
         # Exact order-independent mean: sum integer nano-units (bigint — no
         # float summation-order drift), divide once in double. Both factors
         # are exact, so the mean is the same double on every engine — the
@@ -381,25 +431,7 @@ def kmeans_centroids(
         ]
     final = spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>")
     counts = (
-        base.crossJoin(
-            F.broadcast(final.withColumn("cn", norm(F.col("centroid"))))
-        )
-        .select(
-            "_vid",
-            "cluster_id",
-            cosine_rounded(
-                F.col("v"), F.col("nrm"), F.col("centroid"), F.col("cn")
-            ).alias("ccos"),
-        )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("_vid").orderBy(
-                    F.col("ccos").desc(), F.col("cluster_id")
-                )
-            ),
-        )
-        .filter(F.col("r") == 1)
+        base.select(assign_to_literal_centroids(cent_rows))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )

@@ -336,6 +336,75 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b, jac_micro FROM ({_minhash_oracle()})),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jac_micro
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           count(*) AS n_pairs,
+           CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro,
+           CAST(floor(CAST(sum(jac_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_jac_micro
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE matrix: minhash pair counts aggregated by
+    (source, source) — the accounting view that tells a curation run which
+    domains are copying from which (high off-diagonal mass means one
+    source republishes another, so per-source dedup alone under-removes).
+    Pure composition: the shared-shingle minhash pairs joined twice against
+    the doc→source projection, normalized with least/greatest so each
+    unordered source pair lands in one cell. No forced hint on either side:
+    the doc dim is corpus-sized (never broadcastable at 100 TB) while the
+    pair side is collision-sized — AQE's runtime stats pick the pair side
+    as the broadcast build, which is the plan you'd want at any scale.
+    Pair volume, not corpus volume, drives the added cost."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), shingles=_doc_ngrams(spark, sf_dir)
+    )
+    tagged = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jac_micro",
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jac_micro").cast("long").alias("sum_jac_micro"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "sum_jac_micro",
+            F.floor(F.col("sum_jac_micro").cast("double") / F.col("n_pairs"))
+            .cast("long")
+            .alias("mean_jac_micro"),
+        )
+    )
+
+
+@register(
     "doc_novelty",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -629,13 +698,15 @@ def ann_hyperplane_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
-    """Unrolled Lloyd's: the run is fully deterministic (first-k init, fixed
+def _kmeans_cte(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled Lloyd's as a WITH-prefix ending at ``c{iterations}`` (the
+    trained centroids): the run is fully deterministic (first-k init, fixed
     iteration count, exact nano-grid means), so each iteration becomes one
     assign + recompute CTE pair. Means replicate the engine's arithmetic
     literally: sum of ``round(x*1e9)`` bigints (exact, order-independent)
     divided once in double — bitwise-identical centroids on both engines;
-    cosine uses the same round-6 guard as every ANN oracle."""
+    cosine uses the same round-6 guard as every ANN oracle. Shared by the
+    ``kmeans_centroids`` oracle and the learned-IVF search oracle."""
     parts = [
         _VEC_BASE,
         f"""
@@ -674,9 +745,16 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
     ),
     c{t + 1} AS (SELECT cluster_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM m{t})"""
         )
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Final assignment + member counts + exploded scalar output on top of
+    the :func:`_kmeans_cte` prefix."""
     cf = f"c{iterations}"
-    parts.append(
-        f"""
+    return (
+        _kmeans_cte(k, iterations)
+        + f"""
     , fs AS (
       SELECT n.vec_id, c.cluster_id,
              round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS ccos
@@ -697,7 +775,6 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
     FROM (SELECT cluster_id, n_members, unnest(cv) AS x,
                  generate_subscripts(cv, 1) AS pos FROM fin)"""
     )
-    return "".join(parts)
 
 
 @register("kmeans_centroids", oracle=_kmeans_oracle())
@@ -714,6 +791,61 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "cluster_id", "n_members", F.posexplode("centroid_r").alias("dim", "value")
     )
+
+
+def _ivf_kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Learned-IVF search oracle: the :func:`_kmeans_cte` training prefix,
+    centroids rounded to 6 dp (matching ``centroid_r``), bulk assignment,
+    then the standard within-cluster top-5 search."""
+    cf = f"c{iterations}"
+    return (
+        _kmeans_cte(k, iterations)
+        + f"""
+    , cr AS (
+      SELECT cluster_id, list_transform(cv, x -> round(x, 6)) AS cv2 FROM {cf}
+    ),
+    cent AS (
+      SELECT cluster_id, cv2, sqrt(list_dot_product(cv2, cv2)) AS cn2 FROM cr
+    ),
+    asg0 AS (
+      SELECT n.vec_id, n.v, n.nrm, c.cluster_id,
+             round(list_dot_product(n.v, c.cv2) / (n.nrm * c.cn2), 6) AS ccos
+      FROM n, cent c
+    ),
+    asg AS (
+      SELECT vec_id, v, nrm, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster_id) AS r
+        FROM asg0)
+      WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cluster_id FROM asg WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, q.cluster_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM q JOIN asg c ON c.cluster_id = q.cluster_id AND c.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, cluster_id, nbr_id, rnk AS rank, cos_r FROM ranked WHERE rnk <= 5
+    """
+    )
+
+
+@register("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED centroids — the real build/search composition:
+    k-means trains the coarse quantizer (3 deterministic Lloyd iterations),
+    every vector assigns to its nearest round-6 centroid, queries probe
+    their own cluster. Completes the ANN family: brute-force (exact), IVF
+    stand-in centroids, sign-LSH, multi-probe, and now trained IVF — all
+    oracle-checked end-to-end including the training loop. Bench caveat:
+    each invocation RETRAINS (the driver-side iteration is ~7 Spark jobs,
+    the bench's slowest entry by job count, not by data volume); production
+    trains once, persists the centroid table, and amortizes it across every
+    assign/search batch."""
+    return similarity.ivf_topk_learned(load_table(spark, "embeddings", sf_dir))
 
 
 # ---------------------------------------------------------------------------

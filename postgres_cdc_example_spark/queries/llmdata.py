@@ -294,6 +294,153 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_token_kl",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    cs AS (
+      SELECT s.source, o.tok, count(*) AS c_s
+      FROM occ o JOIN src s ON o.doc_id = s.doc_id
+      GROUP BY s.source, o.tok
+    ),
+    ts AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM cs GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM cs GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct),
+    lr AS (
+      SELECT cs.source, cs.c_s,
+             CAST(floor(ln(CAST(cs.c_s * t AS DOUBLE) / (t_s * ct.c)) * 1000000 + 0.5)
+                  AS BIGINT) AS lr_micro
+      FROM cs JOIN ct ON cs.tok = ct.tok JOIN ts ON cs.source = ts.source, tot
+    )
+    SELECT lr.source, ts.t_s AS n_tokens,
+           CAST(floor(CAST(sum(lr.c_s * lr.lr_micro) AS DOUBLE) / ts.t_s) AS BIGINT)
+             AS kl_micro
+    FROM lr JOIN ts ON lr.source = ts.source
+    GROUP BY lr.source, ts.t_s
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the whole-corpus distribution — the domain-shift / mixture diagnostic a
+    pretraining pipeline watches when reweighting (a source drifting from
+    the mix shows up here before loss does). Every source's support is a
+    subset of the corpus's, so Q(tok) > 0 and the sum is well-defined.
+    Exactness: the per-(source, token) log-ratio is micro-rounded FIRST,
+    weighted by the integer count, summed exactly (bigint), and divided by
+    the source total once at the end — the same round-before-aggregate
+    policy as ``text_unigram_nll``. Shuffles: one doc_id join + three
+    map-side-combined aggregations, all keyed on token/source."""
+    occ = _doc_occurrences(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    cs = (
+        occ.join(src, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    ts = cs.groupBy("source").agg(F.sum("c_s").cast("long").alias("t_s"))
+    ct = cs.groupBy("tok").agg(F.sum("c_s").cast("long").alias("c"))
+    tot = ct.agg(F.sum("c").cast("long").alias("t"))
+    lr = (
+        cs.join(ct, "tok")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_s",
+            F.floor(
+                F.log(
+                    (F.col("c_s") * F.col("t")).cast("double")
+                    / (F.col("t_s") * F.col("c"))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        lr.groupBy("source")
+        .agg(F.sum(F.col("c_s") * F.col("lr_micro")).alias("klsum"))
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            F.floor(F.col("klsum").cast("double") / F.col("t_s"))
+            .cast("long")
+            .alias("kl_micro"),
+        )
+    )
+
+
+# fixed linear quality-classifier weights (the fasttext-style gate shape:
+# handcrafted features x frozen weights -> sigmoid). Chosen to spread the
+# fixture distribution; the POINT is the plan (per-row array features, zero
+# shuffle) and the exactness policy, not the particular weights.
+QC_W_STOP = 2.0  # stopword share helps (natural text has stopwords)
+QC_W_DISTINCT = 1.5  # vocabulary diversity helps
+QC_W_LEN = -0.004  # distance from a 150-token sweet spot hurts
+QC_BIAS = -1.0
+
+
+@register(
+    "quality_linear_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM toks WHERE len(tk) > 0
+    ),
+    z AS (
+      SELECT doc_id, n_tokens, n_distinct, n_stop,
+             {QC_BIAS} + {QC_W_STOP} * n_stop / n_tokens
+                       + {QC_W_DISTINCT} * n_distinct / n_tokens
+                       + {QC_W_LEN} * abs(n_tokens - 150) AS zv
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, n_distinct, n_stop,
+           CAST(floor(1000000 / (1 + exp(-zv)) + 0.5) AS BIGINT) AS quality_micro
+    FROM z
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality classifier (the fasttext-filter shape): three
+    handcrafted features — stopword share, vocabulary diversity, distance
+    from a length sweet spot — through fixed weights and a sigmoid, emitted
+    as integer micro-probabilities. Every feature is a per-row ARRAY
+    expression (size / array_distinct / filter), so the whole scorer is a
+    zero-shuffle projection over the scan — the cheapest possible gate to
+    run in front of a 100 TB curation DAG. The double arithmetic mirrors
+    the oracle token-for-token and is rounded once at the end."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = dedup.word_tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+        F.size(F.filter(tk, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    zv = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * F.col("n_stop") / F.col("n_tokens")
+        + F.lit(QC_W_DISTINCT) * F.col("n_distinct") / F.col("n_tokens")
+        + F.lit(QC_W_LEN) * F.abs(F.col("n_tokens") - F.lit(150))
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        F.floor(F.lit(1_000_000) / (F.lit(1) + F.exp(-zv)) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10

@@ -711,3 +711,35 @@ def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority_bucket",
         valueColumnName="n_orders",
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (two disjoint single-column sets plus the
+    grand total) — the generalization ROLLUP/CUBE can't express: priority
+    totals and status totals in ONE Expand+aggregate pass over the fact
+    table instead of two scans unioned. ``gid`` (the grouping bit vector)
+    disambiguates a real NULL group key from a rolled-up one. DataFrame
+    API exposes only rollup/cube, so this goes through Spark SQL — same
+    Catalyst Expand plan. Integer cents keep sums engine-exact."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -271,3 +271,110 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("a_user").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics: funnel + retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cl AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN su ON e.user_id = su.user_id AND e.ts > su.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN cl ON e.user_id = cl.user_id AND e.ts > cl.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM su) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM cl)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM pu)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later click → later purchase): each stage
+    keeps users whose FIRST qualifying event strictly follows their entry
+    into the previous stage — the product-analytics conversion query. Each
+    stage is one filtered min-aggregate plus an equi-join on user_id to the
+    (shrinking) previous stage; at scale the stage tables are tiny fractions
+    of the event log and AQE broadcasts them into the next stage's join, so
+    the log is scanned once per stage with no self-join blowup."""
+    ev = load_table(spark, "events", sf_dir)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("step_idx"), F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        stage(1, "signup", su)
+        .unionByName(stage(2, "click", cl))
+        .unionByName(stage(3, "purchase", pu))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day, CAST(e.ts AS DATE) AS d
+      FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM active GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day offset — the activation/retention view
+    every growth dashboard starts from. Two user_id-keyed aggregates and
+    one join; the distinct collapses per-(user, day) duplicates BEFORE the
+    final count so a chatty user never inflates a cell. All date-grid
+    arithmetic, no calendar cross join — cells exist only where activity
+    exists (the gap-fill variant is ``event_hourly_gapfill``'s job)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.join(firstday, "user_id").select("user_id", "cohort_day", "d").distinct()
+    return (
+        active.groupBy(
+            "cohort_day", F.datediff("d", "cohort_day").cast("long").alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("cohort_day", "day_offset", "n_users")
+    )

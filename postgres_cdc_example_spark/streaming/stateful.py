@@ -212,3 +212,77 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- bounded-state heavy hitters (space-saving top-k) --------------------------
+
+HH_CAPACITY = 32  # tracked entries per key group (the memory bound)
+HH_TOPK = 10
+
+HH_OUTPUT_SCHEMA = "event_type string, user_id long, est_count long, rank int"
+HH_STATE_SCHEMA = "users array<long>, counts array<long>"
+
+
+def _heavy_hitters_group(key, pdfs, state: GroupState):
+    """Space-saving summary per event_type: at most ``HH_CAPACITY`` (user →
+    estimated count) entries survive between batches; an unseen user evicts
+    the current minimum and inherits its count (the classic overestimate
+    bound: err ≤ min_count). When distinct users ≤ capacity the counts are
+    EXACT — the property the test pins against the batch aggregate.
+    Deterministic: batch increments are merged in sorted-user order and the
+    eviction victim is the (count, user) minimum."""
+    (event_type,) = key
+    batch = pd.concat(list(pdfs))
+    inc = batch.groupby("user_id").size().sort_index()
+
+    if state.exists:
+        users, counts = state.get
+        summary = dict(zip(users, counts))
+    else:
+        summary = {}
+
+    for user, n in inc.items():
+        user, n = int(user), int(n)
+        if user in summary:
+            summary[user] += n
+        elif len(summary) < HH_CAPACITY:
+            summary[user] = n
+        else:
+            victim = min(summary, key=lambda u: (summary[u], u))
+            floor_count = summary.pop(victim)
+            summary[user] = floor_count + n
+
+    users = sorted(summary)
+    state.update(([int(u) for u in users], [int(summary[u]) for u in users]))
+
+    top = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOPK]
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type] * len(top),
+            "user_id": [u for u, _ in top],
+            "est_count": [c for _, c in top],
+            "rank": list(range(1, len(top) + 1)),
+        }
+    )
+
+
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Streaming top-k users per event type under a HARD state bound —
+    the monitoring-over-unbounded-cardinality shape: exact per-key counting
+    of a 100 TB/day stream needs O(distinct users) state, while the
+    space-saving summary holds ``HH_CAPACITY`` entries per event type,
+    period, and still guarantees every true heavy hitter above the floor
+    survives. Each micro-batch re-emits the current top-``HH_TOPK``
+    snapshot (update-style monitoring output, like the reference's 5 s
+    monitor loop, pubsub/main.go:128-209)."""
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _heavy_hitters_group,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -235,3 +235,49 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         assert latest[2] == (5, 1500 + 2500)   # +11, +14
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_heavy_hitters_stream_exact_under_capacity(spark, sf_dir, tmp_path):
+    """Fixture user cardinality fits the space-saving capacity, so the final
+    snapshot must equal the exact batch top-10 per event type — run across
+    TWO drains sharing a checkpoint to prove the summary state survives
+    restarts."""
+    from postgres_cdc_example_spark.streaming.stateful import (
+        HH_TOPK,
+        heavy_hitters_stream,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    assert ev.select("user_id").distinct().count() <= 32, "fixture fits capacity"
+    src, ckpt = str(tmp_path / "hh_src"), str(tmp_path / "hh_ckpt")
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(heavy_hitters_stream(stream), ckpt, emitted)
+
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    final: list = []
+    _drain(heavy_hitters_stream(stream), ckpt, final)
+
+    got = {(r.event_type, r.user_id, r.est_count, r.rank) for r in final}
+
+    from pyspark.sql import Window
+
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("est_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("est_count").desc(), "user_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= HH_TOPK)
+    )
+    want = {
+        (r.event_type, r.user_id, r.est_count, r.rank) for r in exact.collect()
+    }
+    assert got == want
