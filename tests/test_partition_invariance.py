@@ -1,0 +1,59 @@
+"""Partition-count invariance — the cheapest honest 100 TB test.
+
+On a 1000-executor cluster nothing about physical parallelism is stable:
+shuffle partition counts, input split sizes, and reducer assignment all
+differ run to run. Any query whose RESULT depends on them (float summation
+order reaching an output, per-partition ids leaking, LIMIT without ORDER)
+is wrong at scale even if it hash-matches the oracle on one local config.
+
+These tests re-run representative queries — every exactness policy in the
+repo is represented (integer cents, micro-grid logs, round-6 cosine,
+window tie-breaks, sketch-bound booleans) — under deliberately different
+``spark.sql.shuffle.partitions`` and input-split settings and require
+bit-identical row sets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_cdc_example_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+# one representative per exactness policy / plan family
+INVARIANCE_QUERIES = [
+    "q1_pricing_summary",  # decimal aggregate + rounding
+    "cdc_apply_full",  # join/merge state machine
+    "dedup_minhash_lsh",  # md5 min-agg + band join + Jaccard micro-grid
+    "text_unigram_nll",  # micro-grid log BEFORE per-doc sum
+    "source_token_kl",  # micro-grid log-ratio, bigint-weighted sum
+    "kmeans_centroids",  # iterative loop, nano-grid means
+    "bm25_doc_ranking",  # double formula + window tie-break
+    "quality_linear_score",  # per-row sigmoid micro-round
+    "event_reach_approx_error",  # sketch bounds (merge-order sensitive!)
+    "retention_cohorts",  # date arithmetic + distinct
+]
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_invariant_under_parallelism(spark, sf_dir, name):
+    fn = REGISTRY[name].fn
+    shuffle_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    split_prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _canon(fn(spark, sf_dir))
+        # 17 reducers AND tiny input splits (64 KiB) → different scan
+        # partitioning, different merge order, different reducer count
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        b = _canon(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_prev)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split_prev)
+    assert a == b, f"{name} result depends on physical parallelism"

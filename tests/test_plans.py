@@ -241,3 +241,38 @@ def test_incremental_dedup_broadcast_is_size_gated(spark, sf_dir):
         assert "CartesianProduct" not in plan_big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_quality_score_is_zero_shuffle_projection(spark, sf_dir):
+    """The linear quality classifier must stay a pure per-row projection:
+    any Exchange means a feature regressed into an aggregate/window."""
+    plan = plan_of(spark, sf_dir, "quality_linear_score")
+    assert not has_exchange(q.queries()["quality_linear_score"](spark, sf_dir)), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_new_llmdata_joins_are_keyed_not_cartesian(spark, sf_dir):
+    for name in ["source_token_kl", "doc_novelty", "bm25_doc_ranking",
+                 "dedup_cross_source_matrix", "funnel_conversion",
+                 "retention_cohorts"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    # bm25's 5-term idf table must broadcast into the tf join
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "bm25_doc_ranking")
+
+
+def test_grouping_sets_is_single_expand_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "grouping_sets_order_stats")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, (
+        "grouping sets must not rescan the fact table per set"
+    )
+
+
+def test_learned_ivf_assignment_is_projection_not_join(spark, sf_dir):
+    """Training collapsed the centroids to literals, so the bulk assignment
+    must appear as a projection: the only joins left belong to the search
+    phase (query side broadcast into its cluster)."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_kmeans_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
