@@ -1,0 +1,109 @@
+"""Degenerate-input robustness: empty frames, empty/whitespace text, and a
+serial-replay check for the packing operator.
+
+At 100 TB these aren't corner cases — some partition, some micro-batch,
+some source WILL be empty or pathological, and an operator that throws on
+it kills the whole job. Each test drives an operator family with the
+degenerate shape it must absorb."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators import dedup, text
+from postgres_cdc_example_spark.operators.cdc_apply import apply_changes
+from postgres_cdc_example_spark.queries import REGISTRY, _load_all
+from postgres_cdc_example_spark.schemas import PERSON_SCHEMA
+from postgres_cdc_example_spark.sources.tables import load_table
+
+_load_all()
+
+DOCS_SCHEMA = "doc_id long, text string, source string, lang string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_cdc_apply_empty_changes_is_identity(spark, sf_dir):
+    state = spark.createDataFrame(
+        [(1, "a", "u1", 10, None)], PERSON_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [], "action string, id int, name string, uid string, score int, "
+        "created_at timestamp_ntz, seq long"
+    )
+    out = apply_changes(state, changes)
+    assert [(r.id, r.name) for r in out.collect()] == [(1, "a")]
+
+
+def test_cdc_apply_empty_state_applies_inserts(spark):
+    state = spark.createDataFrame([], PERSON_SCHEMA)
+    changes = spark.createDataFrame(
+        [("I", 5, "n", "u", 7, None, 1)],
+        "action string, id int, name string, uid string, score int, "
+        "created_at timestamp_ntz, seq long",
+    )
+    out = apply_changes(state, changes)
+    assert [(r.id, r.score) for r in out.collect()] == [(5, 7)]
+
+
+def test_dedup_absorbs_empty_and_whitespace_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "", "s", "en", 0),
+            (2, "   ", "s", "en", 3),
+            (3, "real words here", "s", "en", 15),
+            (4, "real words here", "s", "en", 15),
+        ],
+    )
+    # exact dedup groups the two empty-normalized docs and the two real ones
+    exact = {(r.n_docs, r.keeper_id) for r in dedup.exact_dedup(docs).collect()}
+    assert (2, 1) in exact and (2, 3) in exact
+    # zero-token docs yield NO gram rows (documented tail rule) — and the
+    # minhash pipeline over the remainder still runs
+    grams = dedup.ngram_rows(docs)
+    assert grams.filter(F.col("doc_id").isin(1, 2)).count() == 0
+    assert dedup.minhash_lsh_pairs(docs, shingles=grams).count() >= 1
+
+
+def test_text_ops_absorb_empty_text(spark):
+    docs = _docs(spark, [(1, "", "s", "en", 0), (2, "one word", "s", "en", 8)])
+    stats = {r.doc_id: r.n_tokens for r in text.token_stats(docs).collect()}
+    assert stats[1] == 0 and stats[2] == 2
+
+
+def test_quality_score_excludes_zero_token_docs(spark, sf_dir):
+    """The linear gate divides by n_tokens — zero-token docs must be
+    filtered out, not produce NULL/NaN rows."""
+    fn = REGISTRY["quality_linear_score"].fn
+    out = fn(spark, sf_dir)
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+    assert out.filter(F.col("quality_micro").isNull()).count() == 0
+
+
+def test_pack_documents_matches_serial_greedy_replay(spark, sf_dir):
+    """The windowed pack assignment must equal a driver-side serial greedy
+    fold over (bucket, doc_id) order — the independent formulation of the
+    same semantics (the SCD2-style property check, applied to packing)."""
+    fn = REGISTRY["pack_documents"].fn
+    got = {
+        (r.bucket, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(dedup.word_tokens(F.col("text"))).alias("n_toks"),
+    )
+    want: dict = {}
+    cum: dict = {}
+    for r in docs.orderBy("bucket", "doc_id").collect():
+        start = cum.get(r.bucket, 0)
+        pack = start // 2048
+        cum[r.bucket] = start + r.n_toks
+        n, tot = want.get((r.bucket, pack), (0, 0))
+        want[(r.bucket, pack)] = (n + 1, tot + r.n_toks)
+    assert got == want
