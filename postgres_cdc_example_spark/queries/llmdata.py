@@ -441,6 +441,63 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FH_DIM = 16  # feature-hashing buckets (one md5 hex nibble)
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    b AS (
+      SELECT doc_id,
+             CAST((ascii(substr(md5(tok), 1, 1)) - 48
+                   - CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 39 ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM occ
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY doc_id, bucket),
+    nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS sumsq FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, tf.bucket, tf.tf,
+           CAST(floor(tf.tf * 1000000 / sqrt(CAST(nrm.sumsq AS DOUBLE)) + 0.5)
+                AS BIGINT) AS weight_micro
+    FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
+    """,
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the hashing trick): tokens hash into
+    ``FH_DIM`` buckets (md5 nibble — engine-portable ascii arithmetic, same
+    as the SimHash bits) and each document becomes a sparse L2-normalized
+    bucket→weight vector — the featurization step that feeds the ANN /
+    clustering family when no model embeddings exist. Sparse rows, not a
+    dense array column, so the oracle is plain GROUP BY arithmetic and the
+    output scales with non-zero entries. Two doc_id/bucket-keyed aggregates
+    (map-side combined); the weight is micro-rounded per row from exact
+    integer (tf, sum-of-squares) inputs, so both engines land on the same
+    bigint."""
+    occ = _doc_occurrences(spark, sf_dir)
+    c = F.ascii(F.substring(F.md5("tok"), 1, 1))
+    bucket = (c - 48 - F.when(c >= 97, 39).otherwise(0)).cast("long")
+    tf = (
+        occ.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sumsq")
+    )
+    return tf.join(nrm, "doc_id").select(
+        "doc_id",
+        "bucket",
+        "tf",
+        F.floor(
+            F.col("tf") * F.lit(1_000_000) / F.sqrt(F.col("sumsq").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10

@@ -743,3 +743,37 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "event_type_top_users",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS est_count
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY est_count DESC, user_id) AS rnk
+      FROM c
+    )
+    SELECT event_type, user_id, est_count, rnk AS rank FROM r WHERE rnk <= 10
+    """,
+)
+def event_type_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 users per event type — the BATCH TWIN of
+    ``streaming/stateful.py::heavy_hitters_stream`` (which computes the same
+    ranking under a hard state bound; its test pins stream == this batch
+    answer when cardinality fits capacity). One map-side-combined count +
+    a per-type ranking window over the (small) per-user count table."""
+    counts = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("est_count"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("est_count").desc(), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "user_id", "est_count", "rank")
+    )
