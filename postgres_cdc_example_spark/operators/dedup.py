@@ -478,12 +478,15 @@ def minhash_lsh_pairs_between(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
     )
     # Gate evidence: the band table has exactly NUM_BANDS rows per delta
-    # doc, so a distinct-doc count of the (typically cached) shingle rows
-    # bounds it — far cheaper than computing the minhash pipeline twice.
+    # doc, and docs ≤ shingle rows, so a raw limit-probe of the (typically
+    # cached) shingle rows bounds the band table. Deliberately NO
+    # distinct/aggregate in the probe: LIMIT early-exits a plain scan but
+    # would have to run a groupBy to completion, and computing the minhash
+    # pipeline twice is exactly what the gate should avoid.
     if broadcast_max_rows is not None:
-        max_docs = broadcast_max_rows // NUM_BANDS
-        n_docs = ds.select(id_col).distinct().limit(max_docs + 1).count()
-        bound = n_docs * NUM_BANDS
+        cap = broadcast_max_rows // NUM_BANDS
+        n_sh = ds.limit(cap + 1).count()
+        bound = n_sh * NUM_BANDS  # ≥ NUM_BANDS × docs = band rows
     else:
         bound = None
     cand = (

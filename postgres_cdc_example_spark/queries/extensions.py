@@ -412,7 +412,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
                            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gs
-      FROM toks
+      FROM toks WHERE len(tk) >= 1
     ),
     ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
     first AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)

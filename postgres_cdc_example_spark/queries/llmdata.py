@@ -276,16 +276,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "g"
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    # gate evidence: benchmark token count ≥ benchmark distinct-gram count,
-    # and costs one narrow scan instead of running the gram DAG twice
-    bench_tokens = (
+    # gate evidence: benchmark char count ≥ token count ≥ distinct-gram
+    # count — a column-pruned (doc_id, n_chars) metadata scan, no
+    # tokenization, instead of running the gram DAG twice
+    bench_chars = (
         docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(F.sum(F.size(dedup.word_tokens(F.col("text")))).alias("n"))
+        .agg(F.sum("n_chars").alias("n"))
         .collect()[0][0]
         or 0
     )
     return (
-        corpus.join(hints.broadcast_if_small(bench, upper_bound=bench_tokens), "g")
+        corpus.join(hints.broadcast_if_small(bench, upper_bound=bench_chars), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched_grams"),
@@ -396,10 +397,14 @@ QC_BIAS = -1.0
       FROM toks WHERE len(tk) > 0
     ),
     z AS (
+      -- weights CAST to DOUBLE so each term rounds per step exactly like
+      -- Spark's double arithmetic (a bare decimal literal would keep
+      -- weight × count exact in DuckDB and round only at the division)
       SELECT doc_id, n_tokens, n_distinct, n_stop,
-             {QC_BIAS} + {QC_W_STOP} * n_stop / n_tokens
-                       + {QC_W_DISTINCT} * n_distinct / n_tokens
-                       + {QC_W_LEN} * abs(n_tokens - 150) AS zv
+             CAST({QC_BIAS} AS DOUBLE)
+               + CAST({QC_W_STOP} AS DOUBLE) * n_stop / n_tokens
+               + CAST({QC_W_DISTINCT} AS DOUBLE) * n_distinct / n_tokens
+               + CAST({QC_W_LEN} AS DOUBLE) * abs(n_tokens - 150) AS zv
       FROM feats
     )
     SELECT doc_id, n_tokens, n_distinct, n_stop,
@@ -522,14 +527,21 @@ BM25_N_TERMS = 5
     ),
     idf AS (
       SELECT tok,
-             CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+             CAST(floor(ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE))
+                           / (df + CAST(0.5 AS DOUBLE))) * 1000000 + 0.5)
                   AS BIGINT) AS idf_micro
       FROM terms, stats
     ),
     scored AS (
+      -- every fractional literal CAST to DOUBLE: DuckDB otherwise keeps
+      -- bigint × decimal-literal products in exact DECIMAL and rounds only
+      -- once at the division, while Spark rounds to double per step — a
+      -- quotient within ~1 ulp of an integer would floor differently
       SELECT tf.doc_id, tf.tok, tf.tf, dl.dl, idf.idf_micro,
-             CAST(floor(idf.idf_micro * (tf.tf * {1 + BM25_K1})
-                  / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))
+             CAST(floor(idf.idf_micro * (tf.tf * CAST({1 + BM25_K1} AS DOUBLE))
+                  / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                     * (1 - CAST({BM25_B} AS DOUBLE)
+                        + CAST({BM25_B} AS DOUBLE) * dl.dl / stats.avgdl)))
                   AS BIGINT) AS score_micro
       FROM tf JOIN idf ON tf.tok = idf.tok
       JOIN dl ON tf.doc_id = dl.doc_id, stats
@@ -995,17 +1007,37 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
-    # same token-count upper bound as benchmark_contamination's gate
-    bench_tokens = (
-        base.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(F.sum(F.size("tk")).alias("n"))
+    # The benchmark side comes from ALL documents (≥ n tokens), NOT the
+    # gate-filtered base: the held-out split is external to corpus quality
+    # gates, and a short benchmark doc must still contaminate matching
+    # corpus docs (mirrors the oracle's `_gram_sql`, which reads every
+    # document). The corpus side may stay gate-filtered — contamination is
+    # only ever subtracted from `clean` ⊆ base, so ungated corpus docs
+    # can't change the result.
+    bench_tk = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= n)
+    )
+    bench_grams = (
+        bench_tk.select(
+            F.explode(
+                F.expr(f"transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {gram_cat}))")
+            ).alias("g")
+        )
+        .distinct()
+    )
+    # gate evidence: benchmark char count ≥ token count ≥ distinct-gram
+    # count, from a column-pruned metadata scan (no tokenization)
+    bench_chars = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .agg(F.sum("n_chars").alias("n"))
         .collect()[0][0]
         or 0
     )
     contaminated = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(hints.broadcast_if_small(bench_grams, upper_bound=bench_tokens), "g")
+        .join(hints.broadcast_if_small(bench_grams, upper_bound=bench_chars), "g")
         .select("doc_id")
         .distinct()
     )

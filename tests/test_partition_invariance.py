@@ -40,6 +40,23 @@ def _canon(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _clear_shared_layers():
+    """Drop the session-memoized shingle/occurrence caches so each config
+    run re-executes the shared layer under ITS parallelism — otherwise the
+    second run would read the first run's persisted RDD and the layer's
+    own partition-(in)dependence would go untested."""
+    from postgres_cdc_example_spark.queries.extensions import _NGRAM_SHARE
+    from postgres_cdc_example_spark.queries.llmdata import _OCC_SHARE
+
+    for cache in (_NGRAM_SHARE, _OCC_SHARE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)
 def test_result_invariant_under_parallelism(spark, sf_dir, name):
     fn = REGISTRY[name].fn
@@ -47,13 +64,16 @@ def test_result_invariant_under_parallelism(spark, sf_dir, name):
     split_prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        _clear_shared_layers()
         a = _canon(fn(spark, sf_dir))
         # 17 reducers AND tiny input splits (64 KiB) → different scan
         # partitioning, different merge order, different reducer count
         spark.conf.set("spark.sql.shuffle.partitions", "17")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        _clear_shared_layers()
         b = _canon(fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_prev)
         spark.conf.set("spark.sql.files.maxPartitionBytes", split_prev)
+        _clear_shared_layers()
     assert a == b, f"{name} result depends on physical parallelism"
