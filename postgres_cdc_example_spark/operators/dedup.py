@@ -477,16 +477,22 @@ def minhash_lsh_pairs_between(
     cb = minhash_bands(minhash_signatures(cs, id_col), id_col).select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
     )
-    # Gate evidence: the band table has exactly NUM_BANDS rows per delta
-    # doc, and docs ≤ shingle rows, so a raw limit-probe of the (typically
-    # cached) shingle rows bounds the band table. Deliberately NO
-    # distinct/aggregate in the probe: LIMIT early-exits a plain scan but
-    # would have to run a groupBy to completion, and computing the minhash
-    # pipeline twice is exactly what the gate should avoid.
+    # Two-stage gate evidence (band rows = NUM_BANDS × delta docs):
+    # 1. cheap: an early-exit LIMIT probe of raw shingle rows — docs ≤
+    #    rows, so a small row count already proves the bound, with no
+    #    aggregate and no md5s;
+    # 2. precise: only when stage 1 is inconclusive (rows ≫ docs for
+    #    normal documents), one distinct-doc count over the (typically
+    #    cached) shingle rows — still far cheaper than running the minhash
+    #    pipeline twice, and it keeps moderate batches on the broadcast
+    #    fast path instead of degrading them ~shingles-per-doc too early.
     if broadcast_max_rows is not None:
         cap = broadcast_max_rows // NUM_BANDS
         n_sh = ds.limit(cap + 1).count()
-        bound = n_sh * NUM_BANDS  # ≥ NUM_BANDS × docs = band rows
+        if n_sh <= cap:
+            bound = n_sh * NUM_BANDS  # rows ≥ docs ⇒ bound ≥ band rows
+        else:
+            bound = ds.select(id_col).distinct().count() * NUM_BANDS
     else:
         bound = None
     cand = (

@@ -174,7 +174,7 @@ def _minhash_oracle() -> str:
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
                            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
-      FROM toks
+      FROM toks WHERE len(tk) >= 1
     ),
     sig AS (SELECT doc_id, ss, [{mins}] AS sg FROM sh),
     bands AS (
@@ -291,7 +291,7 @@ def _incremental_minhash_oracle() -> str:
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
                            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
-      FROM toks
+      FROM toks WHERE len(tk) >= 1
     ),
     sig AS (SELECT doc_id, ss, [{mins}] AS sg FROM sh),
     bands AS (
@@ -496,7 +496,7 @@ def _ngram_oracle() -> str:
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
                            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gs
-      FROM toks
+      FROM toks WHERE len(tk) >= 1
     ),
     ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
     rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {dedup.MAX_DOC_FREQ}),
@@ -1138,7 +1138,7 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_series(1, greatest(len(tk) - 4, 1)),
                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
              ))) AS g
-      FROM toks
+      FROM toks WHERE len(tk) >= 1
     )
     SELECT g AS span, count(*) AS n_docs
     FROM grams GROUP BY g HAVING count(*) >= 3

@@ -276,17 +276,24 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "g"
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    # gate evidence: benchmark char count ≥ token count ≥ distinct-gram
-    # count — a column-pruned (doc_id, n_chars) metadata scan, no
-    # tokenization, instead of running the gram DAG twice
-    bench_chars = (
-        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(F.sum("n_chars").alias("n"))
-        .collect()[0][0]
-        or 0
+    # Two-stage gate evidence (chars ≥ tokens ≥ distinct grams): first a
+    # column-pruned (doc_id, n_chars) metadata scan — no tokenization; only
+    # if that loose bound (~5-6× tokens) is inconclusive, one tokenizing
+    # scan for the precise token count, so mid-sized benchmarks keep the
+    # broadcast fast path and neither stage runs the gram DAG twice.
+    bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    bound = (
+        bench_docs.agg(F.sum("n_chars").alias("n")).collect()[0][0] or 0
     )
+    if bound > hints.BROADCAST_MAX_ROWS:
+        bound = (
+            bench_docs.agg(
+                F.sum(F.size(dedup.word_tokens(F.col("text")))).alias("n")
+            ).collect()[0][0]
+            or 0
+        )
     return (
-        corpus.join(hints.broadcast_if_small(bench, upper_bound=bench_chars), "g")
+        corpus.join(hints.broadcast_if_small(bench, upper_bound=bound), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched_grams"),
@@ -998,8 +1005,12 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = CONTAM_NGRAM
     gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
+    # corpus side: only non-benchmark gated docs — filtering BEFORE the
+    # explode keeps the benchmark split's rows out of the gram distinct
+    # entirely (they would be dropped post-join anyway)
     grams = (
-        base.select(
+        base.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(f"transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {gram_cat}))")
@@ -1027,17 +1038,20 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # gate evidence: benchmark char count ≥ token count ≥ distinct-gram
-    # count, from a column-pruned metadata scan (no tokenization)
-    bench_chars = (
-        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .agg(F.sum("n_chars").alias("n"))
-        .collect()[0][0]
-        or 0
-    )
+    # two-stage gate evidence, as in benchmark_contamination: cheap
+    # metadata bound (chars ≥ tokens ≥ grams) first, precise token count
+    # only if inconclusive
+    bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    bound = bench_docs.agg(F.sum("n_chars").alias("n")).collect()[0][0] or 0
+    if bound > hints.BROADCAST_MAX_ROWS:
+        bound = (
+            bench_docs.agg(
+                F.sum(F.size(dedup.word_tokens(F.col("text")))).alias("n")
+            ).collect()[0][0]
+            or 0
+        )
     contaminated = (
-        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(hints.broadcast_if_small(bench_grams, upper_bound=bench_chars), "g")
+        grams.join(hints.broadcast_if_small(bench_grams, upper_bound=bound), "g")
         .select("doc_id")
         .distinct()
     )
