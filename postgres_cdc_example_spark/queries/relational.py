@@ -777,3 +777,40 @@ def event_type_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("event_type", "user_id", "est_count", "rank")
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+         ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        AS orphan_lineitems,
+      (SELECT count(*) FROM orders o LEFT JOIN customer c
+         ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        AS orphan_orders,
+      (SELECT count(*) FROM lineitem) AS n_lineitems,
+      (SELECT count(*) FROM orders) AS n_orders
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned fact rows per FK edge
+    (lineitem→orders, orders→customer) next to the totals — the continuous
+    data-quality check a CDC-replicated warehouse runs to prove the target
+    hasn't drifted (the set-wise generalization of the reference's
+    count-compare monitor, pubsub/main.go:159-198). Each orphan count is a
+    LEFT ANTI hash join that shuffles only keys; at 100 TB the dimension
+    sides broadcast and the audit costs two key-projected fact scans."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orphan_li = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    orphan_o = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_orders")
+    )
+    totals = li.agg(F.count(F.lit(1)).alias("n_lineitems")).crossJoin(
+        o.agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return orphan_li.crossJoin(orphan_o).crossJoin(totals)
