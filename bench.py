@@ -101,27 +101,45 @@ def main() -> None:
     from postgres_cdc_example_spark.queries.extensions import _doc_ngrams
     from postgres_cdc_example_spark.queries.llmdata import _doc_occurrences
 
+    # The build cost is reported as its own line item (layer_build_sec) rather
+    # than charged to whichever family member runs first — a real deployment
+    # amortizes it the same way (build once, reuse per batch). Methodology
+    # note: r1/r2 bench files charged this cost to the first dedup query; r3+
+    # do not, so cross-round comparisons for that family need rebaselining.
+    t0 = time.perf_counter()
     _doc_ngrams(spark, SF_DIR).count()
     _doc_occurrences(spark, SF_DIR).count()
+    layer_build = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        # best of 3: run 1 can pay one-time JIT of generated code, and any
-        # single run can be inflated by transient machine contention (same
-        # query has measured 2.4 s and 16.9 s under load) — we measure the
-        # plan, not the JIT or the neighbors
-        best = float("inf")
-        for _ in range(3):
+    # Interleaved repetitions: 3 full passes over ALL queries, taking the min
+    # per query ACROSS passes. Back-to-back best-of-3 shares one contention
+    # window — when the sandbox is busy for ~10 s, all three samples of one
+    # query inflate together (r3 recorded 4.7× on dedup_incremental that
+    # re-measured at 0.84× idle). Interleaving separates a query's samples by
+    # a full pass (~30 s), so a contention burst can sink at most one of them.
+    N_PASSES = 3
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for pass_i in range(N_PASSES):
+        for name in BENCH_QUERIES:
+            fn = registry[name]
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
+        print(f"# pass {pass_i + 1}/{N_PASSES} done", file=sys.stderr)
+
+    per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        s = samples[name]
+        dt = round(min(s), 3)
         per_query[name] = dt
+        # max/min ratio per query: >~1.5 flags contention-suspect samples so
+        # the driver can see when a round's numbers are unreliable
+        spread[name] = round(max(s) / min(s), 2)
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (spread {spread[name]:.2f}x)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -131,6 +149,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf),
+                "layer_build_sec": layer_build,
+                "spread_max_over_min": spread,
+                "max_spread": max(spread.values()),
             }
         )
     )

@@ -181,24 +181,43 @@ def ivf_topk_learned(
     vec_col: str = "embedding",
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF ANN over LEARNED centroids: :func:`kmeans_centroids` trains the
+    """IVF ANN over LEARNED centroids: :func:`train_kmeans` trains the
     coarse quantizer, vectors assign to its (round-6) centroids via the
     same zero-shuffle literal projection the trainer uses, and the search
     runs within the query's cluster — the real IVF build/search composition
     (train once, assign in bulk, probe per query). Rounded centroids make
-    assignment engine-exact, so the whole chain stays oracle-checkable."""
-    cent_rows = sorted(
-        (r.cluster_id, list(r.centroid_r))
-        for r in kmeans_centroids(df, id_col, vec_col)
-        .select("cluster_id", "centroid_r")
-        .collect()
-    )
+    assignment engine-exact, so the whole chain stays oracle-checkable.
+
+    ``cent_rows`` (unrounded trained centroids) lets callers train ONCE per
+    session and reuse — the production shape; without it every invocation
+    re-runs the 3-iteration Lloyd loop (~7 Spark jobs)."""
+    if cent_rows is None:
+        cent_rows = train_kmeans(df, id_col, vec_col)
+    rounded = rounded_centroids(df.sparkSession, cent_rows)
     base = _normed(df, id_col, vec_col)
     assigned = base.select(
-        F.col(id_col), "v", "nrm", assign_to_literal_centroids(cent_rows)
+        F.col(id_col), "v", "nrm", assign_to_literal_centroids(rounded)
     )
     return _cluster_search(assigned, id_col, k, n_queries)
+
+
+def rounded_centroids(
+    spark, cent_rows: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """Round trained centroids to 6 dp IN SPARK (one tiny literal-frame job,
+    k rows) so the values are bit-identical to the engine's ``F.round`` —
+    Python's ``round`` is banker's rounding and can differ in the last ulp,
+    which would silently diverge assignment from the DuckDB oracle."""
+    final = spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>")
+    return sorted(
+        (r.cluster_id, list(r.centroid_r))
+        for r in final.select(
+            "cluster_id",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
+        ).collect()
+    )
 
 
 N_PLANES = 8  # sign-LSH hyperplanes → 2^8 buckets
@@ -378,30 +397,32 @@ def assign_to_literal_centroids(cent_rows: list[tuple[int, list[float]]]) -> Col
     return (-best["n"]).cast("int").alias("cluster_id")
 
 
-def kmeans_centroids(
+def train_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = N_CENTROIDS,
     iterations: int = 3,
-) -> DataFrame:
-    """Lloyd's k-means over DataFrames — the iterative-algorithm shape.
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd training loop alone: returns the final UNROUNDED centroids
+    as driver-side ``(cluster_id, vector)`` rows (k×dim — genuinely small).
 
-    Per iteration: centroids (k×dim — genuinely small data) are collected to
-    the driver and pushed back as LITERALS, so assignment is a zero-shuffle
-    projection (:func:`assign_to_literal_centroids`); the new means come
-    from one ``posexplode`` + groupBy(cluster, dim) — the only shuffle per
-    iteration, keyed on k×dim regardless of input size. Assignment = max
-    cosine (ties → lowest centroid id), deterministic init = first k
-    vectors, so runs are reproducible; the DuckDB oracle replays the whole
-    loop (see ``queries/extensions._kmeans_cte``)."""
+    Per iteration: centroids are collected to the driver and pushed back as
+    LITERALS, so assignment is a zero-shuffle projection
+    (:func:`assign_to_literal_centroids`); the new means come from one
+    ``posexplode`` + groupBy(cluster, dim) — the only shuffle per iteration,
+    keyed on k×dim regardless of input size. Assignment = max cosine (ties →
+    lowest centroid id), deterministic init = first k vectors, so runs are
+    reproducible; the DuckDB oracle replays the whole loop (see
+    ``queries/extensions._kmeans_cte``). Separated from
+    :func:`kmeans_centroids` so a session can train once and share the
+    result between the centroid query and learned-IVF search."""
     base = _normed(df, id_col, vec_col).select(F.col(id_col).alias("_vid"), "v", "nrm")
     # materialize once, lineage-truncated: the training loop re-reads base
-    # every iteration plus init and the final member count — localCheckpoint
-    # (same pattern as dedup.connected_components) turns the repeated
-    # scan+norm recomputations into one, and is GC'd with the returned frame
+    # every iteration plus init — localCheckpoint (same pattern as
+    # dedup.connected_components) turns the repeated scan+norm
+    # recomputations into one, and is GC'd with the returned frame
     base = base.localCheckpoint(eager=True)
-    spark = df.sparkSession
     cent_rows = [
         (i, r.v) for i, r in enumerate(base.orderBy("_vid").limit(k).collect())
     ]
@@ -429,7 +450,28 @@ def kmeans_centroids(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cluster.items())
         ]
-    final = spark.createDataFrame(cent_rows, "cluster_id int, centroid array<double>")
+    return cent_rows
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = N_CENTROIDS,
+    iterations: int = 3,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over DataFrames — the iterative-algorithm shape.
+    Training lives in :func:`train_kmeans`; this builds the reportable
+    output (round-6 centroids + member counts). Pass ``cent_rows`` to reuse
+    an already-trained model (one assignment projection + a k-keyed groupBy
+    instead of the full loop)."""
+    if cent_rows is None:
+        cent_rows = train_kmeans(df, id_col, vec_col, k, iterations)
+    base = _normed(df, id_col, vec_col)
+    final = df.sparkSession.createDataFrame(
+        cent_rows, "cluster_id int, centroid array<double>"
+    )
     counts = (
         base.select(assign_to_literal_centroids(cent_rows))
         .groupBy("cluster_id")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from postgres_cdc_example_spark.memo import memo_get
 from postgres_cdc_example_spark.operators import dedup, hints
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
@@ -52,18 +53,11 @@ def _doc_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extensions._doc_ngrams``: the explode is the family's common floor,
     and ``text_unigram_nll`` alone consumes it twice (count pass + scoring
     join)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _OCC_SHARE.get(key)
-    if df is None:
-        df = _occurrences(load_table(spark, "documents", sf_dir)).persist()
-        while len(_OCC_SHARE) >= 4:
-            _, old = _OCC_SHARE.popitem()
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _OCC_SHARE[key] = df
-    return df
+    return memo_get(
+        _OCC_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: _occurrences(load_table(spark, "documents", sf_dir)).persist(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -277,13 +271,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
     # Two-stage gate evidence (chars ≥ tokens ≥ distinct grams): first a
-    # column-pruned (doc_id, n_chars) metadata scan — no tokenization; only
-    # if that loose bound (~5-6× tokens) is inconclusive, one tokenizing
-    # scan for the precise token count, so mid-sized benchmarks keep the
-    # broadcast fast path and neither stage runs the gram DAG twice.
+    # cheap length(text) aggregate — no tokenization; only if that loose
+    # bound (~5-6× tokens) is inconclusive, one tokenizing scan for the
+    # precise token count, so mid-sized benchmarks keep the broadcast fast
+    # path and neither stage runs the gram DAG twice. Measured length, not
+    # the n_chars metadata column: if metadata under-reports the real text
+    # (the drift n_chars_measured exists to surface), a metadata bound
+    # would wrongly keep the broadcast path — the executor-OOM failure mode
+    # this gate exists to prevent.
     bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     bound = (
-        bench_docs.agg(F.sum("n_chars").alias("n")).collect()[0][0] or 0
+        bench_docs.agg(F.sum(F.length("text")).alias("n")).collect()[0][0] or 0
     )
     if bound > hints.BROADCAST_MAX_ROWS:
         bound = (
@@ -317,12 +315,15 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct),
     lr AS (
       SELECT cs.source, cs.c_s,
-             CAST(floor(ln(CAST(cs.c_s * t AS DOUBLE) / (t_s * ct.c)) * 1000000 + 0.5)
+             CAST(floor(ln((CAST(cs.c_s AS DOUBLE) * CAST(t AS DOUBLE))
+                           / (CAST(t_s AS DOUBLE) * CAST(ct.c AS DOUBLE)))
+                        * 1000000 + 0.5)
                   AS BIGINT) AS lr_micro
       FROM cs JOIN ct ON cs.tok = ct.tok JOIN ts ON cs.source = ts.source, tot
     )
     SELECT lr.source, ts.t_s AS n_tokens,
-           CAST(floor(CAST(sum(lr.c_s * lr.lr_micro) AS DOUBLE) / ts.t_s) AS BIGINT)
+           CAST(floor(CAST(sum(CAST(lr.c_s AS HUGEINT) * lr.lr_micro) AS DOUBLE)
+                      / ts.t_s) AS BIGINT)
              AS kl_micro
     FROM lr JOIN ts ON lr.source = ts.source
     GROUP BY lr.source, ts.t_s
@@ -335,10 +336,15 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mix shows up here before loss does). Every source's support is a
     subset of the corpus's, so Q(tok) > 0 and the sum is well-defined.
     Exactness: the per-(source, token) log-ratio is micro-rounded FIRST,
-    weighted by the integer count, summed exactly (bigint), and divided by
-    the source total once at the end — the same round-before-aggregate
-    policy as ``text_unigram_nll``. Shuffles: one doc_id join + three
-    map-side-combined aggregations, all keyed on token/source."""
+    weighted by the integer count, summed exactly, and divided by the
+    source total once at the end — the same round-before-aggregate policy
+    as ``text_unigram_nll``. Overflow safety at 100 TB: the ratio's
+    factors are cast to double BEFORE multiplying (c_s·t and t_s·c exceed
+    int64 once corpus totals pass ~1e9×1e9 — Spark would wrap silently
+    while DuckDB errors), and the weighted sum runs in decimal(38,0) /
+    HUGEINT (c_s·lr_micro alone can pass 9.2e18), so both engines stay
+    exact to 1e38 instead of silently diverging. Shuffles: one doc_id join
+    + three map-side-combined aggregations, all keyed on token/source."""
     occ = _doc_occurrences(spark, sf_dir)
     src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     cs = (
@@ -358,8 +364,8 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_s",
             F.floor(
                 F.log(
-                    (F.col("c_s") * F.col("t")).cast("double")
-                    / (F.col("t_s") * F.col("c"))
+                    (F.col("c_s").cast("double") * F.col("t").cast("double"))
+                    / (F.col("t_s").cast("double") * F.col("c").cast("double"))
                 )
                 * 1_000_000
                 + F.lit(0.5)
@@ -370,7 +376,11 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lr.groupBy("source")
-        .agg(F.sum(F.col("c_s") * F.col("lr_micro")).alias("klsum"))
+        .agg(
+            F.sum(F.col("c_s").cast("decimal(38,0)") * F.col("lr_micro")).alias(
+                "klsum"
+            )
+        )
         .join(F.broadcast(ts), "source")
         .select(
             "source",
@@ -1039,10 +1049,12 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # two-stage gate evidence, as in benchmark_contamination: cheap
-    # metadata bound (chars ≥ tokens ≥ grams) first, precise token count
-    # only if inconclusive
+    # measured-length bound (chars ≥ tokens ≥ grams) first — length(text),
+    # not the n_chars metadata column, so metadata drift can't fake a small
+    # bench side onto the broadcast path — precise token count only if
+    # inconclusive
     bench_docs = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-    bound = bench_docs.agg(F.sum("n_chars").alias("n")).collect()[0][0] or 0
+    bound = bench_docs.agg(F.sum(F.length("text")).alias("n")).collect()[0][0] or 0
     if bound > hints.BROADCAST_MAX_ROWS:
         bound = (
             bench_docs.agg(
