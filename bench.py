@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    # round-4 additions: suffix-array-family substring dedup + perceptual hash
+    "dedup_exact_substring",
+    "multimodal_phash_neardup",
 ]
 
 

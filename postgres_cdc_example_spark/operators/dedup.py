@@ -445,6 +445,104 @@ def ngram_jaccard_pairs(
     )
 
 
+SUBSTR_RUN_TOKENS = 20  # sliding-run width (tokens); see exact_substring_spans
+MAX_RUN_DF = 64  # hot-gram occurrence cutoff for the span inverted index
+
+
+def positional_gram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SUBSTR_RUN_TOKENS,
+) -> DataFrame:
+    """POSITIONAL word n-grams ``(id, pos, g)`` — unlike :func:`ngram_rows`
+    these are NOT distinct and carry the 1-based token offset, because
+    exact-substring dedup needs every occurrence at its position so adjacent
+    matches can merge into maximal spans. Only complete windows are emitted
+    (a doc shorter than ``n`` tokens yields no rows — there is no run of
+    length ``n`` to share). One explode, zero shuffles: the gram is a
+    ``slice``+``concat_ws`` projection over the token array (plain array
+    built-ins, not higher-order lambdas — stays codegen), avoiding the
+    doc_id-window shuffle the lead() formulation would add."""
+    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("tk")
+    )
+    n_grams = F.size("tk") - (n - 1)
+    return (
+        toks.filter(F.size("tk") >= n)
+        .select(
+            F.col(id_col),
+            F.col("tk"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos").cast("int"), n)).alias("g"),
+        )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SUBSTR_RUN_TOKENS,
+    max_df: int = MAX_RUN_DF,
+) -> DataFrame:
+    """Exact-substring dedup (the suffix-array family, relationally): maximal
+    shared token runs of >= ``n`` tokens per doc pair — the standard
+    complement to document-level MinHash (near-identical docs are caught by
+    LSH; long verbatim passages inside otherwise-different docs are caught
+    here, the shape suffix-array dedup targets on web corpora).
+
+    Relational formulation instead of a distributed suffix array: sliding
+    positional ``n``-grams -> hot-gram cutoff (grams occurring > ``max_df``
+    times are boilerplate — dropped before the self-join, killing the
+    quadratic hot-key blowup exactly like :func:`ngram_jaccard_pairs`) ->
+    inverted-index equi-join on the gram (shuffle keyed on gram text — never
+    doc×doc) -> diagonal islands: matches at offset delta ``pa-pb`` with
+    consecutive ``pa`` belong to one maximal run, grouped by the classic
+    ``pos - row_number()`` gaps-and-islands key. Returns one row per maximal
+    span: ``(doc_a, doc_b, a_start, b_start, run_tokens)`` with
+    ``run_tokens = n_grams_in_run + n - 1``.
+
+    ``n`` = 20 here (fixture docs are 10-100 tokens); production web-corpus
+    runs use ~50-token windows — the plan is width-independent.
+    """
+    g = positional_gram_rows(df, text_col, id_col, n)
+    rare = g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    kept = g.join(rare.select("g"), "g")
+    a = kept.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), F.col("g").alias("ga")
+    )
+    b = kept.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), F.col("g").alias("gb")
+    )
+    m = a.join(
+        b, (F.col("ga") == F.col("gb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            "b_start",
+            (F.col("n_grams") + F.lit(n - 1)).alias("run_tokens"),
+        )
+    )
+
+
 def minhash_lsh_pairs_between(
     delta_sh: DataFrame,
     corpus_sh: DataFrame,

@@ -150,6 +150,161 @@ def resize_payload(df: DataFrame, scale: float = 0.5) -> DataFrame:
     return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
+AHASH_SAMPLES = 64  # 8×8 luma grid → 64-bit average hash
+AHASH_SCHEMA = "doc_id long, n_bytes long, phash_hi long, phash_lo long"
+PHASH_BAND_BITS = 16  # 4 bands × 16 bits — pairs meet on a shared band
+PHASH_MAX_HAMMING = 10
+
+
+def _sample_luma(payload: bytes) -> list[int]:
+    """Deterministic fake decode: 64 bytes sampled at evenly spaced offsets
+    stand in for the 8×8 downscaled grayscale a real decoder would produce.
+    The real path (:func:`average_hash_decoded`) feeds actual 8×8 luma into
+    the same bit rule, so only this sampling step is codec-dependent."""
+    n = len(payload)
+    if n == 0:
+        return [0] * AHASH_SAMPLES
+    return [payload[(i * n) // AHASH_SAMPLES] for i in range(AHASH_SAMPLES)]
+
+
+def _ahash(luma: list[int]) -> tuple[int, int]:
+    """Average-hash bit rule: bit i = (64·luma_i > Σluma) — strictly above
+    the mean, so a constant payload hashes to 0. Packed little-endian into
+    two non-negative 32-bit halves (hi, lo): a single int64 would put bit 63
+    in the sign position, which DuckDB BIGINT arithmetic rejects."""
+    total = sum(luma)
+    hi = lo = 0
+    for i, l in enumerate(luma):
+        if l * AHASH_SAMPLES > total:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo
+
+
+def average_hash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over binary payloads via Arrow-batched
+    ``mapInPandas`` — the image near-dup fingerprint: 8×8-luma downsample →
+    64-bit above-mean bit vector. Near-identical media differ in a few bits
+    (compare by Hamming distance), unlike content md5 which flips entirely.
+    Decode is the deterministic byte-sampling fake (:func:`_sample_luma`);
+    swap in :func:`average_hash_decoded` where PIL exists — schema, batch
+    shape and everything downstream are identical."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_ahash(_sample_luma(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "phash_hi": [h for h, _ in hashes],
+                    "phash_lo": [l for _, l in hashes],
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+def average_hash_decoded(df: DataFrame) -> DataFrame:
+    """Real-codec aHash: decode → grayscale → 8×8 resize → the same
+    :func:`_ahash` bit rule. Gated on PIL like :func:`decode_image`."""
+    try:
+        from PIL import Image  # noqa: F401 — not installed in this container
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decoded average-hash requires PIL; use average_hash() for the "
+            "deterministic byte-sampling path"
+        ) from exc
+    import io
+
+    from PIL import Image as _Image
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                img = _Image.open(io.BytesIO(p)).convert("L").resize((8, 8))
+                hashes.append(_ahash(list(img.getdata())))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "phash_hi": [h for h, _ in hashes],
+                    "phash_lo": [l for _, l in hashes],
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Image near-dup pairs from an aHash table, SimHash-style banded: the
+    64-bit hash splits into 4 × 16-bit bands; docs sharing ANY band become
+    candidates (equi-join on ``(band_idx, band_val)`` — a pair at Hamming
+    ≤ ``max_hamming`` ≤ 15 differs in ≤ 15 bits, which cannot touch all 4
+    bands, so banding loses nothing up to that radius: recall is exact, not
+    approximate). Verification = popcount of the XOR, pure codegen. The
+    candidate join shuffles on the band key — doc×doc never materializes."""
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.col("phash_lo").bitwiseAND(F.lit(65535)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.shiftright("phash_lo", PHASH_BAND_BITS).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_idx"),
+                    F.col("phash_hi").bitwiseAND(F.lit(65535)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_idx"),
+                    F.shiftright("phash_hi", PHASH_BAND_BITS).alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    pb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def sample_frames(df: DataFrame) -> DataFrame:
     """Frame sampling: chunk each payload into ``FRAME_BYTES`` frames, keep
     every ``FRAME_STRIDE``-th, one output row per kept frame — the

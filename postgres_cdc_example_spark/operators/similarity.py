@@ -36,11 +36,34 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """In-order left fold of elementwise products — deterministic double sum."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+EMB_DIM = 64  # fixture embedding dimension
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """In-order elementwise-product sum — deterministic double summation.
+
+    The higher-order ``zip_with``+``aggregate`` fold is the DEFAULT and the
+    measured winner: although the lambdas run on the interpreted expression
+    path, the fold walks the two ArrayData buffers in one tight loop, while
+    the "codegen-friendly" unrolled ``0.0 + a[0]*b[0] + …`` projection
+    (``dim`` set) pays a bounds-checked, null-checked ``GetArrayItem`` per
+    element — measured 3–6× SLOWER at every scale tried (sf0.1 brute-force
+    scorer 0.5 s vs 1.3 s; 10× corpus 0.54 s vs 1.71 s; 50× corpus / 1M
+    scored pairs 0.8 s vs 4.7 s — `scripts/bench_dot.py`, idle machine,
+    value-identical outputs asserted; the execution gap GROWS with rows, so
+    this is per-row cost, not plan overhead). The ~10× interpreted-vs-
+    codegen penalty `operators/dedup.py:21-28` measured for minhash does
+    not transfer: that shape interpreted a lambda per md5 call, this one
+    amortizes one lambda dispatch over a primitive-array walk. The unrolled
+    form is retained (``dim`` set) only as the measured alternative."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * b[i]
+    return out
 
 
 def norm(v: Column) -> Column:
@@ -221,7 +244,6 @@ def rounded_centroids(
 
 
 N_PLANES = 8  # sign-LSH hyperplanes → 2^8 buckets
-EMB_DIM = 64  # fixture embedding dimension
 
 
 def hyperplane_weights(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:

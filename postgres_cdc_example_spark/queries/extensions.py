@@ -450,6 +450,119 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUN_W = dedup.SUBSTR_RUN_TOKENS
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(tk, i, i+{_RUN_W - 1}), ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(tk) - {_RUN_W - 1})) AS t(i)
+      WHERE len(tk) >= {_RUN_W}
+    ),
+    rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= {dedup.MAX_RUN_DF}),
+    kept AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                 pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+            FROM m)
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
+           CAST(count(*) + {_RUN_W - 1} AS BIGINT) AS run_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (suffix-array family): maximal verbatim token
+    runs of >= 20 tokens shared between doc pairs — catches long quoted
+    passages inside otherwise-different documents, the class document-level
+    MinHash misses by design. Relational: positional sliding grams →
+    hot-gram df cutoff → inverted-index equi-join → gaps-and-islands merge
+    of adjacent matches into maximal spans (see
+    ``operators/dedup.exact_substring_spans``)."""
+    return dedup.exact_substring_spans(load_table(spark, "documents", sf_dir))
+
+
+def _phash_cte() -> str:
+    """aHash CTE: byte-sampled 8×8 luma + above-mean bit rule, packed into
+    two 32-bit halves — mirrors ``multimodal._sample_luma``/``_ahash``
+    nibble-for-nibble (ASCII fixtures: byte k == ascii(char k))."""
+    return """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    l AS (SELECT doc_id, n,
+           list_transform(generate_series(0, 63),
+             i -> CASE WHEN n = 0 THEN 0
+                  ELSE ascii(substr(text, CAST((i * n) // 64 AS INT) + 1, 1)) END) AS luma
+          FROM d),
+    t AS (SELECT doc_id, n, luma, CAST(list_sum(luma) AS BIGINT) AS tot FROM l),
+    ph AS (
+     SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(generate_series(1,32),
+         j -> CASE WHEN luma[j+32]*64 > tot THEN (1::BIGINT << (j-1)) ELSE 0 END))
+         AS BIGINT) AS phash_hi,
+       CAST(list_sum(list_transform(generate_series(1,32),
+         j -> CASE WHEN luma[j]*64 > tot THEN (1::BIGINT << (j-1)) ELSE 0 END))
+         AS BIGINT) AS phash_lo
+     FROM t)
+    """
+
+
+@register(
+    "multimodal_phash",
+    oracle=_phash_cte() + "SELECT doc_id, n_bytes, phash_hi, phash_lo FROM ph",
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per payload (Arrow ``mapInPandas``): the
+    64-bit 8×8-luma above-mean fingerprint image near-dup compares by
+    Hamming distance. Decode is the deterministic byte-sampling fake (the
+    real PIL path, ``average_hash_decoded``, drops in where the codec
+    exists); the bit rule and packing are oracle-checked exactly."""
+    return multimodal.average_hash(
+        multimodal.with_payload(load_table(spark, "documents", sf_dir))
+    )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_cte()
+    + f""",
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, u.bi AS band_idx,
+         CASE u.bi WHEN 0 THEN phash_lo & 65535 WHEN 1 THEN phash_lo >> 16
+                   WHEN 2 THEN phash_hi & 65535 ELSE phash_hi >> 16 END AS band_val
+      FROM ph, (SELECT unnest([0,1,2,3]) AS bi) u
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa.phash_hi, pb.phash_hi))
+              + bit_count(xor(pa.phash_lo, pb.phash_lo)) AS BIGINT) AS hamming
+    FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b
+    WHERE bit_count(xor(pa.phash_hi, pb.phash_hi))
+        + bit_count(xor(pa.phash_lo, pb.phash_lo)) <= {multimodal.PHASH_MAX_HAMMING}
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: aHash bands (4 × 16 bits)
+    bucket the candidates — recall-exact up to Hamming 15 since ≤ 15 flipped
+    bits can't touch all four bands — then popcount-of-XOR verifies ≤ 10.
+    The pair join is keyed on the band value, never doc×doc (plan-pinned).
+    The hash stage re-executes per consumer branch here; a production run
+    persists the (tiny) hash table first, like the shared shingle layer."""
+    return multimodal.phash_neardup_pairs(
+        multimodal.average_hash(
+            multimodal.with_payload(load_table(spark, "documents", sf_dir))
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     sums = []
     for b in range(dedup.SIMHASH_BITS):
@@ -1509,4 +1622,220 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("user_a", "user_b", "rank", "cos_r")
+    )
+
+
+# --- embedding-space domain monitoring + quality-aware dedup (round 4) ---------
+
+
+@register(
+    "embedding_source_drift",
+    oracle="""
+    WITH j AS (
+      SELECT d.source, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    ex AS (
+      SELECT source, i AS pos, CAST(round(v[i] * 1e9) AS BIGINT) AS nano
+      FROM j, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    sm AS (
+      SELECT source, pos, CAST(sum(nano) AS BIGINT) AS s, count(*) AS c
+      FROM ex GROUP BY source, pos
+    ),
+    sv AS (
+      SELECT source,
+             list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1e9) ORDER BY pos) AS mv,
+             CAST(max(c) AS BIGINT) AS n_vecs
+      FROM sm GROUP BY source
+    ),
+    cm AS (
+      SELECT pos, CAST(sum(s) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * 1e9) AS m
+      FROM sm GROUP BY pos
+    ),
+    cv AS (SELECT list(m ORDER BY pos) AS corpus_v FROM cm)
+    SELECT source, n_vecs,
+           round(list_dot_product(mv, corpus_v)
+                 / (sqrt(list_dot_product(mv, mv))
+                    * sqrt(list_dot_product(corpus_v, corpus_v))), 6) AS drift_cos
+    FROM sv, cv
+    """,
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain drift: cosine between each source's embedding
+    CENTROID and the whole-corpus centroid — the vector-space twin of
+    ``source_token_kl`` (a source whose content drifts from the mix moves
+    its centroid before loss moves). Exactness: per-dimension means are
+    integer nano-grid sums divided once in double (the ``kmeans_centroids``
+    policy — no float summation-order drift), assembled into an ordered
+    vector via sort-by-position, and the final cosine is the in-order
+    left fold, bit-identical to DuckDB's ``list_dot_product``.
+    Shuffles: one vec_id join + one (source × dim)-keyed aggregation — the
+    corpus centroid derives from the per-source sums (no second scan) and
+    broadcasts as one row."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    ex = emb.join(docs, "vec_id").select(
+        "source",
+        F.posexplode(similarity.as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    sm = ex.groupBy("source", "pos").agg(
+        F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mean = (F.col("s").cast("double") / (F.col("c").cast("double") * F.lit(1e9))).alias("m")
+    sv = (
+        sm.select("source", "pos", mean, "c")
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mv"),
+            F.max("c").cast("long").alias("n_vecs"),
+        )
+    )
+    cvec = (
+        sm.groupBy("pos")
+        .agg((F.sum("s").cast("double") / (F.sum("c").cast("double") * F.lit(1e9))).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("corpus_v")
+        )
+    )
+    return sv.crossJoin(F.broadcast(cvec)).select(
+        "source",
+        "n_vecs",
+        F.round(
+            similarity.dot(F.col("mv"), F.col("corpus_v"))
+            / (
+                F.sqrt(similarity.dot(F.col("mv"), F.col("mv")))
+                * F.sqrt(similarity.dot(F.col("corpus_v"), F.col("corpus_v")))
+            ),
+            6,
+        ).alias("drift_cos"),
+    )
+
+
+SEQ_BIN_TOKENS = 16  # histogram bin width (tokens)
+
+
+@register(
+    "seq_len_histogram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    b AS (SELECT CAST(n // {SEQ_BIN_TOKENS} AS BIGINT) AS bin, n FROM toks),
+    h AS (
+      SELECT bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bin
+    )
+    SELECT bin * {SEQ_BIN_TOKENS} AS bin_start,
+           n_docs,
+           total_tokens,
+           CAST(floor(n_docs * 1000000.0 / sum(n_docs) OVER ()) AS BIGINT)
+             AS share_micro,
+           CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cum_docs
+    FROM h
+    """,
+)
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in fixed token bins — the planning input
+    for context packing (``pack_documents``) and truncation-loss estimates:
+    how many docs and tokens land in each length band, each band's share of
+    the corpus, and the cumulative doc count below it. One tokenizing scan
+    + one bin-keyed aggregate; the bin count is bounded by max_len/width,
+    so the window pass over the HISTOGRAM (not the docs) is effectively
+    free and the whole result always broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(dedup.word_tokens(F.col("text"))).cast("long")
+    b = docs.select(F.floor(n / SEQ_BIN_TOKENS).cast("long").alias("bin"), n.alias("n"))
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            (F.col("bin") * SEQ_BIN_TOKENS).alias("bin_start"),
+            "n_docs",
+            "total_tokens",
+            F.floor(
+                F.col("n_docs") * F.lit(1_000_000.0) / F.sum("n_docs").over(w_all)
+            )
+            .cast("long")
+            .alias("share_micro"),
+            F.sum("n_docs").over(w_cum).cast("long").alias("cum_docs"),
+        )
+    )
+
+
+def _keeper_oracle() -> str:
+    from postgres_cdc_example_spark.queries import llmdata as _lm
+
+    return f"""
+    WITH comp AS (SELECT doc_id, component, n_docs FROM ({_clusters_oracle()})),
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM toks WHERE len(tk) > 0
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(1000000 / (1 + exp(-(
+               CAST({_lm.QC_BIAS} AS DOUBLE)
+                 + CAST({_lm.QC_W_STOP} AS DOUBLE) * n_stop / n_tokens
+                 + CAST({_lm.QC_W_DISTINCT} AS DOUBLE) * n_distinct / n_tokens
+                 + CAST({_lm.QC_W_LEN} AS DOUBLE) * abs(n_tokens - 150)))) + 0.5)
+               AS BIGINT) AS quality_micro
+      FROM feats
+    ),
+    r AS (
+      SELECT comp.component, comp.n_docs, comp.doc_id, q.quality_micro,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.quality_micro DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT component, n_docs, doc_id AS keeper_id, quality_micro AS keeper_quality_micro
+    FROM r WHERE rn = 1
+    """
+
+
+@register("dedup_keeper_by_quality", oracle=_keeper_oracle())
+def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: per near-dup cluster, keep the
+    HIGHEST-QUALITY member (frozen-classifier score, ties -> lowest doc_id)
+    instead of an arbitrary min-id — the selection rule production dedup
+    pipelines actually want, since near-dup clusters often mix a clean
+    original with boilerplate-wrapped copies. Pure composition: the
+    connected-components cluster table joined to the zero-shuffle quality
+    projection, one window per cluster (cluster sizes are near-dup-bounded,
+    so the window never sees a skewed key)."""
+    from postgres_cdc_example_spark.queries.llmdata import quality_linear_score
+
+    cc = dedup_clusters(spark, sf_dir)
+    q = quality_linear_score(spark, sf_dir).select("doc_id", "quality_micro")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id")
+    )
+    return (
+        cc.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_docs",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("quality_micro").alias("keeper_quality_micro"),
+        )
     )

@@ -136,6 +136,91 @@ def windowed_counts(
     )
 
 
+# --- dedup-at-ingest (content-hash keyed state) --------------------------------
+
+CONTENT_DEDUP_OUTPUT_SCHEMA = "doc_id long, content_hash string"
+CONTENT_DEDUP_STATE_SCHEMA = "keeper_id long"
+CONTENT_DEDUP_TTL_MS = 3600_000  # default: an hour of first-seen memory
+
+
+def _make_content_dedup_group(ttl_ms: int | None):
+    def _group(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (content_hash,) = key
+        if state.hasTimedOut:
+            # TTL passed with no sighting: forget the hash — the next copy
+            # re-admits as novel (the documented trade-off that bounds state)
+            state.remove()
+            return
+        if not state.exists:
+            batch = pd.concat(list(pdfs))
+            # first-seen wins; within one micro-batch, min doc_id (deterministic
+            # under any partitioning of the batch)
+            keeper = int(batch["doc_id"].min())
+            state.update((keeper,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame({"doc_id": [keeper], "content_hash": [content_hash]})
+        else:
+            # duplicate arrival: emit nothing, refresh the TTL (state expires
+            # after `ttl` of NOT seeing the content, not after first sight)
+            state.update((int(state.get[0]),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+
+    return _group
+
+
+def content_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ttl_ms: int | None = CONTENT_DEDUP_TTL_MS,
+) -> DataFrame:
+    """Dedup-at-ingest: exactly-one-keeper streaming dedup keyed on the
+    normalized CONTENT hash — the operator that makes the batch dedup family
+    incremental at the source. Emits only novel documents; every later copy
+    of the same content (same batch, later batch, or after a restart — state
+    lives in the checkpoint's state store) is swallowed.
+
+    Scale shape: the only shuffle is on ``md5(normalized(text))`` — uniform
+    by construction, so state spreads evenly across executors; per-key state
+    is ONE long (the keeper id), and the processing-time TTL bounds total
+    state at (arrival rate × ttl) distinct hashes instead of corpus
+    lifetime. Stragglers past the TTL re-admit as novel — the same
+    documented trade-off as :func:`dedup_stream`'s watermark.
+
+    Agreement contract with batch ``dedup_exact`` (operators/dedup.py:80):
+    replaying a corpus in id order yields exactly the batch keeper set
+    (min doc_id per content hash) — pinned by
+    ``tests/test_stateful_streaming.py::test_content_dedup_stream``.
+
+    Trigger caveat: with a TTL, the plan uses ``ProcessingTimeTimeout``,
+    whose ``shouldRunAnotherBatch`` is unconditionally true — Spark's
+    ``availableNow`` multi-batch executor would therefore keep scheduling
+    (empty) batches forever waiting for timers. Use a real processing-time
+    trigger (production) or ``Trigger.Once`` (exactly one batch per start)
+    with a TTL; pass ``ttl_ms=None`` (→ ``NoTimeout``, state bounded only
+    by distinct content) when draining with ``availableNow``.
+    """
+    from postgres_cdc_example_spark.operators.dedup import normalized
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+    )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _make_content_dedup_group(ttl_ms),
+        outputStructType=CONTENT_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=CONTENT_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
 # --- transformWithStateInPandas (the Spark 4 stateful API) ---------------------
 
 

@@ -58,6 +58,16 @@ def _assert_driver_canonicalizable(s_pdf, d_pdf) -> None:
         sk, dk = s_pdf[c].dtype.kind, d_kinds.get(c, "?")
         numeric = {"i", "u", "f"}
         if sk in numeric or dk in numeric:
+            if dk == "f" and c in d_pdf.columns and d_pdf[c].isna().any():
+                # Null-induced float64: a nullable int column becomes float64
+                # in pandas on BOTH sides of the driver's compare (the frames
+                # are value-identical, so they null together) — "9711.0" ==
+                # "9711.0" still hashes equal. Only a null-FREE float column
+                # facing ints signals the dangerous HUGEINT->float64 class.
+                # (The Spark sample here is limit(20), so its kind can differ
+                # from the full frame's — sf0.01 caught exactly that on
+                # cdc_scd2_history's valid_to_seq.)
+                continue
             assert (sk in {"i", "u"}) == (dk in {"i", "u"}), (
                 f"driver-visible dtype mismatch on {c!r}: spark kind={sk} "
                 f"duckdb kind={dk} (HUGEINT->float64? cast the oracle sum)"

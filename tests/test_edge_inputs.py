@@ -70,6 +70,43 @@ def test_dedup_absorbs_empty_and_whitespace_docs(spark):
     assert dedup.minhash_lsh_pairs(docs, shingles=grams).count() >= 1
 
 
+def test_exact_substring_absorbs_short_and_empty_docs(spark):
+    """Docs shorter than the run width yield no positional grams (no
+    complete window exists) and the span pipeline still runs over the rest;
+    two docs sharing a full 20-token run produce exactly one maximal span
+    covering it."""
+    run = " ".join(f"w{i}" for i in range(25))
+    docs = _docs(
+        spark,
+        [
+            (1, "", "s", "en", 0),
+            (2, "too short", "s", "en", 9),
+            (3, run + " tail-a extra-a", "s", "en", 0),
+            (4, "head-b " + run, "s", "en", 0),
+        ],
+    )
+    assert (
+        dedup.positional_gram_rows(docs).filter(F.col("doc_id").isin(1, 2)).count()
+        == 0
+    )
+    spans = dedup.exact_substring_spans(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.a_start, r.b_start, r.run_tokens) for r in spans] == [
+        (3, 4, 1, 2, 25)
+    ]
+
+
+def test_average_hash_empty_payload_is_zero(spark):
+    from postgres_cdc_example_spark.operators import multimodal
+
+    docs = _docs(spark, [(1, "", "s", "en", 0), (2, "some real text here", "s", "en", 19)])
+    rows = {
+        r.doc_id: (r.n_bytes, r.phash_hi, r.phash_lo)
+        for r in multimodal.average_hash(multimodal.with_payload(docs)).collect()
+    }
+    assert rows[1] == (0, 0, 0)
+    assert rows[2][0] == 19 and (rows[2][1], rows[2][2]) != (0, 0)
+
+
 def test_text_ops_absorb_empty_text(spark):
     docs = _docs(spark, [(1, "", "s", "en", 0), (2, "one word", "s", "en", 8)])
     stats = {r.doc_id: r.n_tokens for r in text.token_stats(docs).collect()}

@@ -53,6 +53,38 @@ def test_dedup_joins_are_keyed_not_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_substring_join_is_gram_keyed_not_cartesian(spark, sf_dir):
+    """The span self-join must meet only on equal positional grams (inverted
+    index), never doc×doc — the suffix-array-family scale contract."""
+    plan = plan_of(spark, sf_dir, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_neardup_join_is_band_keyed_not_cartesian(spark, sf_dir):
+    """Perceptual-hash pairs must meet on the shared 16-bit band (equi-join),
+    never all-pairs popcount."""
+    plan = plan_of(spark, sf_dir, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keeper_selection_joins_are_keyed(spark, sf_dir):
+    """Quality-aware keeper selection composes clusters × quality on doc_id —
+    both sides keyed, no cartesian anywhere in the composed DAG."""
+    plan = plan_of(spark, sf_dir, "dedup_keeper_by_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_drift_broadcasts_single_row_centroid(spark, sf_dir):
+    """The corpus centroid is ONE row; joining it to per-source vectors must
+    be a broadcast (nested-loop over a 1-row side is the broadcast scalar
+    pattern), never a shuffled cartesian."""
+    plan = plan_of(spark, sf_dir, "embedding_source_drift")
+    assert "CartesianProduct" not in plan
+
+
 def test_profile_similarity_is_bucket_keyed_not_all_pairs(spark, sf_dir):
     """Users grow with data: the pair join must be keyed on the LSH bucket
     (equi-join), never an all-pairs user_a != user_b nested loop."""

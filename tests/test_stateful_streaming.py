@@ -281,3 +281,95 @@ def test_heavy_hitters_stream_exact_under_capacity(spark, sf_dir, tmp_path):
         (r.event_type, r.user_id, r.est_count, r.rank) for r in exact.collect()
     }
     assert got == want
+
+
+def test_content_dedup_stream_matches_batch_keepers(spark, sf_dir, tmp_path):
+    """Dedup-at-ingest ≡ batch dedup_exact keepers on the same replayed
+    corpus, across a restart: run 1 ingests the low-id half, run 2 (same
+    checkpoint — fresh query object, state restored from the state store)
+    ingests the high-id half PLUS re-issued copies of run-1 content under
+    new ids PLUS an in-batch duplicate pair. Copies of run-1 content must be
+    swallowed by restored state; the in-batch pair must emit exactly its min
+    id."""
+    from postgres_cdc_example_spark.operators.dedup import exact_dedup
+    from postgres_cdc_example_spark.streaming.stateful import content_dedup_stream
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+    redub = (
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    pair = spark.createDataFrame(
+        [(20000, "a novel duplicated sentence"), (20001, "a novel duplicated sentence")],
+        "doc_id long, text string",
+    )
+    second_full = second.unionByName(redub).unionByName(pair)
+
+    src, ckpt = str(tmp_path / "cd_src"), str(tmp_path / "cd_ckpt")
+    first.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    emitted: list = []
+    # ttl_ms=None → NoTimeout: availableNow drains terminate (with a TTL the
+    # ProcessingTimeTimeout plan asks for batches forever; see the operator
+    # docstring — the TTL path is driven by Trigger.Once in the test below)
+    _drain(content_dedup_stream(stream, ttl_ms=None), ckpt, emitted)
+    assert len(emitted) == 250  # no duplicates in the fixture half
+
+    second_full.coalesce(1).write.mode("append").parquet(src)
+    _drain(content_dedup_stream(stream, ttl_ms=None), ckpt, emitted)
+
+    union = first.unionByName(second_full)
+    want = {r.keeper_id for r in exact_dedup(union).collect()}
+    got = [r.doc_id for r in emitted]
+    assert len(got) == len(set(got)), "a content hash emitted twice"
+    assert set(got) == want  # first-seen in id order == batch min-id keepers
+    assert not any(d >= 10000 and d != 20000 for d in got), "restored state leaked"
+
+
+def _drain_once(stream_df, ckpt, sink: list) -> None:
+    """Trigger.Once drain: exactly ONE micro-batch per start — the executor
+    that makes the ProcessingTimeTimeout (TTL) path terminate deterministically
+    (availableNow would keep scheduling batches waiting for timers)."""
+
+    def collect_batch(bdf, _bid):
+        sink.extend(bdf.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_content_dedup_stream_ttl_readmits(spark, tmp_path):
+    """TTL trade-off pinned: after `ttl_ms` with no sighting, the hash is
+    forgotten (timeout cleanup fires on a later batch) and the next copy
+    re-admits as novel."""
+    import time
+
+    from postgres_cdc_example_spark.streaming.stateful import content_dedup_stream
+
+    src, ckpt = str(tmp_path / "ttl_src"), str(tmp_path / "ttl_ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, "expiring content")], schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src)
+    emitted: list = []
+    _drain_once(content_dedup_stream(stream, ttl_ms=1500), ckpt, emitted)
+    assert [r.doc_id for r in emitted] == [1]
+
+    time.sleep(2)  # let the deadline pass, then run a batch so cleanup fires
+    spark.createDataFrame([(2, "other content")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain_once(content_dedup_stream(stream, ttl_ms=1500), ckpt, emitted)
+
+    spark.createDataFrame([(3, "expiring content")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain_once(content_dedup_stream(stream, ttl_ms=1500), ckpt, emitted)
+    assert [r.doc_id for r in emitted] == [1, 2, 3], "expired hash must re-admit"
