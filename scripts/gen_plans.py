@@ -32,6 +32,10 @@ NOTES = {
     "ann_ivf_kmeans_topk": "Learned IVF: training collapsed the centroids to literals, so bulk assignment is a zero-shuffle projection (greatest over per-centroid cosine structs); the only joins belong to the search phase within the query's cluster.",
     "dedup_cross_source_matrix": "Leakage matrix: collision-sized pair table joined twice to the corpus-sized doc dim with NO forced hints - AQE's runtime stats pick the pair side as broadcast build.",
     "bm25_doc_ranking": "Lexical retrieval: the 5-term idf table broadcasts into the tf join, filtering the corpus to matching terms before the per-term top-10 window.",
+    "dedup_exact_substring": "Suffix-array-family substring dedup, relationally: positional grams are slice+concat_ws projections (one explode, no window sorts); hot grams (df>64) drop BEFORE the self-join; the pair join is an EQUI-join on the gram text; the gaps-and-islands span merge windows on (doc_a, doc_b, diagonal) — group size bounded by the shorter doc, never by N.",
+    "multimodal_phash_neardup": "Perceptual near-dup: ONE Arrow mapInPandas pass computes the 64-bit aHash; candidates meet on the exploded 16-bit band (equi-join, recall-exact to Hamming 15); verification is popcount-of-XOR in codegen. doc×doc never materializes.",
+    "dedup_keeper_by_quality": "Quality-aware keeper selection: connected-components cluster table joined to the ZERO-shuffle quality projection on doc_id; one row_number window per component (cluster sizes are collision-bounded). Everything keyed — no cartesian in the composed DAG.",
+    "embedding_source_drift": "Embedding-space drift: one vec_id equi-join + one (source × dim)-keyed aggregate on integer nano-units; the corpus centroid derives from the per-source sums (no second scan) and broadcasts as ONE row into the final cosine projection.",
 }
 
 
