@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     # round-4 additions: suffix-array-family substring dedup + perceptual hash
     "dedup_exact_substring",
+    "dedup_substring_removal",
     "multimodal_phash_neardup",
 ]
 

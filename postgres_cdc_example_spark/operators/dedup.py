@@ -543,6 +543,77 @@ def exact_substring_spans(
     )
 
 
+def substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SUBSTR_RUN_TOKENS,
+    max_df: int = MAX_RUN_DF,
+) -> DataFrame:
+    """The transformation the suffix-array dedup family actually ships:
+    remove every duplicated >= ``n``-token span from the LATER document
+    (higher id) in one pass, keeping the first occurrence intact — per-doc
+    audit columns (token counts before/after, spans hit) plus the md5 of
+    the cleaned token stream so the rewrite itself is oracle-checkable.
+
+    Plan: :func:`exact_substring_spans` -> explode each span into its
+    covered positions on the ``doc_b`` side (cost O(duplicated tokens),
+    overlap-safe via distinct) -> anti-join against the positional token
+    rows -> re-assemble the survivors in position order. Single-pass policy
+    (no cascade): a doc's spans are computed against the ORIGINAL corpus,
+    matching the oracle exactly; production reruns the pass to fixpoint if
+    desired. All joins are keyed on (doc_id, pos) — never doc x doc."""
+    spans = exact_substring_spans(df, text_col, id_col, n, max_df)
+    covered = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.explode(
+            F.sequence(F.col("b_start"), F.col("b_start") + F.col("run_tokens") - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    survivors = toks.join(covered, [id_col, "pos"], "left_anti")
+    cleaned = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    n_spans = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(word_tokens(F.col(text_col))).cast("long").alias("n_tokens_before"),
+    )
+    empty_hash = F.md5(F.lit(""))
+    return (
+        base.join(cleaned, id_col, "left")
+        .join(n_spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("long").alias(
+                "n_tokens_after"
+            ),
+            (
+                F.col("n_tokens_before")
+                - F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            ).cast("long").alias("n_tokens_removed"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("cleaned_hash"), empty_hash).alias("cleaned_hash"),
+        )
+    )
+
+
 def minhash_lsh_pairs_between(
     delta_sh: DataFrame,
     corpus_sh: DataFrame,

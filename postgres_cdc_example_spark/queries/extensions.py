@@ -452,10 +452,9 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUN_W = dedup.SUBSTR_RUN_TOKENS
 
-
-@register(
-    "dedup_exact_substring",
-    oracle=f"""
+# shared spans CTE prefix (ends with the `spans` relation): the maximal
+# shared-run derivation both substring queries build on
+_SPANS_CTE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     grams AS (
       SELECT doc_id, i AS pos,
@@ -470,12 +469,20 @@ _RUN_W = dedup.SUBSTR_RUN_TOKENS
     isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
                  pa - row_number() OVER (
                    PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
-            FROM m)
-    SELECT doc_a, doc_b,
-           CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
-           CAST(count(*) + {_RUN_W - 1} AS BIGINT) AS run_tokens
-    FROM isl GROUP BY doc_a, doc_b, diag, grp
-    """,
+            FROM m),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
+             CAST(count(*) + {_RUN_W - 1} AS BIGINT) AS run_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=_SPANS_CTE
+    + "SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM spans",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (suffix-array family): maximal verbatim token
@@ -486,6 +493,49 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     of adjacent matches into maximal spans (see
     ``operators/dedup.exact_substring_spans``)."""
     return dedup.exact_substring_spans(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=_SPANS_CTE
+    + """,
+    covered AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+      FROM spans, UNNEST(generate_series(b_start, b_start + run_tokens - 1)) AS u(p)
+    ),
+    ptoks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)
+    ),
+    surv AS (
+      SELECT p.* FROM ptoks p
+      ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+    ),
+    cln AS (
+      SELECT doc_id, count(*) AS n_after,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+      FROM surv GROUP BY doc_id
+    ),
+    ns AS (SELECT doc_b AS doc_id, count(*) AS n_spans FROM spans GROUP BY doc_b),
+    base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_before FROM toks)
+    SELECT b.doc_id, b.n_before AS n_tokens_before,
+           CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(b.n_before - COALESCE(c.n_after, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+           COALESCE(c.h, md5('')) AS cleaned_hash
+    FROM base b LEFT JOIN cln c USING (doc_id) LEFT JOIN ns USING (doc_id)
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suffix-array family's SHIPPED transformation: cut every
+    duplicated >= 20-token span from the later (higher-id) document in one
+    pass, keep the first occurrence, and emit per-doc audit columns —
+    token counts before/after, spans hit, and the md5 of the cleaned token
+    stream so the rewrite itself is value-checked, not just counted.
+    Single-pass policy (spans computed against the original corpus, no
+    cascade), overlap-safe via a distinct covered-position set; all joins
+    keyed on (doc_id, pos). See ``operators/dedup.substring_removal``."""
+    return dedup.substring_removal(load_table(spark, "documents", sf_dir))
 
 
 def _phash_cte() -> str:

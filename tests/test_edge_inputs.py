@@ -95,6 +95,30 @@ def test_exact_substring_absorbs_short_and_empty_docs(spark):
     ]
 
 
+def test_substring_removal_policies(spark):
+    """Single-pass removal semantics pinned: the span is cut from the LATER
+    doc only; a doc that is one big duplicated run empties entirely (hash of
+    the empty stream); empty/short docs pass through untouched."""
+    run = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, "", "s", "en", 0),
+            (2, "too short", "s", "en", 9),
+            (3, "lead-in " + run + " tail-a", "s", "en", 0),
+            (4, run, "s", "en", 0),  # doc 4 IS the duplicated run -> empties
+        ],
+    )
+    rows = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.n_tokens_removed, r.n_spans)
+        for r in dedup.substring_removal(docs).collect()
+    }
+    assert rows[1] == (0, 0, 0, 0)
+    assert rows[2] == (2, 2, 0, 0)
+    assert rows[3] == (22, 22, 0, 0), "first occurrence (lower id) keeps the span"
+    assert rows[4] == (20, 0, 20, 1), "later doc loses the whole duplicated run"
+
+
 def test_average_hash_empty_payload_is_zero(spark):
     from postgres_cdc_example_spark.operators import multimodal
 

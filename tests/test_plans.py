@@ -69,6 +69,14 @@ def test_phash_neardup_join_is_band_keyed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_removal_joins_are_keyed(spark, sf_dir):
+    """Span removal: covered-position anti-join and the audit joins are all
+    keyed on (doc_id, pos) / doc_id — never doc×doc."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_keeper_selection_joins_are_keyed(spark, sf_dir):
     """Quality-aware keeper selection composes clusters × quality on doc_id —
     both sides keyed, no cartesian anywhere in the composed DAG."""
