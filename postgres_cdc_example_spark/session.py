@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Static conf: the generated-class cache defaults to 100 entries —
+        # a session cycling through the full 130-query registry (the bench's
+        # interleaved passes, the all-oracle test sweep) evicts every
+        # query's compiled stages between its own samples and re-pays Janino
+        # compilation per pass (measured ~1.5-2x inflation on the dedup
+        # family). 2000 comfortably holds the whole registry's stages.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
