@@ -489,6 +489,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     n: int = SUBSTR_RUN_TOKENS,
     max_df: int = MAX_RUN_DF,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring dedup (the suffix-array family, relationally): maximal
     shared token runs of >= ``n`` tokens per doc pair — the standard
@@ -509,8 +510,12 @@ def exact_substring_spans(
 
     ``n`` = 20 here (fixture docs are 10-100 tokens); production web-corpus
     runs use ~50-token windows — the plan is width-independent.
+
+    ``grams`` lets callers pass a precomputed (persisted) positional-gram
+    layer — the same share-the-derived-table pattern as
+    ``minhash_lsh_pairs(shingles=...)``.
     """
-    g = positional_gram_rows(df, text_col, id_col, n)
+    g = grams if grams is not None else positional_gram_rows(df, text_col, id_col, n)
     rare = g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_df
     )
@@ -549,6 +554,7 @@ def substring_removal(
     id_col: str = "doc_id",
     n: int = SUBSTR_RUN_TOKENS,
     max_df: int = MAX_RUN_DF,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """The transformation the suffix-array dedup family actually ships:
     remove every duplicated >= ``n``-token span from the LATER document
@@ -563,7 +569,7 @@ def substring_removal(
     (no cascade): a doc's spans are computed against the ORIGINAL corpus,
     matching the oracle exactly; production reruns the pass to fixpoint if
     desired. All joins are keyed on (doc_id, pos) — never doc x doc."""
-    spans = exact_substring_spans(df, text_col, id_col, n, max_df)
+    spans = exact_substring_spans(df, text_col, id_col, n, max_df, grams=grams)
     covered = spans.select(
         F.col("doc_b").alias(id_col),
         F.explode(

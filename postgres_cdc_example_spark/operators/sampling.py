@@ -48,6 +48,23 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col)) < thr)
 
 
+HASH_SPACE = 4294967296  # 2^32 — the md5-prefix hash space
+
+
+def keep_by_hash_ratio(df: DataFrame, key_col: str, ratio_micro_col: str) -> DataFrame:
+    """Graded deterministic sampling: keep rows whose 32-bit md5 prefix of
+    the stable key falls below ``ratio_micro/1e6`` of the hash space —
+    generalizes :func:`hash_sample`'s 256-step hex-prefix thresholds to
+    micro-resolution per-row ratios (the ratio can come from a joined
+    column, e.g. a per-source temperature weight). The comparison is pure
+    int64 arithmetic (``hash·1e6 < ratio_micro·2^32``, both ≤ 4.3e15), so
+    it is exact, partition-independent, and bit-identical across engines."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return df.filter(h * F.lit(1_000_000) < F.col(ratio_micro_col) * F.lit(HASH_SPACE))
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -479,6 +479,18 @@ _SPANS_CTE = f"""
 """
 
 
+# NOTE (measured, rejected): persisting a shared positional-gram layer for
+# the substring family — the _doc_ngrams pattern — made BOTH queries SLOWER
+# (removal 2.9 s -> 4.6 s, layer build 7.4 s at sf0.1). Positional grams are
+# a pure projection (explode + slice + concat_ws, fully fused in whole-stage
+# codegen off the parquet scan); reading them back from the block cache
+# deserializes ~56 MB of gram strings row-by-row and severs the fusion. The
+# shingle layer wins because ngram_rows pays a per-doc DISTINCT — real work
+# worth saving. Cache aggregations, not projections. The operators keep a
+# ``grams=`` parameter so a caller with an already-materialized gram table
+# (e.g. incremental runs) can still inject it.
+
+
 @register(
     "dedup_exact_substring",
     oracle=_SPANS_CTE
@@ -809,7 +821,7 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_topk(load_table(spark, "embeddings", sf_dir))
 
 
-def _hyperplane_multiprobe_oracle() -> str:
+def _hyperplane_multiprobe_oracle(base: str | None = None) -> str:
     terms = []
     for j, row in enumerate(similarity.hyperplane_weights()):
         lits = ", ".join(repr(x) for x in row)
@@ -822,7 +834,7 @@ def _hyperplane_multiprobe_oracle() -> str:
         ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(similarity.N_PLANES)]
     )
     return (
-        _VEC_BASE
+        (base or _VEC_BASE)
         + f"""
     , sig AS (SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM n),
     q AS (
@@ -852,6 +864,39 @@ def ann_hyperplane_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-hashed."""
     return similarity.hyperplane_topk_multiprobe(
         load_table(spark, "embeddings", sf_dir)
+    )
+
+
+_VEC_BASE_EN = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings JOIN documents ON doc_id = vec_id
+      WHERE lang = 'en'
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@register(
+    "ann_filtered_topk", oracle=_hyperplane_multiprobe_oracle(_VEC_BASE_EN)
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-k within a metadata slice (lang = 'en'), the
+    search-with-predicate feature every production vector store ships: the
+    metadata filter applies BEFORE bucketing (a broadcast equi-join of the
+    pruned two-column doc dim onto vec_id), so buckets, probes and
+    candidates all live in the slice and the filter cost is one scan-side
+    semi-join — never post-filtering an unfiltered top-k (which silently
+    returns < k rows). Same multi-probe machinery and oracle body as
+    ``ann_hyperplane_multiprobe``, parameterized by the sliced base."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    en_ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return similarity.hyperplane_topk_multiprobe(
+        emb.join(F.broadcast(en_ids), "vec_id")
     )
 
 

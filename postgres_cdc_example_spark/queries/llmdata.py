@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.memo import memo_get
-from postgres_cdc_example_spark.operators import dedup, hints
+from postgres_cdc_example_spark.operators import dedup, hints, sampling
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -791,6 +791,86 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_micro"),
     )
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks
+      FROM d GROUP BY source HAVING sum(n_toks) > 0
+    ),
+    sw AS (
+      SELECT source, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      FROM per
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t, CAST(sum(w) AS BIGINT) AS ws FROM sw),
+    ratio AS (
+      SELECT source, toks,
+             CAST(least(1000000, floor(
+               ((CAST(t AS DOUBLE) * CAST(w AS DOUBLE)) * 1000000.0)
+               / (CAST(ws AS DOUBLE) * CAST(toks AS DOUBLE))
+             )) AS BIGINT) AS keep_ratio_micro
+      FROM sw, tot
+    )
+    SELECT d.doc_id, d.source, d.n_toks, r.keep_ratio_micro
+    FROM d JOIN ratio r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            * 1000000
+          < r.keep_ratio_micro * 4294967296
+    """,
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling to rebalance the source mixture (the
+    multilingual / multi-domain α=0.5 rule: target share ∝ tokens^0.5, so
+    big sources down-sample and small sources keep everything): per-source
+    keep ratios derive from exact bigint token totals — sqrt is IEEE
+    correctly-rounded in both engines, every product is explicitly
+    parenthesized so the doubles match bit-for-bit, and the ratio is
+    micro-floored BEFORE the per-doc test — then each doc passes a
+    deterministic 32-bit hash-threshold gate
+    (``sampling.keep_by_hash_ratio``: pure int64 compare). One narrow
+    per-source aggregate broadcasts into a per-row filter: the 100 TB cost
+    is the scan. Sources with zero tokens drop out (nothing to sample)."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    per = (
+        docs.groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("toks"))
+        .filter(F.col("toks") > 0)
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("toks").cast("double")) * F.lit(1_000_000.0)).cast(
+                "long"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("toks").cast("long").alias("t"), F.sum("w").cast("long").alias("ws")
+    )
+    ratio = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                (F.col("t").cast("double") * F.col("w").cast("double"))
+                * F.lit(1_000_000.0)
+                / (F.col("ws").cast("double") * F.col("toks").cast("double"))
+            ),
+        )
+        .cast("long")
+        .alias("keep_ratio_micro"),
+    )
+    return sampling.keep_by_hash_ratio(
+        docs.join(F.broadcast(ratio), "source"), "doc_id", "keep_ratio_micro"
+    ).select("doc_id", "source", "n_toks", "keep_ratio_micro")
 
 
 # ---------------------------------------------------------------------------

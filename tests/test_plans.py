@@ -69,6 +69,22 @@ def test_phash_neardup_join_is_band_keyed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_filtered_ann_broadcasts_slice_and_stays_keyed(spark, sf_dir):
+    """Filtered ANN: the metadata slice applies via a broadcast equi-join
+    BEFORE bucketing; the candidate join stays bucket-keyed."""
+    plan = plan_of(spark, sf_dir, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_is_broadcast_filter(spark, sf_dir):
+    """Temperature resampling: per-source ratios broadcast into a per-row
+    hash filter — the doc side never shuffles for the sampling decision."""
+    plan = plan_of(spark, sf_dir, "mixture_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_substring_removal_joins_are_keyed(spark, sf_dir):
     """Span removal: covered-position anti-join and the audit joins are all
     keyed on (doc_id, pos) / doc_id — never doc×doc."""
