@@ -221,6 +221,151 @@ def content_dedup_stream(
     )
 
 
+# --- streaming near-dup candidate detection (MinHash/LSH at ingest) ------------
+
+NEARDUP_BUCKET_CAP = 64  # ids tracked per LSH bucket (the memory bound)
+NEARDUP_OUTPUT_SCHEMA = "doc_a long, doc_b long, band_idx int"
+NEARDUP_STATE_SCHEMA = "ids array<long>, saturated boolean"
+
+
+def _gram_array(text_col):
+    """Per-row word-3-gram array — value-identical to the batch
+    ``dedup.ngram_rows`` universe (full windows for >= 3 tokens, ONE short
+    gram for 1-2 tokens, nothing for empty docs) but computed as a pure
+    projection so it is legal on a streaming DataFrame (``ngram_rows``'s
+    lead() window + global distinct are not). Duplicate grams are harmless:
+    min over a multiset equals min over its set, so signatures match the
+    distinct batch universe exactly."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    tk = word_tokens(text_col)
+    m = F.size(tk)
+    full = F.transform(
+        F.sequence(F.lit(1), m - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+    )
+    short = F.array(F.concat_ws(" ", tk))
+    return F.when(m >= 3, full).when(m >= 1, short).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _make_neardup_group(cap: int):
+    def _group(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # key is "band_idx|band_key" — one STRING column. A composite
+        # (int, string) grouping key silently failed cross-restart state
+        # lookups (run-2 groups saw state.exists == False for keys written
+        # in run 1; single-column string keys restore fine — reproduced on
+        # Spark 4.1.2, see test_neardup_candidates_stream_matches_batch),
+        # so the band coordinates are packed into one string and unpacked
+        # here.
+        band_idx = int(key[0].split("|", 1)[0])
+        ids, saturated = (
+            (list(state.get[0]), bool(state.get[1])) if state.exists else ([], False)
+        )
+        known = set(ids)
+        new = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - known
+        )
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for nid in new:
+            if saturated or len(ids) >= cap:
+                # hot-bucket cutoff: a bucket past `cap` stops producing
+                # candidates entirely (and is flagged), the streaming twin
+                # of the batch family's df cutoffs — bounded state beats
+                # quadratic emission on boilerplate collisions
+                saturated = True
+                break
+            for eid in ids:
+                out_a.append(min(eid, nid))
+                out_b.append(max(eid, nid))
+            ids.append(nid)
+        state.update((ids, saturated))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "band_idx": band_idx}
+            )
+
+    return _group
+
+
+def neardup_candidates_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Streaming MinHash/LSH near-dup CANDIDATE detection at ingest: each
+    arriving doc's 16-hash signature and 4 LSH band keys are pure per-row
+    projections (no shuffle before the state stage); keyed state per
+    ``(band_idx, band_key)`` holds the bucket's doc ids, and every arrival
+    emits a candidate pair per bucket colleague — the streaming twin of the
+    batch band self-join, with per-bucket state bounded by ``cap``.
+
+    Contract (pinned by ``test_neardup_candidates_stream_matches_batch``):
+    on any replayed corpus whose buckets stay under ``cap``, the distinct
+    (doc_a, doc_b) set equals the BATCH band-collision candidate set across
+    restarts. Division of labor is the production one: the stream detects
+    candidates with O(bucket) state and no shingle storage; exact-Jaccard
+    verification joins shingles downstream (batch `minhash_lsh_pairs`'s
+    verification stage), since keeping shingle sets in stream state would
+    grow it by orders of magnitude. A pair colliding in several bands emits
+    once per band (like the pre-distinct batch join) — consumers dedup by
+    (doc_a, doc_b). NoTimeout keeps availableNow drains terminating; add a
+    processing-time TTL via the ``content_dedup_stream`` pattern when
+    bucket churn needs bounding in wall-clock too."""
+    from postgres_cdc_example_spark.operators.dedup import NUM_BANDS, NUM_HASHES
+
+    rows = NUM_HASHES // NUM_BANDS
+    grams = _gram_array(F.col(text_col))
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("gr")
+    ).filter(F.size("gr") > 0)
+
+    def _mh(i: int):
+        # salt must bind via an outer closure, NOT a `lambda g, i=i:`
+        # default arg: a two-parameter lambda makes F.transform pass the
+        # array INDEX column as the second arg, shadowing the salt — the
+        # f-string then embeds str(Column) (a fresh auto-named variable per
+        # call), yielding garbage, non-deterministic salts that broke
+        # cross-restart state lookups before emitting a single wrong pair
+        salt = f"{i}:"
+        return F.array_min(
+            F.transform(F.col("gr"), lambda g: F.md5(F.concat(F.lit(salt), g)))
+        ).alias(f"mh{i}")
+
+    sig = sig.select("doc_id", *[_mh(i) for i in range(NUM_HASHES)])
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        F.concat_ws("|", "band.band_idx", "band.band_key").alias("band"),
+    )
+    return banded.groupBy("band").applyInPandasWithState(
+        _make_neardup_group(cap),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithStateInPandas (the Spark 4 stateful API) ---------------------
 
 

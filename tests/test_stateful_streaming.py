@@ -373,3 +373,53 @@ def test_content_dedup_stream_ttl_readmits(spark, tmp_path):
     ).parquet(src)
     _drain_once(content_dedup_stream(stream, ttl_ms=1500), ckpt, emitted)
     assert [r.doc_id for r in emitted] == [1, 2, 3], "expired hash must re-admit"
+
+
+def test_neardup_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming MinHash/LSH candidate detection ≡ the batch band
+    self-join on the same replayed corpus, across a restart: run 1 ingests
+    the low-id half, run 2 (same checkpoint, state restored) the high-id
+    half — cross-half near-dup pairs can only come from restored bucket
+    state. Distinct (doc_a, doc_b) must equal the batch candidate set."""
+    from postgres_cdc_example_spark.operators import dedup
+    from postgres_cdc_example_spark.streaming.stateful import (
+        neardup_candidates_stream,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src, ckpt = str(tmp_path / "nd_src"), str(tmp_path / "nd_ckpt")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    emitted: list = []
+    _drain(neardup_candidates_stream(stream), ckpt, emitted)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    _drain(neardup_candidates_stream(stream), ckpt, emitted)
+
+    got = {(r.doc_a, r.doc_b) for r in emitted}
+
+    bands = dedup.minhash_bands(
+        dedup.minhash_signatures(
+            dedup.ngram_rows(docs).withColumnRenamed("g", "s")
+        )
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_key").alias("bk"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_key").alias("bk"),
+    )
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in ba.join(bb, ["bi", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert want, "fixture must contain at least one near-dup candidate"
+    assert any(a < 250 <= b for a, b in want), "need a cross-restart pair"
+    assert got == want
