@@ -537,3 +537,71 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_r") >= threshold)
     )
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup shape): assign every
+    vector to its nearest trained centroid, then compare pairs ONLY within a
+    cluster — a vector is dropped when a lower-id vector in the same cluster
+    has round-6 cosine ≥ ``threshold``.
+
+    Semantics are deliberately relational, not sequential-greedy: the drop
+    test is against every lower-id cluster member (kept or not), so the
+    result is order-independent and expressible as one equi-join +
+    aggregation on both engines. Returns one row per input vector:
+    ``(vec_id, cluster_id, is_kept, dup_of, dup_cos)`` where ``dup_of`` is
+    the lowest-id similar neighbor (NULL for keepers) and ``dup_cos`` the
+    max similarity among lower-id neighbors.
+
+    Scale shape: assignment is the zero-shuffle literal projection
+    (:func:`assign_to_literal_centroids`); the pair search is an equi-join
+    keyed on ``cluster_id`` — never a cartesian product. At 100 TB the
+    centroid count grows with the corpus (k ≈ N / target-cluster-size, the
+    SemDeDup deployment rule), so per-cluster candidate sets stay bounded
+    and the join cost is Σ|cluster|², not N²."""
+    base = _normed(df, id_col, vec_col).select(
+        F.col(id_col), "v", "nrm", assign_to_literal_centroids(cent_rows)
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"),
+        "cluster_id",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"),
+        "cluster_id",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    drops = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") > F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_rounded(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")).alias(
+                "cos_r"
+            ),
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .groupBy("vec_a")
+        .agg(F.min("vec_b").alias("dup_of"), F.max("cos_r").alias("dup_cos"))
+    )
+    return (
+        base.select(F.col(id_col), "cluster_id")
+        .join(drops, F.col(id_col) == drops["vec_a"], "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col("vec_a").isNull().alias("is_kept"),
+            "dup_of",
+            "dup_cos",
+        )
+    )

@@ -12,7 +12,7 @@ capabilities a 100 TB training-data pipeline needs on top of CDC parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.memo import memo_get
@@ -326,6 +326,75 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_between(
         sh.filter(F.col("doc_id") % DELTA_MOD == 0),
         sh.filter(F.col("doc_id") % DELTA_MOD != 0),
+    )
+
+
+# train/val/test thresholds on the 2-hex-char md5 prefix of the GROUP
+# representative: < 'cc' (204/256 ≈ 80%) train, < 'e6' (230/256 ≈ 90%) val,
+# else test. Splitting by the near-dup cluster representative — not the
+# doc_id — is what makes the split leakage-safe: every member of a
+# duplicate cluster lands in the same partition, so a val/test doc can
+# never have a near-duplicate twin in train.
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _leakage_safe_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM prs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+    rep AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+    )
+    SELECT doc_id, rep_id, {_SPLIT_CASE} AS split FROM rep
+    """
+
+
+@register("split_leakage_safe", oracle=_leakage_safe_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the assignment step every
+    benchmark-honest training pipeline needs: hash-split by the near-dup
+    CLUSTER representative (LSH-verified pair graph → connected components;
+    singletons represent themselves), so near-duplicate documents can never
+    straddle the train/eval boundary. The split itself is the deterministic
+    md5-prefix threshold of ``sample_hash_10pct`` (80/10/10), making the
+    assignment reproducible across runs, engines, and partitionings. Cost
+    on top of the (session-shared) pair graph: one left join + a per-row
+    projection; the components side is tiny (only clustered docs) and
+    broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, shingles=_doc_ngrams(spark, sf_dir))
+    cc = dedup.connected_components(pairs).select("doc_id", "component")
+    b = sampling.hash_bucket(F.col("rep_id"))
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("rep_id")
+        )
+        .select(
+            "doc_id",
+            "rep_id",
+            F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test").alias(
+                "split"
+            ),
+        )
     )
 
 
@@ -1075,6 +1144,158 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(k: int = 8, iterations: int = 3) -> str:
+    """SemDeDup oracle: the :func:`_kmeans_cte` training prefix, final
+    assignment against the UNROUNDED trained centroids (same ``fs``/``fa``
+    shape as the ``kmeans_centroids`` oracle), then the within-cluster
+    lower-id drop rule."""
+    cf = f"c{iterations}"
+    return (
+        _kmeans_cte(k, iterations)
+        + f"""
+    , fs AS (
+      SELECT n.vec_id, n.v, n.nrm, c.cluster_id,
+             round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS ccos
+      FROM n, {cf} c
+    ),
+    fa AS (
+      SELECT vec_id, v, nrm, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster_id) AS r
+        FROM fs)
+      WHERE r = 1
+    ),
+    sim AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+      FROM fa a JOIN fa b
+        ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+    ),
+    drops AS (
+      SELECT vec_a, min(vec_b) AS dup_of, max(cos_r) AS dup_cos
+      FROM sim GROUP BY vec_a
+    )
+    SELECT fa.vec_id, fa.cluster_id,
+           (drops.vec_a IS NULL) AS is_kept, drops.dup_of, drops.dup_cos
+    FROM fa LEFT JOIN drops ON fa.vec_id = drops.vec_a
+    """
+    )
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style: embeddings cluster under the
+    memoized k-means model, and near-duplicate comparisons happen ONLY
+    within a cluster — a vector is dropped when a lower-id cluster-mate has
+    round-6 cosine ≥ 0.45. This is the embedding-space dedup SCALE path the
+    all-pairs ``dedup_embedding_cosine`` baseline exists to verify: the
+    pair join is keyed on ``cluster_id`` (plan-pinned not-cartesian), and
+    at 100 TB k grows with the corpus so Σ|cluster|² stays linear-ish while
+    N² does not. Reuses the session-trained centroids
+    (:func:`_trained_centroids`), so the marginal cost is one zero-shuffle
+    assignment + the bucketed self-join."""
+    return similarity.semantic_dedup_flags(
+        load_table(spark, "embeddings", sf_dir),
+        cent_rows=_trained_centroids(spark, sf_dir),
+    )
+
+
+def _recall_audit_oracle() -> str:
+    """Recall audit oracle: brute-force truth CTEs and the multi-probe
+    sign-LSH CTEs composed under distinct names, joined on (q_id, nbr_id)."""
+    terms = []
+    for j, row in enumerate(similarity.hyperplane_weights()):
+        lits = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"CASE WHEN round(list_dot_product(v, [{lits}]), 6) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(similarity.N_PLANES)]
+    )
+    return (
+        _VEC_BASE
+        + f"""
+    , tq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    tscored AS (
+      SELECT q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM tq JOIN n c ON c.vec_id != tq.q_id
+    ),
+    truth AS (
+      SELECT q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM tscored)
+      WHERE rnk <= 5
+    ),
+    sig AS (SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM n),
+    aq AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+             unnest([{probe_list}]) AS probe_bucket
+      FROM sig WHERE vec_id < 10
+    ),
+    ascored AS (
+      SELECT q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM aq JOIN sig c ON c.bucket = aq.probe_bucket AND c.vec_id != aq.q_id
+    ),
+    approx AS (
+      SELECT q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM ascored)
+      WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT t.q_id, count(*) AS n_hits
+      FROM truth t JOIN approx a ON a.q_id = t.q_id AND a.nbr_id = t.nbr_id
+      GROUP BY t.q_id
+    ),
+    qs AS (SELECT DISTINCT q_id FROM truth)
+    SELECT qs.q_id,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(5 AS BIGINT) AS n_truth,
+           CAST(floor(COALESCE(hits.n_hits, 0) * 1000000.0 / 5) AS BIGINT)
+             AS recall_micro
+    FROM qs LEFT JOIN hits ON qs.q_id = hits.q_id
+    """
+    )
+
+
+@register("ann_recall_audit", oracle=_recall_audit_oracle())
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: per-query recall@5 of the multi-probe sign-LSH
+    index against the brute-force ground truth — the measurement a
+    production vector store publishes next to its latency numbers. Pure
+    composition: both sides are the registered operators themselves, joined
+    on (q_id, nbr_id); recall lands on the integer micro-grid. At scale the
+    truth side runs over a fixed audit SAMPLE of queries (here: the same
+    10-query set every ANN variant uses), so the O(Q·N) exact pass stays
+    bounded while the index serves full traffic."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    truth = similarity.brute_force_topk(emb).select("q_id", "nbr_id")
+    approx = similarity.hyperplane_topk_multiprobe(emb).select(
+        F.col("q_id").alias("a_qid"), F.col("nbr_id").alias("a_nbr")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("q_id") == F.col("a_qid")) & (F.col("nbr_id") == F.col("a_nbr")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = truth.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(5).cast("long").alias("n_truth"),
+        F.floor(F.coalesce("n_hits", F.lit(0)) * 1_000_000 / 5)
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # skew mitigation
 # ---------------------------------------------------------------------------
@@ -1267,6 +1488,59 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(
         load_table(spark, "documents", sf_dir), "doc_id", "1a"
     ).select("doc_id", "source")
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, greatest(length(text), 1) AS w_chars FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source, w_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              * 1000000) // w_chars AS key_micro
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM k ORDER BY key_micro, doc_id LIMIT 100
+    )
+    SELECT doc_id, source, w_chars, key_micro,
+           row_number() OVER (ORDER BY key_micro, doc_id) AS rank
+    FROM top
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (length-weighted, k=100):
+    each doc gets an integer key ``h·1e6 div w`` where ``h`` is the 32-bit
+    md5 prefix of the stable id and ``w`` its char length; the k SMALLEST
+    keys win. Since ``P(h/w < t) ≈ t·w/2^32``, inclusion probability is
+    ∝ weight at small sampling fractions — the integer-exact first-order
+    form of Efraimidis–Spirakis (their ``-ln(u)/w`` key ≈ ``(1-u)/w`` for
+    the small keys that matter, and ``1-u`` is as uniform as ``h``), with
+    ZERO transcendentals: pure int64 arithmetic, bit-identical on any
+    engine, reproducible under any partitioning. Plan: the top-k is
+    ``orderBy().limit()`` → TakeOrdered (per-partition partial top-k, no
+    global sort); the rank window runs over the 100 survivors only."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("w_chars"),
+    )
+    # conv() returns STRING — cast to bigint BEFORE the multiply, or Spark's
+    # non-ANSI coercion runs string * bigint in DOUBLE and the key is no
+    # longer exact integer arithmetic
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    keyed = (
+        docs.withColumn("h", h)
+        .withColumn("key_micro", F.expr("(h * 1000000L) div w_chars"))
+        .drop("h")
+    )
+    top = keyed.orderBy("key_micro", "doc_id").limit(100)
+    w = Window.orderBy("key_micro", "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @register(

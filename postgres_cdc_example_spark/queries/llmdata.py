@@ -134,6 +134,166 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# boilerplate prefix detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_prefix_flags",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, source,
+             concat_ws(' ', tk[1], tk[2], tk[3], tk[4], tk[5]) AS prefix
+      FROM t
+    ),
+    c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY source, prefix)
+    SELECT p.doc_id, p.source, p.prefix,
+           c.n AS n_docs_with_prefix, c.n >= 2 AS is_boilerplate
+    FROM p JOIN c ON p.source = c.source AND p.prefix = c.prefix
+    """,
+)
+def boilerplate_prefix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection — the header/banner-removal signal of a
+    web-corpus pipeline: docs of the same source that open with the same
+    leading 5-token prefix are flagged (shared site chrome, licence
+    banners, templated intros). One ``(source, prefix)`` aggregate whose
+    tiny count table AQE-broadcasts back onto the per-doc rows; at 100 TB
+    the cost is the scan plus a combiner-friendly shuffle keyed on a
+    near-unique composite. Out-of-range indexing agrees across engines
+    (NULL, skipped by ``concat_ws``), so short docs compare on the tokens
+    they have and zero-token docs share the empty prefix."""
+    docs = load_table(spark, "documents", sf_dir)
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", *[F.get(dedup.word_tokens(F.col("text")), i) for i in range(5)]
+        ).alias("prefix"),
+    )
+    c = p.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs_with_prefix")
+    )
+    return p.join(c, ["source", "prefix"]).select(
+        "doc_id",
+        "source",
+        "prefix",
+        "n_docs_with_prefix",
+        (F.col("n_docs_with_prefix") >= 2).alias("is_boilerplate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM negative log likelihood
+# ---------------------------------------------------------------------------
+
+
+_BG_SQL = f"""
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                    i -> concat_ws(' ', tk[i], tk[i+1]))) AS b
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    )
+"""
+
+
+@register(
+    "text_bigram_nll",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    {_BG_SQL},
+    cb AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    cp AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS cpre FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vocab FROM occ),
+    lp AS (
+      SELECT cb.b,
+             CAST(floor(ln(CAST(cpre + vocab AS DOUBLE) / (cb.c + 1)) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM cb JOIN cp ON split_part(cb.b, ' ', 1) = cp.w1, v
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS nll_micro_sum,
+           CAST(floor(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_nll_micro
+    FROM bg JOIN lp ON bg.b = lp.b
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the second-order twin of
+    ``text_unigram_nll``: per-doc mean negative log likelihood of each
+    bigram under add-one-smoothed conditionals ``p(w2|w1) = (c(w1 w2) + 1)
+    / (c(w1 ·) + V)`` estimated from the corpus itself. Catches
+    word-salad docs whose unigram profile looks normal but whose
+    transitions are improbable — the standard step up the n-gram-LM filter
+    ladder before a neural scorer. Same exactness policy: each conditional
+    log-prob rounds onto the micro-grid BEFORE the per-doc SUM. Plan shape:
+    two bigram counts (one shuffle each, map-side combined), a
+    count-table join AQE broadcasts at vocab ≪ corpus, and one doc_id
+    aggregation; docs with < 2 tokens have no bigrams and drop out on both
+    engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = (
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        # single-token / empty docs first: Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0] (step defaults to -1), not the empty list DuckDB's
+        # generate_series(1, 0) gives — guard so the two engines agree
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, concat(tk[i-1], ' ', tk[i]) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    )
+    cb = bg.groupBy("w1", "b").agg(F.count(F.lit(1)).alias("c"))
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cpre"))
+    vocab = _doc_occurrences(spark, sf_dir).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    lp = (
+        cb.join(cp, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (F.col("cpre") + F.col("vocab")).cast("double")
+                    / (F.col("c") + 1)
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bg.select("doc_id", "b")
+        .join(lp, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro_sum",
+            F.floor(F.col("nll_micro_sum").cast("double") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("mean_nll_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # tf-idf keyword extraction
 # ---------------------------------------------------------------------------
 

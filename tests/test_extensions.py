@@ -292,3 +292,28 @@ def test_resize_payload_contracts(spark, sf_dir):
         assert hashlib.md5(bytes(r.payload)).hexdigest() == r.resized_md5
     again = {r.doc_id: r.resized_md5 for r in resized.collect()}
     assert again == {r.doc_id: r.resized_md5 for r in rows}
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The property the split exists for: every LSH-verified near-dup pair
+    lands wholly inside one split, and every document gets exactly one
+    assignment with all three splits populated."""
+    from postgres_cdc_example_spark.queries.extensions import (
+        _doc_ngrams,
+        split_leakage_safe,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = split_leakage_safe(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    assert len(rows) == docs.count() == len(split_of)
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingles=_doc_ngrams(spark, sf_dir)
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (
+            f"near-dup pair ({p.doc_a},{p.doc_b}) straddles splits "
+            f"{split_of[p.doc_a]}/{split_of[p.doc_b]} — leakage"
+        )

@@ -332,3 +332,28 @@ def test_learned_ivf_assignment_is_projection_not_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_ivf_kmeans_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_keyed_not_cartesian(spark, sf_dir):
+    """SemDeDup's contract: assignment is a literal projection (no join) and
+    the pair search meets only on equal cluster_id — Σ|cluster|² work, never
+    N². A cartesian or nested-loop pair join here would be the O(N²) plan
+    the operator exists to avoid."""
+    plan = plan_of(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recall_audit_joins_are_keyed(spark, sf_dir):
+    """The truth×approx comparison joins on (q_id, nbr_id) equi-keys; only
+    the underlying ANN operators' own bounded broadcasts may appear."""
+    plan = plan_of(spark, sf_dir, "ann_recall_audit")
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
+    """The k=100 selection must plan as TakeOrdered (per-partition partial
+    top-k) — a global Sort before the limit would serialize 100 TB through
+    one reducer; the rank window may only run over the 100 survivors."""
+    plan = plan_of(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
