@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "dedup_substring_removal",
     "multimodal_phash_neardup",
+    # round-4 continued: semantic dedup, leakage-safe splits, bigram LM,
+    # chunking — the curation surface a training pipeline runs per batch
+    "semantic_dedup",
+    "split_leakage_safe",
+    "text_bigram_nll",
+    "doc_chunks",
 ]
 
 

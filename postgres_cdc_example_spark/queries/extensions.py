@@ -1870,6 +1870,108 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+    )
+    SELECT doc_id, substr(hh, 1, 2) AS bucket,
+           row_number() OVER (ORDER BY hh, doc_id) - 1 AS global_pos
+    FROM h
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a stable
+    pseudo-random position (its rank under the md5 hash order) —
+    reproducible across runs, engines, and partitionings, unlike
+    ``orderBy(rand())``. The oracle states the spec as one global
+    ``row_number``; the ENGINE computes the identical value with the
+    two-pass distributed shape a 100 TB corpus needs: per-bucket ranks
+    (window keyed on the 256-value md5 prefix — the big data never passes
+    through one reducer) plus broadcast cumulative bucket offsets (a
+    256-row aggregate). Equivalence holds because the bucket is a PREFIX of
+    the sort key: global hash order sorts bucket-major, so global_pos =
+    offset(bucket) + rank-within-bucket."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hh")
+    )
+    t = docs.withColumn("bucket", F.substring("hh", 1, 2))
+    wb = Window.partitionBy("bucket").orderBy("hh", "doc_id")
+    ranked = t.withColumn("rk", F.row_number().over(wb))
+    # 256-row bucket histogram; the cumulative window over it is bounded
+    # driver-scale work, then broadcast back onto the big side
+    counts = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(wo) - F.col("n")).alias("offset")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "bucket",
+        (F.col("offset") + F.col("rk") - 1).cast("long").alias("global_pos"),
+    )
+
+
+CHUNK_TOKENS = 32  # retrieval chunk length
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8 tokens
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(tk) AS n_toks,
+             unnest(generate_series(0, (len(tk) - 1) // {CHUNK_STRIDE})) AS i,
+             tk
+      FROM t WHERE len(tk) > 0
+    )
+    SELECT doc_id, i AS chunk_idx, i * {CHUNK_STRIDE} AS start_tok,
+           len(tk[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+             AS chunk_len,
+           md5(array_to_string(
+               tk[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/RAG prep step:
+    split each doc into 32-token windows with stride 24 (8-token overlap so
+    no boundary sentence is lost). Output is the chunk TABLE (doc_id,
+    chunk_idx, start_tok, chunk_len, chunk_md5) — the md5 stands in for the
+    chunk payload so oracles compare exactly without shipping text. Pure
+    per-row explode of a sequence+slice projection: no shuffle at all
+    (plan-pinned), fully fused into the scan; chunk count is ceil(n/24), so
+    output rows ≈ corpus_tokens/24 — the linear blow-up a chunk store
+    budgets for. Zero-token docs produce no chunks on either engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", dedup.word_tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(tk) - 1) div {CHUNK_STRIDE}),"
+                f" i -> struct(i AS chunk_idx, i * {CHUNK_STRIDE} AS start_tok,"
+                f" slice(tk, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}) AS ck))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.size("c.ck").cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.col("c.ck"))).alias("chunk_md5"),
+    )
+
+
 # sign-LSH planes over the 24-dim hour profile. Planes must scale ~log(U):
 # 4 planes (16 buckets) left ~94 users/bucket at sf0.1 → 1.77M scored pairs
 # and ~4.5 s of cosine evaluation; 6 planes (64 buckets) cuts candidate

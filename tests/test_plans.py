@@ -357,3 +357,23 @@ def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
     one reducer; the rank window may only run over the 100 survivors."""
     plan = plan_of(spark, sf_dir, "sample_weighted")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_shuffle_order_windows_are_bucket_keyed(spark, sf_dir):
+    """The two-pass global ordering: the corpus-sized window must be keyed
+    on the 256-value hash bucket (one hash shuffle), the cumulative offsets
+    must come from the tiny aggregated side and broadcast back. A global
+    unkeyed window over the corpus (Exchange SinglePartition feeding the
+    doc-level Window) would serialize 100 TB through one reducer."""
+    plan = plan_of(spark, sf_dir, "corpus_shuffle_order")
+    assert "windowspecdefinition(bucket" in plan, "doc window must partition by bucket"
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastHashJoin" in plan, "offsets must broadcast, not shuffle-join"
+
+
+def test_doc_chunks_is_zero_shuffle_projection(spark, sf_dir):
+    """Chunking is a pure per-row explode — any Exchange here is a bug."""
+    from postgres_cdc_example_spark.plans.inspect import has_exchange
+
+    df = q.queries()["doc_chunks"](spark, sf_dir)
+    assert not has_exchange(df)
