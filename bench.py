@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "split_leakage_safe",
     "text_bigram_nll",
     "doc_chunks",
+    "quality_curriculum",
+    "lsh_band_bucket_stats",
 ]
 
 

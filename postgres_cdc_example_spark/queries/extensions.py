@@ -163,14 +163,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, "documents", sf_dir))
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """Shared CTE prefix (tokens → shingle sets → minhash signature → LSH
+    band keys) used by every minhash-family oracle: pair discovery, the
+    incremental delta variant, and the band-bucket tuning audit."""
     mins = ", ".join(
         f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min')"
         for i in range(dedup.NUM_HASHES)
     )
-    jac = "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
@@ -182,7 +184,13 @@ def _minhash_oracle() -> str:
       SELECT doc_id, b AS band_idx,
              md5(concat_ws('|', sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4])) AS band_key
       FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    jac = "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
+    return f"""
+    WITH {_minhash_bands_ctes()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -226,6 +234,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_table(spark, "documents", sf_dir),
         shingles=_doc_ngrams(spark, sf_dir),
+    )
+
+
+@register(
+    "lsh_band_bucket_stats",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    buckets AS (
+      SELECT band_idx, band_key, count(*) AS bucket_size
+      FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+           CAST(sum((bucket_size * (bucket_size - 1)) // 2) AS BIGINT)
+             AS candidate_pairs
+    FROM buckets GROUP BY band_idx
+    """,
+)
+def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning audit: per band, the bucket-size histogram summary —
+    bucket count, colliding buckets, the hottest bucket, and the implied
+    candidate-pair volume sum(c·(c-1)/2). This is the query a 100 TB dedup
+    runs BEFORE the pair join: candidate_pairs is exactly the row count the
+    (band_idx, band_key) self-join will produce, so a hot bucket (boiler-
+    plate shingle sets hashing to one key) shows up here as a max_bucket
+    spike — at the cost of two keyed aggregates instead of the quadratic
+    join blow-up it predicts. Plan: one shuffle on (band_idx, band_key)
+    (map-side combined), then a 4-row reduce on band_idx."""
+    sh = _doc_ngrams(spark, sf_dir).withColumnRenamed("g", "s")
+    bands = dedup.minhash_bands(dedup.minhash_signatures(sh))
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy(F.col("band_idx").cast("long").alias("band_idx")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        F.max("bucket_size").cast("long").alias("max_bucket"),
+        F.sum(F.expr("bucket_size * (bucket_size - 1) div 2"))
+        .cast("long")
+        .alias("candidate_pairs"),
     )
 
 

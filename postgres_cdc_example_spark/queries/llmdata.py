@@ -562,10 +562,10 @@ QC_W_LEN = -0.004  # distance from a 150-token sweet spot hurts
 QC_BIAS = -1.0
 
 
-@register(
-    "quality_linear_score",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+# shared CTE chain: tokens → features → logit → integer micro-probability.
+# Used by the classifier itself and by the curriculum bucketing built on it.
+_QC_SCORED_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     feats AS (
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -583,22 +583,18 @@ QC_BIAS = -1.0
                + CAST({QC_W_DISTINCT} AS DOUBLE) * n_distinct / n_tokens
                + CAST({QC_W_LEN} AS DOUBLE) * abs(n_tokens - 150) AS zv
       FROM feats
-    )
-    SELECT doc_id, n_tokens, n_distinct, n_stop,
-           CAST(floor(1000000 / (1 + exp(-zv)) + 0.5) AS BIGINT) AS quality_micro
-    FROM z
-    """,
-)
-def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frozen linear quality classifier (the fasttext-filter shape): three
-    handcrafted features — stopword share, vocabulary diversity, distance
-    from a length sweet spot — through fixed weights and a sigmoid, emitted
-    as integer micro-probabilities. Every feature is a per-row ARRAY
-    expression (size / array_distinct / filter), so the whole scorer is a
-    zero-shuffle projection over the scan — the cheapest possible gate to
-    run in front of a 100 TB curation DAG. The double arithmetic mirrors
-    the oracle token-for-token and is rounded once at the end."""
-    docs = load_table(spark, "documents", sf_dir)
+    ),
+    qscored AS (
+      SELECT doc_id, n_tokens, n_distinct, n_stop,
+             CAST(floor(1000000 / (1 + exp(-zv)) + 0.5) AS BIGINT) AS quality_micro
+      FROM z
+    )"""
+
+
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """Engine side of ``_QC_SCORED_CTES``: per-doc features and the frozen
+    linear classifier's integer micro-probability, as one zero-shuffle
+    projection."""
     tk = dedup.word_tokens(F.col("text"))
     feats = docs.select(
         "doc_id",
@@ -620,6 +616,97 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1_000_000) / (F.lit(1) + F.exp(-zv)) + F.lit(0.5))
         .cast("long")
         .alias("quality_micro"),
+    )
+
+
+@register(
+    "quality_linear_score",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES}
+    SELECT doc_id, n_tokens, n_distinct, n_stop, quality_micro FROM qscored
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality classifier (the fasttext-filter shape): three
+    handcrafted features — stopword share, vocabulary diversity, distance
+    from a length sweet spot — through fixed weights and a sigmoid, emitted
+    as integer micro-probabilities. Every feature is a per-row ARRAY
+    expression (size / array_distinct / filter), so the whole scorer is a
+    zero-shuffle projection over the scan — the cheapest possible gate to
+    run in front of a 100 TB curation DAG. The double arithmetic mirrors
+    the oracle token-for-token and is rounded once at the end."""
+    return _quality_scored(load_table(spark, "documents", sf_dir))
+
+
+QC_RANGE_BUCKET = 4096  # curriculum range-bucket width over [0, 1e6] micro-probs
+
+
+@register(
+    "quality_curriculum",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES},
+    r AS (
+      SELECT n_tokens, quality_micro,
+             row_number() OVER (ORDER BY quality_micro DESC, doc_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM qscored
+    )
+    SELECT CAST(floor(rn * 10.0 / n) AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS decile_tokens,
+           CAST(min(quality_micro) AS BIGINT) AS min_quality_micro,
+           CAST(max(quality_micro) AS BIGINT) AS max_quality_micro
+    FROM r GROUP BY decile
+    """,
+)
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus by classifier quality (best
+    first, doc_id tie-break) and cut it into 10 equal-population deciles —
+    the schedule a quality-curriculum trainer feeds batches from (decile 0
+    first). The oracle states the spec as one global ``row_number``; the
+    ENGINE computes the identical rank with the two-pass distributed shape
+    (same equivalence argument as ``corpus_shuffle_order``): per-bucket
+    ranks keyed on a RANGE bucket — ``floor(quality_micro/4096)``, a
+    monotone coarsening of the sort key, so global order is bucket-major —
+    plus broadcast cumulative offsets from the ≤245-row bucket histogram.
+    The corpus never passes through one reducer; a skewed score
+    distribution concentrates buckets, which this op's own histogram makes
+    visible (and a finer grid fixes). Output is 10 rows of per-decile
+    population, token mass, and score range — the table that tells you
+    whether 'high quality' is also 'short documents'."""
+    scored = _quality_scored(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "n_tokens", "quality_micro"
+    )
+    t = scored.withColumn(
+        "qb", F.floor(F.col("quality_micro") / F.lit(QC_RANGE_BUCKET))
+    )
+    wb = Window.partitionBy("qb").orderBy(F.col("quality_micro").desc(), "doc_id")
+    ranked = t.withColumn("rk", F.row_number().over(wb))
+    counts = t.groupBy("qb").agg(F.count(F.lit(1)).alias("n_b"))
+    # cumulative offsets in DESCENDING bucket order (global order is best
+    # score first); ≤245 rows, so the unkeyed window is bounded driver-scale
+    wo = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "qb", (F.sum("n_b").over(wo) - F.col("n_b")).alias("offset")
+    ).crossJoin(F.broadcast(counts.agg(F.sum("n_b").alias("n"))))
+    return (
+        ranked.join(F.broadcast(offsets), "qb")
+        .select(
+            F.floor((F.col("offset") + F.col("rk") - 1) * F.lit(10.0) / F.col("n"))
+            .cast("long")
+            .alias("decile"),
+            "n_tokens",
+            "quality_micro",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("decile_tokens"),
+            F.min("quality_micro").cast("long").alias("min_quality_micro"),
+            F.max("quality_micro").cast("long").alias("max_quality_micro"),
+        )
     )
 
 

@@ -371,6 +371,29 @@ def test_corpus_shuffle_order_windows_are_bucket_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "offsets must broadcast, not shuffle-join"
 
 
+def test_quality_curriculum_rank_is_range_bucket_keyed(spark, sf_dir):
+    """Same two-pass contract as corpus_shuffle_order, but over the quality
+    range bucket: the corpus-sized rank window must partition by qb (one
+    hash shuffle) and the cumulative offsets must broadcast back — a global
+    unkeyed window over the docs would serialize the corpus through one
+    reducer."""
+    plan = plan_of(spark, sf_dir, "quality_curriculum")
+    assert "windowspecdefinition(qb" in plan, "rank window must partition by qb"
+    assert "hashpartitioning(qb" in plan
+    assert "BroadcastHashJoin" in plan, "offsets must broadcast, not shuffle-join"
+
+
+def test_lsh_band_bucket_stats_is_keyed_aggregation(spark, sf_dir):
+    """The tuning audit must be two keyed aggregates — a shuffle on the
+    (band_idx, band_key) bucket key then a 4-row band reduce — never a pair
+    join or cartesian (predicting the join's cost without paying it is the
+    query's whole point)."""
+    plan = plan_of(spark, sf_dir, "lsh_band_bucket_stats")
+    assert "hashpartitioning(band_idx" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_doc_chunks_is_zero_shuffle_projection(spark, sf_dir):
     """Chunking is a pure per-row explode — any Exchange here is a bug."""
     from postgres_cdc_example_spark.plans.inspect import has_exchange
