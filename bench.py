@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "doc_chunks",
     "quality_curriculum",
     "lsh_band_bucket_stats",
+    "lsh_recall_audit",
+    "mixture_epoch_plan",
+    "corpus_manifest",
 ]
 
 

@@ -153,6 +153,32 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
+def lsh_candidate_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band-collision candidate pairs (the LSH *discovery* stage, before
+    exact verification): minhash the shingle rows, explode band keys, and
+    self-join on ``(band_idx, band_key)`` — only true bucket collisions
+    meet, all-pairs is never materialized. Factored out of
+    :func:`minhash_lsh_pairs` so recall/precision audits can measure the
+    candidate stage in isolation."""
+    bands = minhash_bands(minhash_signatures(sh, id_col), id_col)
+    ba = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
+    )
+    bb = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band_idx").alias("bi2"), F.col("band_key").alias("bk2")
+    )
+    return (
+        ba.join(
+            bb,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -186,25 +212,7 @@ def minhash_lsh_pairs(
         if shingles is not None
         else ngram_rows(df, text_col, id_col)
     ).withColumnRenamed("g", "s")
-    sig = minhash_signatures(sh, id_col)
-    bands = minhash_bands(sig, id_col)
-
-    ba = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
-    )
-    bb = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("band_idx").alias("bi2"), F.col("band_key").alias("bk2")
-    )
-    cand = (
-        ba.join(
-            bb,
-            (F.col("bi") == F.col("bi2"))
-            & (F.col("bk") == F.col("bk2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sh, id_col)
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))

@@ -282,6 +282,87 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    ex AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {dedup.MAX_DOC_FREQ}),
+    kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare ON ex.g = rare.g),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    tp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b, jac_micro FROM (
+        SELECT doc_a, doc_b,
+               CAST(floor(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)
+                          * 1000000.0) AS BIGINT) AS jac_micro
+        FROM tp
+        JOIN sizes sa ON sa.doc_id = tp.doc_a
+        JOIN sizes sb ON sb.doc_id = tp.doc_b)
+      WHERE jac_micro >= 200000
+    ),
+    j AS (
+      SELECT CAST(floor(t.jac_micro / 100000) AS BIGINT) AS jac_decile,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth t
+      LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT jac_decile, count(*) AS n_true_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           CAST((sum(caught) * 1000000) // count(*) AS BIGINT) AS recall_micro
+    FROM j GROUP BY jac_decile
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit — the S-curve, measured: per true-Jaccard decile
+    (exact inverted-index pairs at ≥ 0.2, the same df-cutoff universe as
+    ``dedup_ngram_jaccard``), the fraction the band-collision candidate
+    stage actually caught. Together with ``lsh_band_bucket_stats`` this is
+    how b/r is tuned at scale: bands/rows trade this table's low-decile
+    recall against that table's candidate volume. The target threshold 0.5
+    should read ≈ 1.0 recall in deciles 5+ (16 hashes, 4×4 bands put the
+    S-curve midpoint at ~0.55 with steep slope) and decay below — the
+    audit makes the theory checkable per corpus. Cost: the exact pair set
+    only exists within the df ≤ 64 cutoff, so the join stays bounded; at
+    100 TB the audit runs on a fixed document sample the same way
+    ``ann_recall_audit`` bounds its brute-force side."""
+    sh = _doc_ngrams(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.2, shingles=sh
+    )
+    cand = dedup.lsh_candidate_pairs(sh.withColumnRenamed("g", "s"))
+    j = truth.select("doc_a", "doc_b", "jac_micro").join(
+        cand.withColumn("caught", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    return (
+        j.select(
+            F.floor(F.col("jac_micro") / F.lit(100000)).cast("long").alias("jac_decile"),
+            F.coalesce(F.col("caught"), F.lit(0)).alias("caught"),
+        )
+        .groupBy("jac_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("caught").cast("long").alias("n_caught"),
+        )
+        .select(
+            "jac_decile",
+            "n_true_pairs",
+            "n_caught",
+            F.expr("n_caught * 1000000 div n_true_pairs").alias("recall_micro"),
+        )
+    )
+
+
 def _clusters_oracle() -> str:
     """Connected components over the minhash pair graph, as a DuckDB
     recursive CTE (min reachable label per node) — an implementation

@@ -1120,6 +1120,135 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_toks", "keep_ratio_micro")
 
 
+EPOCH_BUDGET_X = 2  # token budget = 2× the corpus (data-constrained regime)
+EPOCH_CAP_MICRO = 4_000_000  # repeat cap: ≤4 epochs of any one source
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS toks
+      FROM d GROUP BY source HAVING sum(n_toks) > 0
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t, count(*) AS s FROM per),
+    plan AS (
+      SELECT source, n_docs, toks,
+             CAST(({EPOCH_BUDGET_X} * t) // s AS BIGINT) AS target_tokens,
+             CAST(((({EPOCH_BUDGET_X} * t) // s) * 1000000) // toks AS BIGINT)
+               AS epochs_micro
+      FROM per, tot
+    )
+    SELECT source, n_docs, toks, target_tokens, epochs_micro,
+           epochs_micro > {EPOCH_CAP_MICRO} AS capped,
+           CAST((least(epochs_micro, {EPOCH_CAP_MICRO}) * toks) // 1000000
+                AS BIGINT) AS planned_tokens
+    FROM plan
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition planner for the data-constrained regime: given a
+    token budget of ``EPOCH_BUDGET_X``× the corpus and a uniform-over-
+    sources target mixture, how many passes (micro-epochs) over each source
+    the schedule takes — capped at 4 epochs (the repeat ceiling beyond
+    which repeated data stops paying, per the data-constrained scaling-law
+    rule), with ``capped`` marking sources too small to fill their slice
+    and ``planned_tokens`` what the cap actually grants them. Pure integer
+    arithmetic over exact bigint token counts (integer div at every step),
+    so both engines land on identical rows. Cost shape: one narrow
+    per-source aggregate + a broadcast 2-value scalar — the 100 TB cost is
+    the token-count scan the mixture family already shares."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = (
+        docs.select(
+            "source", F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("toks"),
+        )
+        .filter(F.col("toks") > 0)
+    )
+    tot = per.agg(
+        F.sum("toks").cast("long").alias("t"), F.count(F.lit(1)).alias("s")
+    )
+    plan = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        F.expr(f"({EPOCH_BUDGET_X} * t) div s").alias("target_tokens"),
+        F.expr(f"((({EPOCH_BUDGET_X} * t) div s) * 1000000) div toks").alias(
+            "epochs_micro"
+        ),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "toks",
+        "target_tokens",
+        "epochs_micro",
+        (F.col("epochs_micro") > F.lit(EPOCH_CAP_MICRO)).alias("capped"),
+        F.expr(f"(least(epochs_micro, {EPOCH_CAP_MICRO}) * toks) div 1000000").alias(
+            "planned_tokens"
+        ),
+    )
+
+
+@register(
+    "corpus_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+               ::BIGINT AS h60
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks,
+           bit_xor(h60) AS content_xor60
+    FROM d GROUP BY source
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility manifest: per source, doc count, token mass, and an
+    order-independent 60-bit content checksum (XOR of per-doc
+    md5(doc_id:text) prefixes). This is the table a training run records
+    next to its config so 'same data?' is a cheap equality check later —
+    any added, dropped, or edited document flips the XOR. XOR (not SUM) so
+    the fold is overflow-free and commutative: partition order, engine, and
+    shuffle layout can never move the value. Cost: one scan, one narrow
+    per-source aggregate (map-side combined) — the cheapest possible
+    integrity sweep over 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "source",
+            F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+            h60.alias("h60"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+            F.expr("bit_xor(h60)").alias("content_xor60"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # vocabulary build
 # ---------------------------------------------------------------------------
