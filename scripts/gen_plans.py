@@ -36,6 +36,10 @@ NOTES = {
     "multimodal_phash_neardup": "Perceptual near-dup: ONE Arrow mapInPandas pass computes the 64-bit aHash; candidates meet on the exploded 16-bit band (equi-join, recall-exact to Hamming 15); verification is popcount-of-XOR in codegen. doc×doc never materializes.",
     "dedup_keeper_by_quality": "Quality-aware keeper selection: connected-components cluster table joined to the ZERO-shuffle quality projection on doc_id; one row_number window per component (cluster sizes are collision-bounded). Everything keyed — no cartesian in the composed DAG.",
     "embedding_source_drift": "Embedding-space drift: one vec_id equi-join + one (source × dim)-keyed aggregate on integer nano-units; the corpus centroid derives from the per-source sums (no second scan) and broadcasts as ONE row into the final cosine projection.",
+    "quality_curriculum": "Curriculum deciles: the corpus-sized rank window is keyed on the quality RANGE bucket (one hash shuffle); cumulative offsets come from the <=245-row histogram and broadcast back — never a single-reducer global sort.",
+    "lsh_band_bucket_stats": "LSH tuning audit: two keyed aggregates — (band_idx, band_key) then a 4-row band reduce. candidate_pairs PREDICTS the band self-join's output volume without running any join.",
+    "lsh_recall_audit": "Recall S-curve: exact truth pairs (df-cutoff inverted index) LEFT-join the band-collision candidates on (doc_a, doc_b); both sides are collision-bounded, the decile rollup is 10 keys.",
+    "corpus_manifest": "Integrity sweep: scan -> per-row md5 projection -> one per-source aggregate with an XOR fold (commutative, overflow-free) — nothing else touches the data.",
 }
 
 
