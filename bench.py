@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "lsh_recall_audit",
     "mixture_epoch_plan",
     "corpus_manifest",
+    "ann_quantized_recall_audit",
 ]
 
 

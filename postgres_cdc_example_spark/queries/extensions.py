@@ -1396,6 +1396,113 @@ def _recall_audit_oracle() -> str:
     )
 
 
+def _quantized_recall_oracle() -> str:
+    """Exact-float truth CTEs vs dequantized-int8 brute-force CTEs, joined
+    on (q_id, nbr_id) — measures retrieval damage from 4× compression."""
+    return (
+        _VEC_BASE
+        + """
+    , tq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    tscored AS (
+      SELECT q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos_r
+      FROM tq JOIN n c ON c.vec_id != tq.q_id
+    ),
+    truth AS (
+      SELECT q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM tscored)
+      WHERE rnk <= 5
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE AS scale
+      FROM n
+    ),
+    dq AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / scale) AS INT) * scale) AS dv
+      FROM s
+    ),
+    dn AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq),
+    aq AS (SELECT vec_id AS q_id, dv AS qv, dnrm AS qn FROM dn WHERE vec_id < 10),
+    ascored AS (
+      SELECT q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(qv, c.dv) / (qn * c.dnrm), 6) AS cos_r
+      FROM aq JOIN dn c ON c.vec_id != aq.q_id
+    ),
+    approx AS (
+      SELECT q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM ascored)
+      WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT t.q_id, count(*) AS n_hits
+      FROM truth t JOIN approx a ON a.q_id = t.q_id AND a.nbr_id = t.nbr_id
+      GROUP BY t.q_id
+    ),
+    qs AS (SELECT DISTINCT q_id FROM truth)
+    SELECT qs.q_id,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(5 AS BIGINT) AS n_truth,
+           CAST(floor(COALESCE(hits.n_hits, 0) * 1000000.0 / 5) AS BIGINT)
+             AS recall_micro
+    FROM qs LEFT JOIN hits ON qs.q_id = hits.q_id
+    """
+    )
+
+
+@register("ann_quantized_recall_audit", oracle=_quantized_recall_oracle())
+def ann_quantized_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-damage audit: per-query recall@5 of brute-force search
+    over DEQUANTIZED int8 vectors against the exact float ground truth —
+    the number that justifies (or vetoes) shipping the 4× smaller index.
+    Same symmetric per-vector quantization as ``embedding_quantize_int8``
+    (codes = round(x/scale), scale = absmax/127), reconstructed as
+    code·scale before scoring, so the only error measured is the
+    quantization itself. Both sides are the registered operators' shapes
+    (broadcast 10-query side, per-query ranking window — never a global
+    sort); at 100 TB the audit runs on the fixed query sample while the
+    quantized index serves traffic."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    truth = similarity.brute_force_topk(emb).select("q_id", "nbr_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    dq = e.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x / F.col("scale")).cast("int") * F.col("scale")
+        ).alias("embedding"),
+    )
+    approx = similarity.brute_force_topk(dq).select(
+        F.col("q_id").alias("a_qid"), F.col("nbr_id").alias("a_nbr")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("q_id") == F.col("a_qid")) & (F.col("nbr_id") == F.col("a_nbr")),
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = truth.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(5).cast("long").alias("n_truth"),
+        F.floor(F.coalesce("n_hits", F.lit(0)) * 1_000_000 / 5)
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
 @register("ann_recall_audit", oracle=_recall_audit_oracle())
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit: per-query recall@5 of the multi-probe sign-LSH

@@ -371,6 +371,13 @@ def test_corpus_shuffle_order_windows_are_bucket_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "offsets must broadcast, not shuffle-join"
 
 
+def test_quantized_recall_audit_no_cartesian(spark, sf_dir):
+    """Both brute sides broadcast the 10-query sample; the truth/approx
+    comparison joins on (q_id, nbr_id). Nothing may plan cartesian."""
+    plan = plan_of(spark, sf_dir, "ann_quantized_recall_audit")
+    assert "CartesianProduct" not in plan
+
+
 def test_quality_curriculum_rank_is_range_bucket_keyed(spark, sf_dir):
     """Same two-pass contract as corpus_shuffle_order, but over the quality
     range bucket: the corpus-sized rank window must partition by qb (one
