@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "mixture_epoch_plan",
     "corpus_manifest",
     "ann_quantized_recall_audit",
+    "incremental_join_maintenance",
+    "audience_overlap",
 ]
 
 

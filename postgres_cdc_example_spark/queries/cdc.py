@@ -295,3 +295,60 @@ def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("version_seq") <= _ASOF_SEQ)
         & (F.col("valid_to_seq").isNull() | (F.col("valid_to_seq") > _ASOF_SEQ))
     ).select("id", "status", "amount", "version_seq")
+
+
+# --- incremental JOIN maintenance (materialized join-view delta) ----------------
+
+JOIN_DELTA_MOD_O = 20  # orders with o_orderkey % 20 == 0 form the delta batch
+JOIN_DELTA_MOD_C = 10  # customers with c_custkey % 10 == 0 form the delta batch
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle=f"""
+    WITH full_j AS (
+      SELECT o_orderkey, o_custkey, c_name,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    base_j AS (
+      SELECT o_orderkey, o_custkey, c_name,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % {JOIN_DELTA_MOD_O} != 0
+        AND c_custkey % {JOIN_DELTA_MOD_C} != 0
+    )
+    SELECT * FROM full_j EXCEPT SELECT * FROM base_j
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-algebra identity
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with A = base orders, B = base
+    customers and the ``% mod == 0`` slices as the arriving batches. The
+    ENGINE computes only the three delta-sized joins (each keyed on
+    custkey; at scale the Δ sides are batch-sized and broadcastable, and
+    the base sides are touched only through the join key — never a full
+    view recompute). The ORACLE states the spec a genuinely different way:
+    new view EXCEPT old view, both brute-recomputed — so the hash match IS
+    the maintenance-equivalence theorem, checked per row. The three terms
+    partition the delta (an order row is in exactly one of Δo/base-o, a
+    customer in exactly one of Δc/base-c), so the union is disjoint and
+    bag==set. Money lands in integer cents before any comparison."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    is_do = F.col("o_orderkey") % JOIN_DELTA_MOD_O == 0
+    is_dc = F.col("c_custkey") % JOIN_DELTA_MOD_C == 0
+    d_o, b_o = orders.filter(is_do), orders.filter(~is_do)
+    d_c, b_c = cust.filter(is_dc), cust.filter(~is_dc)
+
+    def j(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+
+    return j(d_o, b_c).unionByName(j(b_o, d_c)).unionByName(j(d_o, d_c))

@@ -814,3 +814,71 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return orphan_li.crossJoin(orphan_o).crossJoin(totals)
+
+
+@register(
+    "audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    per AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY event_type),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_shared
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_shared,
+           pa.n_users AS n_users_a, pb.n_users AS n_users_b,
+           CAST((n_shared * 1000000)
+                // (pa.n_users + pb.n_users - n_shared) AS BIGINT)
+             AS jaccard_micro
+    FROM ov
+    JOIN per pa ON pa.event_type = ov.type_a
+    JOIN per pb ON pb.event_type = ov.type_b
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: shared distinct
+    users per (type_a, type_b) plus per-type reach and integer-micro
+    Jaccard — the segment-overlap matrix behind cohort targeting and
+    feature-cannibalization questions. Shape: one distinct on
+    (event_type, user_id) — the exact-distinct shuffle — then a self-join
+    KEYED ON user_id (a user contributes |types_of_user|² pair rows, which
+    is bounded by the type universe, never by N), and a |types|²-row
+    rollup that two broadcast-sized per-type reach joins decorate. The
+    exact twin of what a theta-sketch intersection estimates at 100 TB;
+    here the type universe is small enough that exact is the right call."""
+    ev = load_table(spark, "events", sf_dir)
+    tu = ev.select("event_type", "user_id").distinct()
+    per = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    ov = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ov.join(
+            F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                                   F.col("n_users").alias("n_users_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                                   F.col("n_users").alias("n_users_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "n_users_a",
+            "n_users_b",
+            F.expr(
+                "(n_shared * 1000000) div (n_users_a + n_users_b - n_shared)"
+            ).alias("jaccard_micro"),
+        )
+    )

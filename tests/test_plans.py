@@ -371,6 +371,28 @@ def test_corpus_shuffle_order_windows_are_bucket_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "offsets must broadcast, not shuffle-join"
 
 
+def test_incremental_join_maintenance_is_three_keyed_joins(spark, sf_dir):
+    """The delta must derive via the three custkey-keyed joins — never a
+    full-view recompute diff (no except/anti over the full join) and never
+    a cartesian."""
+    plan = plan_of(spark, sf_dir, "incremental_join_maintenance")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "ExceptAll" not in plan and "LeftAnti" not in plan
+
+
+def test_audience_overlap_joins_on_user(spark, sf_dir):
+    """Pair discovery must be the user_id-keyed self-join; per-type reach
+    decorates via broadcast."""
+    plan = plan_of(spark, sf_dir, "audience_overlap")
+    assert "CartesianProduct" not in plan, "pair discovery must stay keyed"
+    # the exact-distinct shuffle is keyed on (event_type, user_id); the join
+    # strategy itself is stats-driven (broadcast at fixture scale, SMJ on
+    # user_id at corpus scale) so only the key shape is pinned
+    assert "hashpartitioning(event_type" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_quantized_recall_audit_no_cartesian(spark, sf_dir):
     """Both brute sides broadcast the 10-query sample; the truth/approx
     comparison joins on (q_id, nbr_id). Nothing may plan cartesian."""
