@@ -429,3 +429,55 @@ def test_doc_chunks_is_zero_shuffle_projection(spark, sf_dir):
 
     df = q.queries()["doc_chunks"](spark, sf_dir)
     assert not has_exchange(df)
+
+
+# Queries where a BroadcastNestedLoopJoin is the RIGHT plan: either the
+# build side is bounded by construction (a 1-row scalar total, the fixed
+# 10-query audit sample, a bounded literal grid) or the query is an
+# explicitly-labeled all-pairs exactness baseline. Anything NOT on this
+# list acquiring a nested-loop join is a regression.
+_BNLJ_ALLOWED = {
+    # labeled all-pairs exact baselines (scale path = the bucketed variants)
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    # broadcast 10-query audit sample x corpus, non-equi (!=) condition
+    "ann_ivf_topk",
+    "ann_recall_audit",
+    "ann_quantized_recall_audit",
+    # broadcast scalar/total or bounded dim crossJoin decorating a big side
+    "bm25_doc_ranking",
+    "embedding_source_drift",
+    "fuzzy_part_names",
+    "mixture_epoch_plan",
+    "mixture_temperature_resample",
+    "monitor_sync_check",
+    "orders_above_avg",
+    "q11_revenue_concentration",
+    "q22_dormant_customers",
+    "quality_curriculum",
+    "referential_integrity_audit",
+    "region_priority_grid",
+    "source_mixture_weights",
+    "source_token_kl",
+    "text_bigram_nll",
+    "text_unigram_nll",
+    "tfidf_keywords",
+}
+
+
+def test_registry_wide_no_cartesian_and_bounded_nested_loops(spark, sf_dir):
+    """Blanket anti-pattern sweep over EVERY registered query: no plan may
+    contain a CartesianProduct (none does today — keep it that way), and a
+    BroadcastNestedLoopJoin may appear only on the audited allowlist above
+    (bounded build sides / labeled baselines). This is the net that catches
+    a future query accidentally planning all-pairs."""
+    from postgres_cdc_example_spark.plans.inspect import explain_str
+
+    offenders = {}
+    for name, fn in sorted(q.queries().items()):
+        plan = explain_str(fn(spark, sf_dir), mode="simple")
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "unaudited BroadcastNestedLoopJoin"
+    assert not offenders, f"plan anti-patterns: {offenders}"
