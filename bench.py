@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "ann_quantized_recall_audit",
     "incremental_join_maintenance",
     "audience_overlap",
+    "token_count_min_sketch",
+    "contamination_bloom_prefilter",
 ]
 
 

@@ -885,6 +885,171 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 65536  # bloom bits (2^16 → 8 KiB bitmap, 1024 longs)
+BLOOM_K = 3  # hash functions per gram
+
+
+def _bloom_gram_sql() -> str:
+    """Shared CTE: distinct 8-grams per doc (benchmark + corpus split)."""
+    n = CONTAM_NGRAM
+    cat = ", ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    g8 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - {n - 1}),
+               i -> concat_ws(' ', {cat})))) AS g
+      FROM toks WHERE len(tk) >= {n}
+    )"""
+
+
+@register(
+    "contamination_bloom_prefilter",
+    oracle=f"""
+    WITH {_bloom_gram_sql()},
+    bgd AS (SELECT DISTINCT g FROM g8 WHERE doc_id % {BENCH_MOD} = 0),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(k || ':' || g), 1, 8))::BIGINT % {BLOOM_M} AS pos
+      FROM bgd, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) ks
+    ),
+    cg AS (SELECT doc_id, g FROM g8 WHERE doc_id % {BENCH_MOD} != 0),
+    cgp AS (
+      SELECT doc_id, g,
+             sum(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+      FROM (
+        SELECT doc_id, g,
+               ('0x' || substr(md5(k || ':' || g), 1, 8))::BIGINT % {BLOOM_M} AS pos
+        FROM cg, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) ks
+      ) x
+      LEFT JOIN bpos bp ON bp.pos = x.pos
+      GROUP BY doc_id, g
+    ),
+    flags AS (
+      SELECT c.doc_id, (c.nbits = {BLOOM_K}) AS bloom_hit,
+             (b.g IS NOT NULL) AS true_hit
+      FROM cgp c LEFT JOIN bgd b ON b.g = c.g
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_hits,
+           CAST(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flags GROUP BY doc_id
+    HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0
+    """,
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination — the shape that beats broadcasting
+    the benchmark gram TABLE at 100 TB: the benchmark's distinct 8-grams
+    compress into a {BLOOM_M}-bit bloom ({BLOOM_K} salted-md5 hashes,
+    8 KiB) whose size is BOUNDED BY CONSTRUCTION no matter how large the
+    eval suite grows — the distinct-position collect can never exceed
+    {BLOOM_M} rows, so the driver/broadcast cost is O(M), not O(grams)
+    (contrast ``benchmark_contamination``'s size-gated gram broadcast).
+    Corpus grams test membership with pure codegen bit arithmetic against
+    the literal bitmap; docs with ≥1 candidate gram move on to exact
+    verification. This query is the AUDIT of that pipeline: per flagged
+    doc, gram count, bloom candidates, exact true hits (the verification
+    join), and false positives — bloom guarantees no false negatives, so
+    ``n_candidates ≥ n_true_hits`` row-by-row and a doc with hits is
+    always flagged. The oracle computes the identical bloom relationally
+    (position-set joins), so bitmap arithmetic is value-checked exactly."""
+    n = CONTAM_NGRAM
+    gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
+    docs = load_table(spark, "documents", sf_dir)
+    g8 = (
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(tk) - {n}),"
+                        f" i -> concat_ws(' ', {gram_cat}))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = g8.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+
+    def pos(k: int, g: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), g)), 1, 8), 16, 10
+            ).cast("long")
+            % BLOOM_M
+        )
+
+    # Build the bitmap: distinct positions are bounded by M (=65536) no
+    # matter the benchmark size, so this collect is O(M) by construction —
+    # the same bounded-driver-state class as centroids and probe lists.
+    prows = (
+        bench.select(
+            F.explode(F.array(*[pos(k, F.col("g")) for k in range(BLOOM_K)])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in prows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed longs for the literal array column
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bm = F.array(*[F.lit(w) for w in words])
+
+    corpus = g8.filter(F.col("doc_id") % BENCH_MOD != 0)
+    with_bits = corpus.withColumn("bm", bm)
+    hit_terms = [
+        F.expr(
+            f"(shiftright(element_at(bm, CAST(p{k} div 64 AS INT) + 1),"
+            f" CAST(p{k} % 64 AS INT)) & 1) = 1"
+        )
+        for k in range(BLOOM_K)
+    ]
+    flagged = (
+        with_bits.select(
+            "doc_id", "g", "bm", *[pos(k, F.col("g")).alias(f"p{k}") for k in range(BLOOM_K)]
+        )
+        .withColumn(
+            "bloom_hit",
+            hit_terms[0] & hit_terms[1] & hit_terms[2],
+        )
+        .drop("bm", "p0", "p1", "p2")
+    )
+    verified = flagged.join(
+        bench.withColumn("true_hit", F.lit(True)), "g", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
+    )
+    return (
+        verified.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(F.col("true_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_hits"),
+            F.sum(F.when(F.col("bloom_hit") & ~F.col("true_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .filter(F.col("n_candidates") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality gates)
 # ---------------------------------------------------------------------------
@@ -1280,6 +1445,94 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("n").desc(), "tok")
     return top.withColumn("rank", F.row_number().over(w)).select(
         "tok", "n", "rank"
+    )
+
+
+CMS_D = 4  # count-min-sketch hash rows
+CMS_W = 512  # count-min-sketch buckets per row (state = D×W cells, fixed)
+
+
+@register(
+    "token_count_min_sketch",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    ex AS (
+      SELECT tok, unnest(generate_series(0, {CMS_D - 1})) AS j FROM occ
+    ),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS bucket,
+             count(*) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+    top AS (
+      SELECT tok, n FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM cnt
+      ) WHERE rnk <= 20
+    ),
+    probes AS (
+      SELECT tok, n, j,
+             ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS bucket
+      FROM top, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j) js
+    )
+    SELECT p.tok, CAST(p.n AS BIGINT) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - p.n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.tok, p.n
+    """,
+)
+def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over token occurrences, audited against exact
+    counts: {CMS_D}×{CMS_W} cells of fixed state count the whole stream
+    (each occurrence increments one bucket per hash row; estimate = min
+    over rows), and the query reports, for the exact top-20 tokens, the
+    sketch's estimate and its overcount. The sketch is DETERMINISTIC
+    (salted-md5 buckets), so the oracle replicates it cell-for-cell —
+    the accuracy claim is value-checked, not bounded. Scale story: the
+    cell build is ONE map-side-combined aggregate into ≤{CMS_D * CMS_W}
+    cells regardless of vocabulary size — the fixed-memory twin of the
+    vocab-sized exact count (and the batch analog of
+    ``heavy_hitters_stream``'s bounded state); CMS guarantees
+    estimate ≥ truth, so ``overcount`` is always ≥ 0 — collisions with
+    hot tokens show up as positive slack."""
+    occ = _doc_occurrences(spark, sf_dir)
+    js = F.array(*[F.lit(j) for j in range(CMS_D)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+    cells = (
+        occ.select("tok")
+        .select(F.explode(js).alias("j"), "tok")
+        .select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), "tok").limit(20)
+    probes = top.select("tok", "n", F.explode(js).alias("j")).select(
+        "tok", "n", "j", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "tok",
+            F.col("n").cast("long").alias("true_count"),
+            F.col("est").cast("long").alias("cms_estimate"),
+            (F.col("est") - F.col("n")).cast("long").alias("overcount"),
+        )
     )
 
 

@@ -481,3 +481,20 @@ def test_registry_wide_no_cartesian_and_bounded_nested_loops(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "unaudited BroadcastNestedLoopJoin"
     assert not offenders, f"plan anti-patterns: {offenders}"
+
+
+def test_bloom_prefilter_is_codegen_bit_arithmetic(spark, sf_dir):
+    """Bloom membership must be pure JVM bit arithmetic against the literal
+    bitmap (no Python eval anywhere), and the only join is the exact-audit
+    equi-join on the gram."""
+    plan = plan_of(spark, sf_dir, "contamination_bloom_prefilter")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_build_is_single_keyed_aggregate(spark, sf_dir):
+    """The sketch cells must come from one map-side-combined aggregate keyed
+    on (j, bucket) — fixed-size state, never a vocab-sized pivot."""
+    plan = plan_of(spark, sf_dir, "token_count_min_sketch")
+    assert "hashpartitioning(j" in plan
+    assert "CartesianProduct" not in plan
