@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "audience_overlap",
     "token_count_min_sketch",
     "contamination_bloom_prefilter",
+    "text_mixed_language",
 ]
 
 

@@ -123,6 +123,86 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_table(spark, "documents", sf_dir))
 
 
+def _mixed_lang_oracle() -> str:
+    halves = {
+        "a": "substr(text, 1, CAST(floor(length(text) / 2) AS INT))",
+        "b": "substr(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text))",
+    }
+    cols = []
+    for side, half in halves.items():
+        pads = f"(' ' || lower({half}) || ' ')"
+        for lang, markers in text.LANG_MARKERS.items():
+            total = " + ".join(_occ(pads, m) for m in markers)
+            cols.append(f"({total}) AS {side}_{lang}")
+
+    def case(side: str) -> str:
+        s = side
+        return f"""CASE WHEN {s}_en >= {s}_de AND {s}_en >= {s}_fr AND {s}_en >= {s}_es THEN 'en'
+                WHEN {s}_de >= {s}_fr AND {s}_de >= {s}_es THEN 'de'
+                WHEN {s}_fr >= {s}_es THEN 'fr'
+                ELSE 'es' END"""
+
+    return f"""
+    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents),
+    d AS (SELECT doc_id, {case("a")} AS lang_first, {case("b")} AS lang_second FROM c)
+    SELECT doc_id, lang_first, lang_second,
+           lang_first != lang_second AS is_mixed
+    FROM d
+    """
+
+
+@register("text_mixed_language", oracle=_mixed_lang_oracle())
+def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language / code-switching detection: language-ID each HALF of
+    the document (char midpoint split) with the same marker-phrase counter
+    and tie-break as ``text_lang_id``; halves disagreeing flags the doc —
+    the cheap detector for concatenation artifacts, translated boilerplate,
+    and code-switched text that a whole-doc language ID averages away.
+    Same cost class as the parent: pure per-row string arithmetic, zero
+    shuffle, pushdown-safe — stackable into the scan-front gate battery."""
+    docs = load_table(spark, "documents", sf_dir)
+    h1 = F.expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
+    h2 = F.expr(
+        "substring(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text))"
+    )
+    # 1-element explode = a Generate barrier: the half substrings become
+    # ATTRIBUTES instead of being re-inlined into all 24 marker counts by
+    # projection collapse (the inlined form blows the janino method limit
+    # and de-codegens the whole gate). Still zero shuffle, still one pass.
+    halved = docs.select(
+        "doc_id",
+        F.explode(F.array(F.struct(h1.alias("ha"), h2.alias("hb")))).alias("h"),
+    ).select("doc_id", F.col("h.ha").alias("ha"), F.col("h.hb").alias("hb"))
+
+    def detect(half: F.Column) -> F.Column:
+        padded = F.concat(F.lit(" "), F.lower(half), F.lit(" "))
+        counts = {
+            lang: sum(
+                (text.occurrence_count(padded, m) for m in markers[1:]),
+                text.occurrence_count(padded, markers[0]),
+            )
+            for lang, markers in text.LANG_MARKERS.items()
+        }
+        en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+        return (
+            F.when((en >= de) & (en >= fr) & (en >= es), "en")
+            .when((de >= fr) & (de >= es), "de")
+            .when(fr >= es, "fr")
+            .otherwise("es")
+        )
+
+    return halved.select(
+        "doc_id",
+        detect(F.col("ha")).alias("lang_first"),
+        detect(F.col("hb")).alias("lang_second"),
+    ).select(
+        "doc_id",
+        "lang_first",
+        "lang_second",
+        (F.col("lang_first") != F.col("lang_second")).alias("is_mixed"),
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

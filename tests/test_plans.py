@@ -498,3 +498,14 @@ def test_cms_build_is_single_keyed_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "token_count_min_sketch")
     assert "hashpartitioning(j" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixed_language_is_zero_shuffle_and_codegen(spark, sf_dir):
+    """The half-split lang-ID gate must stay a per-row pass: no Exchange
+    (the 1-element explode is a Generate, not a shuffle) and no Python."""
+    from postgres_cdc_example_spark.plans.inspect import has_exchange
+
+    df = q.queries()["text_mixed_language"](spark, sf_dir)
+    assert not has_exchange(df)
+    plan = plan_of(spark, sf_dir, "text_mixed_language")
+    assert "BatchEvalPython" not in plan
