@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "token_count_min_sketch",
     "contamination_bloom_prefilter",
     "text_mixed_language",
+    "event_rate_anomaly",
 ]
 
 

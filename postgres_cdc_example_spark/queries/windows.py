@@ -378,3 +378,85 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select("cohort_day", "day_offset", "n_users")
     )
+
+
+@register(
+    "event_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, hour, c,
+             count(*) OVER w AS n_prev,
+             CAST(sum(c) OVER w AS BIGINT) AS sum_c,
+             CAST(sum(c * c) OVER w AS BIGINT) AS sum_c2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type, hour, c, sum_c,
+             24 * sum_c2 - sum_c * sum_c AS var_num
+      FROM t WHERE n_prev = 24
+    )
+    SELECT event_type, hour, CAST(c AS BIGINT) AS n_events,
+           CAST(sum_c * 1000000 // 24 AS BIGINT) AS trailing_mean_micro,
+           CASE WHEN var_num > 0
+                THEN CAST(floor((24 * c - sum_c) * 1000000.0 / sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)
+                END AS z_micro,
+           CASE WHEN var_num > 0
+                THEN abs(CAST(floor((24 * c - sum_c) * 1000000.0 / sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)) >= 3000000
+                ELSE FALSE END AS is_anomaly
+    FROM z
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per (event_type, hour), the z-score of
+    the hour's event count against its trailing 24 OBSERVED hours (rows
+    frame, so calendar gaps don't shrink the baseline — compose with
+    ``event_hourly_gapfill`` first for strict calendar windows). The
+    variance is computed in EXACT integer arithmetic over the frame
+    (``24·Σc² − (Σc)²``), so the only float ops are one sqrt and one
+    division — identical IEEE steps in both engines — and the z lands on
+    the micro-grid deterministically; a flat window (zero variance) yields
+    NULL z rather than a NaN comparison. |z| ≥ 3 flags the hour. Shape:
+    one keyed aggregate + one event_type-keyed window — the monitoring
+    query that tails every ingest pipeline."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    t = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("c").over(w).cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("sum_c2"),
+    ).filter(F.col("n_prev") == 24)
+    var_num = (F.lit(24) * F.col("sum_c2") - F.col("sum_c") * F.col("sum_c")).alias(
+        "var_num"
+    )
+    z = t.select("event_type", "hour", "c", "sum_c", var_num)
+    z_micro = F.floor(
+        (F.lit(24) * F.col("c") - F.col("sum_c"))
+        * F.lit(1_000_000.0)
+        / F.sqrt(F.col("var_num").cast("double"))
+    ).cast("long")
+    return z.select(
+        "event_type",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        F.expr("sum_c * 1000000 div 24").alias("trailing_mean_micro"),
+        F.when(F.col("var_num") > 0, z_micro).alias("z_micro"),
+        F.when(F.col("var_num") > 0, F.abs(z_micro) >= 3_000_000)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
