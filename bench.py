@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "contamination_bloom_prefilter",
     "text_mixed_language",
     "event_rate_anomaly",
+    "vocab_zipf_slope",
 ]
 
 

@@ -1787,3 +1787,82 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+ZIPF_FIT_TOP = 100  # fit the Zipf line over the top-100 vocabulary head
+
+
+@register(
+    "vocab_zipf_slope",
+    oracle=f"""
+    WITH {{occ}},
+    cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM cnt
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= {ZIPF_FIT_TOP}
+    ),
+    s AS (
+      SELECT count(*) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT CAST(np AS BIGINT) AS n_points,
+           CAST(floor(CAST(np * sxy - sx * sy AS DOUBLE) * 1000000.0
+                      / CAST(np * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(np * sxy - sx * sy AS DOUBLE)
+                         / CAST(np * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / np) AS BIGINT)
+             AS intercept_micro
+    FROM s
+    """.format(occ=_OCC_SQL),
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: OLS slope/intercept of
+    ln(freq) on ln(rank) for the top-{ZIPF_FIT_TOP} tokens — natural text
+    slopes near −1; corpus pathologies (template spam, truncated vocab,
+    dedup damage) bend it. Every ln lands on the per-row micro-grid BEFORE
+    the sums, the four moment sums are exact bigints (all bounded far
+    inside int64 for a 100-point fit), and the closing slope/intercept
+    divisions run the identical IEEE double sequence in both engines — an
+    exact-by-construction regression primitive in plain SQL. Cost: one
+    token-keyed count (shared occurrence layer), a TakeOrdered top-100,
+    and a 100-row aggregate."""
+    cnt = _doc_occurrences(spark, sf_dir).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = cnt.orderBy(F.col("n").desc(), "tok").limit(ZIPF_FIT_TOP)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    pts = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("rnk")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n")) * 1_000_000 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_d = num / den
+    return s.select(
+        F.col("np").cast("long").alias("n_points"),
+        F.floor(slope_d * F.lit(1_000_000.0)).cast("long").alias("slope_micro"),
+        F.floor(
+            (F.col("sy").cast("double") - slope_d * F.col("sx").cast("double"))
+            / F.col("np")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
