@@ -1822,6 +1822,7 @@ ZIPF_FIT_TOP = 100  # fit the Zipf line over the top-100 vocabulary head
                          * CAST(sx AS DOUBLE)) / np) AS BIGINT)
              AS intercept_micro
     FROM s
+    WHERE np * sxx - sx * sx > 0  -- a <2-point vocab has no line to fit
     """.format(occ=_OCC_SQL),
 )
 def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,6 +1857,8 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope_d = num / den
+    # a <2-point vocab has no line to fit (den = 0 → NaN downstream)
+    s = s.filter(F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
     return s.select(
         F.col("np").cast("long").alias("n_points"),
         F.floor(slope_d * F.lit(1_000_000.0)).cast("long").alias("slope_micro"),

@@ -214,6 +214,17 @@ def test_gram_oracles_survive_empty_docs(spark, sf_dir, tmp_path):
         "benchmark_contamination",
         "corpus_curation_v2",
         "dedup_exact",
+        # round-4 additions over the same documents fixture — including an
+        # empty BENCHMARK doc hitting the bloom build and the gram family
+        "contamination_bloom_prefilter",
+        "text_mixed_language",
+        "quality_curriculum",
+        "corpus_manifest",
+        "token_count_min_sketch",
+        "vocab_zipf_slope",
+        "lsh_band_bucket_stats",
+        "lsh_recall_audit",
+        "mixture_epoch_plan",
     ]:
         q = REGISTRY[name]
         compare_to_oracle(spark, str(mini), q.fn, q.oracle)

@@ -33,6 +33,10 @@ INVARIANCE_QUERIES = [
     "quality_linear_score",  # per-row sigmoid micro-round
     "event_reach_approx_error",  # sketch bounds (merge-order sensitive!)
     "retention_cohorts",  # date arithmetic + distinct
+    "quality_curriculum",  # two-pass distributed rank (range-bucket offsets)
+    "corpus_manifest",  # XOR checksum fold (must be partition-order-proof)
+    "token_count_min_sketch",  # fixed-cell sketch + top-k tie-break
+    "event_rate_anomaly",  # exact-integer variance + sqrt/div micro-grid
 ]
 
 
