@@ -137,3 +137,16 @@ def fingerprint(
         F.array_min(shingles).alias("min_shingle_hash"),
         F.array_max(shingles).alias("max_shingle_hash"),
     )
+
+
+def content_hash60(id_col: Column, text_col: Column) -> Column:
+    """60-bit content hash: first 15 hex chars of md5(id:text) as a bigint —
+    the per-row term of the corpus manifest's order-independent XOR
+    checksum (queries/llmdata.corpus_manifest and its streaming twin).
+    15 nibbles keep the value under 2^60, comfortably inside int64, and
+    ``conv``'s STRING result is cast explicitly (Spark sharp edge)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(":"), text_col)), 1, 15),
+        16,
+        10,
+    ).cast("long")

@@ -1389,21 +1389,14 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle layout can never move the value. Cost: one scan, one narrow
     per-source aggregate (map-side combined) — the cheapest possible
     integrity sweep over 100 TB."""
+    from postgres_cdc_example_spark.operators import text as text_ops
+
     docs = load_table(spark, "documents", sf_dir)
-    h60 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     return (
         docs.select(
             "source",
             F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_toks"),
-            h60.alias("h60"),
+            text_ops.content_hash60(F.col("doc_id"), F.col("text")).alias("h60"),
         )
         .groupBy("source")
         .agg(

@@ -516,3 +516,70 @@ def heavy_hitters_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming corpus manifest (running per-source integrity checksum) --------
+
+MANIFEST_OUTPUT_SCHEMA = (
+    "source string, n_docs long, total_toks long, content_xor60 long"
+)
+MANIFEST_STATE_SCHEMA = "n_docs long, total_toks long, x long"
+
+
+def _manifest_group(key, pdfs, state: GroupState):
+    """Fold a batch of pre-hashed doc rows into the per-source manifest
+    state (count, token sum, XOR of 60-bit content hashes). XOR and sums
+    are commutative+associative, so any batch slicing / arrival order
+    yields the same final state — the property the stream==batch test
+    pins. Emits the UPDATED snapshot each batch (monitoring-style)."""
+    (source,) = key
+    batch = pd.concat(list(pdfs))
+    n = int(len(batch))
+    t = int(batch["n_toks"].sum()) if n else 0
+    x = 0
+    for v in batch["h60"]:
+        x ^= int(v)
+    if state.exists:
+        pn, pt, px = state.get
+        n += int(pn)
+        t += int(pt)
+        x ^= int(px)
+    state.update((n, t, x))
+    yield pd.DataFrame(
+        {
+            "source": [source],
+            "n_docs": [n],
+            "total_toks": [t],
+            "content_xor60": [x],
+        }
+    )
+
+
+def manifest_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the ``corpus_manifest`` batch query: a running
+    per-source (doc count, token mass, XOR-of-md5-prefix) integrity
+    checksum maintained at ingest. The hash and token count are computed
+    JVM-side as a per-row projection BEFORE the stateful stage (codegen,
+    not pandas), so the Arrow hop carries three narrow columns; state is
+    three longs per source — O(sources), the smallest possible stateful
+    footprint. Because the fold is an XOR/sum, the snapshot after any
+    prefix of batches equals the batch query over the rows ingested so
+    far — restart-safe by construction (state store) and
+    arrival-order-independent, which is what makes it an INTEGRITY check:
+    replaying a corpus through any batching must land on the identical
+    checksum or data was lost/duplicated en route."""
+    from postgres_cdc_example_spark.operators import text as text_ops
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    prepped = docs.select(
+        "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+        text_ops.content_hash60(F.col("doc_id"), F.col("text")).alias("h60"),
+    )
+    return prepped.groupBy("source").applyInPandasWithState(
+        _manifest_group,
+        outputStructType=MANIFEST_OUTPUT_SCHEMA,
+        stateStructType=MANIFEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -423,3 +423,40 @@ def test_neardup_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
     assert want, "fixture must contain at least one near-dup candidate"
     assert any(a < 250 <= b for a, b in want), "need a cross-restart pair"
     assert got == want
+
+
+def test_manifest_stream_matches_batch_manifest(spark, sf_dir, tmp_path):
+    """Streaming integrity manifest ≡ the batch corpus_manifest query over
+    the rows ingested so far — across a RESTART (run 2 restores per-source
+    state from the checkpoint's state store). The fold is XOR/sum, so the
+    equality must hold no matter how the corpus is sliced into batches;
+    a lost or duplicated row would flip the checksum."""
+    from postgres_cdc_example_spark import queries as q
+    from postgres_cdc_example_spark.streaming.stateful import manifest_stream
+
+    batch_manifest = q.queries()["corpus_manifest"]
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+
+    src, ckpt = str(tmp_path / "mf_src"), str(tmp_path / "mf_ckpt")
+    first.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    emitted: list = []
+    _drain(manifest_stream(stream), ckpt, emitted)
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    _drain(manifest_stream(stream), ckpt, emitted)
+
+    # last emitted snapshot per source == batch manifest over the full corpus
+    final = {}
+    for r in emitted:
+        final[r.source] = (r.n_docs, r.total_toks, r.content_xor60)
+    want = {
+        r.source: (r.n_docs, r.total_toks, r.content_xor60)
+        for r in batch_manifest(spark, sf_dir).collect()
+    }
+    assert final == want
