@@ -409,22 +409,26 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of OOMing executors; the corpus side never shuffles more than
     its matched rows."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     n = CONTAM_NGRAM
-    leads = toks.select(
-        "doc_id",
-        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(n)],
-    )
+    # grams come straight off the token array — a per-row slice projection
+    # (the same no-window-sort formulation corpus_curation_v2 measured
+    # faster than the posexplode+lead shape this query originally used);
+    # size >= n guards Spark's descending-sequence sharp edge
+    gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
     grams = (
-        leads.filter(F.col(f"t{n - 1}").isNotNull())
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= n)
         .select(
             "doc_id",
-            F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("g"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(tk) - {n}),"
+                        f" i -> concat_ws(' ', {gram_cat}))"
+                    )
+                )
+            ).alias("g"),
         )
-        .distinct()
     )
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
