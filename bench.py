@@ -121,7 +121,7 @@ def main() -> None:
     # rounds (dedup_minhash_lsh +18% in r2 was cost *attribution*, not cost
     # creation). A real deployment amortizes it the same way: build once,
     # reuse per batch.
-    from postgres_cdc_example_spark.queries.extensions import _doc_ngrams
+    from postgres_cdc_example_spark.queries.extensions import _doc_bands, _doc_ngrams
     from postgres_cdc_example_spark.queries.llmdata import _doc_occurrences
 
     # The build cost is reported as its own line item (layer_build_sec) rather
@@ -132,6 +132,7 @@ def main() -> None:
     t0 = time.perf_counter()
     _doc_ngrams(spark, SF_DIR).count()
     _doc_occurrences(spark, SF_DIR).count()
+    _doc_bands(spark, SF_DIR).count()  # r4+: LSH band index joins the layer
     layer_build = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

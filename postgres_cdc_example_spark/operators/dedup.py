@@ -153,14 +153,20 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
-def lsh_candidate_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sh: DataFrame, id_col: str = "doc_id", bands: DataFrame | None = None
+) -> DataFrame:
     """Band-collision candidate pairs (the LSH *discovery* stage, before
     exact verification): minhash the shingle rows, explode band keys, and
     self-join on ``(band_idx, band_key)`` — only true bucket collisions
     meet, all-pairs is never materialized. Factored out of
     :func:`minhash_lsh_pairs` so recall/precision audits can measure the
-    candidate stage in isolation."""
-    bands = minhash_bands(minhash_signatures(sh, id_col), id_col)
+    candidate stage in isolation. ``bands``: optionally pass a precomputed
+    (ideally persisted) band table — the 16-md5 min-aggregate is the
+    layer's dominant cost and is shared by every LSH consumer in a
+    session (the same reuse argument as the ``shingles`` parameter)."""
+    if bands is None:
+        bands = minhash_bands(minhash_signatures(sh, id_col), id_col)
     ba = bands.select(
         F.col(id_col).alias("doc_a"), F.col("band_idx").alias("bi"), F.col("band_key").alias("bk")
     )
@@ -185,6 +191,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -212,7 +219,7 @@ def minhash_lsh_pairs(
         if shingles is not None
         else ngram_rows(df, text_col, id_col)
     ).withColumnRenamed("g", "s")
-    cand = lsh_candidate_pairs(sh, id_col)
+    cand = lsh_candidate_pairs(sh, id_col, bands=bands)
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
