@@ -122,7 +122,7 @@ def main() -> None:
     # creation). A real deployment amortizes it the same way: build once,
     # reuse per batch.
     from postgres_cdc_example_spark.queries.extensions import _doc_bands, _doc_ngrams
-    from postgres_cdc_example_spark.queries.llmdata import _doc_occurrences
+    from postgres_cdc_example_spark.queries.llmdata import _doc_grams8, _doc_occurrences
 
     # The build cost is reported as its own line item (layer_build_sec) rather
     # than charged to whichever family member runs first — a real deployment
@@ -133,6 +133,7 @@ def main() -> None:
     _doc_ngrams(spark, SF_DIR).count()
     _doc_occurrences(spark, SF_DIR).count()
     _doc_bands(spark, SF_DIR).count()  # r4+: LSH band index joins the layer
+    _doc_grams8(spark, SF_DIR).count()  # r4+: decontamination 8-gram table
     layer_build = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -369,6 +369,44 @@ CONTAM_NGRAM = 8  # span width for decontamination checks
 BENCH_MOD = 20  # doc_id % 20 == 0 -> the stand-in "benchmark" split
 
 
+_GRAM8_SHARE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_grams8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted distinct-8-gram rows (doc_id, g) for ALL documents —
+    shared by the decontamination family (exact join sweep + bloom
+    prefilter), which otherwise re-derives the gram table once per side
+    per query. Same bounded-memo pattern as ``_doc_occurrences``; both
+    the benchmark split (``doc_id % BENCH_MOD == 0``) and the corpus
+    split are doc_id filters over this one table, applied after the
+    cache read."""
+
+    def build() -> DataFrame:
+        n = CONTAM_NGRAM
+        gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
+        docs = load_table(spark, "documents", sf_dir)
+        return (
+            docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+            .filter(F.size("tk") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(0, size(tk) - {n}),"
+                            f" i -> concat_ws(' ', {gram_cat}))"
+                        )
+                    )
+                ).alias("g"),
+            )
+            .persist()
+        )
+
+    return memo_get(
+        _GRAM8_SHARE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 def _gram_sql(n: int) -> str:
     cat = ", ".join(f"tk[i+{j}]" for j in range(n))
     return f"""
@@ -409,27 +447,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of OOMing executors; the corpus side never shuffles more than
     its matched rows."""
     docs = load_table(spark, "documents", sf_dir)
-    n = CONTAM_NGRAM
-    # grams come straight off the token array — a per-row slice projection
-    # (the same no-window-sort formulation corpus_curation_v2 measured
-    # faster than the posexplode+lead shape this query originally used);
-    # size >= n guards Spark's descending-sequence sharp edge
-    gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
-    grams = (
-        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
-        .filter(F.size("tk") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, size(tk) - {n}),"
-                        f" i -> concat_ws(' ', {gram_cat}))"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
+    # grams come from the persisted shared 8-gram layer (per-row slice
+    # projection, no window sorts — and built once per session for the
+    # whole decontamination family instead of once per side per query)
+    grams = _doc_grams8(spark, sf_dir)
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
     )
@@ -962,24 +983,7 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     ``n_candidates ≥ n_true_hits`` row-by-row and a doc with hits is
     always flagged. The oracle computes the identical bloom relationally
     (position-set joins), so bitmap arithmetic is value-checked exactly."""
-    n = CONTAM_NGRAM
-    gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
-    docs = load_table(spark, "documents", sf_dir)
-    g8 = (
-        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
-        .filter(F.size("tk") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, size(tk) - {n}),"
-                        f" i -> concat_ws(' ', {gram_cat}))"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
+    g8 = _doc_grams8(spark, sf_dir)
     bench = g8.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
 
     def pos(k: int, g: F.Column) -> F.Column:

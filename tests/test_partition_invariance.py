@@ -50,9 +50,9 @@ def _clear_shared_layers():
     second run would read the first run's persisted RDD and the layer's
     own partition-(in)dependence would go untested."""
     from postgres_cdc_example_spark.queries.extensions import _BANDS_SHARE, _NGRAM_SHARE
-    from postgres_cdc_example_spark.queries.llmdata import _OCC_SHARE
+    from postgres_cdc_example_spark.queries.llmdata import _GRAM8_SHARE, _OCC_SHARE
 
-    for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE):
+    for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE, _GRAM8_SHARE):
         for df in cache.values():
             try:
                 df.unpersist()
