@@ -40,6 +40,10 @@ NOTES = {
     "lsh_band_bucket_stats": "LSH tuning audit: two keyed aggregates — (band_idx, band_key) then a 4-row band reduce. candidate_pairs PREDICTS the band self-join's output volume without running any join.",
     "lsh_recall_audit": "Recall S-curve: exact truth pairs (df-cutoff inverted index) LEFT-join the band-collision candidates on (doc_a, doc_b); both sides are collision-bounded, the decile rollup is 10 keys.",
     "corpus_manifest": "Integrity sweep: scan -> per-row md5 projection -> one per-source aggregate with an XOR fold (commutative, overflow-free) — nothing else touches the data.",
+    "contamination_bloom_prefilter": "Broadcast-bloom decontamination: corpus grams test membership via codegen bit arithmetic on the literal 1024-long bitmap (driver state bounded by M, not by benchmark size); the only join is the exact-audit equi-join on the gram.",
+    "token_count_min_sketch": "CMS build: ONE map-side-combined aggregate keyed on (j, bucket) into <=2048 cells regardless of vocabulary; the audit side joins the broadcast cell table to the exact top-20 probes.",
+    "incremental_join_maintenance": "IVM delta: a Union of three custkey-keyed delta-sized joins — no ExceptAll, no anti-join, no full-view recompute anywhere in the plan.",
+    "event_rate_anomaly": "Anomaly tail: one keyed aggregate + one event_type-keyed window; variance from exact integer frame sums so the plan's only float math is the closing sqrt/division projection.",
 }
 
 
