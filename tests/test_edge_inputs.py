@@ -228,3 +228,40 @@ def test_gram_oracles_survive_empty_docs(spark, sf_dir, tmp_path):
     ]:
         q = REGISTRY[name]
         compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+
+
+def test_bpe_equal_symbol_chains_match_oracle(spark, sf_dir, tmp_path):
+    """Force the pa == pb merge (the run-chain case the fixture's top pairs
+    never hit): a corpus dominated by equal-symbol runs must take the
+    greedy FOLD branch (non-overlapping alternate merges inside each run)
+    and still match the DuckDB list_reduce oracle exactly — including odd
+    runs ('x x x' merges once, the tail survives) across all three
+    unrolled steps."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_runs"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+
+    rows = [
+        (1, "x x x x x", "s0", "en", 9),       # run of 5: merges at 0,2; tail x
+        (2, "x x x", "s0", "en", 5),           # odd run of 3
+        (3, "x x y x x", "s0", "en", 9),       # two runs split by y
+        (4, "y y y y", "s1", "en", 7),         # competing equal-symbol pair
+        (5, "x y x y", "s1", "en", 7),         # alternating, no equal pair
+        (6, "", "s1", "en", 0),                # empty doc through the fold
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    stage = str(tmp_path / "docs_stage_runs")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), mini / "documents.parquet")
+
+    q = REGISTRY["bpe_merge_steps"]
+    compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    got = {r.step: (r.pair, r.pair_count) for r in q.fn(spark, str(mini)).collect()}
+    # step 1 learns the x|x chain (8 adjacent occurrences beats y|y's 3)
+    assert got[1][0] == "x|x"
