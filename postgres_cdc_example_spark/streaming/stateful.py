@@ -583,3 +583,123 @@ def manifest_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+# --- streaming event-rate anomaly (trailing-24-observed-hours z-score) --------
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_type string, hour timestamp_ntz, n_events long, "
+    "trailing_mean_micro long, z_micro long, is_anomaly boolean"
+)
+ANOM_STATE_SCHEMA = (
+    "hours array<long>, counts array<long>, n_pruned long, emitted_until long"
+)
+ANOM_TRAIL = 24  # trailing observed hours (matches queries/windows.py)
+
+
+def _anomaly_row(counts: list, idx: int):
+    """z-row inputs for the hour at ``idx`` from its 24 retained trailing
+    neighbours — the EXACT integer arithmetic of the batch query
+    (24·Σc²−(Σc)² variance, one sqrt+division in IEEE double, floor onto
+    the micro grid)."""
+    import math
+
+    c = counts[idx]
+    window = counts[idx - ANOM_TRAIL : idx]
+    sum_c = sum(window)
+    sum_c2 = sum(v * v for v in window)
+    var_num = ANOM_TRAIL * sum_c2 - sum_c * sum_c
+    mean_micro = (sum_c * 1_000_000) // ANOM_TRAIL
+    if var_num > 0:
+        z = math.floor((ANOM_TRAIL * c - sum_c) * 1_000_000.0 / math.sqrt(var_num))
+        return c, mean_micro, z, abs(z) >= 3_000_000
+    return c, mean_micro, None, False
+
+
+def _anomaly_group(key, pdfs, state: GroupState):
+    """Per-event-type hourly rate monitor: merge the batch's per-hour
+    counts (an hour may straddle micro-batches), CLOSE every hour once a
+    strictly later hour has been observed (the arrival-order watermark),
+    and emit the z-row for closed hours with ≥24 observed predecessors —
+    value-identical to the batch ``event_rate_anomaly`` rows over the
+    same prefix. State retains the trailing window plus the open hour
+    (≤25 longs per key) with a pruned-hours counter preserving the
+    predecessor count across pruning; events for already-closed hours
+    are dropped (late beyond the watermark)."""
+    import bisect
+
+    (event_type,) = key
+    batch = pd.concat(list(pdfs))
+    inc = batch.groupby("hour_epoch").size()
+
+    if state.exists:
+        hours, counts, n_pruned, emitted_until = state.get
+        hours, counts = list(hours), list(counts)
+        n_pruned, emitted_until = int(n_pruned), int(emitted_until)
+    else:
+        hours, counts, n_pruned, emitted_until = [], [], 0, -1
+
+    for h, n in sorted(inc.items()):
+        h, n = int(h), int(n)
+        if h <= emitted_until:
+            continue  # late beyond the close watermark: dropped
+        i = bisect.bisect_left(hours, h)
+        if i < len(hours) and hours[i] == h:
+            counts[i] += n
+        else:
+            hours.insert(i, h)
+            counts.insert(i, n)
+
+    out = []
+    # close ascending: every retained hour except the newest is closed by
+    # the newest's existence; predecessors are final at close time because
+    # arrivals for earlier hours would be <= emitted_until afterwards
+    for idx in range(len(hours) - 1):
+        h = hours[idx]
+        if h <= emitted_until:
+            continue
+        if n_pruned + idx >= ANOM_TRAIL and idx >= ANOM_TRAIL:
+            c, mean_micro, z, flag = _anomaly_row(counts, idx)
+            out.append((h, c, mean_micro, z, flag))
+        emitted_until = h
+
+    # prune: keep the last ANOM_TRAIL closed hours + the open hour — the
+    # exact set future closes need
+    keep_from = max(0, (len(hours) - 1) - ANOM_TRAIL)
+    n_pruned += keep_from
+    hours, counts = hours[keep_from:], counts[keep_from:]
+
+    state.update((hours, counts, int(n_pruned), int(emitted_until)))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type] * len(out),
+            "hour": [pd.Timestamp(h * 3600, unit="s") for h, *_ in out],
+            "n_events": [r[1] for r in out],
+            "trailing_mean_micro": [r[2] for r in out],
+            "z_micro": [r[3] for r in out],
+            "is_anomaly": [r[4] for r in out],
+        }
+    )
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``event_rate_anomaly`` query: per
+    (event_type, hour) z-score against the trailing 24 observed hours,
+    maintained as keyed streaming state at ingest. The hour bucket is a
+    codegen projection before the stateful stage; state is ≤25 longs per
+    event type. An hour closes when a later hour for the same type
+    arrives, so over a ts-ordered replay the emitted rows equal the batch
+    query's rows for every hour strictly before each type's newest — the
+    behavioral test pins exactly that equality, across a restart."""
+    prepped = events.select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("hour_epoch"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _anomaly_group,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -460,3 +460,67 @@ def test_manifest_stream_matches_batch_manifest(spark, sf_dir, tmp_path):
         for r in batch_manifest(spark, sf_dir).collect()
     }
     assert final == want
+
+
+def test_anomaly_stream_matches_batch_closed_hours(spark, sf_dir, tmp_path):
+    """Streaming rate monitor ≡ the batch event_rate_anomaly rows for
+    every CLOSED hour (hour < the type's newest observed hour), over a
+    ts-ordered replay split across two runs against one checkpoint (state
+    — trailing counts, prune counter, close watermark — restored across
+    the restart). The z arithmetic is the same exact-integer formula, so
+    equality is bitwise, not approximate."""
+    from postgres_cdc_example_spark import queries as q
+    from postgres_cdc_example_spark.streaming.stateful import anomaly_stream
+
+    batch_fn = q.queries()["event_rate_anomaly"]
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "ts", "event_id")
+    # ts-ordered replay, cut at the midpoint — the cut may land mid-hour on
+    # purpose (hours straddling batches exercise the state merge)
+    rows = ev.orderBy("ts").collect()
+    half = len(rows) // 2
+    first = spark.createDataFrame(rows[:half], ev.schema)
+    second = spark.createDataFrame(rows[half:], ev.schema)
+
+    src, ckpt = str(tmp_path / "an_src"), str(tmp_path / "an_ckpt")
+    first.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    emitted: list = []
+    _drain(anomaly_stream(stream), ckpt, emitted)
+    second.coalesce(1).write.mode("append").parquet(src)
+    _drain(anomaly_stream(stream), ckpt, emitted)
+
+    got = {
+        (r.event_type, r.hour): (
+            r.n_events,
+            r.trailing_mean_micro,
+            r.z_micro,
+            r.is_anomaly,
+        )
+        for r in emitted
+    }
+    assert len(got) == len(emitted), "an hour emitted twice"
+
+    batch = batch_fn(spark, sf_dir).collect()
+    max_hour = {}
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for r in hourly:
+        cur = max_hour.get(r.event_type)
+        if cur is None or r.hour > cur:
+            max_hour[r.event_type] = r.hour
+    want = {
+        (r.event_type, r.hour): (
+            r.n_events,
+            r.trailing_mean_micro,
+            r.z_micro,
+            r.is_anomaly,
+        )
+        for r in batch
+        if r.hour < max_hour[r.event_type]
+    }
+    assert got == want
