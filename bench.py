@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "event_rate_anomaly",
     "vocab_zipf_slope",
     "bpe_merge_steps",
+    "user_erasure_audit",
 ]
 
 

@@ -882,3 +882,68 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_micro"),
         )
     )
+
+
+ERASE_MOD = 97  # users with user_id % 97 == 0 form the erasure request set
+
+
+@register(
+    "user_erasure_audit",
+    oracle=f"""
+    WITH req AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+    ),
+    ev AS (
+      SELECT e.user_id, e.event_id,
+             CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM events e LEFT JOIN req r ON e.user_id = r.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_before,
+           CAST(sum(hit) AS BIGINT) AS n_rows_erased,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_rows_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM req) AS n_users_requested,
+           CAST(0 AS BIGINT) AS n_residual_rows
+    FROM ev
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: given an erasure request set (stand-in:
+    ``user_id % {ERASE_MOD} == 0``), rewrite the events table WITHOUT those
+    users (a left-anti join — the actual erasure operator) and audit the
+    result: rows before/erased/after, request-set size, and — the claim a
+    compliance audit actually needs — the RESIDUAL count, computed by
+    re-scanning the erased output for requested users (a semi-join over
+    the rewritten side, not arithmetic), which must be zero. The oracle
+    states the expected counts arithmetically with a literal-zero
+    residual, so a leaky anti-join hash-mismatches the row. Shape: one
+    broadcast-able request set (bounded by the user universe), one
+    anti-join + one semi-join over the fact scan — O(fact) total at any
+    scale."""
+    ev = load_table(spark, "events", sf_dir)
+    req = (
+        ev.filter(F.col("user_id") % ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    erased = ev.join(req, "user_id", "left_anti")
+    residual = erased.join(req, "user_id", "left_semi")
+    stats = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows_before")).crossJoin(
+        F.broadcast(erased.agg(F.count(F.lit(1)).cast("long").alias("n_rows_after")))
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(req.agg(F.count(F.lit(1)).cast("long").alias("n_users_requested")))
+        )
+        .crossJoin(
+            F.broadcast(
+                residual.agg(F.count(F.lit(1)).cast("long").alias("n_residual_rows"))
+            )
+        )
+        .select(
+            "n_rows_before",
+            (F.col("n_rows_before") - F.col("n_rows_after")).alias("n_rows_erased"),
+            "n_rows_after",
+            "n_users_requested",
+            "n_residual_rows",
+        )
+    )

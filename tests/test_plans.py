@@ -446,6 +446,7 @@ _BNLJ_ALLOWED = {
     "ann_quantized_recall_audit",
     # broadcast scalar/total or bounded dim crossJoin decorating a big side
     "bpe_merge_steps",  # 1-row best-pair + 1-row token-count broadcasts
+    "user_erasure_audit",  # four 1-row audit-count broadcasts
     "bm25_doc_ranking",
     "embedding_source_drift",
     "fuzzy_part_names",
