@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "vocab_zipf_slope",
     "bpe_merge_steps",
     "user_erasure_audit",
+    "user_path_trigrams",
 ]
 
 

@@ -460,3 +460,64 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+PATH_N = 3  # path length (event-type trigrams)
+PATH_TOP = 10  # report the top-10 paths
+
+
+@register(
+    "user_path_trigrams",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT unnest(list_transform(generate_series(1, len(s) - {PATH_N - 1}),
+               i -> concat_ws('>', s[i], s[i+1], s[i+2]))) AS path
+      FROM seqs WHERE len(s) >= {PATH_N}
+    ),
+    cnt AS (SELECT path, count(*) AS n FROM tri GROUP BY path)
+    SELECT path, n, rnk AS rank FROM (
+      SELECT path, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n DESC, path) AS rnk
+      FROM cnt
+    ) WHERE rnk <= {PATH_TOP}
+    """,
+)
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top-{PATH_TOP} most common {PATH_N}-step
+    event-type paths across user journeys — the 'what do users do next'
+    table behind funnel design. Per-user sequences assemble exactly as
+    ``user_event_sequences`` does (array_sort over (ts, event_id, type)
+    structs AFTER the aggregate — collect_list order is nondeterministic
+    under parallel merge); trigrams come off the array as a per-row slice
+    projection; one map-side-combined count on the path key; the global
+    top-{PATH_TOP} is TakeOrdered over the (tiny) distinct-path table with
+    an alphabetical tie-break so the ranking is total."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq_struct = F.struct(
+        ts_us.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(seq_struct)).alias("seq"))
+        .select(F.expr("transform(seq, x -> x.et)").alias("s"))
+        .filter(F.size("s") >= PATH_N)
+    )
+    tri = seqs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(s) - {PATH_N}),"
+                " i -> concat_ws('>', s[i], s[i+1], s[i+2]))"
+            )
+        ).alias("path")
+    )
+    cnt = tri.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), "path").limit(PATH_TOP)
+    w = Window.orderBy(F.col("n").desc(), "path")
+    return top.withColumn("rank", F.row_number().over(w)).select("path", "n", "rank")
