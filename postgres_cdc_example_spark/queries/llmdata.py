@@ -1309,16 +1309,19 @@ EPOCH_CAP_MICRO = 4_000_000  # repeat cap: ≤4 epochs of any one source
     ),
     tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t, count(*) AS s FROM per),
     plan AS (
+      -- micro products in HUGEINT: target_tokens·1e6 (and epochs·toks
+      -- below) pass 9.2e18 once the corpus passes ~36 TB of text — the
+      -- silent-int64-wrap class source_token_kl already guards against
       SELECT source, n_docs, toks,
              CAST(({EPOCH_BUDGET_X} * t) // s AS BIGINT) AS target_tokens,
-             CAST(((({EPOCH_BUDGET_X} * t) // s) * 1000000) // toks AS BIGINT)
-               AS epochs_micro
+             CAST((CAST(({EPOCH_BUDGET_X} * t) // s AS HUGEINT) * 1000000)
+                  // toks AS BIGINT) AS epochs_micro
       FROM per, tot
     )
     SELECT source, n_docs, toks, target_tokens, epochs_micro,
            epochs_micro > {EPOCH_CAP_MICRO} AS capped,
-           CAST((least(epochs_micro, {EPOCH_CAP_MICRO}) * toks) // 1000000
-                AS BIGINT) AS planned_tokens
+           CAST((CAST(least(epochs_micro, {EPOCH_CAP_MICRO}) AS HUGEINT) * toks)
+                // 1000000 AS BIGINT) AS planned_tokens
     FROM plan
     """,
 )
@@ -1354,9 +1357,12 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "toks",
         F.expr(f"({EPOCH_BUDGET_X} * t) div s").alias("target_tokens"),
-        F.expr(f"((({EPOCH_BUDGET_X} * t) div s) * 1000000) div toks").alias(
-            "epochs_micro"
-        ),
+        # micro products in DECIMAL(38,0): int64 wraps silently in Spark
+        # past ~36 TB of corpus text (mirrors the oracle's HUGEINT)
+        F.expr(
+            f"CAST((CAST(({EPOCH_BUDGET_X} * t) div s AS DECIMAL(38,0)) * 1000000)"
+            " div toks AS BIGINT)"
+        ).alias("epochs_micro"),
     )
     return plan.select(
         "source",
@@ -1365,9 +1371,10 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_tokens",
         "epochs_micro",
         (F.col("epochs_micro") > F.lit(EPOCH_CAP_MICRO)).alias("capped"),
-        F.expr(f"(least(epochs_micro, {EPOCH_CAP_MICRO}) * toks) div 1000000").alias(
-            "planned_tokens"
-        ),
+        F.expr(
+            f"CAST((CAST(least(epochs_micro, {EPOCH_CAP_MICRO}) AS DECIMAL(38,0))"
+            " * toks) div 1000000 AS BIGINT)"
+        ).alias("planned_tokens"),
     )
 
 
