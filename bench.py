@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bpe_merge_steps",
     "user_erasure_audit",
     "user_path_trigrams",
+    "corpus_snapshot_diff",
 ]
 
 

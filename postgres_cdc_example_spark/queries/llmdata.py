@@ -2023,3 +2023,112 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+SNAP_MOD = 50  # docs with doc_id % 50 == 0 are "new since the last snapshot"
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH cur AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+      FROM documents
+    ),
+    prev AS (
+      -- stand-in previous snapshot: yesterday's corpus lacked the % {SNAP_MOD}
+      -- cohort and carried a different revision of the % 17 cohort
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 17 = 0
+                  THEN md5(CAST(doc_id AS VARCHAR) || ':rev0:' || text)
+                  ELSE md5(CAST(doc_id AS VARCHAR) || ':' || text) END AS h
+      FROM documents WHERE doc_id % {SNAP_MOD} != 0
+    ),
+    j AS (
+      SELECT COALESCE(c.source, p.source) AS source,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN c.h != p.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: per source, how many docs were added, removed,
+    changed (same id, different content hash), or untouched between two
+    corpus snapshots — the table a data-versioning layer prints for every
+    release, and the input the incremental dedup/curation family consumes
+    (only `added`+`changed` need re-processing). Snapshots compare through
+    a FULL OUTER join on doc_id with md5 content hashes — never the text
+    itself — so the shuffle carries (id, source, 32-byte hash) regardless
+    of document size; at 100 TB both sides are manifest-sized, not
+    corpus-sized, which is the point of hashing first. Stand-in previous
+    snapshot: the corpus minus the %{SNAP_MOD} cohort, with the %17 cohort
+    at a different revision."""
+    docs = load_table(spark, "documents", sf_dir)
+    cur = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("h"),
+    )
+    prev = (
+        docs.filter(F.col("doc_id") % SNAP_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":rev0:"), F.col("text")
+                    )
+                ),
+            )
+            .otherwise(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+                )
+            )
+            .alias("h"),
+        )
+    )
+    j = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("c.h") != F.col("p.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c.source"), F.col("p.source")).alias("source"),
+            change.alias("change"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("change") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("change") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("change") == "changed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("change") == "unchanged", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unchanged"),
+        )
+    )
