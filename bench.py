@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "user_erasure_audit",
     "user_path_trigrams",
     "corpus_snapshot_diff",
+    "embedding_covariance",
 ]
 
 

@@ -2671,3 +2671,108 @@ def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_micro").alias("keeper_quality_micro"),
         )
     )
+
+
+COV_DIM = 64  # fixture embedding dimension (similarity.EMB_DIM)
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    tri AS (
+      SELECT unnest(flatten(list_transform(generate_series(1, {COV_DIM}),
+               i -> list_transform(generate_series(i, {COV_DIM}),
+                 j -> {{'i': i - 1, 'j': j - 1, 'p': v[i] * v[j]}})))) AS t
+      FROM e
+    ),
+    mom AS (
+      SELECT t.i AS i, t.j AS j, sum(CAST(t.p AS HUGEINT)) AS sxy
+      FROM tri GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT u.i - 1 AS i, CAST(sum(v[u.i]) AS BIGINT) AS s
+      FROM e, unnest(generate_series(1, {COV_DIM})) AS u(i) GROUP BY 1
+    ),
+    nv AS (SELECT count(*) AS n FROM e)
+    SELECT mom.i, mom.j, CAST(n AS BIGINT) AS n_vectors,
+           CAST(floor(CAST(n * sxy - CAST(mi.s AS HUGEINT) * mj.s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS cov_pico
+    FROM mom
+    JOIN m mi ON mi.i = mom.i
+    JOIN m mj ON mj.i = mom.j, nv
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding column — the
+    second-moment computation whitening/PCA starts from (the 64×64 result
+    is driver-sized; eigendecomposition happens there, projection
+    broadcasts back — the classic distributed-PCA split). Elements land on
+    the per-row micro-grid, every upper-triangle product explodes from the
+    vector as a pure PROJECTION (no self-join anywhere — the naive
+    (vec,i)⋈(vec,j) formulation shuffles the corpus twice; this plan
+    shuffles only (i,j,p) triples into {COV_DIM * (COV_DIM + 1) // 2}
+    map-side-combined cells), and the moment sums run in DECIMAL(38,0)
+    / HUGEINT so the population covariance
+    (n·Σxy − Σx·Σy)/n² is exact until the one double division. Output in
+    pico units (micro²)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select("vec_id", v.alias("v"))
+    tri = base.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {COV_DIM - 1}),"
+                f" i -> transform(sequence(i, {COV_DIM - 1}),"
+                " j -> struct(i AS i, j AS j, v[i] * v[j] AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    mom = tri.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sxy")
+    )
+    m = (
+        base.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {COV_DIM - 1}),"
+                    " i -> struct(i AS i, v[i] AS x))"
+                )
+            ).alias("u")
+        )
+        .groupBy(F.col("u.i").alias("i"))
+        .agg(F.sum("u.x").cast("long").alias("s"))
+    )
+    nv = base.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        mom.join(F.broadcast(m.select(F.col("i"), F.col("s").alias("sx"))), "i")
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("s").alias("sy"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "i",
+            "j",
+            F.col("n").cast("long").alias("n_vectors"),
+            F.floor(
+                (
+                    F.col("n") * F.col("sxy")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            )
+            .cast("long")
+            .alias("cov_pico"),
+        )
+    )

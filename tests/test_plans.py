@@ -511,3 +511,14 @@ def test_mixed_language_is_zero_shuffle_and_codegen(spark, sf_dir):
     assert not has_exchange(df)
     plan = plan_of(spark, sf_dir, "text_mixed_language")
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_covariance_is_projection_plus_keyed_agg(spark, sf_dir):
+    """The moment matrix must build from the per-row outer-product explode
+    (projection) into one (i, j)-keyed aggregate — never a corpus
+    self-join; the 64-row mean sides broadcast."""
+    plan = plan_of(spark, sf_dir, "embedding_covariance")
+    assert "hashpartitioning(i" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
