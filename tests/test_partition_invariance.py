@@ -37,6 +37,8 @@ INVARIANCE_QUERIES = [
     "corpus_manifest",  # XOR checksum fold (must be partition-order-proof)
     "token_count_min_sketch",  # fixed-cell sketch + top-k tie-break
     "event_rate_anomaly",  # exact-integer variance + sqrt/div micro-grid
+    "embedding_covariance",  # decimal moment sums + one closing double div
+    "bpe_merge_steps",  # iterative broadcast/rewrite with checkpoint cuts
 ]
 
 
