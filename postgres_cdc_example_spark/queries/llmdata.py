@@ -1882,6 +1882,49 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_STEPS = 3  # unrolled merge iterations (same pattern as kmeans' Lloyd loop)
 
 
+def bpe_rewrite_expr() -> "F.Column":
+    """Greedy left-to-right non-overlapping merge of the adjacent pair in
+    columns ``pa``/``pb`` applied to the token-array column ``s``.
+
+    Two value-identical formulations, branch-selected per row: for
+    pa != pb, two adjacent matches would need s[i+1] = pb = pa —
+    impossible — so ALL matches are non-overlapping and the merge is a
+    closed-form per-row transform (no O(n²) array-concat accumulator);
+    equal-symbol chains (pa == pb) take the exact array fold, whose
+    accumulator makes merged symbols opaque to further merging within the
+    pass. A size guard short-circuits empty arrays first (sequence(0,-1)
+    is DESCENDING in Spark — the pinned sharp edge). Property-tested
+    against a serial Python reference over dense tiny-alphabet inputs
+    (tests/test_edge_inputs.py)."""
+    fold = F.aggregate(
+        "s",
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("pa"))
+            & (x == F.col("pb")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    no_overlap = F.expr(
+        "filter(transform(sequence(0, size(s) - 1),"
+        " p -> CASE WHEN p < size(s) - 1 AND s[p] = pa AND s[p+1] = pb"
+        "            AND NOT (p > 0 AND s[p-1] = pa AND s[p] = pb)"
+        "       THEN s[p] || ' ' || s[p+1]"
+        "       WHEN p > 0 AND s[p-1] = pa AND s[p] = pb THEN NULL"
+        "       ELSE s[p] END),"
+        " x -> x IS NOT NULL)"
+    )
+    return (
+        F.when(F.size("s") == 0, F.col("s"))
+        .when(F.col("pa") == F.col("pb"), fold)
+        .otherwise(no_overlap)
+    )
+
+
 def _bpe_oracle() -> str:
     """Unrolled BPE chain: per step, adjacent-pair counts → deterministic
     best pair (count desc, pair asc) → greedy left-to-right non-overlapping
@@ -1965,40 +2008,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("c").desc(), "pa", "pb")
             .limit(1)
         )
-        fold = F.aggregate(
-            "s",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("pa"))
-                & (x == F.col("pb")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), F.lit(" "), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        # pa != pb (the overwhelmingly common case): two adjacent matches
-        # would need s[i+1] = pb = pa — impossible — so ALL matches are
-        # non-overlapping and the greedy fold collapses to a closed-form
-        # per-row transform (no O(n²) array-concat accumulator): mark match
-        # starts, emit merged symbol there, drop the consumed successor.
-        no_overlap = F.expr(
-            "filter(transform(sequence(0, size(s) - 1),"
-            " p -> CASE WHEN p < size(s) - 1 AND s[p] = pa AND s[p+1] = pb"
-            "            AND NOT (p > 0 AND s[p-1] = pa AND s[p] = pb)"
-            "       THEN s[p] || ' ' || s[p+1]"
-            "       WHEN p > 0 AND s[p-1] = pa AND s[p] = pb THEN NULL"
-            "       ELSE s[p] END),"
-            " x -> x IS NOT NULL)"
-        )
-        # size guard first: sequence(0, -1) is DESCENDING in Spark (the
-        # pinned sharp edge), so empty sequences short-circuit to themselves
-        fold = (
-            F.when(F.size("s") == 0, F.col("s"))
-            .when(F.col("pa") == F.col("pb"), fold)
-            .otherwise(no_overlap)
-        )
+        fold = bpe_rewrite_expr()
         # checkpoint each generation (lazy — materializes on first use):
         # three consumers read it (this step's report row, the token-count
         # aggregate, and the next step's pair scan); without the cut the

@@ -265,3 +265,57 @@ def test_bpe_equal_symbol_chains_match_oracle(spark, sf_dir, tmp_path):
     got = {r.step: (r.pair, r.pair_count) for r in q.fn(spark, str(mini)).collect()}
     # step 1 learns the x|x chain (8 adjacent occurrences beats y|y's 3)
     assert got[1][0] == "x|x"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    def _ref_bpe_merge(seq, pa, pb):
+        """Serial greedy left-to-right non-overlapping merge — the
+        independent reference both engine branches must equal."""
+        out: list = []
+        for t in seq:
+            if out and out[-1] == pa and t == pb:
+                out[-1] = out[-1] + " " + t
+            else:
+                out.append(t)
+        return out
+
+    @settings(
+        max_examples=12,  # each example is a full Spark round-trip
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+        derandomize=True,
+    )
+    @given(
+        seqs=st.lists(
+            st.lists(st.sampled_from(["a", "b"]), max_size=10), min_size=1, max_size=8
+        ),
+        pa=st.sampled_from(["a", "b"]),
+        pb=st.sampled_from(["a", "b"]),
+    )
+    def test_property_bpe_rewrite_matches_serial_merge(spark, seqs, pa, pb):
+        """For ANY sequences over a dense 2-symbol alphabet and ANY merge
+        pair — including pa == pb chains and empty sequences — BOTH engine
+        formulations (the closed-form pa != pb transform and the pa == pb
+        fold, selected inside bpe_rewrite_expr) must equal the serial
+        Python merge. Hypothesis shrinks any counterexample to a minimal
+        sequence."""
+        from postgres_cdc_example_spark.queries.llmdata import bpe_rewrite_expr
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "id long, s array<string>"
+        ).select("id", "s", F.lit(pa).alias("pa"), F.lit(pb).alias("pb"))
+        got = {
+            r.id: list(r.m)
+            for r in df.select("id", bpe_rewrite_expr().alias("m")).collect()
+        }
+        want = {i: _ref_bpe_merge(s, pa, pb) for i, s in enumerate(seqs)}
+        assert got == want
