@@ -524,3 +524,107 @@ def test_anomaly_stream_matches_batch_closed_hours(spark, sf_dir, tmp_path):
         if r.hour < max_hour[r.event_type]
     }
     assert got == want
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    class _FakeState:
+        """Minimal GroupState stand-in for driving the anomaly group
+        function without a streaming query (pure-Python property test)."""
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def _batch_reference(counts_by_hour):
+        """The batch event_rate_anomaly arithmetic over a closed prefix —
+        independent serial implementation (same exact-integer formula)."""
+        import math
+
+        hours = sorted(counts_by_hour)
+        rows = {}
+        for idx, h in enumerate(hours):
+            if idx < 24:
+                continue
+            window = [counts_by_hour[x] for x in hours[idx - 24 : idx]]
+            c = counts_by_hour[h]
+            sum_c, sum_c2 = sum(window), sum(v * v for v in window)
+            var_num = 24 * sum_c2 - sum_c * sum_c
+            mean_micro = (sum_c * 1_000_000) // 24
+            if var_num > 0:
+                z = math.floor(
+                    (24 * c - sum_c) * 1_000_000.0 / math.sqrt(var_num)
+                )
+                rows[h] = (c, mean_micro, z, abs(z) >= 3_000_000)
+            else:
+                rows[h] = (c, mean_micro, None, False)
+        return rows
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(
+        counts=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+        cuts=st.lists(st.integers(0, 1_000_000), min_size=0, max_size=6),
+    )
+    def test_property_anomaly_state_split_invariant(counts, cuts):
+        """For ANY hourly count sequence and ANY slicing of its events into
+        micro-batches (including batches that straddle hours), the stateful
+        fold must emit exactly the batch-formula rows for every closed hour
+        — the merge/prune/close/watermark logic is what's under test."""
+        import pandas as pd
+
+        from postgres_cdc_example_spark.streaming.stateful import _anomaly_group
+
+        # expand (hour -> count) into an event list in ts order, then cut it
+        # into batches at arbitrary positions
+        events = []
+        counts_by_hour = {}
+        for h, n in enumerate(counts):
+            if n:
+                counts_by_hour[h] = n
+                events.extend([h] * n)
+        if not events:
+            return
+        positions = sorted({c % (len(events) + 1) for c in cuts})
+        batches, prev = [], 0
+        for p in positions + [len(events)]:
+            if p > prev:
+                batches.append(events[prev:p])
+                prev = p
+
+        state = _FakeState()
+        emitted = {}
+        for b in batches:
+            pdf = pd.DataFrame({"hour_epoch": b})
+            for out in _anomaly_group(("t",), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    h = int(r.hour.timestamp() // 3600)
+                    assert h not in emitted, "hour emitted twice"
+                    emitted[h] = (
+                        r.n_events,
+                        r.trailing_mean_micro,
+                        r.z_micro,
+                        r.is_anomaly,
+                    )
+
+        want = _batch_reference(counts_by_hour)
+        closed = {h for h in counts_by_hour if h < max(counts_by_hour)}
+        want_closed = {h: v for h, v in want.items() if h in closed}
+        assert emitted == want_closed
