@@ -447,6 +447,7 @@ _BNLJ_ALLOWED = {
     # broadcast scalar/total or bounded dim crossJoin decorating a big side
     "bpe_merge_steps",  # 1-row best-pair + 1-row token-count broadcasts
     "user_erasure_audit",  # four 1-row audit-count broadcasts
+    "embedding_covariance",  # 1-row vector-count broadcast into 2080 cells
     "bm25_doc_ranking",
     "embedding_source_drift",
     "fuzzy_part_names",
