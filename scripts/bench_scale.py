@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Scale-up stress measurement: the heavy query families at 1× vs 10× corpus.
+
+Builds a 10× documents/embeddings corpus in /tmp by replicating the sf0.1
+fixture with per-replica TOKEN REMAPPING (every token gets a replica
+suffix), so replicas share no shingles/grams/tokens: per-replica duplicate
+structure is identical to the original and cross-replica collisions are
+zero — the fair linear-scaling test (plain copies would manufacture
+10-cliques of near-duplicates and measure a pathological corpus instead).
+Embeddings replicate with remapped ids; the fixed query/audit samples stay
+bounded by construction.
+
+Prints per-query wall time at both scales and the scaling factor.
+Ideal ≈ 10× (linear in rows) or below (fixed overheads amortize);
+a factor well above 10× flags super-linear work. Results are recorded in
+SCALING.md.
+
+Usage: python scripts/bench_scale.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+SCALE_DIR = "/tmp/spark_graft_scale10"
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact_substring",
+    "text_unigram_nll",
+    "benchmark_contamination",
+    "contamination_bloom_prefilter",
+    "corpus_curation_v2",
+    "semantic_dedup",
+    "ann_ivf_kmeans_topk",
+    "bpe_merge_steps",
+    "quality_curriculum",
+    "corpus_manifest",
+    "token_count_min_sketch",
+]
+
+
+def build_scale_corpus(spark, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(SCALE_DIR, "_SUCCESS_MARKER")):
+        return
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(replicas):
+        if r == 0:
+            parts.append(docs)
+            continue
+        suffixed = docs.select(
+            (F.col("doc_id") + r * n_docs).alias("doc_id"),
+            # remap every token with a replica suffix: replicas share NOTHING
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: F.concat(x, F.lit(f"_r{r}")),
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(suffixed)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    stage = os.path.join(SCALE_DIR, "docs_stage")
+    out.repartition(32).write.mode("overwrite").parquet(stage)
+    # fixtures are single files named <table>.parquet; here a DIRECTORY is
+    # fine — load_table reads the path it is given
+    os.replace(stage, os.path.join(SCALE_DIR, "documents.parquet"))
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = [emb] + [
+        emb.select((F.col("vec_id") + r * n_vec).alias("vec_id"), "embedding", "label")
+        for r in range(1, replicas)
+    ]
+    eo = eparts[0]
+    for p in eparts[1:]:
+        eo = eo.unionByName(p)
+    estage = os.path.join(SCALE_DIR, "emb_stage")
+    eo.repartition(8).write.mode("overwrite").parquet(estage)
+    os.replace(estage, os.path.join(SCALE_DIR, "embeddings.parquet"))
+
+    # remaining tables: symlink the originals (unused by the doc families)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        dst = os.path.join(SCALE_DIR, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    open(os.path.join(SCALE_DIR, "_SUCCESS_MARKER"), "w").write("ok")
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from postgres_cdc_example_spark import queries as q
+    from postgres_cdc_example_spark.queries.extensions import (
+        _doc_bands,
+        _doc_ngrams,
+        _trained_centroids,
+    )
+    from postgres_cdc_example_spark.queries.llmdata import (
+        _doc_grams8,
+        _doc_occurrences,
+    )
+    from postgres_cdc_example_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+
+    print(f"# building {replicas}x corpus in {SCALE_DIR}", file=sys.stderr)
+    build_scale_corpus(spark, replicas)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for sf_dir, tag in ((BASE, "1x"), (SCALE_DIR, f"{replicas}x")):
+        t0 = time.perf_counter()
+        _doc_ngrams(spark, sf_dir).count()
+        _doc_occurrences(spark, sf_dir).count()
+        _doc_bands(spark, sf_dir).count()
+        _doc_grams8(spark, sf_dir).count()
+        _trained_centroids(spark, sf_dir)
+        layer = time.perf_counter() - t0
+        results[("_layer_build", tag)] = layer
+        print(f"# layer build {tag}: {layer:.1f}s", file=sys.stderr)
+        for name in QUERIES:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(registry[name](spark, sf_dir))
+                ts.append(time.perf_counter() - t0)
+            results[(name, tag)] = min(ts)
+            print(f"# {name} {tag}: {min(ts):.2f}s", file=sys.stderr)
+
+    print(f"{'query':34s} {'1x':>8s} {replicas:>6d}x  factor")
+    for name in ["_layer_build"] + QUERIES:
+        a, b = results[(name, "1x")], results[(name, f"{replicas}x")]
+        print(f"{name:34s} {a:8.2f} {b:7.2f}  {b / a:5.1f}x")
+
+
+if __name__ == "__main__":
+    main()
