@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "user_path_trigrams",
     "corpus_snapshot_diff",
     "embedding_covariance",
+    "vocab_coverage",
 ]
 
 

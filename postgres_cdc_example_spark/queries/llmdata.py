@@ -2142,3 +2142,63 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unchanged"),
         )
     )
+
+
+COVERAGE_KS = (10, 20, 50, 100)  # vocab sizes to report coverage at
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH {{occ}},
+    cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS v FROM cnt),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM cnt
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+    SELECT ks.k,
+           CAST(least(ks.k, v) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN rnk <= ks.k THEN n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           t AS total_tokens,
+           CAST((sum(CASE WHEN rnk <= ks.k THEN n ELSE 0 END) * 1000000) // t
+                AS BIGINT) AS coverage_micro
+    FROM ranked, ks, tot
+    GROUP BY ks.k, t, v
+    """.format(occ=_OCC_SQL),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing table: what fraction of corpus token OCCURRENCES a
+    top-K vocabulary covers, at K ∈ {COVERAGE_KS} — the number that decides
+    vocab size (the complement is the OOV/byte-fallback rate a tokenizer
+    pays). One token-keyed count off the shared occurrence layer, a rank
+    over the (tiny) distinct-token table, and a 4-key rollup; coverage is
+    integer micro over exact bigint counts. The K probes are a 4-row
+    literal dimension — the cross join is bounded by construction."""
+    cnt = _doc_occurrences(spark, sf_dir).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(
+        F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).select("n", "rnk")
+    ks = F.array(*[F.lit(k) for k in COVERAGE_KS])
+    probes = ranked.select("n", "rnk", F.explode(ks).alias("k"))
+    return (
+        probes.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("v")).cast("long").alias("vocab_size"),
+            "covered_tokens",
+            F.col("t").alias("total_tokens"),
+            F.expr("(covered_tokens * 1000000) div t").alias("coverage_micro"),
+        )
+    )
