@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "embedding_covariance",
     "vocab_coverage",
+    "length_quality_grid",
 ]
 
 

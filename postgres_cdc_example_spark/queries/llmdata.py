@@ -2202,3 +2202,42 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(covered_tokens * 1000000) div t").alias("coverage_micro"),
         )
     )
+
+
+@register(
+    "length_quality_grid",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES}
+    SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS len_bucket_log2,
+           CAST(quality_micro // 100000 AS BIGINT) AS quality_decile,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+    FROM qscored
+    GROUP BY 1, 2
+    """,
+)
+def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint length × quality histogram — the diagnostic that answers 'is
+    my high-quality slice just the short documents?' before a curriculum
+    or gate ships. Axes are FIXED buckets (log2 token-count, classifier
+    decile), so the whole grid is a zero-shuffle projection + one grid-
+    keyed aggregate — no rank pass needed, unlike the equal-population
+    `quality_curriculum` cut; a skewed grid row here is what tells you the
+    curriculum's deciles are confounded with length. ln(n)/ln(2) runs the
+    identical IEEE sequence in both engines (log2() does not exist in
+    DuckDB as the same op; the quotient form is pinned portable)."""
+    scored = _quality_scored(load_table(spark, "documents", sf_dir))
+    return (
+        scored.select(
+            F.floor(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0)))
+            .cast("long")
+            .alias("len_bucket_log2"),
+            F.expr("quality_micro div 100000").alias("quality_decile"),
+            "n_tokens",
+        )
+        .groupBy("len_bucket_log2", "quality_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        )
+    )
