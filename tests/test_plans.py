@@ -448,6 +448,7 @@ _BNLJ_ALLOWED = {
     "bpe_merge_steps",  # 1-row best-pair + 1-row token-count broadcasts
     "user_erasure_audit",  # four 1-row audit-count broadcasts
     "embedding_covariance",  # 1-row vector-count broadcast into 2080 cells
+    "vocab_coverage",  # 1-row (total, vocab-size) broadcast into 4 K-probes
     "bm25_doc_ranking",
     "embedding_source_drift",
     "fuzzy_part_names",
