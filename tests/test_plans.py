@@ -515,11 +515,14 @@ def test_mixed_language_is_zero_shuffle_and_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_embedding_covariance_is_projection_plus_keyed_agg(spark, sf_dir):
-    """The moment matrix must build from the per-row outer-product explode
-    (projection) into one (i, j)-keyed aggregate — never a corpus
-    self-join; the 64-row mean sides broadcast."""
+def test_embedding_covariance_is_gram_map_plus_keyed_agg(spark, sf_dir):
+    """The moment matrix must build from the Arrow-batched Gram map (the
+    measured-7x numpy path) into one (i, j)-keyed aggregate — never a
+    corpus self-join; the 64-row mean sides broadcast; no row-at-a-time
+    Python."""
     plan = plan_of(spark, sf_dir, "embedding_covariance")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
     assert "hashpartitioning(i" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
