@@ -44,7 +44,7 @@ NOTES = {
     "token_count_min_sketch": "CMS build: ONE map-side-combined aggregate keyed on (j, bucket) into <=2048 cells regardless of vocabulary; the audit side joins the broadcast cell table to the exact top-20 probes.",
     "incremental_join_maintenance": "IVM delta: a Union of three custkey-keyed delta-sized joins — no ExceptAll, no anti-join, no full-view recompute anywhere in the plan.",
     "event_rate_anomaly": "Anomaly tail: one keyed aggregate + one event_type-keyed window; variance from exact integer frame sums so the plan's only float math is the closing sqrt/division projection.",
-    "embedding_covariance": "Distributed PCA moments: the upper triangle explodes from each vector as a PROJECTION into 2080 (i,j)-keyed map-side-combined cells — no corpus self-join; 64-row mean sides broadcast.",
+    "embedding_covariance": "Distributed PCA moments: Arrow-batched Gram map (exact int64 m'm per batch — the measured-7x numpy path) into 2080 (i,j)-keyed cells — no corpus self-join; 64-row mean sides broadcast.",
     "bpe_merge_steps": "Tokenizer training loop: per step, one pair-keyed combine + TakeOrdered-1 + a 1-row broadcast into the per-row rewrite; generations localCheckpoint so the unrolled chain never recomputes prior folds.",
     "user_erasure_audit": "Erasure + compliance proof: one anti-join (the erasure) + one semi-join over the REWRITTEN side (the zero-residual claim); audit counts are 1-row broadcasts.",
 }
