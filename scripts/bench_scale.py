@@ -46,6 +46,7 @@ QUERIES = [
     "quality_curriculum",
     "corpus_manifest",
     "token_count_min_sketch",
+    "embedding_covariance",
 ]
 
 
