@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "vocab_coverage",
     "length_quality_grid",
+    "text_bigram_entropy",
 ]
 
 

@@ -2241,3 +2241,85 @@ def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("bucket_tokens"),
         )
     )
+
+
+@register(
+    "text_bigram_entropy",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> concat_ws(' ', tk[i], tk[i+1]))) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+    tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+      FROM cnt GROUP BY doc_id
+    ),
+    terms AS (
+      SELECT cnt.doc_id,
+             c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000 + 0.5) AS BIGINT)
+               AS t
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    )
+    SELECT tot.doc_id, tot.n AS n_bigrams,
+           CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+           CAST(floor(CAST(s.ts AS DOUBLE) / tot.n) AS BIGINT) AS entropy_micro
+    FROM tot JOIN (
+      SELECT doc_id, CAST(sum(t) AS BIGINT) AS ts FROM terms GROUP BY doc_id
+    ) s ON s.doc_id = tot.doc_id
+    """,
+)
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document bigram entropy — the distributional-diversity gate
+    that separates templated/spun text (few bigrams repeated, low H) from
+    natural prose (high H) even when token-level stats look normal; the
+    per-doc complement of the corpus-level ``text_bigram_nll`` and the
+    top-gram ``text_repetition`` fraction. H = Σ (c/n)·ln(n/c), computed
+    under the house policy: each ln lands on the per-row micro-grid, is
+    multiplied by the exact integer count, summed as bigints, and divided
+    once at the end — order-independent in any engine. Shape: one bigram
+    explode (per-row slice projection) + two doc_id-keyed aggregates."""
+    docs = load_table(spark, "documents", sf_dir)
+    bi = (
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> concat_ws(' ', tk[i], tk[i+1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    cnt = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    terms = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("n").cast("double") / F.col("c")) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("t"),
+    )
+    s = terms.groupBy("doc_id").agg(F.sum("t").cast("long").alias("ts"))
+    return (
+        tot.join(s, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_bigrams"),
+            "n_distinct",
+            F.floor(F.col("ts").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+    )
