@@ -167,19 +167,34 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
         print(f"# pass {pass_i + 1}/{N_PASSES} done", file=sys.stderr)
 
+    # Retry pass: a query whose max/min spread across the interleaved passes
+    # exceeds 1.5x was likely hit by a contention burst in every sample window
+    # it got; re-measure just those once more and fold the new sample into the
+    # min, so a single burst can't leave a 2x spread (or an inflated min) in
+    # the round artifact.
+    suspect = [n for n in BENCH_QUERIES if max(samples[n]) / min(samples[n]) > 1.5]
+    for name in suspect:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        samples[name].append(time.perf_counter() - t0)
+        print(f"# retry {name}: {samples[name][-1]:.3f}s", file=sys.stderr)
+
     per_query: dict[str, float] = {}
-    spread: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         s = samples[name]
         dt = round(min(s), 3)
         per_query[name] = dt
-        # max/min ratio per query: >~1.5 flags contention-suspect samples so
-        # the driver can see when a round's numbers are unreliable
-        spread[name] = round(max(s) / min(s), 2)
         total += dt
-        print(f"# {name}: {dt:.3f}s (spread {spread[name]:.2f}x)", file=sys.stderr)
+        # max/min ratio per query: >~1.5 flags contention-suspect samples.
+        # Full spread map stays on stderr — the final JSON line must remain
+        # compact enough for the driver's tail-capture window (the r4 artifact
+        # was truncated mid-line once the spread map doubled the line length).
+        spread = max(s) / min(s)
+        print(f"# {name}: {dt:.3f}s (spread {spread:.2f}x)", file=sys.stderr)
 
+    max_spread = max(max(samples[n]) / min(samples[n]) for n in BENCH_QUERIES)
     print(
         json.dumps(
             {
@@ -189,8 +204,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf),
                 "layer_build_sec": layer_build,
-                "spread_max_over_min": spread,
-                "max_spread": max(spread.values()),
+                "max_spread": round(max_spread, 2),
             }
         )
     )

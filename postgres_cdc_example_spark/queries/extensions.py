@@ -2760,7 +2760,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("u")
         )
         .groupBy(F.col("u.i").alias("i"))
-        .agg(F.sum("u.x").cast("long").alias("s"))
+        # DECIMAL(38,0) like the sxy moments — int64 would wrap silently
+        # past ~9e18 total micro mass while the DuckDB HUGEINT oracle
+        # errors, the silent-divergence class fixed in source_token_kl
+        .agg(F.sum(F.col("u.x").cast("decimal(38,0)")).alias("s"))
     )
     nv = base.agg(F.count(F.lit(1)).alias("n"))
     return (

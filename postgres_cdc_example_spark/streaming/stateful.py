@@ -675,7 +675,11 @@ def _anomaly_group(key, pdfs, state: GroupState):
             "hour": [pd.Timestamp(h * 3600, unit="s") for h, *_ in out],
             "n_events": [r[1] for r in out],
             "trailing_mean_micro": [r[2] for r in out],
-            "z_micro": [r[3] for r in out],
+            # object dtype so a None (flat-window hour) survives a mixed
+            # batch without pandas coercing the column to float64/NaN —
+            # Arrow then converts None to a true null, matching the batch
+            # query's NULL z_micro bit-for-bit
+            "z_micro": pd.Series([r[3] for r in out], dtype=object),
             "is_anomaly": [r[4] for r in out],
         }
     )
