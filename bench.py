@@ -98,6 +98,15 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "length_quality_grid",
     "text_bigram_entropy",
+    # round-5 additions: PCA projection, bulk BPE apply, classifier
+    # training, first-fit-decreasing packing, HLL audit, quota admission
+    "embedding_pca_project",
+    "embedding_pca_top2",
+    "bpe_apply_tokens",
+    "quality_classifier_train",
+    "pack_documents_ffd",
+    "vocab_hll_audit",
+    "source_quota_admission",
 ]
 
 
@@ -148,6 +157,12 @@ def main() -> None:
     from postgres_cdc_example_spark.queries.extensions import _trained_centroids
 
     _trained_centroids(spark, SF_DIR)
+    # r5+: the PCA eigen fit is memoized per session the same way (train
+    # once, project in bulk) — build it here so the two projection queries
+    # measure serving, not the driver-side fit
+    from postgres_cdc_example_spark.queries.extensions import _pca_fit
+
+    _pca_fit(spark, SF_DIR)
     layer_build = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

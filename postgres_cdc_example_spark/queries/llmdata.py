@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.memo import memo_get
-from postgres_cdc_example_spark.operators import dedup, hints, sampling
+from postgres_cdc_example_spark.operators import bloom, dedup, hints, sampling
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -735,6 +735,176 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QCT_STEPS = 3  # unrolled gradient steps (the k-means/BPE loop skeleton)
+QCT_LR_DIV = 10_000_000_000_000  # 1e13: w -= grad_sum div (n * 1e13), lr ~ 1e-13
+QCT_THRESH_PICO = 500_000_000_000  # decision boundary: pred >= 0.5 in pico units
+
+
+def _qct_oracle() -> str:
+    """Unrolled exact-arithmetic gradient chain: per step, the residual
+    moment sums run in HUGEINT, the weight update is one truncating integer
+    division (Spark decimal `div` == DuckDB HUGEINT `//`, both toward
+    zero), and the step's pre-update loss/agreement ride the same
+    aggregate."""
+    ctes = [
+        _QC_SCORED_CTES.strip(),  # toks/feats/z/qscored verbatim
+        """f AS (
+      SELECT doc_id,
+             CAST(1000000 AS BIGINT) AS x0,
+             (n_stop * 1000000) // n_tokens AS x1,
+             (n_distinct * 1000000) // n_tokens AS x2,
+             least(abs(n_tokens - 150) * 1000, 1000000) AS x3,
+             CASE WHEN quality_micro >= 500000
+                  THEN CAST(1000000000000 AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS y
+      FROM qscored
+    )""",
+        """w0 AS (
+      SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS wa,
+             CAST(0 AS HUGEINT) AS wb, CAST(0 AS HUGEINT) AS wc
+    )""",
+    ]
+    rows = []
+    for k in range(1, QCT_STEPS + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT f.*,
+             w.b * x0 + w.wa * x1 + w.wb * x2 + w.wc * x3 AS pred
+      FROM f, w{k - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+      SELECT count(*) AS n,
+             sum((pred - y) * x0) AS g0, sum((pred - y) * x1) AS g1,
+             sum((pred - y) * x2) AS g2, sum((pred - y) * x3) AS g3,
+             sum((pred - y) * (pred - y)) AS sse,
+             sum(CASE WHEN (pred >= {QCT_THRESH_PICO}) = (y > 0)
+                      THEN 1 ELSE 0 END) AS agree
+      FROM p{k}
+    )"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+      SELECT w.b - g.g0 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS b,
+             w.wa - g.g1 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wa,
+             w.wb - g.g2 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wb,
+             w.wc - g.g3 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wc
+      FROM g{k} g, w{k - 1} w
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({k} AS BIGINT) AS step,
+           CAST(w.b AS BIGINT) AS bias_micro,
+           CAST(w.wa AS BIGINT) AS w_stop_micro,
+           CAST(w.wb AS BIGINT) AS w_distinct_micro,
+           CAST(w.wc AS BIGINT) AS w_len_micro,
+           CAST(g.sse // (CAST(g.n AS HUGEINT) * 1000000000000) AS BIGINT)
+             AS mse_micro2,
+           CAST(g.agree AS BIGINT) AS agree_pre_n,
+           CAST(g.n AS BIGINT) AS n_train
+    FROM w{k} w, g{k} g"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("quality_classifier_train", oracle=_qct_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED quality-classifier training — closing the loop the
+    frozen ``quality_linear_score`` leaves open: {QCT_STEPS} unrolled
+    full-batch gradient steps of a linear scorer (squared loss) distilling
+    the frozen sigmoid classifier's >= 0.5 gate into micro-grid weights.
+    The exactness policy is the k-means/covariance one end to end: features
+    land on the integer micro grid (truncating div, both engines toward
+    zero), the per-step residual moment sums run in DECIMAL(38,0)/HUGEINT
+    (residuals are pico-scale, so int64 would wrap at ~1e6 docs), and the
+    weight update is one integer division by n * {QCT_LR_DIV} — no
+    transcendental anywhere, so the oracle replays the chain bit-for-bit.
+    Plan shape per step: one zero-shuffle feature projection (computed
+    once, lazily checkpointed), a broadcast 1-row weight side, and one
+    map-side-combined aggregate — the iterate/broadcast/rewrite skeleton
+    shared with Lloyd's and BPE, which is exactly how a 100 TB full-batch
+    GD epoch runs (gradient = one aggregate per pass). Each emitted row
+    carries the weights the step PRODUCED plus the loss/agreement measured
+    at the step's start (the quantities its gradient consumed)."""
+    scored = _quality_scored(load_table(spark, "documents", sf_dir))
+    f = scored.select(
+        F.lit(1_000_000).cast("long").alias("x0"),
+        F.expr("n_stop * 1000000 div n_tokens").alias("x1"),
+        F.expr("n_distinct * 1000000 div n_tokens").alias("x2"),
+        F.least(F.abs(F.col("n_tokens") - 150) * 1000, F.lit(1_000_000)).alias("x3"),
+        F.when(F.col("quality_micro") >= 500_000, F.lit(1_000_000_000_000))
+        .otherwise(F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    w = spark.range(1).select(
+        dec0.alias("b"), dec0.alias("wa"), dec0.alias("wb"), dec0.alias("wc")
+    )
+    out_rows = []
+    for k in range(1, QCT_STEPS + 1):
+        p = f.crossJoin(F.broadcast(w))
+        pred = (
+            F.col("b") * F.col("x0")
+            + F.col("wa") * F.col("x1")
+            + F.col("wb") * F.col("x2")
+            + F.col("wc") * F.col("x3")
+        )
+        r = (pred - F.col("y")).alias("r")
+        g = p.select(
+            r,
+            (pred >= F.lit(QCT_THRESH_PICO)).eqNullSafe(F.col("y") > 0).alias("ok"),
+            "x0",
+            "x1",
+            "x2",
+            "x3",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("r") * F.col("x0")).alias("g0"),
+            F.sum(F.col("r") * F.col("x1")).alias("g1"),
+            F.sum(F.col("r") * F.col("x2")).alias("g2"),
+            F.sum(F.col("r") * F.col("x3")).alias("g3"),
+            F.sum(F.col("r") * F.col("r")).alias("sse"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("agree"),
+        )
+        gw = g.crossJoin(F.broadcast(w))
+
+        def delta(gc: str) -> F.Column:
+            return F.expr(f"{gc} div (CAST(n AS DECIMAL(38,0)) * {QCT_LR_DIV})")
+
+        neww = gw.select(
+            (F.col("b") - delta("g0")).cast("decimal(38,0)").alias("b"),
+            (F.col("wa") - delta("g1")).cast("decimal(38,0)").alias("wa"),
+            (F.col("wb") - delta("g2")).cast("decimal(38,0)").alias("wb"),
+            (F.col("wc") - delta("g3")).cast("decimal(38,0)").alias("wc"),
+        ).localCheckpoint(eager=False)
+        out_rows.append(
+            neww.crossJoin(F.broadcast(g)).select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("b").cast("long").alias("bias_micro"),
+                F.col("wa").cast("long").alias("w_stop_micro"),
+                F.col("wb").cast("long").alias("w_distinct_micro"),
+                F.col("wc").cast("long").alias("w_len_micro"),
+                F.expr("sse div (CAST(n AS DECIMAL(38,0)) * 1000000000000)")
+                .cast("long")
+                .alias("mse_micro2"),
+                F.col("agree").cast("long").alias("agree_pre_n"),
+                F.col("n").cast("long").alias("n_train"),
+            )
+        )
+        w = neww
+    out = out_rows[0]
+    for rdf in out_rows[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+quality_classifier_train.__doc__ = quality_classifier_train.__doc__.format(
+    QCT_STEPS=QCT_STEPS, QCT_LR_DIV=QCT_LR_DIV
+)
+
+
 FH_DIM = 16  # feature-hashing buckets (one md5 hex nibble)
 
 
@@ -910,8 +1080,9 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_M = 65536  # bloom bits (2^16 → 8 KiB bitmap, 1024 longs)
-BLOOM_K = 3  # hash functions per gram
+# bloom primitives shared with the streaming ingest gate (operators/bloom.py)
+BLOOM_M = bloom.BLOOM_M  # bloom bits (2^16 → 8 KiB bitmap, 1024 longs)
+BLOOM_K = bloom.BLOOM_K  # hash functions per gram
 
 
 def _bloom_gram_sql() -> str:
@@ -986,52 +1157,15 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     g8 = _doc_grams8(spark, sf_dir)
     bench = g8.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
 
-    def pos(k: int, g: F.Column) -> F.Column:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{k}:"), g)), 1, 8), 16, 10
-            ).cast("long")
-            % BLOOM_M
-        )
-
     # Build the bitmap: distinct positions are bounded by M (=65536) no
     # matter the benchmark size, so this collect is O(M) by construction —
     # the same bounded-driver-state class as centroids and probe lists.
-    prows = (
-        bench.select(
-            F.explode(F.array(*[pos(k, F.col("g")) for k in range(BLOOM_K)])).alias(
-                "pos"
-            )
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * (BLOOM_M // 64)
-    for r in prows:
-        p = int(r["pos"])
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed longs for the literal array column
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bm = F.array(*[F.lit(w) for w in words])
+    # (Shared with the streaming ingest gate: operators/bloom.py.)
+    words = bloom.bitmap_from_grams(bench)
 
     corpus = g8.filter(F.col("doc_id") % BENCH_MOD != 0)
-    with_bits = corpus.withColumn("bm", bm)
-    hit_terms = [
-        F.expr(
-            f"(shiftright(element_at(bm, CAST(p{k} div 64 AS INT) + 1),"
-            f" CAST(p{k} % 64 AS INT)) & 1) = 1"
-        )
-        for k in range(BLOOM_K)
-    ]
-    flagged = (
-        with_bits.select(
-            "doc_id", "g", "bm", *[pos(k, F.col("g")).alias(f"p{k}") for k in range(BLOOM_K)]
-        )
-        .withColumn(
-            "bloom_hit",
-            hit_terms[0] & hit_terms[1] & hit_terms[2],
-        )
-        .drop("bm", "p0", "p1", "p2")
+    flagged = corpus.select(
+        "doc_id", "g", bloom.gram_hit(words, F.col("g")).alias("bloom_hit")
     )
     verified = flagged.join(
         bench.withColumn("true_hit", F.lit(True)), "g", "left"
@@ -2035,6 +2169,103 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Frozen BPE merge table — the serving artifact a tokenization run ships
+# (a merges.txt): the first 8 generations the bpe_merge_steps trainer
+# learns on the fixture corpus, replayed offline, plus two SECOND-ORDER
+# merges whose left symbol is itself a merged token (the hierarchy real
+# BPE vocabularies are made of). Priority order matters: earlier merges
+# rewrite before later ones, exactly like tokenizer merge ranks.
+BPE_MERGE_TABLE: list[tuple[str, str]] = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("slow", "key"),
+    ("vector", "small"),
+    ("big", "order"),
+    ("row", "a"),
+    ("stream", "table hash"),
+    ("part filter", "scan"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    """Chained greedy folds, one per frozen merge in priority order — each
+    value-identical to the trainer's rewrite (same list_reduce accumulator),
+    with the pair as SQL literals instead of a learned 1-row side."""
+    fold = """CASE WHEN len(s) = 0 THEN s
+        ELSE list_reduce(list_transform(s, t -> [t]),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{pa}' AND x[1] = '{pb}'
+                         THEN acc[1:len(acc)-1] || [acc[-1] || ' ' || x[1]]
+                         ELSE acc || x END)
+        END"""
+    ctes = [f"t0 AS (SELECT doc_id, {_TOKS} AS s FROM documents)"]
+    for k, (pa, pb) in enumerate(BPE_MERGE_TABLE, start=1):
+        ctes.append(
+            f"t{k} AS (SELECT doc_id, {fold.format(pa=pa, pb=pb)} AS s"
+            f" FROM t{k - 1})"
+        )
+    tn = f"t{len(BPE_MERGE_TABLE)}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT {tn}.doc_id,
+           CAST(len(t0.s) AS BIGINT) AS n_tokens_before,
+           CAST(len({tn}.s) AS BIGINT) AS n_tokens_after,
+           CAST(len(t0.s) - len({tn}.s) AS BIGINT) AS n_merges,
+           md5(array_to_string({tn}.s, chr(31))) AS token_fp
+    FROM {tn} JOIN t0 ON t0.doc_id = {tn}.doc_id"""
+    )
+
+
+@register("bpe_apply_tokens", oracle=_bpe_apply_oracle())
+def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk BPE APPLY — the serving counterpart of ``bpe_merge_steps``: a
+    frozen {n_merges}-entry merge table (constants, the broadcast-artifact
+    shape of a production merges.txt — includes two second-order merges
+    exercising vocabulary hierarchy) is applied to every document in ONE
+    distributed pass. Each merge reuses the trainer's branch-selected
+    rewrite (``bpe_rewrite_expr``: closed-form transform for pa != pb —
+    Catalyst constant-folds the branch per literal pair — exact array fold
+    for equal-symbol chains), chained in priority order as pure per-row
+    projections: zero shuffle, zero joins, one corpus scan. A Generate
+    barrier every 2 merges keeps projection collapse from re-inlining the
+    growing fold chain past the janino 64 KB method limit (the pinned
+    ``text_mixed_language`` trick) — still one pass, still codegen. The
+    emitted token stream is pinned by an md5 fingerprint over the
+    US-joined tokens, so the oracle's list_reduce replay value-checks
+    every merged symbol, not just the counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    cur = docs.select(
+        "doc_id",
+        dedup.word_tokens(F.col("text")).alias("s0"),
+    ).select("doc_id", F.col("s0").alias("s"), F.size("s0").alias("n0"))
+    fold = bpe_rewrite_expr()
+    for k, (pa, pb) in enumerate(BPE_MERGE_TABLE, start=1):
+        cur = cur.withColumn("pa", F.lit(pa)).withColumn("pb", F.lit(pb)).select(
+            "doc_id", fold.alias("s"), "n0"
+        )
+        if k % 2 == 0 and k < len(BPE_MERGE_TABLE):
+            cur = cur.select(
+                "doc_id",
+                F.explode(F.array(F.struct(F.col("s").alias("s")))).alias("r"),
+                "n0",
+            ).select("doc_id", F.col("r.s").alias("s"), "n0")
+    return cur.select(
+        "doc_id",
+        F.col("n0").cast("long").alias("n_tokens_before"),
+        F.size("s").cast("long").alias("n_tokens_after"),
+        (F.col("n0") - F.size("s")).cast("long").alias("n_merges"),
+        F.md5(F.array_join("s", "\x1f")).alias("token_fp"),
+    )
+
+
+bpe_apply_tokens.__doc__ = bpe_apply_tokens.__doc__.format(
+    n_merges=len(BPE_MERGE_TABLE)
+)
+
+
 SNAP_MOD = 50  # docs with doc_id % 50 == 0 are "new since the last snapshot"
 
 
@@ -2323,3 +2554,175 @@ def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_micro"),
         )
     )
+
+
+HLL_M = 256  # HyperLogLog registers (p=8); the bounded COUNT DISTINCT sketch
+HLL_RHO_MAX = 53  # 60-bit hash = 8 register bits + 52 tail bits -> rho in [1, 53]
+
+
+@register(
+    "vocab_hll_audit",
+    oracle=f"""
+    WITH occ2 AS (SELECT source, unnest({{toks}}) AS tok FROM documents),
+    h AS (SELECT source,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM occ2),
+    t AS (SELECT source, h % {HLL_M} AS j, h // {HLL_M} AS w FROM h),
+    regs AS (
+      SELECT source, j,
+             max(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS mj
+      FROM t GROUP BY source, j
+    ),
+    grid AS (SELECT DISTINCT source FROM documents),
+    gs AS (SELECT unnest(generate_series(0, {HLL_M - 1})) AS j),
+    allr AS (
+      SELECT g.source, gs.j, COALESCE(r.mj, 0) AS mj
+      FROM grid g CROSS JOIN gs
+      LEFT JOIN regs r ON r.source = g.source AND r.j = gs.j
+    ),
+    s AS (
+      SELECT source,
+             sum(1::BIGINT << ({HLL_RHO_MAX} - mj)) AS S,
+             sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS V
+      FROM allr GROUP BY source
+    ),
+    e AS (
+      SELECT source, V,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0 / CAST(S AS DOUBLE) <= 640.0
+                       AND V > 0
+                  THEN 256.0 * ln(256.0 / CAST(V AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0 / CAST(S AS DOUBLE) END AS est
+      FROM s
+    ),
+    x AS (SELECT source, count(DISTINCT tok) AS nde FROM occ2 GROUP BY source)
+    SELECT x.source,
+           CAST(nde AS BIGINT) AS n_distinct_exact,
+           CAST(floor(est) AS BIGINT) AS hll_estimate,
+           (abs(CAST(floor(est) AS BIGINT) - nde) * 1000000) // nde AS err_micro
+    FROM x JOIN e ON e.source = x.source
+    """.format(toks=_TOKS),
+)
+def vocab_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational HyperLogLog COUNT DISTINCT audit — the third bounded
+    sketch beside the CMS and the bloom bitmap, and the one answer to
+    per-source vocabulary size at 100 TB (exact distinct shuffles every
+    token; HLL state is {HLL_M} registers per source, period). Built so
+    BOTH engines compute the IDENTICAL registers relationally, not via
+    their incompatible native approx functions: a 60-bit md5 hash splits
+    into an 8-bit register index and a 52-bit tail whose leading-zero rank
+    comes from ``length(bin(w))`` (bin() never pads in either engine — no
+    log2, no bit-twiddling divergence); per-register maxima fold in one
+    keyed aggregate; the harmonic sum runs EXACTLY as bigints via
+    ``2^(53 - M_j)`` shifts (max 256 * 2^53 = 2^61, inside int64); and the
+    only doubles are the one estimator division and the small-range
+    linear-counting ln — the identical literal expression sequence on both
+    sides. The exact ``count(DISTINCT)`` side exists BECAUSE this is the
+    audit (the number a pipeline publishes beside the estimate); at scale
+    only the register table runs. err_micro is pure integer arithmetic on
+    the floored estimate."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ = docs.select(
+        "source", F.explode(dedup.word_tokens(F.col("text"))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    t = occ.select("source", h.alias("h")).select(
+        "source",
+        (F.col("h") % HLL_M).alias("j"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    )
+    regs = t.select("source", "j", rho.alias("rho")).groupBy("source", "j").agg(
+        F.max("rho").alias("mj")
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("j")))
+    )
+    allr = grid.join(regs, ["source", "j"], "left").select(
+        "source", "j", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    s = allr.groupBy("source").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_MAX} - mj AS INT))")
+        ).alias("S"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("V"),
+    )
+    raw = (
+        "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0"
+        " * 9007199254740992.0 / CAST(S AS DOUBLE)"
+    )
+    e = s.select(
+        "source",
+        F.expr(
+            f"CASE WHEN {raw} <= 640.0 AND V > 0"
+            " THEN 256.0 * ln(256.0 / CAST(V AS DOUBLE))"
+            f" ELSE {raw} END"
+        ).alias("est"),
+    )
+    x = occ.groupBy("source").agg(F.countDistinct("tok").alias("nde"))
+    return x.join(F.broadcast(e), "source").select(
+        "source",
+        F.col("nde").cast("long").alias("n_distinct_exact"),
+        F.floor("est").cast("long").alias("hll_estimate"),
+        F.expr(
+            "abs(CAST(floor(est) AS BIGINT) - nde) * 1000000 div nde"
+        ).alias("err_micro"),
+    )
+
+
+QUOTA_TOKENS = 1024  # per-source token budget — bites every fixture source (totals ~1.1-1.7k)
+
+
+@register(
+    "source_quota_admission",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, CAST(len({{toks}}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_toks, cum_tokens,
+           cum_tokens <= {QUOTA_TOKENS} AS admitted
+    FROM c
+    """.format(toks=_TOKS),
+)
+def source_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget admission — the batch twin of the streaming
+    quota gate: docs in doc_id order fill a {QUOTA_TOKENS}-token budget per
+    source and the stream STOPS admitting a source at its first overflow.
+    With all-positive token counts the running sum is monotone, so
+    'stop at first overflow' is EXACTLY ``cum <= budget`` — one window
+    cumsum keyed on source (the shuffle is (source, id, count) triples,
+    never text), which is why this semantics was chosen over
+    reject-and-continue (that one is inherently sequential per key and
+    buys nothing a mixture plan wants). Output keeps rejected rows with
+    their would-be cumulative so the admission boundary is auditable."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+    ).withColumn("admitted", F.col("cum_tokens") <= QUOTA_TOKENS)

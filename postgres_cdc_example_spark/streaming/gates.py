@@ -1,0 +1,71 @@
+"""Stateless ingest gates: broadcast-artifact filters applied per micro-batch.
+
+The production decontamination shape: the benchmark's 8-gram bloom bitmap
+(8 KiB, bounded by construction — see ``operators/bloom.py``) is built ONCE
+from the eval suite and shipped into the ingest path as literals; every
+arriving document is admitted only if none of its 8-grams hits the bloom.
+Being stateless, the gate is trivially exactly-once across restarts — the
+admitted set depends only on the document and the frozen bitmap, never on
+stream history — which the behavioral test pins: stream-admitted ids over a
+replayed corpus, across a restart, equal the batch ``eligible`` set
+(corpus minus ``contamination_bloom_prefilter``'s flagged docs).
+
+Bloom has no false negatives, so an admitted doc provably shares no gram
+position set with the benchmark; false positives (docs held for exact
+verification) are the documented trade for O(M) broadcast cost at 100 TB —
+the same division of labor as the batch audit query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.operators import bloom
+from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+
+def gram8_array(text_col: Column, n: int = 8) -> Column:
+    """Per-row 8-gram array as a pure projection (streaming-legal: no
+    window, no distinct) — same gram universe as the batch ``_doc_grams8``
+    layer for docs with >= n tokens; shorter docs yield no grams, which
+    matches the batch layer's ``len(tk) >= n`` guard. Duplicate grams are
+    harmless under the EXISTS membership test."""
+    tk = word_tokens(text_col)
+    m = F.size(tk)
+    full = F.transform(
+        F.sequence(F.lit(1), m - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return F.when(m >= n, full).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_bitmap(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Build the frozen gate artifact from the benchmark split — the batch
+    query's exact bitmap (``queries/llmdata.contamination_bloom_prefilter``
+    builds the identical words), returned as the literal list the streaming
+    gate broadcasts."""
+    from postgres_cdc_example_spark.queries.llmdata import BENCH_MOD, _doc_grams8
+
+    bench = (
+        _doc_grams8(spark, sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    return bloom.bitmap_from_grams(bench)
+
+
+def decontamination_gate(
+    docs: DataFrame, bitmap_words: list[int], text_col: str = "text"
+) -> DataFrame:
+    """Admit only documents with ZERO bloom-candidate 8-grams — the
+    stateless broadcast filter stage of an ingest pipeline (compose before
+    ``content_dedup_stream``/sinks). Pure per-row codegen: gram explosion,
+    salted-md5 positions, and the bit tests all run inside one projection +
+    filter; no state store, no shuffle, no Python."""
+    hit_any = F.exists(
+        gram8_array(F.col(text_col)),
+        lambda g: bloom.gram_hit(bitmap_words, g),
+    )
+    return docs.filter(~hit_any)

@@ -707,3 +707,69 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-source token-quota admission at ingest --------------------------------
+
+QUOTA_OUTPUT_SCHEMA = "source string, doc_id long, n_toks long, admitted boolean"
+QUOTA_STATE_SCHEMA = "used long, closed boolean"
+
+
+def _make_quota_group(budget: int):
+    def _group(key, pdfs, state: GroupState):
+        (source,) = key
+        used, closed = (int(state.get[0]), bool(state.get[1])) if state.exists else (
+            0,
+            False,
+        )
+        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        out_doc, out_tok, out_adm = [], [], []
+        for did, nt in zip(batch["doc_id"], batch["n_toks"]):
+            nt = int(nt)
+            if not closed and used + nt <= budget:
+                used += nt
+                adm = True
+            else:
+                # first overflow closes the source for good — monotone
+                # cumsum makes this identical to the batch cum <= budget
+                closed = True
+                adm = False
+            out_doc.append(int(did))
+            out_tok.append(nt)
+            out_adm.append(adm)
+        state.update((used, closed))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(out_doc),
+                "doc_id": out_doc,
+                "n_toks": out_tok,
+                "admitted": out_adm,
+            }
+        )
+
+    return _group
+
+
+def quota_gate_stream(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming twin of the batch ``source_quota_admission`` query: keyed
+    state per source is TWO scalars (tokens admitted, closed flag) no
+    matter the stream length — the bounded-state shape of a per-source
+    ingest quota. Token counting is a codegen projection BEFORE the
+    stateful stage (the text never enters state); contract (pinned by the
+    behavioral test): over a doc_id-ordered replay the admitted set equals
+    the batch ``cum_tokens <= budget`` set for every source, across a
+    restart, and a source once closed stays closed."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    prepped = docs.select(
+        "source",
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return prepped.groupBy("source").applyInPandasWithState(
+        _make_quota_group(budget),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -47,6 +47,13 @@ QUERIES = [
     "corpus_manifest",
     "token_count_min_sketch",
     "embedding_covariance",
+    # round-5 families
+    "embedding_pca_top2",
+    "bpe_apply_tokens",
+    "quality_classifier_train",
+    "pack_documents_ffd",
+    "vocab_hll_audit",
+    "source_quota_admission",
 ]
 
 
@@ -141,6 +148,9 @@ def main() -> None:
         _doc_bands(spark, sf_dir).count()
         _doc_grams8(spark, sf_dir).count()
         _trained_centroids(spark, sf_dir)
+        from postgres_cdc_example_spark.queries.extensions import _pca_fit
+
+        _pca_fit(spark, sf_dir)
         layer = time.perf_counter() - t0
         results[("_layer_build", tag)] = layer
         print(f"# layer build {tag}: {layer:.1f}s", file=sys.stderr)

@@ -47,6 +47,12 @@ NOTES = {
     "embedding_covariance": "Distributed PCA moments: Arrow-batched Gram map (exact int64 m'm per batch — the measured-7x numpy path) into 2080 (i,j)-keyed cells — no corpus self-join; 64-row mean sides broadcast.",
     "bpe_merge_steps": "Tokenizer training loop: per step, one pair-keyed combine + TakeOrdered-1 + a 1-row broadcast into the per-row rewrite; generations localCheckpoint so the unrolled chain never recomputes prior folds.",
     "user_erasure_audit": "Erasure + compliance proof: one anti-join (the erasure) + one semi-join over the REWRITTEN side (the zero-residual claim); audit counts are 1-row broadcasts.",
+    "embedding_pca_top2": "Distributed-PCA serving: the driver eigen fit collapsed both directions and the mean to 64-element literals, so the two-component projection is scan -> project with ZERO exchanges and zero joins — the second component costs no extra reads.",
+    "bpe_apply_tokens": "Tokenizer serving: the frozen merge table applies as chained constant-folded per-row rewrites in ONE corpus scan — no joins, no shuffle; Generate barriers every 2 merges keep the fold chain inside the janino method limit without breaking the single pass.",
+    "quality_classifier_train": "Full-batch GD epoch: per step, one map-side-combined residual-moment aggregate over the checkpointed zero-shuffle feature projection, with 1-row weight sides broadcast — the iterate/broadcast/rewrite skeleton at its purest.",
+    "vocab_hll_audit": "Relational HyperLogLog: token hashes combine into per-(source, register) maxima map-side; the 256-register grid and the 1-row estimate join back as broadcasts; the exact COUNT DISTINCT side exists only because this is the audit.",
+    "pack_documents_ffd": "Exact FFD under the driver threshold: the corpus contributes ONE (id, token-count) projection; assignment is bounded driver metadata returned as a LocalTableScan — above threshold the plan switches to the bucket-ranked harmonic arm.",
+    "source_quota_admission": "Per-source quota: one window cumsum keyed on source over (source, id, count) triples — stop-at-first-overflow is exactly cum<=budget under monotone sums, which is what keeps this a single keyed shuffle instead of a serial scan.",
 }
 
 

@@ -172,6 +172,73 @@ def test_pack_documents_matches_serial_greedy_replay(spark, sf_dir):
     assert got == want
 
 
+def test_pack_ffd_exact_arm_matches_serial_and_beats_running_sum(spark, sf_dir):
+    """The exact arm must equal an INDEPENDENT linear-scan first-fit
+    replay (the segment tree is an optimization, not a semantic), keep
+    every bin within capacity, and use no more bins than the running-sum
+    baseline (FFD's whole point)."""
+    from postgres_cdc_example_spark.queries.extensions import FFD_CAP
+
+    fn = REGISTRY["pack_documents_ffd"].fn
+    got = {(r.doc_id): (r.n_toks, r.bin_id, r.bin_fill) for r in fn(spark, sf_dir).collect()}
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(dedup.word_tokens(F.col("text"))).alias("n_toks")
+    )
+    items = sorted(
+        ((r.doc_id, r.n_toks) for r in docs.collect()), key=lambda x: (-x[1], x[0])
+    )
+    rem: list = []
+    assign: dict = {}
+    for did, nt in items:
+        for ix in range(len(rem)):
+            if rem[ix] >= nt:
+                rem[ix] -= nt
+                assign[did] = (nt, ix + 1)
+                break
+        else:
+            rem.append(FFD_CAP - nt)
+            assign[did] = (nt, len(rem))
+    fills: dict = {}
+    for nt, b in assign.values():
+        fills[b] = fills.get(b, 0) + nt
+    want = {d: (nt, b, fills[b]) for d, (nt, b) in assign.items()}
+    assert got == want
+    assert all(f <= FFD_CAP for f in fills.values())
+
+    # utilization: no worse than a doc_id-order running-sum bucketer
+    cum, baseline_bins = 0, 0
+    for _, nt in sorted(items):
+        if baseline_bins == 0 or cum + nt > FFD_CAP:
+            baseline_bins += 1
+            cum = 0
+        cum += nt
+    assert len(rem) <= baseline_bins
+
+
+def test_pack_ffd_harmonic_arm_properties(spark, sf_dir):
+    """The distributed >threshold arm: deterministic, every doc assigned
+    exactly once, per-bin fill <= cap by the k-per-bin construction, and
+    the bin_fill audit column equals the true per-bin sum."""
+    from postgres_cdc_example_spark.queries.extensions import (
+        FFD_CAP,
+        _pack_documents_ffd,
+    )
+
+    out1 = sorted(map(tuple, _pack_documents_ffd(spark, sf_dir, driver_max=0).collect()))
+    out2 = sorted(map(tuple, _pack_documents_ffd(spark, sf_dir, driver_max=0).collect()))
+    assert out1 == out2, "distributed packing must be deterministic"
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert len(out1) == n_docs
+    assert len({r[0] for r in out1}) == n_docs
+    fills: dict = {}
+    for _, nt, b, _bf in out1:
+        fills[b] = fills.get(b, 0) + nt
+    for _, _, b, bf in out1:
+        assert bf == fills[b], "bin_fill audit must equal the true bin sum"
+    assert all(f <= FFD_CAP for f in fills.values())
+
+
 def test_gram_oracles_survive_empty_docs(spark, sf_dir, tmp_path):
     """The divergence class the round-3 self-review found: a zero-token
     document must behave identically in the Spark operators (ngram_rows

@@ -39,6 +39,10 @@ INVARIANCE_QUERIES = [
     "event_rate_anomaly",  # exact-integer variance + sqrt/div micro-grid
     "embedding_covariance",  # decimal moment sums + one closing double div
     "bpe_merge_steps",  # iterative broadcast/rewrite with checkpoint cuts
+    "embedding_pca_top2",  # driver eigen fit off distributed exact moments
+    "quality_classifier_train",  # decimal gradient sums + integer-div update
+    "vocab_hll_audit",  # register maxima + exact shift sums (order-proof)
+    "pack_documents_ffd",  # collected-metadata serial FFD off the count scan
 ]
 
 
@@ -51,7 +55,11 @@ def _clear_shared_layers():
     run re-executes the shared layer under ITS parallelism — otherwise the
     second run would read the first run's persisted RDD and the layer's
     own partition-(in)dependence would go untested."""
-    from postgres_cdc_example_spark.queries.extensions import _BANDS_SHARE, _NGRAM_SHARE
+    from postgres_cdc_example_spark.queries.extensions import (
+        _BANDS_SHARE,
+        _NGRAM_SHARE,
+        _PCA_FIT_SHARE,
+    )
     from postgres_cdc_example_spark.queries.llmdata import _GRAM8_SHARE, _OCC_SHARE
 
     for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE, _GRAM8_SHARE):
@@ -61,6 +69,7 @@ def _clear_shared_layers():
             except Exception:
                 pass
         cache.clear()
+    _PCA_FIT_SHARE.clear()  # driver-value memo: rebuild the fit per config
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)

@@ -448,6 +448,8 @@ _BNLJ_ALLOWED = {
     "bpe_merge_steps",  # 1-row best-pair + 1-row token-count broadcasts
     "user_erasure_audit",  # four 1-row audit-count broadcasts
     "embedding_covariance",  # 1-row vector-count broadcast into 2080 cells
+    "quality_classifier_train",  # 1-row weight/gradient broadcasts per GD step
+    "vocab_hll_audit",  # bounded sources x 256-register grid + 1-row estimate
     "vocab_coverage",  # 1-row (total, vocab-size) broadcast into 4 K-probes
     "bm25_doc_ranking",
     "embedding_source_drift",
@@ -527,3 +529,32 @@ def test_embedding_covariance_is_gram_map_plus_keyed_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pca_projection_is_zero_shuffle_literal_dot(spark, sf_dir):
+    """The PCA projections the driver broadcasts back must be pure codegen
+    scans: the eigenvector/mean are 64-element LITERAL arrays, so the
+    returned plan has no Exchange, no join, and no Python evaluation (the
+    covariance/iteration ran at build time, driver-sized). Holds for both
+    the pc1 query and the two-column top-2 variant."""
+    for name in ("embedding_pca_project", "embedding_pca_top2"):
+        df = q.queries()[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert not has_exchange(df), (name, plan)
+        assert "Join" not in plan and "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bpe_apply_is_single_pass_zero_shuffle(spark, sf_dir):
+    """The frozen-merge-table bulk apply must stay one corpus scan of
+    chained per-row rewrites: no Exchange, no joins, no Python eval —
+    merge literals are constant-folded, barriers are 1-element Generates."""
+    df = q.queries()["bpe_apply_tokens"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_exchange(df), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain prints each node twice (tree + details section)
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, (
+        "bulk apply must read the corpus exactly once"
+    )
