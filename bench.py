@@ -107,6 +107,14 @@ BENCH_QUERIES = [
     "pack_documents_ffd",
     "vocab_hll_audit",
     "source_quota_admission",
+    # round-5 continued: market-basket mining, graph centrality, moment
+    # IVM, PCA-space outlier gate
+    "basket_part_pairs",
+    "event_type_pagerank",
+    "covariance_incremental",
+    "embedding_outliers",
+    "ann_pq_topk",
+    "ann_pq_recall_audit",
 ]
 
 
@@ -163,6 +171,10 @@ def main() -> None:
     from postgres_cdc_example_spark.queries.extensions import _pca_fit
 
     _pca_fit(spark, SF_DIR)
+    # r5+: PQ codebook training, same train-once/serve-many shape
+    from postgres_cdc_example_spark.queries.extensions import _trained_pq
+
+    _trained_pq(spark, SF_DIR)
     layer_build = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

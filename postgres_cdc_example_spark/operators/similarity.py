@@ -605,3 +605,171 @@ def semantic_dedup_flags(
             "dup_cos",
         )
     )
+
+
+# --- Product Quantization (PQ) --------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_D = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace
+PQ_ITERS = 2  # unrolled Lloyd iterations per subspace codebook
+PQ_TOPK = 10
+
+
+def micro_vec(vec: Column) -> Column:
+    """float -> exact micro-int array (the covariance/PCA grid): every PQ
+    quantity downstream — training means, assignment distances, ADC tables
+    — is then PURE INTEGER arithmetic, a strictly stronger determinism
+    story than the cosine family's round-6 doubles."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+
+
+def _sub_d2(sv: Column, cv: Column) -> Column:
+    """Exact squared L2 between two micro subvector columns: zip_with fold
+    (the measured-fast interpreted path), int64 throughout (|diff| <= 2e6
+    -> diff^2 <= 4e12, x PQ_D -> ~3e13)."""
+    return F.aggregate(
+        F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvec(vm: Column, s: int) -> Column:
+    return F.slice(vm, s * PQ_D + 1, PQ_D)
+
+
+def _codebook_lit(codebook: list[list[list[int]]], s: int) -> Column:
+    """Subspace ``s``'s 16 codewords as ONE literal array of (k, cv)
+    structs — the argmin then iterates it with a single ``transform``, so
+    the subvector expression appears once, not 16 times (the expression-
+    copy formulation re-evaluated the whole micro conversion per candidate
+    per row — measured ~25x slower)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(
+                    *[F.lit(int(c)).cast("long") for c in codebook[s][k]]
+                ).alias("cv"),
+            )
+            for k in range(PQ_K)
+        ]
+    )
+
+
+def pq_code_col(codebook: list[list[list[int]]], sv: Column, s: int) -> Column:
+    """argmin codeword for subspace ``s`` over an ALREADY-MATERIALIZED
+    subvector column (callers project subvectors through a Generate
+    barrier first): array_min over (d2, k) structs — ties break to the
+    lowest code, exactly like the oracle's (d2, code) row_number."""
+    cands = F.transform(
+        _codebook_lit(codebook, s),
+        lambda e: F.struct(_sub_d2(sv, e["cv"]).alias("d2"), e["k"].alias("k")),
+    )
+    return F.array_min(cands)["k"]
+
+
+def _with_subvecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, sv0..sv{M-1}) with the micro conversion and slicing forced
+    into ATTRIBUTES via a 1-element Generate barrier (the pinned
+    projection-collapse trick) and the scan hash-spread across cores
+    (single-file fixtures arrive as one split)."""
+    from postgres_cdc_example_spark.operators.dedup import _spread
+
+    vm = micro_vec(F.col("embedding"))
+    spread = _spread(emb.select("vec_id", "embedding"), "vec_id")
+    return spread.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    *[_subvec(vm, s).alias(f"sv{s}") for s in range(PQ_M)]
+                )
+            )
+        ).alias("r"),
+    ).select(
+        "vec_id", *[F.col(f"r.sv{s}").alias(f"sv{s}") for s in range(PQ_M)]
+    )
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Toward-zero integer division (DuckDB // semantics; Python // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def train_pq(emb: DataFrame) -> list[list[list[int]]]:
+    """PQ codebook training, the distributed/driver split: per iteration,
+    ONE corpus-wide aggregate computes per-(subspace, code) dimension sums
+    and counts (DECIMAL(38,0) — exact at any corpus size) and the driver
+    closes the integer means (sum toward-zero-div count, so centroids STAY
+    on the micro grid); assignment re-broadcasts the <= M*K*D-int codebook
+    as literals. Init = the PQ_K lowest-vec_id subvectors (deterministic);
+    a code that loses all members keeps its previous codeword."""
+    base = _with_subvecs(emb).localCheckpoint(eager=False)
+    init_rows = base.orderBy("vec_id").limit(PQ_K).collect()
+    cb = [
+        [[int(r[f"sv{s}"][d]) for d in range(PQ_D)] for r in init_rows]
+        for s in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        aggs = []
+        for s in range(PQ_M):
+            code = pq_code_col(cb, F.col(f"sv{s}"), s)
+            aggs.append(
+                base.select(
+                    F.lit(s).alias("s"),
+                    code.alias("code"),
+                    F.col(f"sv{s}").alias("sv"),
+                )
+            )
+        allsub = aggs[0]
+        for a in aggs[1:]:
+            allsub = allsub.unionByName(a)
+        sums = (
+            allsub.groupBy("s", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("sv")[d].cast("decimal(38,0)")).alias(f"s{d}")
+                    for d in range(PQ_D)
+                ],
+            )
+            .collect()
+        )
+        newcb = [[list(cb[s][k]) for k in range(PQ_K)] for s in range(PQ_M)]
+        for r in sums:
+            s, k, n = int(r["s"]), int(r["code"]), int(r["n"])
+            if n > 0:
+                newcb[s][k] = [
+                    _tdiv_int(int(r[f"s{d}"]), n) for d in range(PQ_D)
+                ]
+        cb = newcb
+    return cb
+
+
+def pq_encode(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:
+    """Bulk encoding: 8 argmin expressions over literal codewords — a
+    zero-shuffle projection, the serving shape (codes are 8 small ints per
+    vector: 64 bits replacing 256 bytes)."""
+    enc = _with_subvecs(emb).select(
+        "vec_id",
+        *[
+            pq_code_col(codebook, F.col(f"sv{s}"), s).alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    # second Generate barrier: downstream ADC references each code column
+    # many times (once per query's table lookup); without the barrier,
+    # projection collapse re-inlines the argmin per REFERENCE — and the
+    # interpreted fold path has no common-subexpression elimination, so the
+    # encode ran ~10x per row (measured 6 s -> sub-second at sf0.1)
+    return enc.select(
+        "vec_id",
+        F.explode(
+            F.array(F.struct(*[F.col(f"c{s}") for s in range(PQ_M)]))
+        ).alias("r"),
+    ).select("vec_id", *[F.col(f"r.c{s}").alias(f"c{s}") for s in range(PQ_M)])

@@ -2917,32 +2917,40 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     / HUGEINT so the population covariance
     (n·Σxy − Σx·Σy)/n² is exact until the one double division. Output in
     pico units (micro²)."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    return _cov_finalize(*_cov_moments(load_table(spark, "embeddings", sf_dir)))
+
+
+def _cov_gram_batches(it):
+    """Per-Arrow-batch Gram matrix mᵀm in EXACT int64 (BLAS path): each
+    partial is bounded by batch_rows·max|x_micro|² ≪ 2^63 (10k-row Arrow
+    batches, |x_micro| ≤ ~1e6 → ≤ 1e19/1000), so integer sums are exact;
+    the decimal merge downstream absorbs unbounded corpus size. Measured
+    7× over the exploded-struct formulation (0.34 s vs 2.37 s at sf0.1)
+    — the 'numpy genuinely wins' case functions/vector.py sanctions."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(COV_DIM)
+    for pdf in it:
+        if not len(pdf):
+            continue
+        m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        g = m.T @ m
+        yield pd.DataFrame({"i": iu[0], "j": iu[1], "p": g[iu]})
+
+
+def _cov_moments(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three exact moment tables of a vector set: upper-triangle
+    second-moment sums (2080 DECIMAL cells via the Arrow Gram map),
+    per-dimension mean sums (DECIMAL), and the count. ADDITIVE across
+    disjoint vector sets — the property ``covariance_incremental`` turns
+    into moment-level IVM."""
     v = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
     )
-    base = emb.select("vec_id", v.alias("v"))
-
-    def gram_batches(it):
-        """Per-Arrow-batch Gram matrix mᵀm in EXACT int64 (BLAS path): each
-        partial is bounded by batch_rows·max|x_micro|² ≪ 2^63 (10k-row Arrow
-        batches, |x_micro| ≤ ~1e6 → ≤ 1e19/1000), so integer sums are exact;
-        the decimal merge downstream absorbs unbounded corpus size. Measured
-        7× over the exploded-struct formulation (0.34 s vs 2.37 s at sf0.1)
-        — the 'numpy genuinely wins' case functions/vector.py sanctions."""
-        import numpy as np
-        import pandas as pd
-
-        iu = np.triu_indices(COV_DIM)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-            g = m.T @ m
-            yield pd.DataFrame({"i": iu[0], "j": iu[1], "p": g[iu]})
-
-    tri = base.select("v").mapInPandas(gram_batches, "i int, j int, p long")
+    base = emb.select(v.alias("v"))
+    tri = base.select("v").mapInPandas(_cov_gram_batches, "i int, j int, p long")
     mom = tri.groupBy("i", "j").agg(
         F.sum(F.col("p").cast("decimal(38,0)")).alias("sxy")
     )
@@ -2962,6 +2970,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("u.x").cast("decimal(38,0)")).alias("s"))
     )
     nv = base.agg(F.count(F.lit(1)).alias("n"))
+    return mom, m, nv
+
+
+def _cov_finalize(mom: DataFrame, m: DataFrame, nv: DataFrame) -> DataFrame:
+    """Close the covariance from the moment tables: (n·Σxy − Σx·Σy)/n²,
+    exact until the single double division."""
     return (
         mom.join(F.broadcast(m.select(F.col("i"), F.col("s").alias("sx"))), "i")
         .join(
@@ -2986,6 +3000,54 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_pico"),
         )
     )
+
+
+COV_DELTA_MOD = 10  # vec_id % 10 == 0 -> "today's newly-embedded vectors"
+
+
+@register(
+    "covariance_incremental",
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT mom.i, mom.j, CAST(n AS BIGINT) AS n_vectors,
+           CAST(floor(CAST(n * sxy - CAST(mi.s AS HUGEINT) * mj.s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS cov_pico
+    FROM mom
+    JOIN m mi ON mi.i = mom.i
+    JOIN m mj ON mj.i = mom.j, nv
+    """,
+)
+def covariance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental covariance maintenance — IVM for second moments: the
+    ENGINE computes the base split (vec_id % {COV_DELTA_MOD} != 0) and the
+    delta split's moment tables SEPARATELY and merges them by pure
+    addition (moments are additive over disjoint sets: Σxy, Σx, n), while
+    the ORACLE recomputes the covariance from scratch over the full corpus
+    — the driver's hash equality IS the proof that merge ≡ recompute,
+    bit-for-bit, because every merged quantity is an exact integer and the
+    single double division happens after the merge. This is what makes a
+    daily PCA refresh cheap at 100 TB: yesterday's 2080-cell moment table
+    is corpus-independent state; today's batch contributes O(delta · dim²)
+    Gram work plus a 2080-row merge — the base corpus is never rescanned.
+    (Deletes work the same way with subtraction; the fixture models the
+    append path.)"""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mom_b, m_b, nv_b = _cov_moments(emb.filter(F.col("vec_id") % COV_DELTA_MOD != 0))
+    mom_d, m_d, nv_d = _cov_moments(emb.filter(F.col("vec_id") % COV_DELTA_MOD == 0))
+    mom = (
+        mom_b.unionByName(mom_d)
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").cast("decimal(38,0)").alias("sxy"))
+    )
+    m = (
+        m_b.unionByName(m_d)
+        .groupBy("i")
+        .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+    )
+    nv = nv_b.crossJoin(F.broadcast(nv_d.withColumnRenamed("n", "n_d"))).select(
+        (F.col("n") + F.col("n_d")).alias("n")
+    )
+    return _cov_finalize(mom, m, nv)
 
 
 PCA_POWER_STEPS = 3  # unrolled power-iteration steps (the k-means/BPE loop skeleton)
@@ -3059,7 +3121,7 @@ def _pca_oracle() -> str:
     )
 
 
-def _pca2_oracle() -> str:
+def _pca2_parts() -> tuple[str, str]:
     """Second-direction chain on top of the base: a deflated power
     iteration — per step w = C.u in exact HUGEINT, Gram-Schmidt against v1
     via one TRUNCATING integer division per element (HUGEINT // == Spark-
@@ -3107,15 +3169,14 @@ def _pca2_oracle() -> str:
       FROM uo{k}, um{k}
     )"""
         )
-    return (
-        f"WITH {_COV_CTES},\n    "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT e.vec_id,
+    sel = f"""SELECT e.vec_id,
            CAST(sum({vk}.val * (e.v[{vk}.d + 1] - mu.mu)) AS BIGINT) AS pc1_pico,
            CAST(sum({uk}.val * (e.v[{vk}.d + 1] - mu.mu)) AS BIGINT) AS pc2_pico
     FROM e, {vk} JOIN mu ON mu.d = {vk}.d JOIN {uk} ON {uk}.d = {vk}.d
     GROUP BY e.vec_id"""
+    return (
+        f"WITH {_COV_CTES},\n    " + ",\n    ".join(ctes),
+        sel,
     )
 
 
@@ -3240,6 +3301,11 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _pca_projection(v1, mu).alias("pc1_pico"))
 
 
+def _pca2_oracle() -> str:
+    w, sel = _pca2_parts()
+    return w + "\n    " + sel
+
+
 @register("embedding_pca_top2", oracle=_pca2_oracle())
 def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 PCA projection — the 2-D corpus map clustering/visualization
@@ -3264,3 +3330,346 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pca_projection(v1, mu).alias("pc1_pico"),
         _pca_projection(v2, mu).alias("pc2_pico"),
     )
+
+
+PCA_OUTLIER_Z = 3  # flag beyond 3 sigma on either principal component
+
+
+def _pca_outlier_oracle() -> str:
+    w, sel = _pca2_parts()
+    z2 = PCA_OUTLIER_Z * PCA_OUTLIER_Z
+    return (
+        w
+        + f""",
+    pj AS MATERIALIZED ({sel}),
+    st AS (
+      SELECT count(*) AS n,
+             sum(CAST(pc1_pico AS HUGEINT)) AS s11,
+             sum(CAST(pc1_pico AS HUGEINT) * pc1_pico) AS s12,
+             sum(CAST(pc2_pico AS HUGEINT)) AS s21,
+             sum(CAST(pc2_pico AS HUGEINT) * pc2_pico) AS s22
+      FROM pj
+    )
+    SELECT pj.vec_id, pj.pc1_pico, pj.pc2_pico,
+           (CAST(pc1_pico AS HUGEINT) * n - s11)
+             * (CAST(pc1_pico AS HUGEINT) * n - s11)
+             > {z2} * (n * s12 - s11 * s11) AS out_pc1,
+           (CAST(pc2_pico AS HUGEINT) * n - s21)
+             * (CAST(pc2_pico AS HUGEINT) * n - s21)
+             > {z2} * (n * s22 - s21 * s21) AS out_pc2
+    FROM pj, st"""
+    )
+
+
+@register("embedding_outliers", oracle=_pca_outlier_oracle())
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection in the learned PCA plane — the
+    curation gate that catches encoder failures, corrupted inputs, and
+    off-distribution samples a string heuristic can't see. Pure
+    composition over ``embedding_pca_top2``'s zero-shuffle projections:
+    one 1-row exact moment aggregate (HUGEINT/DECIMAL pico sums), then
+    the {PCA_OUTLIER_Z}-sigma test per component in ALL-INTEGER form —
+    |x - mean| > z*sigma rewritten as (x*n - S1)^2 > z^2*(n*S2 - S1^2),
+    so no division, no sqrt, no float touches a result. Every vector gets
+    a verdict row (never vacuous); flagged share tracks the tail mass of
+    the projection distribution. Bound: the squared deviation term is
+    ~(pico * n)^2 — inside DECIMAL(38,0) up to ~1e7 vectors at pico
+    resolution; rescale projections to micro before the moments when n
+    grows past that (the documented knob)."""
+    pj = embedding_pca_top2(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = pj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("pc1_pico")).alias("s11"),
+        F.sum(dec("pc1_pico") * F.col("pc1_pico")).alias("s12"),
+        F.sum(dec("pc2_pico")).alias("s21"),
+        F.sum(dec("pc2_pico") * F.col("pc2_pico")).alias("s22"),
+    )
+    z2 = PCA_OUTLIER_Z * PCA_OUTLIER_Z
+    j = pj.crossJoin(F.broadcast(st))
+    dev1 = dec("pc1_pico") * F.col("n") - F.col("s11")
+    dev2 = dec("pc2_pico") * F.col("n") - F.col("s21")
+    return j.select(
+        "vec_id",
+        "pc1_pico",
+        "pc2_pico",
+        (dev1 * dev1 > F.lit(z2) * (F.col("n") * F.col("s12") - F.col("s11") * F.col("s11"))).alias("out_pc1"),
+        (dev2 * dev2 > F.lit(z2) * (F.col("n") * F.col("s22") - F.col("s21") * F.col("s21"))).alias("out_pc2"),
+    )
+
+
+embedding_outliers.__doc__ = embedding_outliers.__doc__.format(
+    PCA_OUTLIER_Z=PCA_OUTLIER_Z
+)
+
+
+# --- Product Quantization (PQ) queries -----------------------------------------
+
+_PQ_SHARE: dict[tuple[str, str], list] = {}
+
+
+def _trained_pq(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized PQ codebook (train once / encode+search many, like
+    ``_trained_centroids`` and ``_pca_fit``): M*K*D = 1024 micro ints of
+    driver state regardless of corpus size."""
+    return memo_get(
+        _PQ_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: similarity.train_pq(load_table(spark, "embeddings", sf_dir)),
+        unpersist=False,
+    )
+
+
+def _pq_d2_sql(a: str, b: str, dims: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dims}),"
+        f" d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d])))"
+    )
+
+
+def _pq_cte() -> str:
+    """Shared PQ oracle prefix ending at ``codes`` (per-vector code rows)
+    and ``cbF`` (the trained codebook): micro subvectors, first-K init,
+    PQ_ITERS unrolled integer Lloyd steps (means = HUGEINT sum // count,
+    so codewords stay EXACTLY on the micro grid; empty codes keep their
+    previous codeword), then the bulk assignment."""
+    M, D, K = similarity.PQ_M, similarity.PQ_D, similarity.PQ_K
+    d2 = _pq_d2_sql("x.sv", "c.cv", D)
+    parts = [
+        f"""em AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    )""",
+        f"""sv AS MATERIALIZED (
+      SELECT vec_id, u.s AS s, vm[u.s * {D} + 1 : u.s * {D} + {D}] AS sv
+      FROM em, unnest(generate_series(0, {M - 1})) AS u(s)
+    )""",
+        f"""cb0 AS MATERIALIZED (
+      SELECT s, rn - 1 AS code, sv AS cv FROM (
+        SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+        FROM sv)
+      WHERE rn <= {K}
+    )""",
+    ]
+    for t in range(similarity.PQ_ITERS):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, s, sv, code FROM (
+        SELECT x.vec_id, x.s, x.sv, c.code,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY {d2}, c.code) AS r
+        FROM sv x JOIN cb{t} c ON c.s = x.s)
+      WHERE r = 1
+    )"""
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+      SELECT s, code, list(mu ORDER BY d) AS cv FROM (
+        SELECT s, code, u.d AS d,
+               CAST(CAST(sum(sv[u.d]) AS HUGEINT) // count(*) AS BIGINT) AS mu
+        FROM a{t}, unnest(generate_series(1, {D})) AS u(d)
+        GROUP BY s, code, u.d)
+      GROUP BY s, code
+    )"""
+        )
+        parts.append(
+            f"""cb{t + 1} AS MATERIALIZED (
+      SELECT c.s, c.code, COALESCE(m.cv, c.cv) AS cv
+      FROM cb{t} c LEFT JOIN m{t} m ON m.s = c.s AND m.code = c.code
+    )"""
+        )
+    cbf = f"cb{similarity.PQ_ITERS}"
+    parts.append(
+        f"""codes AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT x.vec_id, x.s, c.code,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY {d2}, c.code) AS r
+        FROM sv x JOIN {cbf} c ON c.s = x.s)
+      WHERE r = 1
+    )""",
+        )
+    parts.append(f"cbF AS MATERIALIZED (SELECT s, code, cv FROM {cbf})")
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _pq_topk_oracle() -> str:
+    D = similarity.PQ_D
+    term = _pq_d2_sql("q.sv", "b.cv", D)
+    return (
+        _pq_cte()
+        + f""",
+    qs AS (SELECT vec_id AS q_id, s, sv FROM sv
+           WHERE vec_id < {similarity.N_QUERIES}),
+    adc AS MATERIALIZED (
+      SELECT q.q_id, c.vec_id, CAST(sum({term}) AS BIGINT) AS dist
+      FROM qs q
+      JOIN codes c ON c.s = q.s AND c.vec_id != q.q_id
+      JOIN cbF b ON b.s = c.s AND b.code = c.code
+      GROUP BY q.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id AS nbr_id, dist AS pq_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+      FROM adc)
+    WHERE rank <= {similarity.PQ_TOPK}"""
+    )
+
+
+@register("ann_pq_topk", oracle=_pq_topk_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the standard memory-bound scale path the
+    family was missing (brute/IVF/LSH cut COMPUTE; PQ cuts STORAGE: 8
+    codes = 8 bytes replace 256 float bytes, so a 100 TB vector corpus
+    fits hot). Training is the distributed/driver split (one DECIMAL
+    moment aggregate per Lloyd step; integer means keep codewords ON the
+    micro grid — the whole pipeline is pure int64, no round-6 doubles
+    anywhere); encoding is a zero-shuffle argmin projection over literal
+    codewords; search is asymmetric-distance (ADC): each query's 8x16
+    lookup table is EXACT integer distances computed at the driver from
+    the memoized codebook and broadcast as literals, so the corpus-side
+    cost is 8 array lookups + 7 adds per vector — no vector arithmetic at
+    scan time at all. Top-{PQ_TOPK} per query by (dist, vec_id) over the
+    {N_QUERIES}-query fixed sample."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = _trained_pq(spark, sf_dir)
+    codes = similarity.pq_encode(emb, cb)
+    qrows = (
+        emb.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", similarity.micro_vec(F.col("embedding")).alias("vm"))
+        .collect()
+    )
+    M, D, K = similarity.PQ_M, similarity.PQ_D, similarity.PQ_K
+    per_q = []
+    for r in qrows:
+        qid, vm = int(r["vec_id"]), [int(x) for x in r["vm"]]
+        table = [
+            [
+                sum(
+                    (vm[s * D + d] - cb[s][k][d]) ** 2 for d in range(D)
+                )
+                for k in range(K)
+            ]
+            for s in range(M)
+        ]
+        dist = None
+        for s in range(M):
+            t_arr = F.array(*[F.lit(int(v)).cast("long") for v in table[s]])
+            term = F.element_at(t_arr, F.col(f"c{s}").cast("int") + 1)
+            dist = term if dist is None else dist + term
+        per_q.append(F.struct(F.lit(qid).alias("q_id"), dist.alias("dist")))
+    stacked = codes.select(
+        "vec_id", F.explode(F.array(*per_q)).alias("qd")
+    ).select("vec_id", F.col("qd.q_id").alias("q_id"), F.col("qd.dist").alias("dist"))
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        stacked.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= similarity.PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nbr_id"),
+            F.col("dist").cast("long").alias("pq_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ann_pq_topk.__doc__ = ann_pq_topk.__doc__.format(
+    PQ_TOPK=similarity.PQ_TOPK, N_QUERIES=similarity.N_QUERIES
+)
+
+
+def _pq_recall_oracle() -> str:
+    term = _pq_d2_sql("q.sv", "b.cv", similarity.PQ_D)
+    ex_d2 = _pq_d2_sql("q.vm", "e.vm", similarity.EMB_DIM)
+    return (
+        _pq_cte()
+        + f""",
+    qs AS (SELECT vec_id AS q_id, s, sv FROM sv
+           WHERE vec_id < {similarity.N_QUERIES}),
+    adc AS MATERIALIZED (
+      SELECT q.q_id, c.vec_id, CAST(sum({term}) AS BIGINT) AS dist
+      FROM qs q
+      JOIN codes c ON c.s = q.s AND c.vec_id != q.q_id
+      JOIN cbF b ON b.s = c.s AND b.code = c.code
+      GROUP BY q.q_id, c.vec_id
+    ),
+    pt AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS r
+        FROM adc)
+      WHERE r <= {similarity.PQ_TOPK}
+    ),
+    qm AS (SELECT vec_id AS q_id, vm FROM em
+           WHERE vec_id < {similarity.N_QUERIES}),
+    ext AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {ex_d2}, e.vec_id) AS r
+        FROM qm q JOIN em e ON e.vec_id != q.q_id)
+      WHERE r <= {similarity.PQ_TOPK}
+    )
+    SELECT pt.q_id,
+           CAST(count(ext.vec_id) AS BIGINT) AS n_overlap,
+           (count(ext.vec_id) * 1000000) // {similarity.PQ_TOPK} AS recall_micro
+    FROM pt LEFT JOIN ext ON ext.q_id = pt.q_id AND ext.vec_id = pt.vec_id
+    GROUP BY pt.q_id"""
+    )
+
+
+@register("ann_pq_recall_audit", oracle=_pq_recall_oracle())
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOPK} of the PQ/ADC search against the EXACT integer-L2
+    ground truth over the same fixed query sample — the damage report that
+    ships beside any quantized index (companion to
+    ``ann_quantized_recall_audit``'s int8 study). The exact side is
+    audit-sized by construction (|queries| * corpus distances, query side
+    broadcast); recall is pure integer micro arithmetic."""
+    pq = ann_pq_topk(spark, sf_dir).select("q_id", F.col("nbr_id").alias("vec_id"))
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", similarity.micro_vec(F.col("embedding")).alias("vm")
+    )
+    q = emb.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= similarity.PQ_TOPK)
+        .select("q_id", "vec_id", F.lit(True).alias("hit"))
+    )
+    return (
+        pq.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .select(
+            "q_id",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000 div {similarity.PQ_TOPK}").alias(
+                "recall_micro"
+            ),
+        )
+    )
+
+
+ann_pq_recall_audit.__doc__ = ann_pq_recall_audit.__doc__.format(
+    PQ_TOPK=similarity.PQ_TOPK
+)

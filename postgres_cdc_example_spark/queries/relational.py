@@ -947,3 +947,96 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_residual_rows",
         )
     )
+
+
+BASKET_CAP = 64  # max items per basket entering the pair expansion
+BASKET_MINSUP = 2  # pair support floor (count of co-occurring baskets)
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    sized AS (
+      SELECT o, p FROM b
+      QUALIFY count(*) OVER (PARTITION BY o) <= {BASKET_CAP}
+    ),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM sized),
+    ca AS (SELECT p, count(*) AS c FROM sized GROUP BY p),
+    pr AS (
+      SELECT a.p AS part_a, b2.p AS part_b, count(*) AS pair_count
+      FROM sized a JOIN sized b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MINSUP}
+    )
+    SELECT part_a, part_b, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(x.c AS BIGINT) AS count_a, CAST(y.c AS BIGINT) AS count_b,
+           (pair_count * 1000000) // n_orders AS support_micro,
+           (pair_count * 1000000) // x.c AS confidence_micro,
+           (pair_count * n_orders * 1000000) // (x.c * y.c) AS lift_micro
+    FROM pr JOIN ca x ON x.p = pr.part_a JOIN ca y ON y.p = pr.part_b, n
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: support /
+    confidence / lift for every part pair co-occurring in >=
+    {BASKET_MINSUP} orders — the co-purchase table recommendation and
+    assortment pipelines start from. Scale shape: baskets larger than
+    {BASKET_CAP} items are EXCLUDED before the pair expansion (the same
+    hot-key cutoff as the dedup family's df guards — one pathological
+    mega-order would otherwise contribute O(n^2) pairs), the pair
+    expansion is a PER-ROW array comprehension off one grouped basket
+    (never an order-keyed self-join shuffling the fact table twice), pair
+    counts combine map-side on the (a, b) key, and the two part-frequency
+    joins are keyed on the part. All three ratios are truncating integer
+    micro-units: lift = pair * N * 1e6 div (ca * cb) stays inside int64
+    for any corpus where part frequencies fit in ~3e9."""
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    baskets = (
+        b.groupBy("o")
+        .agg(F.array_sort(F.collect_list("p")).alias("items"))
+        .filter(F.size("items") <= BASKET_CAP)
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    ca = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair_arr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items) - i - 1),"
+        " y -> struct(x AS pa, y AS pb))))"
+    )
+    pr = (
+        baskets.select(F.explode(pair_arr).alias("pp"))
+        .select(F.col("pp.pa").alias("part_a"), F.col("pp.pb").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= BASKET_MINSUP)
+    )
+    return (
+        pr.join(ca.select(F.col("p").alias("part_a"), F.col("c").alias("count_a")),
+                "part_a")
+        .join(ca.select(F.col("p").alias("part_b"), F.col("c").alias("count_b")),
+              "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("count_a").cast("long").alias("count_a"),
+            F.col("count_b").cast("long").alias("count_b"),
+            F.expr("pair_count * 1000000 div n_orders").alias("support_micro"),
+            F.expr("pair_count * 1000000 div count_a").alias("confidence_micro"),
+            F.expr("pair_count * n_orders * 1000000 div (count_a * count_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+
+
+basket_part_pairs.__doc__ = basket_part_pairs.__doc__.format(
+    BASKET_MINSUP=BASKET_MINSUP, BASKET_CAP=BASKET_CAP
+)

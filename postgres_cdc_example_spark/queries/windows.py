@@ -521,3 +521,143 @@ def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.col("n").desc(), "path").limit(PATH_TOP)
     w = Window.orderBy(F.col("n").desc(), "path")
     return top.withColumn("rank", F.row_number().over(w)).select("path", "n", "rank")
+
+
+PR_STEPS = 3  # unrolled PageRank iterations (the shared loop skeleton)
+PR_DAMP_MICRO = 850_000  # damping d = 0.85 on the micro grid
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled PageRank on the event-type transition graph: per-EDGE
+    contributions are floored individually ((d * r * c) // (1e6 * out)),
+    so the sum is exact integer math in any order; dangling mass is
+    dropped (the documented simplified variant) and every node re-seeds
+    with the floored (1-d)/n base."""
+    ctes = [
+        """seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )""",
+        """ed AS (
+      SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+               i -> {'f': s[i], 't': s[i+1]})) AS e
+      FROM seqs WHERE len(s) >= 2
+    )""",
+        "edges AS (SELECT e.f AS ef, e.t AS et, count(*) AS c FROM ed GROUP BY 1, 2)",
+        "outd AS (SELECT ef, CAST(sum(c) AS BIGINT) AS co FROM edges GROUP BY ef)",
+        "nodes AS (SELECT DISTINCT event_type AS node FROM events)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""r0 AS (
+      SELECT node, CAST(1000000 AS HUGEINT) // n AS r FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for k in range(1, PR_STEPS + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.et AS node,
+             sum((CAST({PR_DAMP_MICRO} AS HUGEINT) * r.r * e.c)
+                 // (CAST(1000000 AS HUGEINT) * o.co)) AS contrib
+      FROM edges e JOIN r{k - 1} r ON r.node = e.ef
+                   JOIN outd o ON o.ef = e.ef
+      GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+      SELECT nodes.node,
+             ({1_000_000 - PR_DAMP_MICRO} // n) + COALESCE(c.contrib, 0) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nodes.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r{PR_STEPS}.node AS event_type,
+           CAST(COALESCE(o.co, 0) AS BIGINT) AS out_transitions,
+           CAST(r{PR_STEPS}.r AS BIGINT) AS rank_micro
+    FROM r{PR_STEPS} LEFT JOIN outd o ON o.ef = r{PR_STEPS}.node"""
+    )
+
+
+@register("event_type_pagerank", oracle=_pagerank_oracle())
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type TRANSITION graph ({PR_STEPS} unrolled
+    iterations, d = 0.85) — the graph-centrality answer to 'which state do
+    user journeys orbit', and the loop skeleton (iterate / broadcast /
+    aggregate) shared with k-means, BPE and GD applied to a GRAPH. Scale
+    split: the big data is the EDGE table (consecutive-event pairs off the
+    same array_sort sequence assembly as ``user_path_trigrams`` — one
+    user-keyed shuffle, then one map-side-combined count per (from, to));
+    the rank vector is bounded by the event-type vocabulary and broadcasts
+    into each step's single edge-keyed join+aggregate. Exactness: each
+    EDGE's contribution floors individually ((d * r * c) div (1e6 * out)
+    in DECIMAL/HUGEINT), so the per-node sum is order-independent integer
+    math; dangling-node mass is dropped (documented simplified variant)
+    and the floored (1-d)/n base re-seeds every node each step."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq_struct = F.struct(
+        ts_us.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(seq_struct)).alias("seq"))
+        .select(F.expr("transform(seq, x -> x.et)").alias("s"))
+        .filter(F.size("s") >= 2)
+    )
+    edges = (
+        seqs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> struct(s[i] AS ef, s[i+1] AS et))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.ef").alias("ef"), F.col("e.et").alias("et"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    outd = edges.groupBy("ef").agg(F.sum("c").cast("long").alias("co"))
+    ewo = edges.join(outd, "ef").localCheckpoint(eager=False)
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("CAST(1000000 AS DECIMAL(38,0)) div n").alias("r")
+    )
+    base = F.expr(f"{1_000_000 - PR_DAMP_MICRO} div n")
+    for _ in range(PR_STEPS):
+        contrib = (
+            ewo.join(F.broadcast(r.withColumnRenamed("node", "ef")), "ef")
+            .groupBy(F.col("et").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(CAST({PR_DAMP_MICRO} AS DECIMAL(38,0)) * r * c)"
+                        " div (CAST(1000000 AS DECIMAL(38,0)) * co)"
+                    )
+                ).alias("contrib")
+            )
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (base + F.coalesce(F.col("contrib"), F.lit(0))).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        r.join(outd.withColumnRenamed("ef", "node"), "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce("co", F.lit(0)).cast("long").alias("out_transitions"),
+            F.col("r").cast("long").alias("rank_micro"),
+        )
+    )
+
+
+event_type_pagerank.__doc__ = event_type_pagerank.__doc__.format(PR_STEPS=PR_STEPS)

@@ -54,6 +54,12 @@ QUERIES = [
     "pack_documents_ffd",
     "vocab_hll_audit",
     "source_quota_admission",
+    "basket_part_pairs",
+    "event_type_pagerank",
+    "covariance_incremental",
+    "embedding_outliers",
+    "ann_pq_topk",
+    "ann_pq_recall_audit",
 ]
 
 
@@ -151,6 +157,9 @@ def main() -> None:
         from postgres_cdc_example_spark.queries.extensions import _pca_fit
 
         _pca_fit(spark, sf_dir)
+        from postgres_cdc_example_spark.queries.extensions import _trained_pq
+
+        _trained_pq(spark, sf_dir)
         layer = time.perf_counter() - t0
         results[("_layer_build", tag)] = layer
         print(f"# layer build {tag}: {layer:.1f}s", file=sys.stderr)

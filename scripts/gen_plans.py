@@ -53,6 +53,11 @@ NOTES = {
     "vocab_hll_audit": "Relational HyperLogLog: token hashes combine into per-(source, register) maxima map-side; the 256-register grid and the 1-row estimate join back as broadcasts; the exact COUNT DISTINCT side exists only because this is the audit.",
     "pack_documents_ffd": "Exact FFD under the driver threshold: the corpus contributes ONE (id, token-count) projection; assignment is bounded driver metadata returned as a LocalTableScan — above threshold the plan switches to the bucket-ranked harmonic arm.",
     "source_quota_admission": "Per-source quota: one window cumsum keyed on source over (source, id, count) triples — stop-at-first-overflow is exactly cum<=budget under monotone sums, which is what keeps this a single keyed shuffle instead of a serial scan.",
+    "basket_part_pairs": "Market-basket mining: pairs explode from the grouped basket ARRAY (one order-keyed shuffle, baskets capped at 64 items before the quadratic step); pair counts combine map-side; part-frequency joins stay part-keyed.",
+    "event_type_pagerank": "Graph centrality loop: the edge table is the big data (one user-keyed sequence shuffle + one (from,to) count); each of the 3 iterations broadcasts the bounded rank vector into a single edge-keyed join+aggregate with per-edge floored integer contributions.",
+    "covariance_incremental": "Moment-level IVM: base and delta splits each run the Arrow Gram map; the merge is a 2080-cell keyed union-aggregate — the oracle recomputes from scratch, so the driver hash equality proves merge == recompute bit-for-bit.",
+    "embedding_outliers": "PCA-space outlier gate: two literal-dot projections + ONE 1-row exact moment aggregate broadcast back; the 3-sigma test is all-integer ((x*n - S1)^2 > 9*(n*S2 - S1^2)) so no float reaches a verdict.",
+    "ann_pq_topk": "PQ/ADC serving: codes are literal-codeword argmin projections, per-query distance tables are literal integer arrays — the search plan is scan -> project -> explode -> one q_id-keyed ranking window, with NO join anywhere.",
 }
 
 

@@ -386,3 +386,17 @@ if _HAS_HYPOTHESIS:
         }
         want = {i: _ref_bpe_merge(s, pa, pb) for i, s in enumerate(seqs)}
         assert got == want
+
+
+def test_classifier_training_loss_decreases_and_weights_move(spark, sf_dir):
+    """The GD chain must actually LEARN on the fixture: pre-update MSE
+    strictly decreases step over step (step 1's row records the loss at
+    zero weights, so each later row must improve on it), and the weights
+    move monotonically away from zero in the first steps."""
+    fn = REGISTRY["quality_classifier_train"].fn
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.step)
+    assert len(rows) == 3
+    mses = [r.mse_micro2 for r in rows]
+    assert mses[0] > mses[1] > mses[2], f"loss must strictly decrease: {mses}"
+    assert rows[0].bias_micro != 0, "step 1 must move the bias off zero"
+    assert all(r.n_train > 0 for r in rows)

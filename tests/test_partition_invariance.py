@@ -43,6 +43,7 @@ INVARIANCE_QUERIES = [
     "quality_classifier_train",  # decimal gradient sums + integer-div update
     "vocab_hll_audit",  # register maxima + exact shift sums (order-proof)
     "pack_documents_ffd",  # collected-metadata serial FFD off the count scan
+    "ann_pq_topk",  # integer Lloyd codebook + ADC literal-table search
 ]
 
 
@@ -69,7 +70,10 @@ def _clear_shared_layers():
             except Exception:
                 pass
         cache.clear()
+    from postgres_cdc_example_spark.queries.extensions import _PQ_SHARE
+
     _PCA_FIT_SHARE.clear()  # driver-value memo: rebuild the fit per config
+    _PQ_SHARE.clear()  # same for the PQ codebook
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)

@@ -450,6 +450,11 @@ _BNLJ_ALLOWED = {
     "embedding_covariance",  # 1-row vector-count broadcast into 2080 cells
     "quality_classifier_train",  # 1-row weight/gradient broadcasts per GD step
     "vocab_hll_audit",  # bounded sources x 256-register grid + 1-row estimate
+    "basket_part_pairs",  # 1-row order-count broadcast into the pair table
+    "event_type_pagerank",  # 1-row node-count broadcast per iteration
+    "covariance_incremental",  # two 1-row count sides merged then broadcast
+    "embedding_outliers",  # 1-row moment-stats broadcast into the verdicts
+    "ann_pq_recall_audit",  # broadcast query sample x corpus, != condition (exact audit side)
     "vocab_coverage",  # 1-row (total, vocab-size) broadcast into 4 K-probes
     "bm25_doc_ranking",
     "embedding_source_drift",
@@ -558,3 +563,41 @@ def test_bpe_apply_is_single_pass_zero_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, (
         "bulk apply must read the corpus exactly once"
     )
+
+
+def test_basket_pairs_expand_per_row_not_self_join(spark, sf_dir):
+    """The pair expansion must come off the grouped basket ARRAY (one
+    order-keyed shuffle), never an order-keyed self-join that shuffles the
+    fact table twice; part-frequency joins stay keyed."""
+    plan = plan_of(spark, sf_dir, "basket_part_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan, "pair expansion must be an explode off the basket"
+
+
+def test_pagerank_rank_side_broadcasts_into_edge_join(spark, sf_dir):
+    """Each PageRank step joins the (bounded) rank vector INTO the edge
+    table: rank sides broadcast, the only shuffles are the edge build and
+    the per-step keyed aggregate — no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "event_type_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_covariance_incremental_is_two_gram_maps_no_self_join(spark, sf_dir):
+    """IVM for moments: base and delta splits each contribute one Arrow
+    Gram map; the merge is a keyed union-aggregate — never a corpus
+    self-join, never a rescan shape different from the base query."""
+    plan = plan_of(spark, sf_dir, "covariance_incremental")
+    assert plan.count("MapInPandas") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_search_is_joinless_lookup_scan(spark, sf_dir):
+    """ADC serving: codes are literal-codeword argmin projections and the
+    per-query distance tables are literal arrays, so the search plan has NO
+    join at all — one scan, one explode, one q_id-keyed ranking window."""
+    df = q.queries()["ann_pq_topk"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
