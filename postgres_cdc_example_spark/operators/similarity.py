@@ -641,35 +641,38 @@ def _subvec(vm: Column, s: int) -> Column:
     return F.slice(vm, s * PQ_D + 1, PQ_D)
 
 
-def _codebook_lit(codebook: list[list[list[int]]], s: int) -> Column:
+def _codebook_sql(codebook: list[list[list[int]]], s: int) -> str:
     """Subspace ``s``'s 16 codewords as ONE literal array of (k, cv)
     structs — the argmin then iterates it with a single ``transform``, so
     the subvector expression appears once, not 16 times (the expression-
     copy formulation re-evaluated the whole micro conversion per candidate
-    per row — measured ~25x slower)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.array(
-                    *[F.lit(int(c)).cast("long") for c in codebook[s][k]]
-                ).alias("cv"),
-            )
-            for k in range(PQ_K)
-        ]
+    per row — measured ~25x slower). Rendered as a SQL STRING, not a
+    Column tree: the Column formulation cost ~1000 py4j round-trips per
+    argmin (≈3 s of pure driver time per encode at ANY data size); one
+    ``F.expr`` parse of the same tree is ~ms (measured 6.2 s → 0.9 s on
+    the full ADC query)."""
+    words = ",".join(
+        "named_struct('k',{k},'cv',array({cv}))".format(
+            k=k, cv=",".join(f"{int(c)}L" for c in codebook[s][k])
+        )
+        for k in range(PQ_K)
     )
+    return f"array({words})"
 
 
-def pq_code_col(codebook: list[list[list[int]]], sv: Column, s: int) -> Column:
+def pq_code_col(codebook: list[list[list[int]]], sv_name: str, s: int) -> Column:
     """argmin codeword for subspace ``s`` over an ALREADY-MATERIALIZED
-    subvector column (callers project subvectors through a Generate
-    barrier first): array_min over (d2, k) structs — ties break to the
-    lowest code, exactly like the oracle's (d2, code) row_number."""
-    cands = F.transform(
-        _codebook_lit(codebook, s),
-        lambda e: F.struct(_sub_d2(sv, e["cv"]).alias("d2"), e["k"].alias("k")),
+    subvector column named ``sv_name`` (callers project subvectors through
+    a Generate barrier first): array_min over (d2, k) structs — ties break
+    to the lowest code, exactly like the oracle's (d2, code) row_number."""
+    d2 = (
+        f"aggregate(zip_with({sv_name}, e.cv, (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return F.array_min(cands)["k"]
+    return F.expr(
+        f"array_min(transform({_codebook_sql(codebook, s)},"
+        f" e -> struct({d2} AS d2, e.k AS k))).k"
+    )
 
 
 def _with_subvecs(emb: DataFrame) -> DataFrame:
@@ -718,7 +721,7 @@ def train_pq(emb: DataFrame) -> list[list[list[int]]]:
     for _ in range(PQ_ITERS):
         aggs = []
         for s in range(PQ_M):
-            code = pq_code_col(cb, F.col(f"sv{s}"), s)
+            code = pq_code_col(cb, f"sv{s}", s)
             aggs.append(
                 base.select(
                     F.lit(s).alias("s"),
@@ -758,7 +761,7 @@ def pq_encode(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:
     enc = _with_subvecs(emb).select(
         "vec_id",
         *[
-            pq_code_col(codebook, F.col(f"sv{s}"), s).alias(f"c{s}")
+            pq_code_col(codebook, f"sv{s}", s).alias(f"c{s}")
             for s in range(PQ_M)
         ],
     )

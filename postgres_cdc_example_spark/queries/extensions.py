@@ -3555,14 +3555,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             for s in range(M)
         ]
-        dist = None
-        for s in range(M):
-            t_arr = F.array(*[F.lit(int(v)).cast("long") for v in table[s]])
-            term = F.element_at(t_arr, F.col(f"c{s}").cast("int") + 1)
-            dist = term if dist is None else dist + term
-        per_q.append(F.struct(F.lit(qid).alias("q_id"), dist.alias("dist")))
+        # one SQL string per query, not K*M Column literals: the Column
+        # tree cost ~1300 py4j round-trips of pure driver time (see
+        # similarity._codebook_sql for the measurement)
+        dist = " + ".join(
+            "element_at(array({vals}), c{s} + 1)".format(
+                vals=",".join(f"{int(v)}L" for v in table[s]), s=s
+            )
+            for s in range(M)
+        )
+        per_q.append(f"named_struct('q_id', {qid}, 'dist', {dist})")
     stacked = codes.select(
-        "vec_id", F.explode(F.array(*per_q)).alias("qd")
+        "vec_id",
+        F.expr("explode(array(" + ",".join(per_q) + "))").alias("qd"),
     ).select("vec_id", F.col("qd.q_id").alias("q_id"), F.col("qd.dist").alias("dist"))
     w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
     return (
