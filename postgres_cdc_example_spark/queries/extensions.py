@@ -3678,3 +3678,148 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_pq_recall_audit.__doc__ = ann_pq_recall_audit.__doc__.format(
     PQ_TOPK=similarity.PQ_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_DEN = 10  # keep ceil(n/10) docs per (source, lang) stratum
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, lang,
+             count(*) OVER (PARTITION BY source, lang) AS stratum_n,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS r
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(r AS BIGINT) AS sample_rank,
+           CAST(stratum_n AS BIGINT) AS stratum_n,
+           (stratum_n + {SAMPLE_DEN - 1}) // {SAMPLE_DEN} AS quota
+    FROM h WHERE r <= (stratum_n + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional stratified sampling — the eval-set /
+    ablation draw every data pipeline needs to be REPRODUCIBLE: per
+    (source, lang) stratum keep the ceil(n/{SAMPLE_DEN}) docs lowest in
+    md5(doc_id) order, a stable pseudo-random choice identical across
+    runs, engines and partitionings (``sample()``/``rand()`` are neither).
+    The oracle states the spec as one per-stratum row_number; the ENGINE
+    computes the identical set with the two-stage top-k a 100 TB stratum
+    needs: per-stratum quotas come from a bounded broadcast count table,
+    a PER-INPUT-PARTITION window (keyed on stratum x partition id) keeps
+    at most quota rows per partition — correct because any row in the
+    global stratum top-quota is in its partition's top-quota — so the
+    final per-stratum ranking window sees <= partitions * quota rows,
+    never the full stratum through one reducer. Everything downstream of
+    md5 is integer comparisons; quota = ceil is exact ((n + {SAMPLE_DEN_1})
+    div {SAMPLE_DEN})."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("hh"),
+    )
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("stratum_n")
+    )
+    d = (
+        docs.join(F.broadcast(counts), ["source", "lang"])
+        .withColumn(
+            "quota", F.expr(f"(stratum_n + {SAMPLE_DEN - 1}) div {SAMPLE_DEN}")
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("source", "lang", "pid").orderBy("hh", "doc_id")
+    pre = (
+        d.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= F.col("quota"))
+        .drop("lr", "pid")
+    )
+    wg = Window.partitionBy("source", "lang").orderBy("hh", "doc_id")
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(wg))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            F.col("stratum_n").cast("long").alias("stratum_n"),
+            "quota",
+        )
+    )
+
+
+stratified_sample.__doc__ = stratified_sample.__doc__.format(
+    SAMPLE_DEN=SAMPLE_DEN, SAMPLE_DEN_1=SAMPLE_DEN - 1
+)
+
+
+@register(
+    "source_fertility_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, len({_TOKS}) AS nt, length(text) AS nc,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS ns
+      FROM documents
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(ns) AS BIGINT) AS n_nonspace,
+           CAST((sum(nt) * 1000000) // nullif(sum(nc), 0) AS BIGINT)
+             AS tokens_per_char_micro,
+           CAST((sum(ns) * 1000000) // nullif(sum(nt), 0) AS BIGINT)
+             AS chars_per_token_micro
+    FROM t GROUP BY source, lang
+    """,
+)
+def source_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility accounting per (source, lang) — the table a
+    tokenization run publishes to size token budgets and spot encoders
+    that explode on a language (fertility shifts are the first symptom of
+    tokenizer/corpus mismatch). One narrow projection computes per-doc
+    token/char/nonspace counts inside codegen, then ONE map-side-combined
+    aggregation per stratum; the two ratios are truncating integer micro
+    units over the summed (not per-doc averaged) counts, so they are
+    exact and weight long docs correctly. Null-safe on empty strata via
+    nullif (Spark div and DuckDB // both propagate NULL)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = text.tokens(F.col("text"))
+    t = docs.select(
+        "source",
+        "lang",
+        F.size(tk).alias("nt"),
+        F.length("text").alias("nc"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("ns"),
+    )
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("ns").cast("long").alias("n_nonspace"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_nonspace",
+            F.expr("n_tokens * 1000000 div nullif(n_chars, 0)").alias(
+                "tokens_per_char_micro"
+            ),
+            F.expr("n_nonspace * 1000000 div nullif(n_tokens, 0)").alias(
+                "chars_per_token_micro"
+            ),
+        )
+    )

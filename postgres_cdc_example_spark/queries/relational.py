@@ -1040,3 +1040,128 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 basket_part_pairs.__doc__ = basket_part_pairs.__doc__.format(
     BASKET_MINSUP=BASKET_MINSUP, BASKET_CAP=BASKET_CAP
 )
+
+
+RFM_K = 5  # quintile scores per dimension
+RFM_FREQ_BUCKET_CAP = 64  # frequency range-buckets above this collapse
+RFM_MONEY_BUCKET_CENTS = 10_000_000  # $100k per monetary range-bucket
+RFM_MONEY_BUCKET_CAP = 4096
+
+
+def _bucket_global_rank(
+    df: DataFrame, out: str, bucket: Column, order_cols: list
+) -> DataFrame:
+    """0-based GLOBAL rank under (order_cols) without a single-reducer
+    sort: per-bucket row_number (the bucket must be a monotone coarsening
+    of the sort key, so global order is bucket-major) plus broadcast
+    cumulative offsets from the bounded bucket histogram — the
+    corpus_shuffle_order / quality_curriculum two-pass shape, factored
+    for reuse across the three RFM dimensions."""
+    t = df.withColumn("__b", bucket)
+    wb = Window.partitionBy("__b").orderBy(*order_cols)
+    ranked = t.withColumn("__rk", F.row_number().over(wb))
+    counts = t.groupBy("__b").agg(F.count(F.lit(1)).alias("__nb"))
+    wo = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__b", (F.sum("__nb").over(wo) - F.col("__nb")).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn(out, F.col("__off") + F.col("__rk") - 1)
+        .drop("__b", "__rk", "__off")
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_custkey AS custkey, max(o_orderdate) AS recency,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), n AS (SELECT count(*) AS n FROM c),
+    r AS (
+      SELECT custkey, recency, frequency, monetary_cents,
+             row_number() OVER (ORDER BY recency, custkey) - 1 AS rr,
+             row_number() OVER (ORDER BY frequency, custkey) - 1 AS fr,
+             row_number() OVER (ORDER BY monetary_cents, custkey) - 1 AS mr
+      FROM c
+    )
+    SELECT custkey, recency, CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(rr * {RFM_K} // n + 1 AS BIGINT) AS r_score,
+           CAST(fr * {RFM_K} // n + 1 AS BIGINT) AS f_score,
+           CAST(mr * {RFM_K} // n + 1 AS BIGINT) AS m_score,
+           CAST((rr * {RFM_K} // n + 1) * 100 + (fr * {RFM_K} // n + 1) * 10
+                + (mr * {RFM_K} // n + 1) AS BIGINT) AS rfm_segment
+    FROM r, n
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing table: each customer scored 1..{RFM_K} on
+    each dimension by exact rank-quantile (score = rank*{RFM_K} div n + 1,
+    0-based rank, custkey tie-break — NOT ntile, whose uneven-group fill
+    is harder to reason about at merge time), concatenated into the
+    3-digit segment code. Monetary sums in exact cents (floor(price*100 +
+    0.5) — 2-decimal fixture prices are exact), never order-dependent
+    float. The oracle states each rank as one global row_number; the
+    ENGINE computes identical ranks with the reusable two-pass bucket
+    shape (per-bucket window + broadcast offsets — buckets: order month
+    for recency, capped count for frequency, capped $100k steps for
+    monetary; each a monotone coarsening of its sort key, each histogram
+    bounded), so the customer table never funnels through one reducer:
+    three bucket-keyed shuffles total, all map-side combinable upstream."""
+    o = load_table(spark, "orders", sf_dir)
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    t = _bucket_global_rank(
+        cust,
+        "rr",
+        F.year("recency") * 12 + F.month("recency"),
+        [F.col("recency"), F.col("custkey")],
+    )
+    t = _bucket_global_rank(
+        t,
+        "fr",
+        F.least(F.col("frequency"), F.lit(RFM_FREQ_BUCKET_CAP)),
+        [F.col("frequency"), F.col("custkey")],
+    )
+    t = _bucket_global_rank(
+        t,
+        "mr",
+        F.least(
+            F.expr(f"monetary_cents div {RFM_MONEY_BUCKET_CENTS}"),
+            F.lit(RFM_MONEY_BUCKET_CAP),
+        ),
+        [F.col("monetary_cents"), F.col("custkey")],
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    sc = lambda r: F.expr(f"{r} * {RFM_K} div n + 1")  # noqa: E731
+    return (
+        t.crossJoin(F.broadcast(n))
+        .select(
+            "custkey",
+            "recency",
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary_cents",
+            sc("rr").alias("r_score"),
+            sc("fr").alias("f_score"),
+            sc("mr").alias("m_score"),
+            (sc("rr") * 100 + sc("fr") * 10 + sc("mr")).alias("rfm_segment"),
+        )
+    )
+
+
+orders_rfm_segments.__doc__ = orders_rfm_segments.__doc__.format(RFM_K=RFM_K)

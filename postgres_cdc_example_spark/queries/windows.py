@@ -661,3 +661,125 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 event_type_pagerank.__doc__ = event_type_pagerank.__doc__.format(PR_STEPS=PR_STEPS)
+
+
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def _attribution_oracle() -> str:
+    touches = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS val_micro
+      FROM events
+    ),
+    nx AS (
+      SELECT user_id, event_id, event_type, us,
+             first_value(CASE WHEN event_type = 'purchase' THEN
+                 struct_pack(pid := event_id, pus := us, pc := val_micro)
+               END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+      FROM e
+    ),
+    t AS (
+      SELECT event_type, np.pid AS pid, np.pc AS credit,
+             row_number() OVER (PARTITION BY np.pid
+                                ORDER BY us, event_id) AS i,
+             count(*) OVER (PARTITION BY np.pid) AS n
+      FROM nx
+      WHERE event_type IN ({touches}) AND np IS NOT NULL
+            AND us >= np.pus - {ATTR_LOOKBACK_US}
+    )
+    SELECT event_type AS channel,
+           count(*) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+           CAST(sum((i * credit) // n - ((i - 1) * credit) // n) AS BIGINT)
+             AS linear_micro,
+           CAST(sum(CASE WHEN i = 1 THEN credit ELSE 0 END) AS BIGINT)
+             AS first_touch_micro,
+           CAST(sum(CASE WHEN i = n THEN credit ELSE 0 END) AS BIGINT)
+             AS last_touch_micro
+    FROM t GROUP BY event_type"""
+
+
+@register("attribution_multitouch", oracle=_attribution_oracle())
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution — per channel, conversion credit
+    under the three standard models (linear, first-touch, last-touch) in
+    one pass. Each touch (view/click/signup) credits the user's NEXT
+    purchase (an as-of-forward window: first following purchase in
+    (ts, event_id) order — journeys never overlap by construction) if it
+    falls inside the 7-day lookback. The linear split is EXACT integer
+    micro: touch i of n gets floor(i*c/n) - floor((i-1)*c/n), which
+    telescopes to exactly c per conversion regardless of n — no float
+    shares, no lost remainder cents. Scale shape: two keyed shuffles
+    (per-user ordered window with O(1) carried state, then a per-purchase
+    window whose group size is bounded by one user's touches in 7 days);
+    channel totals combine map-side. The same next-purchase state is a
+    2-long register in the streaming adaption."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("val_micro"),
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nx = e.withColumn(
+        "np",
+        F.first(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(
+                    F.col("event_id").alias("pid"),
+                    F.col("us").alias("pus"),
+                    F.col("val_micro").alias("pc"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(wn),
+    )
+    t = nx.filter(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+        & F.col("np").isNotNull()
+        & (F.col("us") >= F.col("np.pus") - ATTR_LOOKBACK_US)
+    )
+    wp = Window.partitionBy(F.col("np.pid")).orderBy("us", "event_id")
+    wc = Window.partitionBy(F.col("np.pid"))
+    t2 = t.select(
+        "event_type",
+        F.col("np.pid").alias("pid"),
+        F.col("np.pc").alias("credit"),
+        F.row_number().over(wp).alias("i"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        t2.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("pid").cast("long").alias("n_conversions"),
+            F.sum(
+                F.expr("(i * credit) div n - ((i - 1) * credit) div n")
+            )
+            .cast("long")
+            .alias("linear_micro"),
+            F.sum(F.when(F.col("i") == 1, F.col("credit")).otherwise(0))
+            .cast("long")
+            .alias("first_touch_micro"),
+            F.sum(
+                F.when(F.col("i") == F.col("n"), F.col("credit")).otherwise(0)
+            )
+            .cast("long")
+            .alias("last_touch_micro"),
+        )
+    )

@@ -455,6 +455,7 @@ _BNLJ_ALLOWED = {
     "covariance_incremental",  # two 1-row count sides merged then broadcast
     "embedding_outliers",  # 1-row moment-stats broadcast into the verdicts
     "ann_pq_recall_audit",  # broadcast query sample x corpus, != condition (exact audit side)
+    "orders_rfm_segments",  # 1-row customer-count broadcast closing the quintile scores
     "vocab_coverage",  # 1-row (total, vocab-size) broadcast into 4 K-probes
     "bm25_doc_ranking",
     "embedding_source_drift",
