@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "ann_pq_topk",
     "ann_pq_recall_audit",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -705,14 +705,21 @@ def _tdiv_int(a: int, b: int) -> int:
 
 
 def train_pq(emb: DataFrame) -> list[list[list[int]]]:
+    """PQ codebook training over raw subvectors (see ``train_pq_base``)."""
+    return train_pq_base(_with_subvecs(emb))
+
+
+def train_pq_base(base: DataFrame) -> list[list[list[int]]]:
     """PQ codebook training, the distributed/driver split: per iteration,
     ONE corpus-wide aggregate computes per-(subspace, code) dimension sums
     and counts (DECIMAL(38,0) — exact at any corpus size) and the driver
     closes the integer means (sum toward-zero-div count, so centroids STAY
     on the micro grid); assignment re-broadcasts the <= M*K*D-int codebook
     as literals. Init = the PQ_K lowest-vec_id subvectors (deterministic);
-    a code that loses all members keeps its previous codeword."""
-    base = _with_subvecs(emb).localCheckpoint(eager=False)
+    a code that loses all members keeps its previous codeword. ``base``
+    carries (vec_id, sv0..sv{M-1}) — raw subvectors for plain PQ,
+    coarse-residual subvectors for IVF-PQ."""
+    base = base.localCheckpoint(eager=False)
     init_rows = base.orderBy("vec_id").limit(PQ_K).collect()
     cb = [
         [[int(r[f"sv{s}"][d]) for d in range(PQ_D)] for r in init_rows]
@@ -755,11 +762,22 @@ def train_pq(emb: DataFrame) -> list[list[list[int]]]:
 
 
 def pq_encode(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:
+    """Bulk encoding of raw subvectors (see ``pq_encode_base``)."""
+    return pq_encode_base(_with_subvecs(emb), codebook)
+
+
+def pq_encode_base(
+    base: DataFrame,
+    codebook: list[list[list[int]]],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Bulk encoding: 8 argmin expressions over literal codewords — a
     zero-shuffle projection, the serving shape (codes are 8 small ints per
-    vector: 64 bits replacing 256 bytes)."""
-    enc = _with_subvecs(emb).select(
+    vector: 64 bits replacing 256 bytes). ``carry`` names extra columns of
+    ``base`` to keep alongside the codes (IVF-PQ carries ``cid``)."""
+    enc = base.select(
         "vec_id",
+        *carry,
         *[
             pq_code_col(codebook, f"sv{s}", s).alias(f"c{s}")
             for s in range(PQ_M)
@@ -772,7 +790,93 @@ def pq_encode(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:
     # encode ran ~10x per row (measured 6 s -> sub-second at sf0.1)
     return enc.select(
         "vec_id",
+        *carry,
         F.explode(
             F.array(F.struct(*[F.col(f"c{s}") for s in range(PQ_M)]))
         ).alias("r"),
-    ).select("vec_id", *[F.col(f"r.c{s}").alias(f"c{s}") for s in range(PQ_M)])
+    ).select(
+        "vec_id",
+        *carry,
+        *[F.col(f"r.c{s}").alias(f"c{s}") for s in range(PQ_M)],
+    )
+
+
+# --- IVF-PQ: coarse integer quantizer + residual PQ -----------------------------
+
+IVFPQ_C = 4  # coarse clusters (probe=1 at search time)
+
+
+def coarse_centroids(emb: DataFrame) -> list[list[int]]:
+    """The IVFPQ_C lowest-vec_id micro vectors as the coarse quantizer — a
+    deterministic stand-in for a trained coarse k-means, exactly like
+    ``ivf_assign``'s centroid choice (a learned table would drop in
+    unchanged); IVFPQ_C * EMB_DIM ints of driver state."""
+    rows = (
+        emb.filter(F.col("vec_id") < IVFPQ_C)
+        .select("vec_id", micro_vec(F.col("embedding")).alias("vm"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[int(x) for x in r["vm"]] for r in rows]
+
+
+def _cents_sql(cents: list[list[int]]) -> str:
+    words = ",".join(
+        "named_struct('k',{k},'cv',array({cv}))".format(
+            k=k, cv=",".join(f"{int(c)}L" for c in cents[k])
+        )
+        for k in range(len(cents))
+    )
+    return f"array({words})"
+
+
+def ivfpq_residual_subvecs(
+    emb: DataFrame, cents: list[list[int]]
+) -> DataFrame:
+    """(vec_id, cid, sv0..sv{M-1}): assign each vector to its exact-L2
+    nearest coarse centroid (argmin over the literal centroid table, ties
+    to the lowest cid — a zero-shuffle projection) and slice the INTEGER
+    residual (vm - centroid) into PQ subvectors. Generate barriers keep
+    vm and the chosen centroid single-evaluation attributes (the pinned
+    projection-collapse trick)."""
+    from postgres_cdc_example_spark.operators.dedup import _spread
+
+    spread = _spread(emb.select("vec_id", "embedding"), "vec_id")
+    vm = spread.select(
+        "vec_id",
+        F.explode(
+            F.array(F.struct(micro_vec(F.col("embedding")).alias("vm")))
+        ).alias("r"),
+    ).select("vec_id", F.col("r.vm").alias("vm"))
+    d2 = (
+        "aggregate(zip_with(vm, e.cv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    best = F.expr(
+        f"array_min(transform({_cents_sql(cents)},"
+        f" e -> struct({d2} AS d2, e.k AS k, e.cv AS cv)))"
+    )
+    withb = vm.select(
+        "vec_id",
+        F.explode(
+            F.array(F.struct(F.col("vm").alias("vm"), best.alias("b")))
+        ).alias("r"),
+    ).select("vec_id", F.col("r.vm").alias("vm"), F.col("r.b").alias("b"))
+    rsv = [
+        F.zip_with(
+            _subvec(F.col("vm"), s),
+            _subvec(F.col("b.cv"), s),
+            lambda a, b: a - b,
+        ).alias(f"sv{s}")
+        for s in range(PQ_M)
+    ]
+    return withb.select(
+        "vec_id",
+        F.explode(
+            F.array(F.struct(F.col("b.k").alias("cid"), *rsv))
+        ).alias("r"),
+    ).select(
+        "vec_id",
+        F.col("r.cid").alias("cid"),
+        *[F.col(f"r.sv{s}").alias(f"sv{s}") for s in range(PQ_M)],
+    )

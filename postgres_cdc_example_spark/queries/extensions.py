@@ -3427,29 +3427,29 @@ def _pq_d2_sql(a: str, b: str, dims: int) -> str:
     )
 
 
-def _pq_cte() -> str:
-    """Shared PQ oracle prefix ending at ``codes`` (per-vector code rows)
-    and ``cbF`` (the trained codebook): micro subvectors, first-K init,
-    PQ_ITERS unrolled integer Lloyd steps (means = HUGEINT sum // count,
-    so codewords stay EXACTLY on the micro grid; empty codes keep their
-    previous codeword), then the bulk assignment."""
-    M, D, K = similarity.PQ_M, similarity.PQ_D, similarity.PQ_K
-    d2 = _pq_d2_sql("x.sv", "c.cv", D)
-    parts = [
-        f"""em AS MATERIALIZED (
+_PQ_EM_CTE = """em AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
       FROM embeddings
-    )""",
-        f"""sv AS MATERIALIZED (
-      SELECT vec_id, u.s AS s, vm[u.s * {D} + 1 : u.s * {D} + {D}] AS sv
-      FROM em, unnest(generate_series(0, {M - 1})) AS u(s)
-    )""",
+    )"""
+
+
+def _pq_lloyd_parts(sv: str) -> list[str]:
+    """The trainable core of the PQ oracle, parameterized on the name of
+    a (vec_id, s, sv) subvector CTE (raw subvectors for ``ann_pq_*``,
+    coarse-residual subvectors for ``ann_ivfpq_topk``): first-K init,
+    PQ_ITERS unrolled integer Lloyd steps (means = HUGEINT sum // count,
+    so codewords stay EXACTLY on the micro grid; empty codes keep their
+    previous codeword), then the bulk ``codes`` assignment and the final
+    ``cbF`` codebook."""
+    D, K = similarity.PQ_D, similarity.PQ_K
+    d2 = _pq_d2_sql("x.sv", "c.cv", D)
+    parts = [
         f"""cb0 AS MATERIALIZED (
       SELECT s, rn - 1 AS code, sv AS cv FROM (
         SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
-        FROM sv)
+        FROM {sv})
       WHERE rn <= {K}
     )""",
     ]
@@ -3460,7 +3460,7 @@ def _pq_cte() -> str:
         SELECT x.vec_id, x.s, x.sv, c.code,
                row_number() OVER (PARTITION BY x.vec_id, x.s
                                   ORDER BY {d2}, c.code) AS r
-        FROM sv x JOIN cb{t} c ON c.s = x.s)
+        FROM {sv} x JOIN cb{t} c ON c.s = x.s)
       WHERE r = 1
     )"""
         )
@@ -3487,11 +3487,26 @@ def _pq_cte() -> str:
         SELECT x.vec_id, x.s, c.code,
                row_number() OVER (PARTITION BY x.vec_id, x.s
                                   ORDER BY {d2}, c.code) AS r
-        FROM sv x JOIN {cbf} c ON c.s = x.s)
+        FROM {sv} x JOIN {cbf} c ON c.s = x.s)
       WHERE r = 1
     )""",
         )
     parts.append(f"cbF AS MATERIALIZED (SELECT s, code, cv FROM {cbf})")
+    return parts
+
+
+def _pq_cte() -> str:
+    """Shared PQ oracle prefix ending at ``codes`` (per-vector code rows)
+    and ``cbF`` (the trained codebook): micro subvectors plus the
+    parameterized Lloyd/encode chain (``_pq_lloyd_parts``)."""
+    M, D = similarity.PQ_M, similarity.PQ_D
+    parts = [
+        _PQ_EM_CTE,
+        f"""sv AS MATERIALIZED (
+      SELECT vec_id, u.s AS s, vm[u.s * {D} + 1 : u.s * {D} + {D}] AS sv
+      FROM em, unnest(generate_series(0, {M - 1})) AS u(s)
+    )""",
+    ] + _pq_lloyd_parts("sv")
     return "WITH " + ",\n    ".join(parts)
 
 
@@ -3823,3 +3838,182 @@ def source_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product quantization
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SHARE: dict[tuple[str, str], tuple] = {}
+
+
+def _trained_ivfpq(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-memoized (coarse centroids, residual PQ codebook) — the
+    train-once/serve-many split, like ``_trained_pq``."""
+
+    def build():
+        emb = load_table(spark, "embeddings", sf_dir)
+        cents = similarity.coarse_centroids(emb)
+        cb = similarity.train_pq_base(
+            similarity.ivfpq_residual_subvecs(emb, cents)
+        )
+        return (cents, cb)
+
+    return memo_get(
+        _IVFPQ_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
+        unpersist=False,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    M, D, C = similarity.PQ_M, similarity.PQ_D, similarity.IVFPQ_C
+    d2full = _pq_d2_sql("e.vm", "c.cv", similarity.EMB_DIM)
+    term = _pq_d2_sql("q.sv", "b.cv", D)
+    parts = [
+        _PQ_EM_CTE,
+        f"""cents AS MATERIALIZED (
+      SELECT vec_id AS cid, vm AS cv FROM em WHERE vec_id < {C}
+    )""",
+        f"""asn AS MATERIALIZED (
+      SELECT vec_id, cid, cv FROM (
+        SELECT e.vec_id, c.cid, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2full}, c.cid) AS r
+        FROM em e, cents c)
+      WHERE r = 1
+    )""",
+        f"""rsv AS MATERIALIZED (
+      SELECT a.vec_id, u.s AS s,
+             list_transform(generate_series(1, {D}),
+                            d -> e.vm[u.s * {D} + d] - a.cv[u.s * {D} + d]) AS sv
+      FROM asn a JOIN em e ON e.vec_id = a.vec_id,
+           unnest(generate_series(0, {M - 1})) AS u(s)
+    )""",
+    ] + _pq_lloyd_parts("rsv")
+    parts.append(
+        f"""qs AS (
+      SELECT vec_id AS q_id, cid AS qcid FROM asn
+      WHERE vec_id < {similarity.N_QUERIES}
+    )"""
+    )
+    parts.append(
+        f"""qrs AS (
+      SELECT vec_id AS q_id, s, sv FROM rsv
+      WHERE vec_id < {similarity.N_QUERIES}
+    )"""
+    )
+    parts.append(
+        f"""adc AS MATERIALIZED (
+      SELECT q.q_id, c.vec_id, CAST(sum({term}) AS BIGINT) AS dist
+      FROM qrs q JOIN qs ON qs.q_id = q.q_id
+           JOIN asn a2 ON a2.cid = qs.qcid
+           JOIN codes c ON c.vec_id = a2.vec_id AND c.s = q.s
+                       AND c.vec_id != q.q_id
+           JOIN cbF b ON b.s = c.s AND b.code = c.code
+      GROUP BY q.q_id, c.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT q_id, vec_id AS nbr_id, dist AS pq_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT q_id, vec_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+      FROM adc)
+    WHERE rank <= {similarity.PQ_TOPK}"""
+    )
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composite index production vector stores actually
+    ship (FAISS's IndexIVFPQ shape): a coarse quantizer splits the corpus
+    into {IVFPQ_C} inverted lists, PQ codebooks train on the INTEGER
+    RESIDUALS (vector minus its coarse centroid — residuals concentrate
+    near zero, which is where a 16-codeword quantizer earns its bits),
+    and each query probes only its own list with the exact-integer ADC
+    table of its residual. Every quantity is int64-on-the-micro-grid end
+    to end: coarse assignment is an exact-L2 argmin over the literal
+    centroid table (ties to lowest cid), residuals are integer
+    subtractions, Lloyd means are HUGEINT-div-count. Scale shape: coarse
+    assign + residual + encode are all zero-shuffle projections; at rest
+    the code table is partitioned by cid, so a probe is a
+    partition-pruned scan of ~1/{IVFPQ_C} of the corpus feeding one
+    q_id-keyed ranking window (the fixture-scale plan filters
+    qcid == cid right after the per-query explode). Train-once state:
+    {IVFPQ_C}x{EMB_DIM} centroid ints + the 1024-int codebook."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, cb = _trained_ivfpq(spark, sf_dir)
+    base = similarity.ivfpq_residual_subvecs(emb, cents)
+    codes = similarity.pq_encode_base(base, cb, carry=("cid",))
+    qrows = (
+        emb.filter(F.col("vec_id") < similarity.N_QUERIES)
+        .select("vec_id", similarity.micro_vec(F.col("embedding")).alias("vm"))
+        .collect()
+    )
+    M, D, K, DIM = (
+        similarity.PQ_M,
+        similarity.PQ_D,
+        similarity.PQ_K,
+        similarity.EMB_DIM,
+    )
+    per_q = []
+    for r in qrows:
+        qid, vm = int(r["vec_id"]), [int(x) for x in r["vm"]]
+        qcid = min(
+            (sum((vm[d] - cents[c][d]) ** 2 for d in range(DIM)), c)
+            for c in range(len(cents))
+        )[1]
+        rq = [vm[d] - cents[qcid][d] for d in range(DIM)]
+        table = [
+            [
+                sum((rq[s * D + d] - cb[s][k][d]) ** 2 for d in range(D))
+                for k in range(K)
+            ]
+            for s in range(M)
+        ]
+        dist = " + ".join(
+            "element_at(array({vals}), c{s} + 1)".format(
+                vals=",".join(f"{int(v)}L" for v in table[s]), s=s
+            )
+            for s in range(M)
+        )
+        per_q.append(
+            f"named_struct('q_id', {qid}, 'qcid', {qcid}, 'dist', {dist})"
+        )
+    stacked = (
+        codes.select(
+            "vec_id",
+            "cid",
+            F.expr("explode(array(" + ",".join(per_q) + "))").alias("qd"),
+        )
+        .filter(
+            (F.col("qd.qcid") == F.col("cid"))
+            & (F.col("vec_id") != F.col("qd.q_id"))
+        )
+        .select(
+            "vec_id",
+            F.col("qd.q_id").alias("q_id"),
+            F.col("qd.dist").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        stacked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= similarity.PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nbr_id"),
+            F.col("dist").cast("long").alias("pq_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(
+    IVFPQ_C=similarity.IVFPQ_C, EMB_DIM=similarity.EMB_DIM
+)

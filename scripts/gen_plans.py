@@ -58,6 +58,7 @@ NOTES = {
     "covariance_incremental": "Moment-level IVM: base and delta splits each run the Arrow Gram map; the merge is a 2080-cell keyed union-aggregate — the oracle recomputes from scratch, so the driver hash equality proves merge == recompute bit-for-bit.",
     "embedding_outliers": "PCA-space outlier gate: two literal-dot projections + ONE 1-row exact moment aggregate broadcast back; the 3-sigma test is all-integer ((x*n - S1)^2 > 9*(n*S2 - S1^2)) so no float reaches a verdict.",
     "ann_pq_topk": "PQ/ADC serving: codes are literal-codeword argmin projections, per-query distance tables are literal integer arrays — the search plan is scan -> project -> explode -> one q_id-keyed ranking window, with NO join anywhere.",
+    "ann_ivfpq_topk": "IVF-PQ serving: coarse assignment is an argmin over the literal centroid table and the residual slicing fuses into the same zero-shuffle projection, so the probe stays joinless — scan -> project -> explode -> cid filter -> one q_id-keyed ranking window; at rest the code table partitions by cid for partition-pruned probes.",
 }
 
 

@@ -602,3 +602,15 @@ def test_pq_search_is_joinless_lookup_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_search_is_joinless_lookup_scan(spark, sf_dir):
+    """IVF-PQ serving keeps the ADC shape joinless end to end: coarse
+    assignment is an argmin over the literal centroid table, residuals are
+    integer subtractions fused into the same projection, and the per-query
+    distance tables are literal arrays — so the whole probe is scan ->
+    project -> explode -> filter (cid match) -> one ranking window."""
+    df = q.queries()["ann_ivfpq_topk"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
