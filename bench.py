@@ -116,6 +116,15 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_pq_recall_audit",
     "ann_ivfpq_topk",
+    # round-5 continued: exact 2-pass quantiles, C4 boilerplate removal,
+    # truncation audit, funnel, Benford screen
+    "order_value_quantiles_2pass",
+    "boilerplate_segment_removal",
+    "ann_truncated_recall_audit",
+    "event_funnel",
+    "orders_benford_audit",
+    "tfidf_cosine_pairs",
+    "orders_zorder_layout",
 ]
 
 

@@ -4017,3 +4017,104 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(
     IVFPQ_C=similarity.IVFPQ_C, EMB_DIM=similarity.EMB_DIM
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncated-dimension recall audit
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 16  # prefix dimensions kept by the truncated index
+
+
+def _trunc_recall_oracle() -> str:
+    K, N = similarity.PQ_TOPK, similarity.N_QUERIES
+    ex_d2 = _pq_d2_sql("q.vm", "e.vm", similarity.EMB_DIM)
+    tr_d2 = _pq_d2_sql("q.vm", "e.vm", TRUNC_DIM)
+    return f"""WITH {_PQ_EM_CTE},
+    qm AS (SELECT vec_id AS q_id, vm FROM em WHERE vec_id < {N}),
+    tt AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {tr_d2}, e.vec_id) AS r
+        FROM qm q JOIN em e ON e.vec_id != q.q_id)
+      WHERE r <= {K}
+    ),
+    ext AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {ex_d2}, e.vec_id) AS r
+        FROM qm q JOIN em e ON e.vec_id != q.q_id)
+      WHERE r <= {K}
+    )
+    SELECT tt.q_id,
+           CAST(count(ext.vec_id) AS BIGINT) AS n_overlap,
+           (count(ext.vec_id) * 1000000) // {K} AS recall_micro
+    FROM tt LEFT JOIN ext ON ext.q_id = tt.q_id AND ext.vec_id = tt.vec_id
+    GROUP BY tt.q_id"""
+
+
+@register("ann_truncated_recall_audit", oracle=_trunc_recall_oracle())
+def ann_truncated_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@{K} of integer-L2 search
+    over the FIRST {TRUNC_DIM} of {DIM} embedding dimensions against the
+    full-dimension exact ground truth — the damage report behind the
+    "store a prefix, spend 4x less" trade every embedding-heavy pipeline
+    is offered (MRL-trained models concentrate signal in the prefix;
+    random fixture embeddings are the worst case, which is what makes the
+    audit non-vacuous). One broadcast-query x corpus scan computes BOTH
+    distances per pair; two ranking windows over the SAME q_id partition
+    pick the two top-{K} sets, and the overlap count is rows where both
+    ranks clear {K} — the exact pass never runs twice. Audit-sized by the
+    fixed query sample, like every exact side in this family."""
+    K = similarity.PQ_TOPK
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", similarity.micro_vec(F.col("embedding")).alias("vm")
+    )
+    q = emb.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qv")
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            d2(F.col("qv"), F.col("vm")).alias("d2f"),
+            d2(
+                F.slice(F.col("qv"), 1, TRUNC_DIM),
+                F.slice(F.col("vm"), 1, TRUNC_DIM),
+            ).alias("d2t"),
+        )
+    )
+    wq = Window.partitionBy("q_id")
+    both = pairs.select(
+        "q_id",
+        F.row_number().over(wq.orderBy("d2f", "vec_id")).alias("rf"),
+        F.row_number().over(wq.orderBy("d2t", "vec_id")).alias("rt"),
+    )
+    hits = (
+        both.filter((F.col("rf") <= K) & (F.col("rt") <= K))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(n, 0) * 1000000 div {K}").alias("recall_micro"),
+        )
+    )
+
+
+ann_truncated_recall_audit.__doc__ = ann_truncated_recall_audit.__doc__.format(
+    K=similarity.PQ_TOPK, TRUNC_DIM=TRUNC_DIM, DIM=similarity.EMB_DIM
+)

@@ -2726,3 +2726,205 @@ def source_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
     ).withColumn("admitted", F.col("cum_tokens") <= QUOTA_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate removal: corpus-frequent segments cut from every doc
+# ---------------------------------------------------------------------------
+
+BOILER_SEG_WORDS = 10  # words per segment ("line" stand-in: fixture has no \n)
+BOILER_DF = 3  # segments occurring >= 3 times corpus-wide are boilerplate
+
+
+@register(
+    "boilerplate_segment_removal",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(
+               words[(u.i*{BOILER_SEG_WORDS}+1):(u.i*{BOILER_SEG_WORDS}+{BOILER_SEG_WORDS})],
+               ' ') AS seg
+      FROM w, unnest(generate_series(
+               0, CAST(ceil(len(words)/{BOILER_SEG_WORDS}.0) AS BIGINT) - 1)) AS u(i)
+    ),
+    c AS (SELECT md5(seg) AS h, count(*) AS c FROM s GROUP BY 1),
+    j AS (SELECT s.doc_id, s.pos, s.seg, c.c FROM s JOIN c ON md5(s.seg) = c.h)
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN c >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(length(string_agg(seg, ' ' ORDER BY pos)
+                           FILTER (WHERE c < {BOILER_DF})), 0) AS kept_chars,
+           md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE c < {BOILER_DF}), '')) AS kept_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: any {BOILER_SEG_WORDS}-word segment
+    occurring >= {BOILER_DF} times corpus-wide (the fixture's stand-in for
+    C4's "line repeated in the corpus" rule — the texts have no newlines)
+    is cut from EVERY document, and each doc is rebuilt from its kept
+    segments in order. This is a different dedup species from the span
+    family in ``operators/dedup.py``: substring removal keeps the FIRST
+    occurrence and cuts later ones; boilerplate removal drops ALL
+    occurrences, because a footer repeated 10^6 times teaches a model
+    nothing. Scale shape: segments group on md5(seg) — a fixed 32-char
+    shuffle key however long the segment — into ONE map-side-combined
+    count, join back seg-hash-keyed, and the rebuild is one doc-keyed
+    aggregate (collect_list skips the nulls the boilerplate arm emits, so
+    kept text never materializes removed segments). ~500-bucket histogram
+    logic does not apply here: nothing is collected to the driver. The
+    emitted md5 + length pin every byte of every rebuilt doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    W = BOILER_SEG_WORDS
+    words = F.split(F.col("text"), " ")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size(words) + W - 1).cast("long") / W).cast("long") - 1,
+                ),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.array_join(F.slice(words, i * W + 1, W), " ").alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.seg", F.md5(F.col("s.seg")).alias("h"))
+    cnt = segs.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    j = segs.join(cnt, "h")
+    kept_struct = F.when(
+        F.col("c") < BOILER_DF, F.struct(F.col("pos"), F.col("seg"))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+        ),
+        " ",
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum((F.col("c") >= BOILER_DF).cast("long")).alias("n_removed"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
+boilerplate_segment_removal.__doc__ = boilerplate_segment_removal.__doc__.format(
+    BOILER_SEG_WORDS=BOILER_SEG_WORDS, BOILER_DF=BOILER_DF
+)
+
+
+# ---------------------------------------------------------------------------
+# weighted sparse cosine near-dup (tf-idf inverted-index pairs)
+# ---------------------------------------------------------------------------
+
+TFIDF_PAIR_MAX_DF = 64  # inverted-index df cutoff (same rationale as jaccard)
+TFIDF_COS2_MIN_MICRO = 250_000  # report pairs with cos^2 >= 0.25 (cos >= 0.5)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    wv AS (
+      SELECT tf.doc_id, tf.tok, df.df,
+             tf.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000
+                                + 0.5) AS BIGINT) AS w
+      FROM tf JOIN df ON df.tok = tf.tok, n
+    ),
+    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wv GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM wv a JOIN wv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE a.df <= {TFIDF_PAIR_MAX_DF}
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(CAST(p.dot AS HUGEINT) * p.dot * 1000000
+                // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_micro
+    FROM pairs p JOIN nrm na ON na.doc_id = p.doc_a
+                 JOIN nrm nb ON nb.doc_id = p.doc_b
+    WHERE CAST(p.dot AS HUGEINT) * p.dot * 1000000
+          >= {TFIDF_COS2_MIN_MICRO} * CAST(na.n2 AS HUGEINT) * nb.n2
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-duplicate pairs: cosine similarity of tf-idf vectors
+    over the token inverted index — the IR-weighted sibling of
+    ``dedup_ngram_jaccard`` (Jaccard treats 'the' and a rare name alike;
+    idf weighting is what lets template docs with different fill-ins score
+    apart). All integer end to end: idf on the MILLI grid per token (small
+    enough that w = tf*idf_milli keeps Σw² and every dot inside int64 by
+    construction), pair dots from the inverted-index self-join with the
+    df <= {MAXDF} hot-token cutoff (the same bound that keeps the pair
+    explosion linear at 100 TB — a token in everything generates
+    O(N²) candidates and zero discrimination), and the cosine itself is
+    never divided: both the threshold and the reported cos² clear
+    denominators into DECIMAL(38,0) cross-multiplications, so no sqrt and
+    no float reaches a value. Scale: two map-side-combined aggregates off
+    the shared occurrence layer + one tok-keyed pair join + two id-keyed
+    norm joins."""
+    occ = _doc_occurrences(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wv = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    nrm = wv.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = wv.filter(F.col("df") <= TFIDF_PAIR_MAX_DF).select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = wv.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    dot_sq = F.col("dot").cast("decimal(38,0)") * F.col("dot")
+    denom = F.col("na2").cast("decimal(38,0)") * F.col("nb2")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(dot_sq * 1_000_000 >= denom * TFIDF_COS2_MIN_MICRO)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(dot_sq * 1_000_000 / denom).cast("long").alias("cos2_micro"),
+        )
+    )
+
+
+tfidf_cosine_pairs.__doc__ = tfidf_cosine_pairs.__doc__.format(
+    MAXDF=TFIDF_PAIR_MAX_DF
+)

@@ -1165,3 +1165,304 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 orders_rfm_segments.__doc__ = orders_rfm_segments.__doc__.format(RFM_K=RFM_K)
+
+
+# ---------------------------------------------------------------------------
+# two-pass exact quantiles (the scale path the percentile family promises)
+# ---------------------------------------------------------------------------
+
+Q2P_BUCKET_CENTS = 100_000  # $1k histogram buckets over order value
+Q2P_TARGETS = (50, 90, 99)  # percentile targets
+
+
+@register(
+    "order_value_quantiles_2pass",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+    t AS (
+      SELECT u.q AS q, (u.q * n.n + 99) // 100 AS k, n.n AS n
+      FROM (SELECT unnest([{",".join(str(q) for q in Q2P_TARGETS)}]) AS q) u, n
+    )
+    SELECT t.q AS quantile_pct, r.cents AS value_cents,
+           t.k AS target_rank, t.n AS n_orders
+    FROM t JOIN r ON r.rn = t.k
+    """,
+)
+def order_value_quantiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rank quantiles (p50/p90/p99, value at rank ceil(q*n/100)) via
+    the two-pass histogram-prune algorithm — the 100 TB answer the
+    ``order_value_quartile_stats`` docstring promises in place of its
+    unpartitioned global sort. Pass 1: ONE map-side-combined aggregate
+    over fixed ${Q2P_BUCKET_CENTS//100_000}k-wide cent buckets; the
+    histogram is bounded by the VALUE DOMAIN (~500 buckets here),
+    not the row count, so collecting it is bounded driver metadata of the
+    same class as centroids/bloom bitmaps. The driver walks the cumulative
+    counts to locate each target rank's bucket and in-bucket offset —
+    all-integer (k = (q*n + 99) // 100 is exactly ceil). Pass 2 re-scans
+    ONLY the target buckets: the bucket predicate is exact, and a
+    conservative raw-column range predicate rides along so parquet
+    row-group pruning fires (floats only ever WIDEN the range — never
+    exclude a boundary row); each surviving bucket sorts locally under one
+    per-bucket ranking window (never a global sort) and a broadcast 3-row
+    (bucket, offset) table picks the answers. Equal-cents ties need no
+    tie-break: any row at the target in-bucket rank carries the same
+    value. The oracle states the spec as one global row_number."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = load_table(spark, "orders", sf_dir).select(
+        F.col("o_totalprice").alias("price"), cents.alias("cents")
+    )
+    w = Q2P_BUCKET_CENTS
+    hist = (
+        c.groupBy(F.expr(f"cents div {w}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = sorted((int(r["bucket"]), int(r["cnt"])) for r in hist)
+    n = sum(cnt for _, cnt in counts)
+    targets = []  # (q, k, bucket, in-bucket offset)
+    for q in Q2P_TARGETS:
+        k = (q * n + 99) // 100
+        cum = 0
+        for b, cnt in counts:
+            if cum + cnt >= k:
+                targets.append((q, k, b, k - cum))
+                break
+            cum += cnt
+    want = sorted({b for _, _, b, _ in targets})
+    lo = min(want) * w / 100.0 - 1.0  # conservative: widens, never excludes
+    hi = (max(want) + 1) * w / 100.0 + 1.0
+    pruned = c.filter(
+        (F.col("price") >= F.lit(lo))
+        & (F.col("price") <= F.lit(hi))
+        & F.expr(f"cents div {w}").isin([int(b) for b in want])
+    ).select("cents", F.expr(f"cents div {w}").alias("bucket"))
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy("cents"))
+    ranked = pruned.select("cents", "bucket", rn.alias("rn"))
+    tgt = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("q"),
+                        F.lit(k).cast("long").alias("k"),
+                        F.lit(b).cast("long").alias("bucket"),
+                        F.lit(off).alias("rn"),
+                    )
+                    for q, k, b, off in targets
+                ]
+            )
+        ).alias("t")
+    ).select("t.q", "t.k", "t.bucket", "t.rn")
+    return (
+        ranked.join(F.broadcast(tgt), ["bucket", "rn"])
+        .select(
+            F.col("q").alias("quantile_pct"),
+            F.col("cents").alias("value_cents"),
+            F.col("k").alias("target_rank"),
+            F.lit(n).cast("long").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / data-entry anomaly screen)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# expected Benford share of each leading digit, on the micro grid; computed
+# ONCE here in Python and injected as literals into BOTH engines, so no
+# engine's log() implementation ever reaches a result value
+_BENFORD_MICRO = {
+    d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+
+
+@register(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    o AS (SELECT digit, count(*) AS n_orders FROM c GROUP BY digit),
+    e AS (
+      SELECT u.d AS digit, u.m AS benford_micro
+      FROM unnest([{",".join(
+          f"struct_pack(d := CAST({d} AS BIGINT), m := CAST({m} AS BIGINT))"
+          for d, m in _BENFORD_MICRO.items())}]) AS un(u)
+    )
+    SELECT e.digit, coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.n_orders, 0) * 1000000 // n.n AS share_micro,
+           e.benford_micro,
+           abs(coalesce(o.n_orders, 0) * 1000000 // n.n - e.benford_micro)
+             AS dev_micro
+    FROM e LEFT JOIN o ON o.digit = e.digit, n
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order values — the classic
+    forensic-accounting screen (fabricated or constrained amounts drift
+    from the log-uniform leading-digit law). The digit comes from the
+    DECIMAL STRING of integer cents (substr of a bigint cast — never
+    floor(x/10^floor(log10 x)), whose float log misclassifies exact
+    powers of ten), observed shares are truncating integer micro over the
+    total, and the expected Benford table is computed ONCE in Python and
+    injected into both engines as literals, so no engine libm reaches a
+    value. All 9 digits always emit (absent digits as 0 with full
+    deviation) — a digit with zero mass is the loudest possible signal,
+    and dropping it would hide exactly the fraud the audit hunts. One
+    map-side-combined 9-group aggregate + a broadcast 9-row expected
+    table; the 1-row total broadcasts like every scalar in this file."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = load_table(spark, "orders", sf_dir).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    o = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    e = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("digit"),
+                        F.lit(m).cast("long").alias("benford_micro"),
+                    )
+                    for d, m in _BENFORD_MICRO.items()
+                ]
+            )
+        ).alias("t")
+    ).select("t.digit", "t.benford_micro")
+    share = F.expr("coalesce(n_orders, 0L) * 1000000 div n")
+    return (
+        e.join(o, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            share.alias("share_micro"),
+            "benford_micro",
+            F.abs(share - F.col("benford_micro")).alias("dev_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data-layout audit for multi-dimensional file skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # bits per dimension interleaved into the Morton code
+ZORDER_FILES = 16  # files per layout in the audit
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave expression (identical Spark/DuckDB syntax): bit i of
+    x lands at 2i, bit i of y at 2i+1."""
+    terms = [
+        t
+        for i in range(ZORDER_BITS)
+        for t in (
+            f"((({x} >> {i}) & 1) << {2 * i})",
+            f"((({y} >> {i}) & 1) << {2 * i + 1})",
+        )
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "orders_zorder_layout",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS ok, CAST(o_custkey AS BIGINT) AS x,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS y
+      FROM orders
+    ),
+    zc AS (SELECT ok, x, y, {_morton_sql("x", "y")} AS z FROM o),
+    m AS (SELECT max(ok) AS okmax, max(z) AS zmax FROM zc),
+    f AS (
+      SELECT x, y,
+             least({ZORDER_FILES - 1}, ok * {ZORDER_FILES} // (m.okmax + 1))
+               AS nat_f,
+             least({ZORDER_FILES - 1}, zc.z * {ZORDER_FILES} // (m.zmax + 1))
+               AS z_f
+      FROM zc, m
+    ),
+    e AS (
+      SELECT 'natural' AS layout, nat_f AS file_id, x, y FROM f
+      UNION ALL
+      SELECT 'zorder' AS layout, z_f AS file_id, x, y FROM f
+    )
+    SELECT layout, file_id, count(*) AS n_rows,
+           min(x) AS cust_min, max(x) AS cust_max,
+           min(y) AS day_min, max(y) AS day_max,
+           (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+    FROM e GROUP BY layout, file_id
+    """,
+)
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit — the lakehouse data-clustering
+    decision made measurable: orders are assigned to {NF} equal-key-range
+    "files" under two layouts (natural o_orderkey insertion order vs the
+    Morton code interleaving {B} bits each of customer and
+    days-since-epoch), and each file reports its per-dimension min/max —
+    exactly the footer stats parquet row-group skipping runs on. Z-ordered
+    files show small bounding boxes in BOTH dimensions (bbox_area column),
+    natural files span the whole customer range — the measured reason a
+    2-D-filtered scan prunes ~sqrt fraction under Z-order and nothing
+    under insertion order. Everything is integer bit arithmetic with
+    IDENTICAL expression text in both engines (the Morton interleave is
+    generated once and pasted into each); file assignment needs only the
+    two maxima — a 1-row broadcast, never a sort. At 100 TB this audit is
+    the cheap pre-check before paying for the actual rewrite: one narrow
+    scan, one bounded explode (2 rows/order), one {NF}x2-group aggregate."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("y"),
+    )
+    zc = o.select("ok", "x", "y", F.expr(_morton_sql("x", "y")).alias("z"))
+    m = zc.agg(F.max("ok").alias("okmax"), F.max("z").alias("zmax"))
+    NF = ZORDER_FILES
+    f = zc.crossJoin(F.broadcast(m)).select(
+        "x",
+        "y",
+        F.expr(f"least({NF - 1}, ok * {NF} div (okmax + 1))").alias("nat_f"),
+        F.expr(f"least({NF - 1}, z * {NF} div (zmax + 1))").alias("z_f"),
+    )
+    e = f.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"), F.col("nat_f").alias("file_id")
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"), F.col("z_f").alias("file_id")
+                ),
+            )
+        ).alias("t"),
+    ).select("x", "y", "t.layout", "t.file_id")
+    return e.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("cust_min"),
+        F.max("x").alias("cust_max"),
+        F.min("y").alias("day_min"),
+        F.max("y").alias("day_max"),
+        (
+            (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+        ).alias("bbox_area"),
+    )
+
+
+orders_zorder_layout.__doc__ = orders_zorder_layout.__doc__.format(
+    NF=ZORDER_FILES, B=ZORDER_BITS
+)

@@ -783,3 +783,126 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_touch_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def funnel_user_stages(ev: DataFrame) -> DataFrame:
+    """(user_id, t1, t2, t3): each user's first view, first click strictly
+    after it, first purchase strictly after that — the per-user funnel
+    state. Three chained window aggregates over ONE user_id partitioning
+    (Catalyst stacks the Window nodes on a single Exchange). Shared by the
+    batch ``event_funnel`` aggregate and the streaming funnel twin's
+    agreement test (streaming/stateful.py)."""
+    w = Window.partitionBy("user_id")
+    t1 = ev.select("user_id", "ts", "event_type").withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return t3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM u) AS n0, (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT t.step, t.step_type, t.n AS n_users,
+           t.n * 1000000 // greatest(t.prev, 1) AS conv_micro
+    FROM c, unnest([
+      struct_pack(step := CAST(1 AS BIGINT), step_type := 'view',
+                  n := c.n1, prev := c.n0),
+      struct_pack(step := CAST(2 AS BIGINT), step_type := 'click',
+                  n := c.n2, prev := c.n1),
+      struct_pack(step := CAST(3 AS BIGINT), step_type := 'purchase',
+                  n := c.n3, prev := c.n2)]) AS un(t)
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching view -> click-AFTER-view ->
+    purchase-after-that, with per-step conversion in integer micro — the
+    product-analytics staple. The ORDER requirement (each step strictly
+    after the previous one's FIRST completion) is what separates a funnel
+    from three filtered counts, and it runs in ONE user-keyed shuffle:
+    three chained per-user window aggregates over the SAME partitioning
+    (min view ts, then min click ts past it, then min purchase ts past
+    that) — Catalyst stacks the Window nodes on a single Exchange, where
+    the naive formulation is three grouped self-joins re-shuffling the
+    fact table each step. One bounded 1-row aggregate closes the counts;
+    the oracle IS the naive three-join formulation, so the driver hash
+    proves the window chain equals the relational spec."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = funnel_user_stages(ev)
+    c = per_user.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    steps = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("step"),
+                    F.lit("view").alias("step_type"),
+                    F.col("n1").alias("n"),
+                    F.col("n0").alias("prev"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("step"),
+                    F.lit("click").alias("step_type"),
+                    F.col("n2").alias("n"),
+                    F.col("n1").alias("prev"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("step"),
+                    F.lit("purchase").alias("step_type"),
+                    F.col("n3").alias("n"),
+                    F.col("n2").alias("prev"),
+                ),
+            )
+        ).alias("t")
+    )
+    return steps.select(
+        "t.step",
+        "t.step_type",
+        F.col("t.n").cast("long").alias("n_users"),
+        F.expr("t.n * 1000000 div greatest(t.prev, 1L)").alias("conv_micro"),
+    )

@@ -221,6 +221,78 @@ def content_dedup_stream(
     )
 
 
+# --- streaming ordered-funnel stage tracking -----------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, ts timestamp_ntz"
+# per-user funnel state: first-completion ns timestamps, -1 = not reached
+FUNNEL_STATE_SCHEMA = "t1_ns long, t2_ns long, t3_ns long"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ts_ns = pd.DatetimeIndex(batch["ts"]).asi8
+    types = batch["event_type"].to_numpy()
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    hits: list[tuple[int, int, int]] = []
+    for t, et in zip(ts_ns, types):
+        if t1 < 0:
+            if et == _FUNNEL_STEPS[0]:
+                t1 = int(t)
+                hits.append((user_id, 1, t1))
+        elif t2 < 0:
+            if et == _FUNNEL_STEPS[1] and t > t1:
+                t2 = int(t)
+                hits.append((user_id, 2, t2))
+        elif t3 < 0:
+            if et == _FUNNEL_STEPS[2] and t > t2:
+                t3 = int(t)
+                hits.append((user_id, 3, t3))
+        else:
+            break  # funnel complete: nothing left to track for this user
+    state.update((int(t1), int(t2), int(t3)))
+    if hits:
+        out = pd.DataFrame(hits, columns=["user_id", "stage", "ts"])
+        out["ts"] = pd.to_datetime(out["ts"])
+        yield out
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Ordered-funnel tracking at ingest: per-user state is three first-
+    completion timestamps (view, click strictly after it, purchase
+    strictly after that — the exact spec of the batch ``event_funnel``
+    window chain); each micro-batch advances the stages over its events in
+    (ts, event_id) order and APPENDS one row per stage completion, so the
+    running per-stage user counts downstream are always funnel-correct
+    without rescanning history.
+
+    Scale shape: one shuffle on user_id (same key the batch funnel
+    partitions by), 3 longs of state per user ever seen, and completed
+    funnels short-circuit (a user past stage 3 costs an O(1) state probe
+    per batch). Correctness requires batches to arrive in event-time order
+    ACROSS batches (within a batch the group sorts) — the replay/CDC-tail
+    shape every twin in this module assumes; out-of-order tails need a
+    sorter or watermark buffer upstream.
+
+    Agreement contract (pinned in tests/test_stateful_streaming.py):
+    replaying the corpus in ts order — across a restart — emits exactly
+    the non-null (user, stage, ts) triples of the batch
+    ``funnel_user_stages`` table (queries/windows.py).
+    """
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _funnel_group,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- streaming near-dup candidate detection (MinHash/LSH at ingest) ------------
 
 NEARDUP_BUCKET_CAP = 64  # ids tracked per LSH bucket (the memory bound)

@@ -60,6 +60,10 @@ QUERIES = [
     "embedding_outliers",
     "ann_pq_topk",
     "ann_pq_recall_audit",
+    # round-5 continued
+    "ann_ivfpq_topk",
+    "boilerplate_segment_removal",
+    "ann_truncated_recall_audit",
 ]
 
 

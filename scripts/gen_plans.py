@@ -59,6 +59,11 @@ NOTES = {
     "embedding_outliers": "PCA-space outlier gate: two literal-dot projections + ONE 1-row exact moment aggregate broadcast back; the 3-sigma test is all-integer ((x*n - S1)^2 > 9*(n*S2 - S1^2)) so no float reaches a verdict.",
     "ann_pq_topk": "PQ/ADC serving: codes are literal-codeword argmin projections, per-query distance tables are literal integer arrays — the search plan is scan -> project -> explode -> one q_id-keyed ranking window, with NO join anywhere.",
     "ann_ivfpq_topk": "IVF-PQ serving: coarse assignment is an argmin over the literal centroid table and the residual slicing fuses into the same zero-shuffle projection, so the probe stays joinless — scan -> project -> explode -> cid filter -> one q_id-keyed ranking window; at rest the code table partitions by cid for partition-pruned probes.",
+    "order_value_quantiles_2pass": "Two-pass exact quantiles: pass 1 is one map-side-combined histogram over domain-bounded buckets; pass 2 re-scans ONLY the target buckets with the range predicate PUSHED to the parquet scan (PushedFilters on the raw column), ranks inside per-bucket windows (never a global sort), and a broadcast 3-row target table picks the answers.",
+    "boilerplate_segment_removal": "C4-style boilerplate removal: segments shuffle on md5(seg) — a fixed-width key however long the segment — into one map-side-combined count, join back hash-keyed, and the doc rebuild is ONE doc-keyed aggregate; nothing reaches the driver.",
+    "event_funnel": "Ordered funnel: three chained per-user window aggregates stack on a SINGLE user_id Exchange (the naive spec is three grouped self-joins re-shuffling the fact table per step); one bounded 1-row aggregate closes the counts.",
+    "tfidf_cosine_pairs": "Weighted sparse cosine: tf/df off the shared occurrence layer (map-side combined), pair dots from the df-cutoff inverted-index join, norms join back id-keyed — and cosine is never divided (decimal cross-multiplication), so the whole plan is integer codegen.",
+    "orders_zorder_layout": "Morton-layout audit: the bit interleave is one codegen projection, file assignment broadcasts a 1-row maxima aggregate, and the per-file footer stats close in a single 32-group aggregate — no sort anywhere.",
 }
 
 

@@ -455,6 +455,8 @@ _BNLJ_ALLOWED = {
     "covariance_incremental",  # two 1-row count sides merged then broadcast
     "embedding_outliers",  # 1-row moment-stats broadcast into the verdicts
     "ann_pq_recall_audit",  # broadcast query sample x corpus, != condition (exact audit side)
+    "ann_truncated_recall_audit",  # broadcast query sample x corpus, != condition (both audit sides share one scan)
+    "orders_benford_audit",  # 1-row total broadcast into the 9-digit table
     "orders_rfm_segments",  # 1-row customer-count broadcast closing the quintile scores
     "vocab_coverage",  # 1-row (total, vocab-size) broadcast into 4 K-probes
     "bm25_doc_ranking",
@@ -474,6 +476,8 @@ _BNLJ_ALLOWED = {
     "text_bigram_nll",
     "text_unigram_nll",
     "tfidf_keywords",
+    "tfidf_cosine_pairs",  # same 1-row n_docs broadcast as tfidf_keywords
+    "orders_zorder_layout",  # 1-row (okmax, zmax) broadcast into file assignment
 }
 
 
@@ -614,3 +618,16 @@ def test_ivfpq_search_is_joinless_lookup_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantiles_2pass_pushes_range_to_scan(spark, sf_dir):
+    """The whole point of pass 2 is that the target-bucket range reaches
+    the parquet reader: the conservative raw-column predicate must appear
+    in PushedFilters (row-group pruning), and ranking must stay inside
+    per-bucket windows — no global single-partition sort anywhere."""
+    df = q.queries()["order_value_quantiles_2pass"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual" in plan
+    # ranking runs per-bucket (partitioned window), never one global sort
+    assert "row_number" in plan
+    assert "SinglePartition" not in plan

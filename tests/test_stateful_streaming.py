@@ -628,3 +628,39 @@ if _HAS_HYPOTHESIS:
         closed = {h for h in counts_by_hour if h < max(counts_by_hour)}
         want_closed = {h: v for h, v in want.items() if h in closed}
         assert emitted == want_closed
+
+
+def test_funnel_stream_matches_batch_stages_across_restart(spark, sf_dir, tmp_path):
+    """Replaying events in two time-ordered batches with a restart between
+    them, the funnel stream's emitted stage completions must equal the
+    batch window-chain's non-null (user, stage, ts) triples — and stages
+    straddling the split (e.g. view before, click after) must still fire."""
+    from postgres_cdc_example_spark.queries.windows import funnel_user_stages
+    from postgres_cdc_example_spark.streaming.stateful import funnel_stream
+
+    # earlier split than SPLIT_TS: the fixture's funnels all complete within
+    # the first week, and the restart must land MID-funnel to prove anything
+    split = "2024-01-03 00:00:00"
+    ev = load_table(spark, "events", sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(funnel_stream(stream), ckpt, emitted)
+    n_first = len(emitted)
+    assert n_first > 0, "first run must complete some stages"
+
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(src)
+    _drain(funnel_stream(stream), ckpt, emitted)
+    assert len(emitted) > n_first, "second run must advance stages"
+
+    got = {(r.user_id, r.stage, r.ts) for r in emitted}
+    stages = funnel_user_stages(ev).collect()
+    want = set()
+    for r in stages:
+        for stage, t in ((1, r.t1), (2, r.t2), (3, r.t3)):
+            if t is not None:
+                want.add((r.user_id, stage, t))
+    assert got == want
+    assert {s for _, s, _ in want} == {1, 2, 3}, "fixture must exercise all stages"
