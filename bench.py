@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "orders_benford_audit",
     "tfidf_cosine_pairs",
     "orders_zorder_layout",
+    # round-5 tail (registered in r5 but missed the bench list — r5 verdict #2)
+    "stratified_sample",
+    "orders_rfm_segments",
+    "attribution_multitouch",
+    "source_fertility_stats",
 ]
 
 
@@ -232,16 +237,39 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s (spread {spread:.2f}x)", file=sys.stderr)
 
     max_spread = max(max(samples[n]) / min(samples[n]) for n in BENCH_QUERIES)
+    # Per-query map goes to a SIDECAR file + stderr, NOT the final stdout
+    # line. The driver's tail-capture window is ~2.2 KB and truncated the
+    # r4 AND r5 artifacts mid-line once the map outgrew it ("parsed": null
+    # two rounds running). The stdout line stays <300 bytes, and "value" is
+    # ordered LAST so even a truncated tail-capture keeps the headline.
+    detail = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": float(sf),
+        "layer_build_sec": layer_build,
+        "max_spread": round(max_spread, 2),
+        "queries": per_query,
+        "value": round(total, 3),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_last.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # read-only checkout: stderr copy below still has it
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    print("# per-query detail: " + json.dumps(per_query), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
                 "unit": "sec",
-                "queries": per_query,
+                "n_queries": len(BENCH_QUERIES),
                 "sf": float(sf),
                 "layer_build_sec": layer_build,
                 "max_spread": round(max_spread, 2),
+                "detail_file": "BENCH_DETAIL_last.json",
+                "value": round(total, 3),
             }
         )
     )
