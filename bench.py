@@ -130,6 +130,15 @@ BENCH_QUERIES = [
     "orders_rfm_segments",
     "attribution_multitouch",
     "source_fertility_stats",
+    # round-6 additions
+    "hybrid_rank_fusion",
+    "pii_redaction_audit",
+    "boilerplate_incremental",
+    "join_skew_audit",
+    "hybrid_recall_audit",
+    "quality_classifier_apply",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
 ]
 
 

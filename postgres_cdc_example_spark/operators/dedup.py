@@ -70,7 +70,11 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     per-row work. Single-file test fixtures arrive as ONE input split, which
     would serialize the md5/shingle hot loops; a real 100 TB table already
     has thousands of splits, in which case this is a no-op (the
-    partition-count check costs a plan, not a job)."""
+    partition-count check costs a plan, not a job). Streaming frames pass
+    through untouched: ``.rdd`` is illegal on them, and the micro-batch
+    source already controls its split count."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -655,7 +655,7 @@ def _codebook_sql(codebook: list[list[list[int]]], s: int) -> str:
         "named_struct('k',{k},'cv',array({cv}))".format(
             k=k, cv=",".join(f"{int(c)}L" for c in codebook[s][k])
         )
-        for k in range(PQ_K)
+        for k in range(len(codebook[s]))  # may be < PQ_K on a short corpus
     )
     return f"array({words})"
 
@@ -721,6 +721,8 @@ def train_pq_base(base: DataFrame) -> list[list[list[int]]]:
     coarse-residual subvectors for IVF-PQ."""
     base = base.localCheckpoint(eager=False)
     init_rows = base.orderBy("vec_id").limit(PQ_K).collect()
+    if not init_rows:  # empty corpus: no codebook (callers return empty)
+        return []
     cb = [
         [[int(r[f"sv{s}"][d]) for d in range(PQ_D)] for r in init_rows]
         for s in range(PQ_M)
@@ -750,7 +752,7 @@ def train_pq_base(base: DataFrame) -> list[list[list[int]]]:
             )
             .collect()
         )
-        newcb = [[list(cb[s][k]) for k in range(PQ_K)] for s in range(PQ_M)]
+        newcb = [[list(cw) for cw in cb[s]] for s in range(PQ_M)]
         for r in sums:
             s, k, n = int(r["s"]), int(r["code"]), int(r["n"])
             if n > 0:
@@ -880,3 +882,23 @@ def ivfpq_residual_subvecs(
         F.col("r.cid").alias("cid"),
         *[F.col(f"r.sv{s}").alias(f"sv{s}") for s in range(PQ_M)],
     )
+
+
+def save_ivfpq_codes(codes: DataFrame, path: str) -> None:
+    """At-rest layout of the IVF-PQ code table: directory-partitioned by
+    ``cid``, so a probe-1 serve is a PARTITION-PRUNED read of ~1/IVFPQ_C
+    of the corpus — the claim ``ann_ivfpq_topk``'s docstring makes about
+    the serving plan, materialized (the fixture-scale query filters
+    qcid == cid after a full scan; at rest the filter becomes directory
+    pruning and the non-probed lists are never opened). Codes are 8 small
+    ints + vec_id per row, so the index is ~1/30 the corpus bytes before
+    partitioning even helps. Plan-pinned by
+    ``tests/test_plans.py::test_ivfpq_code_table_partition_pruning``."""
+    codes.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def read_ivfpq_probe(spark, path: str, cid: int) -> DataFrame:
+    """Probe-1 read of a persisted IVF-PQ index: the ``cid`` equality
+    lands in PartitionFilters (directory pruning), not a post-scan
+    filter."""
+    return spark.read.parquet(path).filter(F.col("cid") == cid)

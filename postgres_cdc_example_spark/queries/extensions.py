@@ -3510,6 +3510,19 @@ def _pq_cte() -> str:
     return "WITH " + ",\n    ".join(parts)
 
 
+def _empty_ann_result(emb: DataFrame) -> DataFrame:
+    """Zero-row (q_id, nbr_id, pq_dist, rank) frame with the ANN result
+    schema — the empty-corpus / empty-query-sample fallback (the PCA
+    queries' empty-fit pattern)."""
+    vid = F.col("vec_id").cast("long")
+    return emb.limit(0).select(
+        vid.alias("q_id"),
+        vid.alias("nbr_id"),
+        vid.alias("pq_dist"),
+        vid.alias("rank"),
+    )
+
+
 def _pq_topk_oracle() -> str:
     D = similarity.PQ_D
     term = _pq_d2_sql("q.sv", "b.cv", D)
@@ -3551,13 +3564,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_QUERIES}-query fixed sample."""
     emb = load_table(spark, "embeddings", sf_dir)
     cb = _trained_pq(spark, sf_dir)
+    if not cb:  # empty corpus: no codebook, no neighbors
+        return _empty_ann_result(emb)
     codes = similarity.pq_encode(emb, cb)
     qrows = (
         emb.filter(F.col("vec_id") < similarity.N_QUERIES)
         .select("vec_id", similarity.micro_vec(F.col("embedding")).alias("vm"))
         .collect()
     )
-    M, D, K = similarity.PQ_M, similarity.PQ_D, similarity.PQ_K
+    if not qrows:  # no query sample: explode(array()) would be invalid
+        return _empty_ann_result(emb)
+    # short corpus (< PQ_K init vectors) yields a shorter codebook
+    M, D, K = similarity.PQ_M, similarity.PQ_D, len(cb[0])
     per_q = []
     for r in qrows:
         qid, vm = int(r["vec_id"]), [int(x) for x in r["vm"]]
@@ -3854,6 +3872,8 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str) -> tuple:
     def build():
         emb = load_table(spark, "embeddings", sf_dir)
         cents = similarity.coarse_centroids(emb)
+        if not cents:  # empty corpus: nothing to train on
+            return ([], [])
         cb = similarity.train_pq_base(
             similarity.ivfpq_residual_subvecs(emb, cents)
         )
@@ -3948,6 +3968,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {IVFPQ_C}x{EMB_DIM} centroid ints + the 1024-int codebook."""
     emb = load_table(spark, "embeddings", sf_dir)
     cents, cb = _trained_ivfpq(spark, sf_dir)
+    if not cents or not cb:  # empty corpus: no quantizer / codebook
+        return _empty_ann_result(emb)
     base = similarity.ivfpq_residual_subvecs(emb, cents)
     codes = similarity.pq_encode_base(base, cb, carry=("cid",))
     qrows = (
@@ -3955,10 +3977,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", similarity.micro_vec(F.col("embedding")).alias("vm"))
         .collect()
     )
+    if not qrows:  # no query sample: explode(array()) would be invalid
+        return _empty_ann_result(emb)
     M, D, K, DIM = (
         similarity.PQ_M,
         similarity.PQ_D,
-        similarity.PQ_K,
+        len(cb[0]),
         similarity.EMB_DIM,
     )
     per_q = []

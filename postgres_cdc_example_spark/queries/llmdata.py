@@ -20,6 +20,8 @@ the ``documents`` fixture.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2559,6 +2561,19 @@ def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 256  # HyperLogLog registers (p=8); the bounded COUNT DISTINCT sketch
 HLL_RHO_MAX = 53  # 60-bit hash = 8 register bits + 52 tail bits -> rho in [1, 53]
 
+# Linear-counting estimates floor(M * ln(M / V)) for every possible
+# empty-register count V in [1, M], precomputed ONCE in Python and injected
+# as integer literals into BOTH engines (the _BENFORD_MICRO pattern): the
+# small-range branch's ln() never runs in either engine, so the
+# JVM-Math.log-vs-libm ULP divergence class can't reach the estimate.  The
+# domain is bounded by the register count BY CONSTRUCTION — 256 literals
+# regardless of corpus size.
+_HLL_LC_FLOOR = [
+    int(_math.floor(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M + 1)
+]
+_HLL_LC_DUCK = "[" + ",".join(str(x) for x in _HLL_LC_FLOOR) + "]"
+_HLL_LC_SPARK = "array(" + ",".join(f"{x}L" for x in _HLL_LC_FLOOR) + ")"
+
 
 @register(
     "vocab_hll_audit",
@@ -2592,16 +2607,17 @@ HLL_RHO_MAX = 53  # 60-bit hash = 8 register bits + 52 tail bits -> rho in [1, 5
              CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
                        * 9007199254740992.0 / CAST(S AS DOUBLE) <= 640.0
                        AND V > 0
-                  THEN 256.0 * ln(256.0 / CAST(V AS DOUBLE))
-                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                       * 9007199254740992.0 / CAST(S AS DOUBLE) END AS est
+                  THEN ({_HLL_LC_DUCK})[CAST(V AS BIGINT)]
+                  ELSE CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0 / CAST(S AS DOUBLE)) AS BIGINT)
+                  END AS est
       FROM s
     ),
     x AS (SELECT source, count(DISTINCT tok) AS nde FROM occ2 GROUP BY source)
     SELECT x.source,
            CAST(nde AS BIGINT) AS n_distinct_exact,
-           CAST(floor(est) AS BIGINT) AS hll_estimate,
-           (abs(CAST(floor(est) AS BIGINT) - nde) * 1000000) // nde AS err_micro
+           CAST(est AS BIGINT) AS hll_estimate,
+           (abs(CAST(est AS BIGINT) - nde) * 1000000) // nde AS err_micro
     FROM x JOIN e ON e.source = x.source
     """.format(toks=_TOKS),
 )
@@ -2616,10 +2632,13 @@ def vocab_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from ``length(bin(w))`` (bin() never pads in either engine — no
     log2, no bit-twiddling divergence); per-register maxima fold in one
     keyed aggregate; the harmonic sum runs EXACTLY as bigints via
-    ``2^(53 - M_j)`` shifts (max 256 * 2^53 = 2^61, inside int64); and the
-    only doubles are the one estimator division and the small-range
-    linear-counting ln — the identical literal expression sequence on both
-    sides. The exact ``count(DISTINCT)`` side exists BECAUSE this is the
+    ``2^(53 - M_j)`` shifts (max 256 * 2^53 = 2^61, inside int64); the
+    only double is the one estimator division (+,*,/ are IEEE-identical
+    across engines), and the small-range linear-counting branch reads its
+    floor(M*ln(M/V)) from the Python-precomputed 256-entry literal table
+    ``_HLL_LC_FLOOR`` (the _BENFORD_MICRO pattern — no engine ln() ever
+    reaches the estimate). The exact ``count(DISTINCT)`` side exists
+    BECAUSE this is the
     audit (the number a pipeline publishes beside the estimate); at scale
     only the register table runs. err_micro is pure integer arithmetic on
     the floored estimate."""
@@ -2661,18 +2680,16 @@ def vocab_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(
             f"CASE WHEN {raw} <= 640.0 AND V > 0"
-            " THEN 256.0 * ln(256.0 / CAST(V AS DOUBLE))"
-            f" ELSE {raw} END"
+            f" THEN element_at({_HLL_LC_SPARK}, CAST(V AS INT))"
+            f" ELSE CAST(floor({raw}) AS BIGINT) END"
         ).alias("est"),
     )
     x = occ.groupBy("source").agg(F.countDistinct("tok").alias("nde"))
     return x.join(F.broadcast(e), "source").select(
         "source",
         F.col("nde").cast("long").alias("n_distinct_exact"),
-        F.floor("est").cast("long").alias("hll_estimate"),
-        F.expr(
-            "abs(CAST(floor(est) AS BIGINT) - nde) * 1000000 div nde"
-        ).alias("err_micro"),
+        F.col("est").cast("long").alias("hll_estimate"),
+        F.expr("abs(est - nde) * 1000000 div nde").alias("err_micro"),
     )
 
 
@@ -2828,21 +2845,71 @@ boilerplate_segment_removal.__doc__ = boilerplate_segment_removal.__doc__.format
 TFIDF_PAIR_MAX_DF = 64  # inverted-index df cutoff (same rationale as jaccard)
 TFIDF_COS2_MIN_MICRO = 250_000  # report pairs with cos^2 >= 0.25 (cos >= 0.5)
 
+# Reference-scale idf on the milli grid, precomputed ONCE here in Python and
+# injected as literals into BOTH engines (the _BENFORD_MICRO pattern) — no
+# engine's ln() ever reaches a value, so the JVM-Math.log-vs-DuckDB-libm ULP
+# divergence class is gone by construction.  idf_milli(df) =
+# round((ln(N_REF) - ln(df)) * 1000) against the FIXED reference corpus size
+# N_REF = 2^20; df > TFIDF_IDF_CAP floors to 0, which pins the VECTOR
+# support to exactly the pair index's df <= 64 discriminative-token support
+# (weights on tokens that can never appear in a pair dot would only inflate
+# norms and mask true near-dups).  Fixing N_REF (instead of the live corpus
+# count) is also the 100 TB-friendly choice: weights no longer shift as the
+# corpus grows, so tf-idf vectors are INCREMENTALLY maintainable — an
+# ingest batch never forces a corpus-wide re-weight — and the n_docs
+# broadcast join disappears from the plan entirely.
+TFIDF_IDF_CAP = TFIDF_PAIR_MAX_DF
+_TFIDF_NREF = 1 << 20
+_TFIDF_IDF_MILLI = [
+    int(
+        _math.floor(
+            (_math.log(_TFIDF_NREF) - _math.log(d)) * 1000 + 0.5
+        )
+    )
+    for d in range(1, TFIDF_IDF_CAP + 1)
+]
+_IDF_DUCK = "[" + ",".join(str(v) for v in _TFIDF_IDF_MILLI) + "]"
+_IDF_SPARK = "array(" + ",".join(f"{v}L" for v in _TFIDF_IDF_MILLI) + ")"
+
+# shared oracle CTE chain producing the integer tf-idf vector universe:
+# (doc_id, tok, df, w) weight rows and per-doc squared norms — used by
+# tfidf_cosine_pairs and hybrid_rank_fusion
+_TFIDF_WV_SQL = f"""tf AS (SELECT doc_id, tok, count(*) AS tf
+          FROM occ GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    wv AS (
+      SELECT tf.doc_id, tf.tok, df.df,
+             tf.tf * (CASE WHEN df.df <= {TFIDF_IDF_CAP}
+                           THEN ({_IDF_DUCK})[df.df] ELSE 0 END) AS w
+      FROM tf JOIN df ON df.tok = tf.tok
+    ),
+    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+            FROM wv GROUP BY doc_id)"""
+
+
+def _tfidf_wv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, df, w) integer tf-idf weight rows off the shared
+    occurrence layer — the vector universe ``tfidf_cosine_pairs`` and
+    ``hybrid_rank_fusion`` share (weights from the ``_TFIDF_IDF_MILLI``
+    literal table; two map-side-combined aggregates + one tok-keyed
+    join)."""
+    occ = _doc_occurrences(spark, sf_dir)
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.when(
+        F.col("df") <= TFIDF_IDF_CAP,
+        F.expr(f"element_at({_IDF_SPARK}, cast(df as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return tf.join(df_, "tok").select(
+        "doc_id", "tok", "df", (F.col("tf") * idf).alias("w")
+    )
+
 
 @register(
     "tfidf_cosine_pairs",
     oracle=f"""
     WITH {_OCC_SQL},
-    tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok),
-    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    wv AS (
-      SELECT tf.doc_id, tf.tok, df.df,
-             tf.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000
-                                + 0.5) AS BIGINT) AS w
-      FROM tf JOIN df ON df.tok = tf.tok, n
-    ),
-    nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wv GROUP BY doc_id),
+    {_TFIDF_WV_SQL},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(sum(a.w * b.w) AS BIGINT) AS dot
@@ -2864,38 +2931,21 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the token inverted index — the IR-weighted sibling of
     ``dedup_ngram_jaccard`` (Jaccard treats 'the' and a rare name alike;
     idf weighting is what lets template docs with different fill-ins score
-    apart). All integer end to end: idf on the MILLI grid per token (small
-    enough that w = tf*idf_milli keeps Σw² and every dot inside int64 by
-    construction), pair dots from the inverted-index self-join with the
-    df <= {MAXDF} hot-token cutoff (the same bound that keeps the pair
-    explosion linear at 100 TB — a token in everything generates
-    O(N²) candidates and zero discrimination), and the cosine itself is
-    never divided: both the threshold and the reported cos² clear
-    denominators into DECIMAL(38,0) cross-multiplications, so no sqrt and
-    no float reaches a value. Scale: two map-side-combined aggregates off
-    the shared occurrence layer + one tok-keyed pair join + two id-keyed
-    norm joins."""
-    occ = _doc_occurrences(spark, sf_dir)
-    docs = load_table(spark, "documents", sf_dir)
-    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    wv = (
-        tf.join(df_, "tok")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "tok",
-            "df",
-            (
-                F.col("tf")
-                * F.floor(
-                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("w"),
-        )
-    )
+    apart). All integer end to end: idf on the MILLI grid per df from the
+    Python-precomputed reference-scale table injected as literals into
+    both engines (``_TFIDF_IDF_MILLI`` — no engine ln() ever reaches a
+    value, and fixed-reference weights make the vectors incrementally
+    maintainable at 100 TB: ingest never re-weights the corpus), pair
+    dots from the inverted-index self-join with the df <= {MAXDF}
+    hot-token cutoff (the same bound that keeps the pair explosion linear
+    at 100 TB — a token in everything generates O(N²) candidates and zero
+    discrimination; df > {IDFCAP} floors to weight 0, stopword-grade),
+    and the cosine itself is never divided: both the threshold and the
+    reported cos² clear denominators into DECIMAL(38,0)
+    cross-multiplications, so no sqrt and no float reaches a value.
+    Scale: two map-side-combined aggregates off the shared occurrence
+    layer + one tok-keyed pair join + two id-keyed norm joins."""
+    wv = _tfidf_wv(spark, sf_dir)
     nrm = wv.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
@@ -2926,5 +2976,899 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tfidf_cosine_pairs.__doc__ = tfidf_cosine_pairs.__doc__.format(
-    MAXDF=TFIDF_PAIR_MAX_DF
+    MAXDF=TFIDF_PAIR_MAX_DF, IDFCAP=TFIDF_IDF_CAP
+)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + semantic arms
+# ---------------------------------------------------------------------------
+
+HYBRID_ARM_K = 20  # candidates each retriever contributes per query
+HYBRID_RRF_K0 = 60  # the standard RRF damping constant
+HYBRID_TOPK = 10  # fused results reported per query
+
+
+def _hybrid_oracle() -> str:
+    from postgres_cdc_example_spark.operators import similarity
+
+    NQ, DIM = similarity.N_QUERIES, similarity.EMB_DIM
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}),"
+        " d -> (q.vm[d] - e.vm[d]) * (q.vm[d] - e.vm[d])))"
+    )
+    return f"""
+    WITH {_OCC_SQL},
+    {_TFIDF_WV_SQL},
+    lexp AS (
+      SELECT a.doc_id AS q_id, b.doc_id AS doc_id,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM wv a JOIN wv b ON a.tok = b.tok AND a.doc_id != b.doc_id
+      WHERE a.doc_id < {NQ} AND a.df <= {TFIDF_PAIR_MAX_DF}
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    lexs AS (
+      SELECT p.q_id, p.doc_id,
+             CAST(CAST(p.dot AS HUGEINT) * p.dot * 1000000
+                  // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2
+      FROM lexp p JOIN nrm na ON na.doc_id = p.q_id
+                  JOIN nrm nb ON nb.doc_id = p.doc_id
+      WHERE p.dot > 0
+    ),
+    lexk AS (
+      SELECT q_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos2 DESC, doc_id) AS lex_rank
+        FROM lexs)
+      WHERE lex_rank <= {HYBRID_ARM_K}
+    ),
+    em AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ),
+    qm AS (SELECT vec_id AS q_id, vm FROM em WHERE vec_id < {NQ}),
+    semk AS (
+      SELECT q_id, doc_id, CAST(sem_rank AS BIGINT) AS sem_rank FROM (
+        SELECT q.q_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {d2}, e.vec_id) AS sem_rank
+        FROM qm q JOIN em e ON e.vec_id != q.q_id)
+      WHERE sem_rank <= {HYBRID_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             COALESCE(1000000 // ({HYBRID_RRF_K0} + l.lex_rank), 0)
+             + COALESCE(1000000 // ({HYBRID_RRF_K0} + s.sem_rank), 0) AS rrf_ppm
+      FROM lexk l FULL JOIN semk s
+        ON s.q_id = l.q_id AND s.doc_id = l.doc_id
+    )
+    SELECT q_id, doc_id, lex_rank, sem_rank,
+           CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_ppm DESC, doc_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= {HYBRID_TOPK}
+    """
+
+
+@register("hybrid_rank_fusion", oracle=_hybrid_oracle())
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic retriever — the
+    op a RAG/curation pipeline runs AFTER its two retrievers, and the
+    standard answer to "BM25-ish and embedding search disagree; ship
+    one list". Arms over the same fixed query sample (doc_id ≡ vec_id
+    < {NQ}, the fixture linkage): the LEXICAL arm ranks candidates by
+    integer tf-idf cosine off the shared ``_tfidf_wv`` vector universe
+    (the inverted-index join with the df ≤ {MAXDF} discriminative-token
+    cutoff — identical machinery to ``tfidf_cosine_pairs``, un-thresholded
+    and query-restricted); the SEMANTIC arm ranks by exact integer L2 over
+    micro-grid embeddings (broadcast {NQ}-query sample × one corpus scan —
+    linear in the corpus, the audit-exact baseline whose drop-in scale
+    replacement is ``ann_ivfpq_topk``'s partition-pruned probe). Fusion is
+    pure integer RRF — 1e6 div ({K0} + rank) summed across arms via one
+    (q_id, doc_id)-keyed FULL OUTER join of two top-{ARMK} lists (bounded:
+    ≤ {NQ}·{ARMK} rows per arm), then one per-query ranking window. No
+    floats anywhere; a doc missing from an arm contributes 0, exactly the
+    published RRF spec."""
+    from postgres_cdc_example_spark.operators import similarity
+
+    NQ = similarity.N_QUERIES
+    wv = _tfidf_wv(spark, sf_dir)
+    nrm = wv.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = wv.filter(
+        (F.col("doc_id") < NQ) & (F.col("df") <= TFIDF_PAIR_MAX_DF)
+    ).select(F.col("doc_id").alias("q_id"), "tok", F.col("w").alias("wa"))
+    b = wv.select("doc_id", "tok", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("q_id") != F.col("doc_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+        .filter(F.col("dot") > 0)
+    )
+    na = nrm.select(F.col("doc_id").alias("q_id"), F.col("n2").alias("na2"))
+    nb = nrm.select("doc_id", F.col("n2").alias("nb2"))
+    cos2 = F.floor(
+        F.col("dot").cast("decimal(38,0)")
+        * F.col("dot")
+        * 1_000_000
+        / (F.col("na2").cast("decimal(38,0)") * F.col("nb2"))
+    ).cast("long")
+    lexs = (
+        pairs.join(na, "q_id").join(nb, "doc_id").select(
+            "q_id", "doc_id", cos2.alias("cos2")
+        )
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.col("cos2").desc(), "doc_id")
+    lexk = (
+        lexs.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= HYBRID_ARM_K)
+        .select("q_id", "doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id", similarity.micro_vec(F.col("embedding")).alias("vm")
+    )
+    q = base.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, vm, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    ws = Window.partitionBy("q_id").orderBy("d2", "doc_id")
+    semk = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("doc_id"), d2.alias("d2"))
+        .withColumn("sem_rank", F.row_number().over(ws))
+        .filter(F.col("sem_rank") <= HYBRID_ARM_K)
+        .select("q_id", "doc_id", F.col("sem_rank").cast("long").alias("sem_rank"))
+    )
+    fused = lexk.join(semk, ["q_id", "doc_id"], "full_outer")
+    rrf = F.expr(
+        f"coalesce(1000000 div ({HYBRID_RRF_K0} + lex_rank), 0)"
+        f" + coalesce(1000000 div ({HYBRID_RRF_K0} + sem_rank), 0)"
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf_ppm").desc(), "doc_id")
+    return (
+        fused.withColumn("rrf_ppm", rrf.cast("long"))
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= HYBRID_TOPK)
+        .select(
+            "q_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_ppm",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+hybrid_rank_fusion.__doc__ = hybrid_rank_fusion.__doc__.format(
+    NQ=10, MAXDF=TFIDF_PAIR_MAX_DF, K0=HYBRID_RRF_K0, ARMK=HYBRID_ARM_K
+)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction with zero-residual compliance audit
+# ---------------------------------------------------------------------------
+
+# Detection classes (identical Java-regex / RE2 semantics — character
+# classes and bounded quantifiers only, no alternation, no backreferences):
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_UUID_RE = (
+    r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+)
+PII_DIGITS_RE = r"[0-9]{9,}"  # account-number-grade digit runs
+
+# The fixture text is synthetic word salad with no PII-like spans, so the
+# corpus under audit is text PLUS deterministically injected PII derived
+# from doc_id — the SAME string construction in both engines (md5-derived
+# uuid, doc_id-derived email/account), so the operator is exercised
+# non-vacuously and every redacted byte is still pinned end-to-end.
+_PII_DIRTY_DUCK = """
+      text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' session ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)
+                   || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4)
+                   || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4)
+                   || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' ref ' || CAST(900000000 + doc_id AS VARCHAR)
+              ELSE '' END
+"""
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, ({_PII_DIRTY_DUCK}) AS t FROM documents
+    ),
+    det AS (
+      SELECT doc_id, t,
+             CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t, '{PII_UUID_RE}')) AS BIGINT)
+               AS n_uuid,
+             CAST(len(regexp_extract_all(t, '{PII_DIGITS_RE}')) AS BIGINT)
+               AS n_digit_run
+      FROM dirty
+    ),
+    red AS (
+      SELECT doc_id, n_email, n_uuid, n_digit_run,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_UUID_RE}', '<UUID>', 'g'),
+               '{PII_DIGITS_RE}', '<NUM>', 'g') AS clean
+      FROM det
+      WHERE n_email + n_uuid + n_digit_run > 0
+    )
+    SELECT doc_id, n_email, n_uuid, n_digit_run,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_md5,
+           CAST(len(regexp_extract_all(clean, '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(clean, '{PII_UUID_RE}'))
+                + len(regexp_extract_all(clean, '{PII_DIGITS_RE}'))
+                AS BIGINT) AS residual_hits
+    FROM red
+    """,
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction sweep with the compliance row that
+    matters: a re-scan of the REWRITTEN text whose hit count must be
+    literally zero (pinned by ``test_pii_redaction_residual_is_zero``; the
+    erasure-family shape of ``user_erasure_audit``). Three detector
+    classes — email-like, uuid-like, long digit runs — detected with
+    ``regexp_extract_all`` counts and erased with chained
+    ``regexp_replace`` in a FIXED order (email → uuid → digits, so a
+    class's replacement token can never feed a later pattern); every
+    rebuilt doc is pinned byte-for-byte by md5 + length, the
+    ``boilerplate_segment_removal`` pattern. The patterns use only
+    character classes and bounded quantifiers, where Java regex and RE2
+    agree; the corpus is the fixture text plus deterministic
+    doc_id-derived PII injections (identical construction in both
+    engines) because the synthetic fixture contains no organic PII —
+    the injection IS the test vector generator. Scale: one corpus scan,
+    zero shuffles, zero joins — pure codegen projections + one filter;
+    at 100 TB this is the cheapest possible shape (the regex cost is
+    the floor any PII sweep pays)."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(" session "), uuid))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref "), (F.lit(900000000) + F.col("doc_id")).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    def n_hits(col, pat):
+        # idx=0 = whole-match (Spark defaults to group 1; these patterns
+        # are groupless by design)
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+
+    det = docs.select(
+        "doc_id",
+        dirty.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        n_hits(F.col("t"), PII_EMAIL_RE).alias("n_email"),
+        n_hits(F.col("t"), PII_UUID_RE).alias("n_uuid"),
+        n_hits(F.col("t"), PII_DIGITS_RE).alias("n_digit_run"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_UUID_RE,
+            "<UUID>",
+        ),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    red = det.filter(
+        F.col("n_email") + F.col("n_uuid") + F.col("n_digit_run") > 0
+    ).select("doc_id", "n_email", "n_uuid", "n_digit_run", clean.alias("clean"))
+    residual = (
+        n_hits(F.col("clean"), PII_EMAIL_RE)
+        + n_hits(F.col("clean"), PII_UUID_RE)
+        + n_hits(F.col("clean"), PII_DIGITS_RE)
+    )
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_uuid",
+        "n_digit_run",
+        F.length("clean").cast("long").alias("clean_chars"),
+        F.md5("clean").alias("clean_md5"),
+        residual.alias("residual_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance of the boilerplate segment-count table (IVM)
+# ---------------------------------------------------------------------------
+
+BOILER_DELTA_MOD = 10  # delta batch = doc_id % 10 == 0 (~10% of the corpus)
+
+
+def _seg_hash_rows(docs: DataFrame) -> DataFrame:
+    """One (h) row per segment occurrence — md5 of each
+    BOILER_SEG_WORDS-word window, the count-table universe of
+    ``boilerplate_segment_removal``."""
+    W = BOILER_SEG_WORDS
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size(words) + W - 1).cast("long") / W).cast("long") - 1,
+                ),
+                lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
+            )
+        ).alias("seg")
+    ).select(F.md5(F.col("seg")).alias("h"))
+
+
+@register(
+    "boilerplate_incremental",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             array_to_string(
+               words[(u.i*{BOILER_SEG_WORDS}+1):(u.i*{BOILER_SEG_WORDS}+{BOILER_SEG_WORDS})],
+               ' ') AS seg
+      FROM w, unnest(generate_series(
+               0, CAST(ceil(len(words)/{BOILER_SEG_WORDS}.0) AS BIGINT) - 1)) AS u(i)
+    )
+    SELECT md5(seg) AS h, CAST(count(*) AS BIGINT) AS c
+    FROM s GROUP BY 1 HAVING count(*) >= {BOILER_DF}
+    """,
+)
+def boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of ``boilerplate_segment_removal``'s
+    corpus-wide segment-count table — the ``covariance_incremental``
+    merge≡recompute pattern applied to counts: the ENGINE computes the
+    base split (doc_id % {MOD} != 0) and the delta split's per-hash counts
+    SEPARATELY and merges them by pure addition (counts are additive over
+    disjoint doc sets), while the ORACLE recounts the full corpus from
+    scratch; the driver's hash equality IS the proof that a delta batch
+    updates the boilerplate list without rescanning the base corpus. At
+    100 TB this is the difference between an O(batch) nightly refresh and
+    an O(corpus) one: yesterday's (h, c) table is state keyed on a fixed
+    32-char hash, today's docs contribute one map-side-combined aggregate
+    plus a keyed merge, and the c >= {DF} flag set falls out. (Deletes
+    subtract the same way; the fixture models the append path.) Output is
+    the flagged boilerplate list itself: (h, c) for every segment at or
+    over the repetition threshold."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = (
+        _seg_hash_rows(docs.filter(F.col("doc_id") % BOILER_DELTA_MOD != 0))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    delta = (
+        _seg_hash_rows(docs.filter(F.col("doc_id") % BOILER_DELTA_MOD == 0))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("h")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return merged.filter(F.col("c") >= BOILER_DF).select("h", "c")
+
+
+boilerplate_incremental.__doc__ = boilerplate_incremental.__doc__.format(
+    MOD=BOILER_DELTA_MOD, DF=BOILER_DF
+)
+
+
+def _hybrid_recall_oracle() -> str:
+    from postgres_cdc_example_spark.operators import similarity
+
+    NQ, DIM, K = similarity.N_QUERIES, similarity.EMB_DIM, HYBRID_TOPK
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}),"
+        " d -> (q.vm[d] - e.vm[d]) * (q.vm[d] - e.vm[d])))"
+    )
+    return f"""
+    WITH hyb AS (SELECT * FROM ({_hybrid_oracle()})),
+    em AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings
+    ),
+    qm AS (SELECT vec_id AS q_id, vm FROM em WHERE vec_id < {NQ}),
+    ext AS (
+      SELECT q_id, doc_id FROM (
+        SELECT q.q_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {d2}, e.vec_id) AS r
+        FROM qm q JOIN em e ON e.vec_id != q.q_id)
+      WHERE r <= {K}
+    )
+    SELECT h.q_id,
+           CAST(count(ext.doc_id) AS BIGINT) AS n_overlap,
+           count(ext.doc_id) * 1000000 // {K} AS recall_micro,
+           COALESCE(1000000 // min(CASE WHEN ext.doc_id IS NOT NULL
+                                        THEN h.fused_rank END), 0) AS mrr_micro
+    FROM hyb h LEFT JOIN ext ON ext.q_id = h.q_id AND ext.doc_id = h.doc_id
+    GROUP BY h.q_id
+    """
+
+
+@register("hybrid_recall_audit", oracle=_hybrid_recall_oracle())
+def hybrid_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality damage report for ``hybrid_rank_fusion`` — the
+    row a RAG pipeline publishes beside any fused ranking: per query,
+    recall@{K} of the fused list against the EXACT integer-L2 semantic
+    ground truth, plus integer MRR (1e6 div the first ground-truth hit's
+    fused rank; 0 if the fusion surfaced none) — quantifying exactly how
+    much the lexical arm's votes displace true nearest neighbors (the
+    recall shortfall IS the fusion's opinion that lexical evidence
+    matters). Companion to ``ann_pq_recall_audit``'s quantization study;
+    the exact side is audit-sized by construction ({NQ} queries ×
+    corpus, broadcast) and every metric is pure integer micro
+    arithmetic."""
+    from pyspark.sql import Window as W
+
+    from postgres_cdc_example_spark.operators import similarity
+
+    NQ, K = similarity.N_QUERIES, HYBRID_TOPK
+    hyb = hybrid_rank_fusion(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id", similarity.micro_vec(F.col("embedding")).alias("vm")
+    )
+    q = base.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, vm, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    ws = W.partitionBy("q_id").orderBy("d2", "doc_id")
+    ext = (
+        F.broadcast(q)
+        .join(base, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("doc_id"), d2.alias("d2"))
+        .withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= K)
+        .select("q_id", "doc_id", F.lit(1).alias("hit"))
+    )
+    j = hyb.join(ext, ["q_id", "doc_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        F.expr(f"sum(coalesce(hit, 0)) * 1000000 div {K}").alias("recall_micro"),
+        F.expr(
+            "coalesce(1000000 div min(CASE WHEN hit IS NOT NULL"
+            " THEN fused_rank END), CAST(0 AS BIGINT)) "
+        ).alias("mrr_micro"),
+    )
+
+
+hybrid_recall_audit.__doc__ = hybrid_recall_audit.__doc__.format(
+    K=HYBRID_TOPK, NQ=10
+)
+
+
+# train-once / serve-many: the GD classifier's weights as a literal scorer
+
+_QCW_SHARE: dict = {}
+
+
+def _trained_quality_weights(spark: SparkSession, sf_dir: str) -> tuple:
+    """Final-step (b, wa, wb, wc) micro weights of
+    ``quality_classifier_train``, memoized per (applicationId, sf_dir) —
+    4 ints of driver state, the ``_pca_fit``/``_trained_pq`` class."""
+
+    def build() -> tuple:
+        rows = {
+            int(r["step"]): r
+            for r in quality_classifier_train(spark, sf_dir).collect()
+        }
+        r = rows[QCT_STEPS]
+        return (
+            int(r["bias_micro"]),
+            int(r["w_stop_micro"]),
+            int(r["w_distinct_micro"]),
+            int(r["w_len_micro"]),
+        )
+
+    return memo_get(
+        _QCW_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
+        unpersist=False,
+    )
+
+
+def _qca_oracle() -> str:
+    """Replays the training CTE chain to the final weight row, then scores
+    every doc with the BIGINT-cast weights — the serving arithmetic the
+    engine runs with collected literals."""
+    ctes = [
+        _QC_SCORED_CTES.strip(),
+        """f AS (
+      SELECT doc_id,
+             CAST(1000000 AS BIGINT) AS x0,
+             (n_stop * 1000000) // n_tokens AS x1,
+             (n_distinct * 1000000) // n_tokens AS x2,
+             least(abs(n_tokens - 150) * 1000, 1000000) AS x3,
+             quality_micro
+      FROM qscored
+    )""",
+        """w0 AS (
+      SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS wa,
+             CAST(0 AS HUGEINT) AS wb, CAST(0 AS HUGEINT) AS wc
+    )""",
+        """ft AS (
+      SELECT doc_id, x0, x1, x2, x3,
+             CASE WHEN quality_micro >= 500000
+                  THEN CAST(1000000000000 AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS y
+      FROM f
+    )""",
+    ]
+    for k in range(1, QCT_STEPS + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT ft.*, w.b * x0 + w.wa * x1 + w.wb * x2 + w.wc * x3 AS pred
+      FROM ft, w{k - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+      SELECT count(*) AS n,
+             sum((pred - y) * x0) AS g0, sum((pred - y) * x1) AS g1,
+             sum((pred - y) * x2) AS g2, sum((pred - y) * x3) AS g3
+      FROM p{k}
+    )"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+      SELECT w.b - g.g0 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS b,
+             w.wa - g.g1 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wa,
+             w.wb - g.g2 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wb,
+             w.wc - g.g3 // (CAST(g.n AS HUGEINT) * {QCT_LR_DIV}) AS wc
+      FROM g{k} g, w{k - 1} w
+    )"""
+        )
+    W = f"w{QCT_STEPS}"
+    score = (
+        f"CAST(w.b AS BIGINT) * x0 + CAST(w.wa AS BIGINT) * x1"
+        f" + CAST(w.wb AS BIGINT) * x2 + CAST(w.wc AS BIGINT) * x3"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT f.doc_id,
+           CAST({score} AS BIGINT) AS score_pico,
+           ({score}) >= {QCT_THRESH_PICO} AS admitted,
+           f.quality_micro >= 500000 AS teacher_admit,
+           (({score}) >= {QCT_THRESH_PICO})
+             = (f.quality_micro >= 500000) AS agrees
+    FROM f, {W} w"""
+    )
+
+
+@register("quality_classifier_apply", oracle=_qca_oracle())
+def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFERENCE for the trained quality classifier — the serve half of
+    the train-once/serve-many split (``_pca_fit``/``_trained_pq``
+    pattern): the final-step GD weights are 4 ints collected once per
+    session and broadcast as LITERALS, so scoring the corpus is a
+    zero-shuffle codegen projection — per doc, score_pico =
+    b·x0 + wa·x1 + wb·x2 + wc·x3 in pure int64 (|w| ~ 1e6 micro × x ≤
+    1e6 micro × 4 terms ≈ 4e12, far inside the long range), the admission
+    verdict at the {THRESH} pico boundary, and the agreement flag against
+    the frozen teacher gate it was distilled from. This is exactly how a
+    quality filter runs over 100 TB: training pays its aggregates once,
+    the filter itself costs one scan with four multiplies per row. The
+    oracle replays the full training chain in HUGEINT and scores with the
+    same BIGINT-cast weights — the hash match proves collected literals ≡
+    recomputed weights."""
+    b, wa, wb, wc = _trained_quality_weights(spark, sf_dir)
+    scored = _quality_scored(load_table(spark, "documents", sf_dir))
+    f = scored.select(
+        "doc_id",
+        F.lit(1_000_000).cast("long").alias("x0"),
+        F.expr("n_stop * 1000000 div n_tokens").alias("x1"),
+        F.expr("n_distinct * 1000000 div n_tokens").alias("x2"),
+        F.least(F.abs(F.col("n_tokens") - 150) * 1000, F.lit(1_000_000)).alias(
+            "x3"
+        ),
+        "quality_micro",
+    )
+    score = (
+        F.lit(b) * F.col("x0")
+        + F.lit(wa) * F.col("x1")
+        + F.lit(wb) * F.col("x2")
+        + F.lit(wc) * F.col("x3")
+    )
+    return f.select(
+        "doc_id",
+        score.cast("long").alias("score_pico"),
+        (score >= QCT_THRESH_PICO).alias("admitted"),
+        (F.col("quality_micro") >= 500_000).alias("teacher_admit"),
+        (
+            (score >= QCT_THRESH_PICO) == (F.col("quality_micro") >= 500_000)
+        ).alias("agrees"),
+    )
+
+
+quality_classifier_apply.__doc__ = quality_classifier_apply.__doc__.format(
+    THRESH=QCT_THRESH_PICO
+)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style robust document fingerprinting)
+# ---------------------------------------------------------------------------
+
+WIN_K = 4  # words per k-gram
+WIN_W = 4  # winnowing window (guaranteed gap <= W; density ~ 2/(W+1))
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {WIN_K}
+                  THEN list_transform(
+                         generate_series(1, len(t) - {WIN_K - 1}),
+                         i -> ('0x' || substr(md5(
+                                array_to_string(t[i:i+{WIN_K - 1}], ' ')),
+                                1, 10))::BIGINT)
+                  ELSE [] END AS hs
+      FROM tk
+    ),
+    win AS (
+      SELECT doc_id, hs,
+             -- (pos, hash) packed into ONE bigint (h * 2^20 + p): DuckDB's
+             -- list_distinct is unimplemented for struct lists, and the
+             -- pack is lossless for docs under 2^20 grams
+             CASE WHEN len(hs) >= {WIN_W}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(hs) - {WIN_W - 1}),
+                         j -> list_min(hs[j:j+{WIN_W - 1}]) * 1048576
+                              + j + list_position(hs[j:j+{WIN_W - 1}],
+                                    list_min(hs[j:j+{WIN_W - 1}])) - 1))
+                  ELSE [] END AS fps
+      FROM gr
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(greatest(len(hs) - {WIN_W - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CASE WHEN len(hs) >= {WIN_W}
+                THEN len(fps) * 1000000 // (len(hs) - {WIN_W - 1})
+                ELSE CAST(0 AS BIGINT) END AS density_micro,
+           CAST(coalesce(list_sum(list_transform(fps, f -> f // 1048576)), 0)
+                AS BIGINT) AS fp_checksum
+    FROM win
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm: per {K}-word
+    gram a 40-bit rolling hash, per {W}-gram window the leftmost-minimum
+    (pos, hash) selected, duplicates collapsed) — the copy-detection
+    fingerprint family's robust member: unlike MinHash it GUARANTEES any
+    shared substring of >= {K}+{W}-1 words yields a shared fingerprint,
+    with expected density 2/({W}+1) of the gram count. The entire
+    selection runs as per-row ARRAY arithmetic — gram hashes, window
+    minima, distinct, checksum are all zero-shuffle codegen projections;
+    no explode, no shuffle, no join, which is the 100 TB shape (a
+    fingerprint INDEX would be one further explode + hash-keyed write,
+    the ``dedup_exact_substring`` inverted-index pattern). 40-bit hashes
+    (10 md5 hex chars) keep the per-doc checksum sum inside int64 for
+    any real document length; each selected (pos, hash) packs into one
+    bigint (h*2^20 + p, lossless under 2^20 grams/doc - DuckDB's
+    list_distinct can't take struct lists); ties inside a window break to
+    the leftmost position — deterministic in both engines (array_position /
+    list_position both return the first occurrence)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = dedup.word_tokens(F.col("text"))
+    K, W = WIN_K, WIN_W
+    gram = (
+        f"transform(sequence(1, size(t) - {K - 1}),"
+        f" i -> conv(substr(md5(concat_ws(' ', slice(t, i, {K}))), 1, 10),"
+        f" 16, 10) :: long)"
+    )
+    hs = F.when(F.size(F.col("t")) >= K, F.expr(gram)).otherwise(
+        F.array().cast("array<long>")
+    )
+    base = docs.select("doc_id", tk.alias("t")).select(
+        "doc_id",
+        F.explode(F.array(F.struct(hs.alias("hs")))).alias("r"),
+    ).select("doc_id", F.col("r.hs").alias("hs"))
+    winsel = (
+        f"array_distinct(transform(sequence(1, size(hs) - {W - 1}),"
+        f" j -> array_min(slice(hs, j, {W})) * 1048576"
+        f" + j + array_position(slice(hs, j, {W}), array_min(slice(hs, j, {W}))) - 1))"
+    )
+    fps = F.when(F.size(F.col("hs")) >= W, F.expr(winsel)).otherwise(
+        F.expr("array()").cast("array<long>")
+    )
+    win = base.select(
+        "doc_id",
+        "hs",
+        F.explode(F.array(F.struct(fps.alias("fps")))).alias("r"),
+    ).select("doc_id", "hs", F.col("r.fps").alias("fps"))
+    return win.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        F.greatest(F.size("hs") - (W - 1), F.lit(0)).cast("long").alias(
+            "n_windows"
+        ),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.when(
+            F.size("hs") >= W,
+            F.expr(f"size(fps) * 1000000 div (size(hs) - {W - 1})"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("density_micro"),
+        F.expr(
+            "aggregate(fps, CAST(0 AS BIGINT), (acc, f) -> acc + f div 1048576)"
+        ).alias("fp_checksum"),
+    )
+
+
+doc_winnowing_fingerprints.__doc__ = doc_winnowing_fingerprints.__doc__.format(
+    K=WIN_K, W=WIN_W
+)
+
+
+WIN_PAIR_MAX_DF = 64  # hot-fingerprint cutoff (the jaccard/tfidf bound)
+WIN_PAIR_MIN_SHARED = 3  # pairs sharing >= 3 fingerprints are candidates
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {WIN_K}
+                  THEN list_transform(
+                         generate_series(1, len(t) - {WIN_K - 1}),
+                         i -> ('0x' || substr(md5(
+                                array_to_string(t[i:i+{WIN_K - 1}], ' ')),
+                                1, 10))::BIGINT)
+                  ELSE [] END AS hs
+      FROM tk
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, u.f // 1048576 AS h
+      FROM gr, unnest(CASE WHEN len(hs) >= {WIN_W}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(hs) - {WIN_W - 1}),
+                         j -> list_min(hs[j:j+{WIN_W - 1}]) * 1048576
+                              + j + list_position(hs[j:j+{WIN_W - 1}],
+                                    list_min(hs[j:j+{WIN_W - 1}])) - 1))
+                  ELSE [] END) AS u(f)
+    ),
+    hdf AS (SELECT h, count(*) AS df FROM fp GROUP BY h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN hdf ON hdf.h = a.h
+    WHERE hdf.df <= {WIN_PAIR_MAX_DF}
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WIN_PAIR_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints — the
+    INDEX use of ``doc_winnowing_fingerprints`` and the guarantee-backed
+    member of the pair family: any two docs sharing a substring of >=
+    {KW} words MUST share a fingerprint hash (winnowing's covenant;
+    MinHash only shares in expectation), so a pair below the
+    {MIN}-shared cutoff provably shares no long verbatim run. Shape is
+    the standard inverted-index pair join: explode each doc's selected
+    fingerprint array to distinct (doc, h) rows, cut fingerprints living
+    in > {MAXDF} docs (a hash in everything generates O(N²) candidates
+    and zero discrimination — the df bound every pair op here carries),
+    join on the 40-bit h, count shared. One explode + two
+    map-side-combined aggregates + one hash-keyed join at any corpus
+    size."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = dedup.word_tokens(F.col("text"))
+    K, W = WIN_K, WIN_W
+    gram = (
+        f"transform(sequence(1, size(t) - {K - 1}),"
+        f" i -> conv(substr(md5(concat_ws(' ', slice(t, i, {K}))), 1, 10),"
+        f" 16, 10) :: long)"
+    )
+    hs = F.when(F.size(F.col("t")) >= K, F.expr(gram)).otherwise(
+        F.array().cast("array<long>")
+    )
+    base = docs.select("doc_id", tk.alias("t")).select(
+        "doc_id",
+        F.explode(F.array(F.struct(hs.alias("hs")))).alias("r"),
+    ).select("doc_id", F.col("r.hs").alias("hs"))
+    winsel = (
+        f"array_distinct(transform(sequence(1, size(hs) - {W - 1}),"
+        f" j -> array_min(slice(hs, j, {W})) * 1048576"
+        f" + j + array_position(slice(hs, j, {W}), array_min(slice(hs, j, {W}))) - 1))"
+    )
+    fps = F.when(F.size(F.col("hs")) >= W, F.expr(winsel)).otherwise(
+        F.expr("array()").cast("array<long>")
+    )
+    fp = (
+        base.select("doc_id", F.explode(fps).alias("f"))
+        .select("doc_id", F.expr("f div 1048576").alias("h"))
+        .distinct()
+    )
+    hdf = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    a = fp.join(hdf, "h").filter(F.col("df") <= WIN_PAIR_MAX_DF).select(
+        "h", F.col("doc_id").alias("doc_a")
+    )
+    b = fp.select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_PAIR_MIN_SHARED)
+    )
+
+
+dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
+    KW=WIN_K + WIN_W - 1, MIN=WIN_PAIR_MIN_SHARED, MAXDF=WIN_PAIR_MAX_DF
 )

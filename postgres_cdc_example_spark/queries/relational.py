@@ -1224,6 +1224,13 @@ def order_value_quantiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = sorted((int(r["bucket"]), int(r["cnt"])) for r in hist)
     n = sum(cnt for _, cnt in counts)
+    if n == 0:  # empty table: no rank exists, return the empty result
+        return c.select(
+            F.col("cents").alias("quantile_pct"),
+            F.col("cents").alias("value_cents"),
+            F.col("cents").alias("target_rank"),
+            F.col("cents").alias("n_orders"),
+        )
     targets = []  # (q, k, bucket, in-bucket offset)
     for q in Q2P_TARGETS:
         k = (q * n + 99) // 100
@@ -1365,13 +1372,21 @@ ZORDER_FILES = 16  # files per layout in the audit
 
 def _morton_sql(x: str, y: str) -> str:
     """Bit-interleave expression (identical Spark/DuckDB syntax): bit i of
-    x lands at 2i, bit i of y at 2i+1."""
+    x lands at 2i, bit i of y at 2i+1.  Inputs are explicitly clamped into
+    the {ZORDER_BITS}-bit domain first — ``greatest(v, 0)`` (days before
+    the 1995 epoch would otherwise sign-extend) then ``& 65535`` (keys
+    beyond 2^16 would otherwise alias cells silently); saturating at the
+    domain edge keeps the curve monotone for out-of-range values instead
+    of wrapping them back to cell 0."""
+    mask = (1 << ZORDER_BITS) - 1
+    mx = f"(least(greatest({x}, 0), {mask}))"
+    my = f"(least(greatest({y}, 0), {mask}))"
     terms = [
         t
         for i in range(ZORDER_BITS)
         for t in (
-            f"((({x} >> {i}) & 1) << {2 * i})",
-            f"((({y} >> {i}) & 1) << {2 * i + 1})",
+            f"((({mx} >> {i}) & 1) << {2 * i})",
+            f"((({my} >> {i}) & 1) << {2 * i + 1})",
         )
     ]
     return "(" + " | ".join(terms) + ")"
@@ -1465,4 +1480,72 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 orders_zorder_layout.__doc__ = orders_zorder_layout.__doc__.format(
     NF=ZORDER_FILES, B=ZORDER_BITS
+)
+
+
+# ---------------------------------------------------------------------------
+# join-skew audit: heavy-hitter keys + salt-factor recommendation
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 20  # heavy hitters reported
+SKEW_SALT_TARGET = 256  # target rows per salted sub-key after the split
+
+
+@register(
+    "join_skew_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys FROM c)
+    SELECT key, cnt,
+           cnt * 1000000 // t.total AS share_micro,
+           cnt * 1000000 // (t.total // t.n_keys) AS vs_avg_micro,
+           (cnt + {SKEW_SALT_TARGET - 1}) // {SKEW_SALT_TARGET} AS salt_factor
+    FROM c, t
+    ORDER BY cnt DESC, key LIMIT {SKEW_TOP_N}
+    """,
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics — the planning query a 100 TB pipeline
+    runs BEFORE shuffling two facts on a key: per-key multiplicities from
+    ONE map-side-combined aggregate, the top-{TOPN} heavy hitters by
+    count (TakeOrdered — never a global sort), each with its corpus share,
+    its ratio to the mean key (both on the micro grid, pure integer:
+    cnt*1e6 stays inside int64 for any per-key count < 9.2e12), and the
+    SALT FACTOR the skew-join mitigation needs (ceil(cnt / {TARGET}) —
+    the number of sub-keys that caps every salted partition at ~{TARGET}
+    rows, the input ``skew_salted_join`` takes). AQE's runtime skew split
+    handles the sort-merge case; this audit is for choosing STATIC
+    layouts (bucketing, pre-salting, broadcast thresholds) where the
+    decision must be made before the job runs. All-integer: the mean is
+    the truncating total div n_keys, identical in both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_micro"),
+            F.expr("cnt * 1000000 div (total div n_keys)").alias("vs_avg_micro"),
+            F.expr(f"(cnt + {SKEW_SALT_TARGET - 1}) div {SKEW_SALT_TARGET}").alias(
+                "salt_factor"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(SKEW_TOP_N)
+    )
+
+
+join_skew_audit.__doc__ = join_skew_audit.__doc__.format(
+    TOPN=SKEW_TOP_N, TARGET=SKEW_SALT_TARGET
 )

@@ -69,3 +69,33 @@ def decontamination_gate(
         lambda g: bloom.gram_hit(bitmap_words, g),
     )
     return docs.filter(~hit_any)
+
+
+def pq_encode_gate(
+    vecs: DataFrame,
+    codebook: list[list[list[int]]],
+    cents: list[list[int]] | None = None,
+) -> DataFrame:
+    """PQ encoding at ingest with a FROZEN codebook — the streaming twin
+    of the batch ``similarity.pq_encode`` (and, with ``cents``, of the
+    IVF-PQ ``pq_encode_base(ivfpq_residual_subvecs(...), carry=('cid',))``
+    chain): arriving vectors are coarse-assigned (optional) and
+    argmin-encoded against codewords shipped as LITERALS, so the stage is
+    stateless broadcast codegen — no state store, trivially exactly-once
+    across restarts (a vector's codes depend only on the vector and the
+    frozen artifacts, never on stream history; the ``decontamination_gate``
+    shape). This is how a 100 TB vector store actually ingests: train
+    once offline, encode every arriving vector at the edge, append 8-byte
+    codes to the cid-partitioned index (``similarity.save_ivfpq_codes``)
+    — the corpus-sized training never reruns on the ingest path.
+
+    Behavioral contract (pinned in tests/test_streaming_gates.py):
+    stream-emitted codes over a replayed corpus, across a restart, equal
+    the batch encoder's codes row-for-row."""
+    from postgres_cdc_example_spark.operators import similarity
+
+    if cents is None:
+        base = similarity._with_subvecs(vecs)
+        return similarity.pq_encode_base(base, codebook)
+    base = similarity.ivfpq_residual_subvecs(vecs, cents)
+    return similarity.pq_encode_base(base, codebook, carry=("cid",))

@@ -224,9 +224,15 @@ def content_dedup_stream(
 # --- streaming ordered-funnel stage tracking -----------------------------------
 
 FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, ts timestamp_ntz"
-# per-user funnel state: first-completion ns timestamps, -1 = not reached
-FUNNEL_STATE_SCHEMA = "t1_ns long, t2_ns long, t3_ns long"
+# per-user funnel state: first-completion ns timestamps, -1 = not reached,
+# plus the per-user event-time high-watermark (max ts ever processed) that
+# makes cross-batch ordering violations OBSERVABLE instead of silent
+FUNNEL_STATE_SCHEMA = "t1_ns long, t2_ns long, t3_ns long, hw_ns long"
 _FUNNEL_STEPS = ("view", "click", "purchase")
+# output stage for an event that arrived BELOW the user's high-watermark:
+# the ordering assumption was violated, the event is NOT applied to the
+# funnel, and this dead-letter row flags it for the consumer
+FUNNEL_LATE_STAGE = -1
 
 
 def _funnel_group(
@@ -236,8 +242,18 @@ def _funnel_group(
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     ts_ns = pd.DatetimeIndex(batch["ts"]).asi8
     types = batch["event_type"].to_numpy()
-    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    t1, t2, t3, hw = state.get if state.exists else (-1, -1, -1, -1)
     hits: list[tuple[int, int, int]] = []
+    # events below the high-watermark arrived AFTER a later-ts batch was
+    # already processed: the cross-batch ordering contract is broken for
+    # them. Applying them would silently disagree with the batch funnel,
+    # so they are flagged (stage = FUNNEL_LATE_STAGE) and skipped.
+    late = ts_ns < hw
+    for t in ts_ns[late]:
+        hits.append((user_id, FUNNEL_LATE_STAGE, int(t)))
+    ts_ns, types = ts_ns[~late], types[~late]
+    if len(ts_ns):
+        hw = max(int(hw), int(ts_ns[-1]))
     for t, et in zip(ts_ns, types):
         if t1 < 0:
             if et == _FUNNEL_STEPS[0]:
@@ -253,7 +269,7 @@ def _funnel_group(
                 hits.append((user_id, 3, t3))
         else:
             break  # funnel complete: nothing left to track for this user
-    state.update((int(t1), int(t2), int(t3)))
+    state.update((int(t1), int(t2), int(t3), int(hw)))
     if hits:
         out = pd.DataFrame(hits, columns=["user_id", "stage", "ts"])
         out["ts"] = pd.to_datetime(out["ts"])
@@ -270,12 +286,16 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     without rescanning history.
 
     Scale shape: one shuffle on user_id (same key the batch funnel
-    partitions by), 3 longs of state per user ever seen, and completed
+    partitions by), 4 longs of state per user ever seen, and completed
     funnels short-circuit (a user past stage 3 costs an O(1) state probe
     per batch). Correctness requires batches to arrive in event-time order
     ACROSS batches (within a batch the group sorts) — the replay/CDC-tail
-    shape every twin in this module assumes; out-of-order tails need a
-    sorter or watermark buffer upstream.
+    shape every twin in this module assumes. A violated assumption is no
+    longer silent: the per-user high-watermark (max processed ts, kept in
+    state) flags any event arriving below it as a dead-letter row with
+    ``stage = FUNNEL_LATE_STAGE`` and leaves the funnel state untouched,
+    so consumers can count/route ordering violations instead of getting
+    quietly wrong stage counts.
 
     Agreement contract (pinned in tests/test_stateful_streaming.py):
     replaying the corpus in ts order — across a restart — emits exactly
@@ -783,21 +803,38 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
 
 # --- per-source token-quota admission at ingest --------------------------------
 
-QUOTA_OUTPUT_SCHEMA = "source string, doc_id long, n_toks long, admitted boolean"
-QUOTA_STATE_SCHEMA = "used long, closed boolean"
+QUOTA_OUTPUT_SCHEMA = (
+    "source string, doc_id long, n_toks long, admitted boolean, late boolean"
+)
+# used tokens, closed flag, plus the per-source doc_id high-watermark that
+# makes cross-batch ordering violations observable
+QUOTA_STATE_SCHEMA = "used long, closed boolean, hw_doc long"
 
 
 def _make_quota_group(budget: int):
     def _group(key, pdfs, state: GroupState):
         (source,) = key
-        used, closed = (int(state.get[0]), bool(state.get[1])) if state.exists else (
-            0,
-            False,
+        used, closed, hw = (
+            (int(state.get[0]), bool(state.get[1]), int(state.get[2]))
+            if state.exists
+            else (0, False, -1)
         )
         batch = pd.concat(list(pdfs)).sort_values("doc_id")
-        out_doc, out_tok, out_adm = [], [], []
+        out_doc, out_tok, out_adm, out_late = [], [], [], []
         for did, nt in zip(batch["doc_id"], batch["n_toks"]):
-            nt = int(nt)
+            did, nt = int(did), int(nt)
+            if did <= hw:
+                # arrived after a HIGHER doc_id was already decided: the
+                # cross-batch ordering contract is broken for this doc.
+                # Deciding it now would disagree with the batch cumsum, so
+                # it is flagged (late=True, admitted=False) and does NOT
+                # touch the quota state — a dead-letter verdict.
+                out_doc.append(did)
+                out_tok.append(nt)
+                out_adm.append(False)
+                out_late.append(True)
+                continue
+            hw = did
             if not closed and used + nt <= budget:
                 used += nt
                 adm = True
@@ -806,16 +843,18 @@ def _make_quota_group(budget: int):
                 # cumsum makes this identical to the batch cum <= budget
                 closed = True
                 adm = False
-            out_doc.append(int(did))
+            out_doc.append(did)
             out_tok.append(nt)
             out_adm.append(adm)
-        state.update((used, closed))
+            out_late.append(False)
+        state.update((used, closed, hw))
         yield pd.DataFrame(
             {
                 "source": [source] * len(out_doc),
                 "doc_id": out_doc,
                 "n_toks": out_tok,
                 "admitted": out_adm,
+                "late": out_late,
             }
         )
 
@@ -824,13 +863,18 @@ def _make_quota_group(budget: int):
 
 def quota_gate_stream(docs: DataFrame, budget: int) -> DataFrame:
     """Streaming twin of the batch ``source_quota_admission`` query: keyed
-    state per source is TWO scalars (tokens admitted, closed flag) no
-    matter the stream length — the bounded-state shape of a per-source
-    ingest quota. Token counting is a codegen projection BEFORE the
-    stateful stage (the text never enters state); contract (pinned by the
-    behavioral test): over a doc_id-ordered replay the admitted set equals
-    the batch ``cum_tokens <= budget`` set for every source, across a
-    restart, and a source once closed stays closed."""
+    state per source is THREE scalars (tokens admitted, closed flag,
+    doc_id high-watermark) no matter the stream length — the
+    bounded-state shape of a per-source ingest quota. Token counting is a
+    codegen projection BEFORE the stateful stage (the text never enters
+    state); contract (pinned by the behavioral test): over a
+    doc_id-ordered replay the admitted set equals the batch
+    ``cum_tokens <= budget`` set for every source, across a restart, and
+    a source once closed stays closed. A doc arriving at-or-below the
+    high-watermark broke the ordering contract: it is emitted with
+    ``late=True, admitted=False`` and leaves the quota state untouched —
+    a dead-letter verdict the consumer can route, instead of a silently
+    order-dependent admission."""
     from postgres_cdc_example_spark.operators.dedup import word_tokens
 
     prepped = docs.select(

@@ -400,3 +400,61 @@ def test_classifier_training_loss_decreases_and_weights_move(spark, sf_dir):
     assert mses[0] > mses[1] > mses[2], f"loss must strictly decrease: {mses}"
     assert rows[0].bias_micro != 0, "step 1 must move the bias off zero"
     assert all(r.n_train > 0 for r in rows)
+
+
+def _write_empty_tables(spark, sf_dir, out_dir, tables):
+    """Zero-row parquet fixtures with the real tables' schemas."""
+    for t in tables:
+        load_table(spark, t, sf_dir).limit(0).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
+def test_quantiles_2pass_empty_orders_returns_empty(spark, sf_dir, tmp_path):
+    """An empty orders table has no rank-k values: the two-pass quantile
+    query must return a 0-row frame with the result schema instead of
+    raising at plan-construction time (min() over no target buckets)."""
+    _write_empty_tables(spark, sf_dir, str(tmp_path), ["orders"])
+    out = REGISTRY["order_value_quantiles_2pass"].fn(spark, str(tmp_path))
+    assert out.columns == ["quantile_pct", "value_cents", "target_rank", "n_orders"]
+    assert out.count() == 0
+
+
+def test_pq_ann_empty_embeddings_returns_empty(spark, sf_dir, tmp_path):
+    """PQ / IVF-PQ over an empty embeddings table: no codebook can train
+    and no query sample exists — both searches must return the empty ANN
+    result frame, not an invalid explode(array()) plan or IndexError."""
+    _write_empty_tables(spark, sf_dir, str(tmp_path), ["embeddings"])
+    for name in ("ann_pq_topk", "ann_ivfpq_topk"):
+        out = REGISTRY[name].fn(spark, str(tmp_path))
+        assert out.columns == ["q_id", "nbr_id", "pq_dist", "rank"], name
+        assert out.count() == 0, name
+
+
+def test_pq_ann_short_corpus_trains_short_codebook(spark, sf_dir, tmp_path):
+    """A corpus smaller than PQ_K (16) init vectors yields a shorter
+    codebook; search must size its ADC tables to the trained codebook
+    (len(cb[0])), not the configured K — and still return neighbors."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 5)
+    emb.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    out = REGISTRY["ann_pq_topk"].fn(spark, str(tmp_path)).collect()
+    assert out, "5-vector corpus must still produce neighbor rows"
+    qids = {r.q_id for r in out}
+    assert qids, qids
+    for r in out:
+        assert r.q_id != r.nbr_id
+
+
+def test_pii_redaction_residual_is_zero_and_nonvacuous(spark, sf_dir):
+    """The compliance contract: every affected doc re-scans to literally
+    ZERO residual hits after redaction, all three detector classes fire
+    somewhere in the corpus, and untouched docs never appear."""
+    rows = REGISTRY["pii_redaction_audit"].fn(spark, sf_dir).collect()
+    assert rows, "injection must affect a nonempty doc subset"
+    assert all(r.residual_hits == 0 for r in rows), "redaction left PII behind"
+    assert sum(r.n_email for r in rows) > 0
+    assert sum(r.n_uuid for r in rows) > 0
+    assert sum(r.n_digit_run for r in rows) > 0
+    assert all(r.n_email + r.n_uuid + r.n_digit_run > 0 for r in rows)

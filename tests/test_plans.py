@@ -477,6 +477,9 @@ _BNLJ_ALLOWED = {
     "text_unigram_nll",
     "tfidf_keywords",
     "tfidf_cosine_pairs",  # same 1-row n_docs broadcast as tfidf_keywords
+    "hybrid_rank_fusion",  # broadcast 10-query sample x corpus, != condition (exact semantic arm)
+    "hybrid_recall_audit",  # same broadcast query sample x corpus exact ground-truth side
+    "join_skew_audit",  # 1-row (total, n_keys) broadcast into the heavy-hitter table
     "orders_zorder_layout",  # 1-row (okmax, zmax) broadcast into file assignment
 }
 
@@ -631,3 +634,87 @@ def test_quantiles_2pass_pushes_range_to_scan(spark, sf_dir):
     # ranking runs per-bucket (partitioned window), never one global sort
     assert "row_number" in plan
     assert "SinglePartition" not in plan
+
+
+def test_hybrid_fusion_plan_shape(spark, sf_dir):
+    """RRF fusion must stay bounded: no CartesianProduct anywhere; the
+    lexical arm is the tok-keyed inverted-index equi-join (hash-partitioned
+    on tok, like tfidf_cosine_pairs); the only nested loop is the broadcast
+    10-query exact semantic arm; fusion itself is a keyed join of two
+    top-k lists plus one per-query ranking window — no Python eval."""
+    plan = plan_of(spark, sf_dir, "hybrid_rank_fusion")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(tok" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_is_single_scan_zero_shuffle(spark, sf_dir):
+    """The PII sweep must stay one corpus scan of codegen projections:
+    no Exchange, no joins, no Python eval — the cheapest shape a
+    redaction pass can have at 100 TB."""
+    df = q.queries()["pii_redaction_audit"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_exchange(df), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_code_table_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index must actually prune: writing the code
+    table partitioned by cid and probing one list must show the cid
+    equality in PartitionFilters (directory pruning — non-probed lists
+    never open), and the probe must return exactly the in-memory codes of
+    that list."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_example_spark.operators import similarity
+    from postgres_cdc_example_spark.queries.extensions import _trained_ivfpq
+    from postgres_cdc_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir=sf_dir, name="embeddings")
+    cents, cb = _trained_ivfpq(spark, sf_dir)
+    codes = similarity.pq_encode_base(
+        similarity.ivfpq_residual_subvecs(emb, cents), cb, carry=("cid",)
+    )
+    path = str(tmp_path / "ivfpq_codes")
+    similarity.save_ivfpq_codes(codes, path)
+
+    probe = similarity.read_ivfpq_probe(spark, path, 1)
+    plan = explain_str(probe)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cid" in pf and "= 1" in pf, f"cid must prune at the directory: {pf}"
+    assert "PushedFilters: []" in plan or "cid" not in next(
+        (l for l in plan.splitlines() if "PushedFilters" in l), ""
+    ), "cid is a partition column, not a data filter"
+
+    want = {
+        (r.vec_id, tuple(r[f"c{s}"] for s in range(similarity.PQ_M)))
+        for r in codes.filter(F.col("cid") == 1).collect()
+    }
+    got = {
+        (r.vec_id, tuple(r[f"c{s}"] for s in range(similarity.PQ_M)))
+        for r in probe.collect()
+    }
+    assert got == want and got, "probe must serve exactly list 1's codes"
+
+
+def test_classifier_apply_is_zero_shuffle_literal_scorer(spark, sf_dir):
+    """Serving the trained quality classifier must be one codegen scan:
+    the weights are 4 collected literals, so the returned plan has no
+    Exchange, no join, and no Python eval (training's aggregates ran at
+    build time, driver-sized)."""
+    df = q.queries()["quality_classifier_apply"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_exchange(df), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_is_zero_shuffle_array_arithmetic(spark, sf_dir):
+    """Winnowing fingerprint selection must stay per-row array arithmetic:
+    no Exchange, no joins, no Python eval — one scan at any corpus size."""
+    df = q.queries()["doc_winnowing_fingerprints"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_exchange(df), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

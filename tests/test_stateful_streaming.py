@@ -664,3 +664,42 @@ def test_funnel_stream_matches_batch_stages_across_restart(spark, sf_dir, tmp_pa
                 want.add((r.user_id, stage, t))
     assert got == want
     assert {s for _, s, _ in want} == {1, 2, 3}, "fixture must exercise all stages"
+
+
+def test_funnel_stream_flags_out_of_order_events(spark, sf_dir, tmp_path):
+    """Ordering violations must be observable: replay the LATE half of the
+    event log first, then the early half. Second-batch events land below
+    each user's high-watermark and must be emitted as dead-letter rows
+    (stage == FUNNEL_LATE_STAGE) without advancing any funnel state."""
+    from postgres_cdc_example_spark.streaming.stateful import (
+        FUNNEL_LATE_STAGE,
+        funnel_stream,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(funnel_stream(stream), ckpt, emitted)
+    assert all(r.stage != FUNNEL_LATE_STAGE for r in emitted), "in-order: no lates"
+    n_stages_first = len(emitted)
+
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    _drain(funnel_stream(stream), ckpt, emitted)
+    late = [r for r in emitted if r.stage == FUNNEL_LATE_STAGE]
+    assert late, "out-of-order replay must produce dead-letter rows"
+    # late events touch only users who already had watermarks from run 1
+    users_run1 = {
+        r.user_id for r in ev.filter(F.col("ts") >= SPLIT_TS).collect()
+    }
+    assert {r.user_id for r in late} <= users_run1
+    # no stage may be derived from a flagged event: a run-1 user's
+    # watermark is >= SPLIT_TS, so ALL their run-2 (pre-SPLIT) events are
+    # late — fresh completions can only belong to users new in run 2
+    fresh = [
+        r for r in emitted[n_stages_first:] if r.stage != FUNNEL_LATE_STAGE
+    ]
+    assert all(r.user_id not in users_run1 for r in fresh), (
+        "a flagged event advanced a funnel"
+    )
