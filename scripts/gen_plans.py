@@ -64,6 +64,13 @@ NOTES = {
     "event_funnel": "Ordered funnel: three chained per-user window aggregates stack on a SINGLE user_id Exchange (the naive spec is three grouped self-joins re-shuffling the fact table per step); one bounded 1-row aggregate closes the counts.",
     "tfidf_cosine_pairs": "Weighted sparse cosine: tf/df off the shared occurrence layer (map-side combined), pair dots from the df-cutoff inverted-index join, norms join back id-keyed — and cosine is never divided (decimal cross-multiplication), so the whole plan is integer codegen.",
     "orders_zorder_layout": "Morton-layout audit: the bit interleave is one codegen projection, file assignment broadcasts a 1-row maxima aggregate, and the per-file footer stats close in a single 32-group aggregate — no sort anywhere.",
+    "hybrid_rank_fusion": "RRF fusion: the lexical arm is the tok-keyed inverted-index join off the shared tf-idf weight layer; the semantic arm broadcasts the 10-query sample against one corpus scan; fusion is a (q_id, doc_id)-keyed FULL join of two top-20 lists + one per-query ranking window — all-integer RRF, no floats.",
+    "pii_redaction_audit": "PII sweep: detection counts, chained redaction, md5+length byte pins and the zero-residual re-scan are ALL per-row regex/codegen projections — one corpus scan, zero exchanges, zero joins; the cheapest shape a compliance pass can have.",
+    "boilerplate_incremental": "Count-table IVM: base and delta splits each run one map-side-combined md5(seg) count; the merge is a hash-keyed union-aggregate — the oracle recounts from scratch, so the driver hash proves merge == recompute without a corpus rescan.",
+    "doc_winnowing_fingerprints": "Winnowing selection: gram hashes, window minima, distinct and checksum are per-row ARRAY arithmetic — scan -> project with zero exchanges; the fingerprint index is one further explode away.",
+    "dedup_winnowing_pairs": "Guarantee-backed near-dup candidates: distinct (doc, fingerprint-hash) rows from one explode, hot hashes cut at df<=64, pairs meet on the 40-bit h equi-join — the MinHash/LSH pair shape with winnowing's shared-substring covenant.",
+    "quality_classifier_apply": "Classifier serving: the GD weights are 4 collected literals, so inference is scan -> project (zero exchanges, zero joins) — training's aggregates ran once at build time, driver-sized.",
+    "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 
 
