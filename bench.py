@@ -183,6 +183,10 @@ def main() -> None:
     _doc_occurrences(spark, SF_DIR).count()
     _doc_bands(spark, SF_DIR).count()  # r4+: LSH band index joins the layer
     _doc_grams8(spark, SF_DIR).count()  # r4+: decontamination 8-gram table
+    # r6+: winnowing fingerprint table (shared by the stats + pair queries)
+    from postgres_cdc_example_spark.queries.llmdata import _doc_winnow_fps
+
+    _doc_winnow_fps(spark, SF_DIR).count()
     # r4+: train the session k-means model once here (the "train once,
     # assign in bulk" deployment shape) so ann_ivf_kmeans_topk/semantic
     # queries measure serving, not training

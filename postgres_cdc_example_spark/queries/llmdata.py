@@ -3654,6 +3654,58 @@ WIN_K = 4  # words per k-gram
 WIN_W = 4  # winnowing window (guaranteed gap <= W; density ~ 2/(W+1))
 
 
+_WINFP_SHARE: dict = {}
+
+
+def _doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted winnowing layer: one row per doc with its gram-hash count
+    and the selected fingerprint array (packed h*2^20+p bigints) — shared
+    by ``doc_winnowing_fingerprints`` (per-doc stats) and
+    ``dedup_winnowing_pairs`` (the inverted index), which otherwise both
+    pay the gram-hash + window-min selection. Same bounded-memo pattern
+    as ``_doc_grams8``; at 100 TB this is the materialized fingerprint
+    table."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir)
+        tk = dedup.word_tokens(F.col("text"))
+        K, W = WIN_K, WIN_W
+        gram = (
+            f"transform(sequence(1, size(t) - {K - 1}),"
+            f" i -> conv(substr(md5(concat_ws(' ', slice(t, i, {K}))), 1, 10),"
+            f" 16, 10) :: long)"
+        )
+        hs = F.when(F.size(F.col("t")) >= K, F.expr(gram)).otherwise(
+            F.array().cast("array<long>")
+        )
+        base = docs.select("doc_id", tk.alias("t")).select(
+            "doc_id",
+            F.explode(F.array(F.struct(hs.alias("hs")))).alias("r"),
+        ).select("doc_id", F.col("r.hs").alias("hs"))
+        winsel = (
+            f"array_distinct(transform(sequence(1, size(hs) - {W - 1}),"
+            f" j -> array_min(slice(hs, j, {W})) * 1048576"
+            f" + j + array_position(slice(hs, j, {W}),"
+            f" array_min(slice(hs, j, {W}))) - 1))"
+        )
+        fps = F.when(F.size(F.col("hs")) >= W, F.expr(winsel)).otherwise(
+            F.expr("array()").cast("array<long>")
+        )
+        return (
+            base.select(
+                "doc_id",
+                F.size("hs").cast("long").alias("n_grams"),
+                F.explode(F.array(F.struct(fps.alias("fps")))).alias("r"),
+            )
+            .select("doc_id", "n_grams", F.col("r.fps").alias("fps"))
+            .persist()
+        )
+
+    return memo_get(
+        _WINFP_SHARE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @register(
     "doc_winnowing_fingerprints",
     oracle=f"""
@@ -3717,44 +3769,18 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_distinct can't take struct lists); ties inside a window break to
     the leftmost position — deterministic in both engines (array_position /
     list_position both return the first occurrence)."""
-    docs = load_table(spark, "documents", sf_dir)
-    tk = dedup.word_tokens(F.col("text"))
-    K, W = WIN_K, WIN_W
-    gram = (
-        f"transform(sequence(1, size(t) - {K - 1}),"
-        f" i -> conv(substr(md5(concat_ws(' ', slice(t, i, {K}))), 1, 10),"
-        f" 16, 10) :: long)"
-    )
-    hs = F.when(F.size(F.col("t")) >= K, F.expr(gram)).otherwise(
-        F.array().cast("array<long>")
-    )
-    base = docs.select("doc_id", tk.alias("t")).select(
-        "doc_id",
-        F.explode(F.array(F.struct(hs.alias("hs")))).alias("r"),
-    ).select("doc_id", F.col("r.hs").alias("hs"))
-    winsel = (
-        f"array_distinct(transform(sequence(1, size(hs) - {W - 1}),"
-        f" j -> array_min(slice(hs, j, {W})) * 1048576"
-        f" + j + array_position(slice(hs, j, {W}), array_min(slice(hs, j, {W}))) - 1))"
-    )
-    fps = F.when(F.size(F.col("hs")) >= W, F.expr(winsel)).otherwise(
-        F.expr("array()").cast("array<long>")
-    )
-    win = base.select(
-        "doc_id",
-        "hs",
-        F.explode(F.array(F.struct(fps.alias("fps")))).alias("r"),
-    ).select("doc_id", "hs", F.col("r.fps").alias("fps"))
+    W = WIN_W
+    win = _doc_winnow_fps(spark, sf_dir)
     return win.select(
         "doc_id",
-        F.size("hs").cast("long").alias("n_grams"),
-        F.greatest(F.size("hs") - (W - 1), F.lit(0)).cast("long").alias(
+        F.col("n_grams"),
+        F.greatest(F.col("n_grams") - (W - 1), F.lit(0)).cast("long").alias(
             "n_windows"
         ),
         F.size("fps").cast("long").alias("n_fp"),
         F.when(
-            F.size("hs") >= W,
-            F.expr(f"size(fps) * 1000000 div (size(hs) - {W - 1})"),
+            F.col("n_grams") >= W,
+            F.expr(f"size(fps) * 1000000 div (n_grams - {W - 1})"),
         )
         .otherwise(F.lit(0))
         .cast("long")
@@ -3827,31 +3853,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the 40-bit h, count shared. One explode + two
     map-side-combined aggregates + one hash-keyed join at any corpus
     size."""
-    docs = load_table(spark, "documents", sf_dir)
-    tk = dedup.word_tokens(F.col("text"))
-    K, W = WIN_K, WIN_W
-    gram = (
-        f"transform(sequence(1, size(t) - {K - 1}),"
-        f" i -> conv(substr(md5(concat_ws(' ', slice(t, i, {K}))), 1, 10),"
-        f" 16, 10) :: long)"
-    )
-    hs = F.when(F.size(F.col("t")) >= K, F.expr(gram)).otherwise(
-        F.array().cast("array<long>")
-    )
-    base = docs.select("doc_id", tk.alias("t")).select(
-        "doc_id",
-        F.explode(F.array(F.struct(hs.alias("hs")))).alias("r"),
-    ).select("doc_id", F.col("r.hs").alias("hs"))
-    winsel = (
-        f"array_distinct(transform(sequence(1, size(hs) - {W - 1}),"
-        f" j -> array_min(slice(hs, j, {W})) * 1048576"
-        f" + j + array_position(slice(hs, j, {W}), array_min(slice(hs, j, {W}))) - 1))"
-    )
-    fps = F.when(F.size(F.col("hs")) >= W, F.expr(winsel)).otherwise(
-        F.expr("array()").cast("array<long>")
-    )
     fp = (
-        base.select("doc_id", F.explode(fps).alias("f"))
+        _doc_winnow_fps(spark, sf_dir)
+        .select("doc_id", F.explode("fps").alias("f"))
         .select("doc_id", F.expr("f div 1048576").alias("h"))
         .distinct()
     )

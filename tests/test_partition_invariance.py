@@ -44,6 +44,8 @@ INVARIANCE_QUERIES = [
     "vocab_hll_audit",  # register maxima + exact shift sums (order-proof)
     "pack_documents_ffd",  # collected-metadata serial FFD off the count scan
     "ann_pq_topk",  # integer Lloyd codebook + ADC literal-table search
+    "dedup_winnowing_pairs",  # packed window-min selection + fp-hash pair join
+    "hybrid_rank_fusion",  # two-arm ranks + integer RRF + full-join fusion
 ]
 
 
@@ -61,9 +63,13 @@ def _clear_shared_layers():
         _NGRAM_SHARE,
         _PCA_FIT_SHARE,
     )
-    from postgres_cdc_example_spark.queries.llmdata import _GRAM8_SHARE, _OCC_SHARE
+    from postgres_cdc_example_spark.queries.llmdata import (
+        _GRAM8_SHARE,
+        _OCC_SHARE,
+        _WINFP_SHARE,
+    )
 
-    for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE, _GRAM8_SHARE):
+    for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE, _GRAM8_SHARE, _WINFP_SHARE):
         for df in cache.values():
             try:
                 df.unpersist()
