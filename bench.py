@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "quality_classifier_apply",
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    "hll_merge_rollup",
+    "span_corruption_plan",
 ]
 
 

@@ -3876,3 +3876,276 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
     KW=WIN_K + WIN_W - 1, MIN=WIN_PAIR_MIN_SHARED, MAXDF=WIN_PAIR_MAX_DF
 )
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch rollup: hourly HLL registers -> daily estimates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_merge_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%H') AS hour,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    t AS (SELECT day, hour, h % {HLL_M} AS j, h // {HLL_M} AS w FROM h),
+    regs AS (
+      -- the oracle goes STRAIGHT to daily registers (recompute-from-scratch);
+      -- the engine folds hourly registers and merges by max — equality IS
+      -- the mergeability proof
+      SELECT day, j,
+             max(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS mj
+      FROM t GROUP BY day, j
+    ),
+    grid AS (SELECT DISTINCT day FROM h),
+    gs AS (SELECT unnest(generate_series(0, {HLL_M - 1})) AS j),
+    allr AS (
+      SELECT g.day, gs.j, COALESCE(r.mj, 0) AS mj
+      FROM grid g CROSS JOIN gs
+      LEFT JOIN regs r ON r.day = g.day AND r.j = gs.j
+    ),
+    s AS (
+      SELECT day,
+             sum(1::BIGINT << ({HLL_RHO_MAX} - mj)) AS S,
+             sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS V
+      FROM allr GROUP BY day
+    ),
+    e AS (
+      SELECT day, V,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0 / CAST(S AS DOUBLE) <= 640.0
+                       AND V > 0
+                  THEN ({_HLL_LC_DUCK})[CAST(V AS BIGINT)]
+                  ELSE CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0 / CAST(S AS DOUBLE)) AS BIGINT)
+                  END AS est
+      FROM s
+    ),
+    nh AS (SELECT day, CAST(count(DISTINCT hour) AS BIGINT) AS n_hours
+           FROM h GROUP BY day),
+    x AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 count(DISTINCT user_id) AS nde
+          FROM events GROUP BY 1)
+    SELECT x.day, nh.n_hours,
+           CAST(nde AS BIGINT) AS n_distinct_exact,
+           CAST(est AS BIGINT) AS hll_estimate,
+           (abs(CAST(est AS BIGINT) - nde) * 1000000) // nde AS err_micro
+    FROM x JOIN e ON e.day = x.day JOIN nh ON nh.day = x.day
+    """,
+)
+def hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the reason sketches run 100 TB dashboards:
+    the ENGINE builds per-(day, HOUR) HLL register tables and folds them
+    into daily registers by register-wise max (the sketch MERGE), while
+    the ORACLE computes daily registers straight from the events
+    (recompute-from-scratch); the driver's hash equality IS the proof that
+    max-merge ≡ direct build (max is associative/commutative over any
+    partitioning of the input — the property that lets a pipeline keep
+    {HLL_M}-register hourly state and answer daily/weekly/monthly
+    distinct-user questions WITHOUT rescanning events). Estimator
+    arithmetic is shared verbatim with ``vocab_hll_audit``: exact bigint
+    shift sums, one IEEE-deterministic double division, linear-counting
+    floors from the Python-precomputed literal table. The exact
+    count(DISTINCT) side exists because this is the audit; at scale only
+    the register tables run — 24×{HLL_M} ints per day, period."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        h.alias("h"),
+    ).select(
+        "day",
+        "hour",
+        (F.col("h") % HLL_M).alias("j"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    )
+    hourly = (
+        base.select("day", "hour", "j", rho.alias("rho"))
+        .groupBy("day", "hour", "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    daily = hourly.groupBy("day", "j").agg(F.max("mj").alias("mj"))
+    grid = (
+        base.select("day")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("j")))
+    )
+    allr = grid.join(daily, ["day", "j"], "left").select(
+        "day", "j", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    s = allr.groupBy("day").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_MAX} - mj AS INT))")
+        ).alias("S"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("V"),
+    )
+    raw = (
+        "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0"
+        " * 9007199254740992.0 / CAST(S AS DOUBLE)"
+    )
+    e = s.select(
+        "day",
+        F.expr(
+            f"CASE WHEN {raw} <= 640.0 AND V > 0"
+            f" THEN element_at({_HLL_LC_SPARK}, CAST(V AS INT))"
+            f" ELSE CAST(floor({raw}) AS BIGINT) END"
+        ).alias("est"),
+    )
+    nh = hourly.select("day", "hour").distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    x = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    x = x.groupBy("day").agg(F.countDistinct("user_id").alias("nde"))
+    return (
+        x.join(F.broadcast(e), "day")
+        .join(F.broadcast(nh), "day")
+        .select(
+            "day",
+            "n_hours",
+            F.col("nde").cast("long").alias("n_distinct_exact"),
+            F.col("est").cast("long").alias("hll_estimate"),
+            F.expr("abs(est - nde) * 1000000 div nde").alias("err_micro"),
+        )
+    )
+
+
+hll_merge_rollup.__doc__ = hll_merge_rollup.__doc__.format(HLL_M=HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# span-corruption planning (T5/UL2 denoising objective, deterministic)
+# ---------------------------------------------------------------------------
+
+SPAN_START_MOD = 14  # ~1/14 of positions seed a span (~18% masked after union)
+SPAN_LEN_BASE = 2  # span length in {2, 3, 4} tokens
+SPAN_LEN_MOD = 3
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, len(t) AS n,
+             list_transform(generate_series(1, len(t)),
+               i -> struct_pack(
+                 i := i,
+                 s := ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % {SPAN_START_MOD}
+                      = 0,
+                 l := {SPAN_LEN_BASE}
+                      + (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                         // {SPAN_START_MOD}) % {SPAN_LEN_MOD})) AS sp
+      FROM tk WHERE len(t) > 0
+    ),
+    mk AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, n),
+               j -> len(list_filter(sp[greatest(j - {SPAN_LEN_BASE + SPAN_LEN_MOD - 2}, 1):j],
+                        e -> e.s AND e.i + e.l - 1 >= j)) > 0) AS m
+      FROM st
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, n), j -> m[j]))
+                AS BIGINT) AS n_masked,
+           CAST(len(list_filter(generate_series(1, n),
+                j -> m[j] AND (j = 1 OR NOT m[j - 1])))
+                AS BIGINT) AS n_spans,
+           len(list_filter(generate_series(1, n), j -> m[j]))
+             * 1000000 // n AS mask_ratio_micro,
+           CAST(coalesce(list_sum(list_transform(
+                  list_filter(generate_series(1, n), j -> m[j]),
+                  j -> j * 1000003)), 0) AS BIGINT) AS mask_checksum
+    FROM mk
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption plan — the data-side half of a
+    T5/UL2-style denoising objective: ~1/{MOD} of token positions seed a
+    corruption span of {B}–{BL} tokens (seed and length both pure
+    functions of md5(doc_id:pos), so the plan is REPRODUCIBLE across
+    engines, runs, and partitionings — no RNG state to checkpoint),
+    overlapping spans union, and each doc reports masked-token count,
+    maximal-span count, the micro mask ratio, and a position checksum
+    that pins the exact masked set byte-for-byte. Everything is per-row
+    array arithmetic over a bounded lookback window ({BL} positions —
+    O(n·{BL}) per doc, never O(n²)): zero shuffles, zero joins, the same
+    plan class as the winnowing selection. At 100 TB the mask GENERATION
+    is this scan; the rewrite into sentinel-token sequences streams off
+    the same arrays."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = dedup.word_tokens(F.col("text"))
+    L = SPAN_LEN_BASE + SPAN_LEN_MOD - 1  # max span length
+    hsql = (
+        "conv(substr(md5(concat(cast(doc_id as string), ':',"
+        " cast(i as string))), 1, 8), 16, 10) :: long"
+    )
+    st = (
+        f"transform(sequence(1, size(t)), i -> struct(i as i,"
+        f" {hsql} % {SPAN_START_MOD} = 0 as s,"
+        f" {SPAN_LEN_BASE} + ({hsql} div {SPAN_START_MOD}) % {SPAN_LEN_MOD} as l))"
+    )
+    base = (
+        docs.select("doc_id", tk.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n"),
+            F.explode(F.array(F.struct(F.expr(st).alias("st")))).alias("r"),
+        )
+        .select("doc_id", "n", F.col("r.st").alias("st"))
+    )
+    mk = (
+        f"transform(sequence(1, cast(n as int)),"
+        f" j -> size(filter(slice(st, greatest(j - {L - 1}, 1),"
+        f" j - greatest(j - {L - 1}, 1) + 1),"
+        f" e -> e.s AND e.i + e.l - 1 >= j)) > 0)"
+    )
+    masked = base.select(
+        "doc_id",
+        "n",
+        F.explode(F.array(F.struct(F.expr(mk).alias("m")))).alias("r"),
+    ).select("doc_id", "n", F.col("r.m").alias("m"))
+    n_masked = F.expr(
+        "size(filter(sequence(1, cast(n as int)), j -> element_at(m, j)))"
+    ).cast("long")
+    n_spans = F.expr(
+        "size(filter(sequence(1, cast(n as int)),"
+        " j -> element_at(m, j) AND (j = 1 OR NOT element_at(m, j - 1))))"
+    ).cast("long")
+    checksum = F.expr(
+        "aggregate(filter(sequence(1, cast(n as int)), j -> element_at(m, j)),"
+        " CAST(0 AS BIGINT), (acc, j) -> acc + j * 1000003)"
+    )
+    return masked.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        F.expr(
+            "size(filter(sequence(1, cast(n as int)), j -> element_at(m, j)))"
+            " * 1000000 div n"
+        ).alias("mask_ratio_micro"),
+        checksum.alias("mask_checksum"),
+    )
+
+
+span_corruption_plan.__doc__ = span_corruption_plan.__doc__.format(
+    MOD=SPAN_START_MOD, B=SPAN_LEN_BASE, BL=SPAN_LEN_BASE + SPAN_LEN_MOD - 1
+)

@@ -889,3 +889,97 @@ def quota_gate_stream(docs: DataFrame, budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming HLL reach (mergeable-sketch state per day) ----------------------
+
+HLL_STREAM_OUTPUT_SCHEMA = (
+    "day string, v_empty long, hll_estimate long"
+)
+HLL_STREAM_STATE_SCHEMA = "regs array<long>"
+
+
+def _hll_estimate_from_regs(regs: list[int]) -> tuple[int, int]:
+    """(V, estimate) from a register vector — the IDENTICAL arithmetic the
+    batch ``hll_merge_rollup`` runs JVM-side: exact bigint shift sum, one
+    IEEE double division (Python floats ARE IEEE doubles — bit-identical
+    +,*,/), linear-counting floors from the shared literal table."""
+    from postgres_cdc_example_spark.queries.llmdata import (
+        _HLL_LC_FLOOR,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    S = sum(1 << (HLL_RHO_MAX - mj) for mj in regs)
+    V = sum(1 for mj in regs if mj == 0)
+    raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 / float(S)
+    if raw <= 640.0 and V > 0:
+        return V, _HLL_LC_FLOOR[V - 1]
+    import math
+
+    return V, int(math.floor(raw))
+
+
+def _hll_group(key, pdfs, state: GroupState):
+    """Fold a batch of (j, rho) rows into the day's 256-register maxima.
+    max is commutative+associative+idempotent, so any batch slicing or
+    arrival order (and even replayed duplicates) yields the same register
+    vector — the mergeable-sketch property the stream==batch test pins.
+    Emits the UPDATED day snapshot each batch (monitoring-style)."""
+    from postgres_cdc_example_spark.queries.llmdata import HLL_M
+
+    (day,) = key
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    batch = pd.concat(list(pdfs))
+    for j, rho in zip(batch["j"], batch["rho"]):
+        j = int(j)
+        if int(rho) > regs[j]:
+            regs[j] = int(rho)
+    state.update((regs,))
+    v, est = _hll_estimate_from_regs(regs)
+    yield pd.DataFrame(
+        {"day": [day], "v_empty": [v], "hll_estimate": [est]}
+    )
+
+
+def hll_reach_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``hll_merge_rollup``: per-day distinct
+    users tracked at ingest as a 256-register HLL — the mergeable sketch
+    AS keyed state. Hashing/register/rank computations run JVM-side as
+    codegen projections BEFORE the stateful stage (the Arrow hop carries
+    two small ints per event); state is {M} longs per day, PERIOD — the
+    bounded footprint that answers "distinct users today so far" on a
+    100 TB event stream where exact distinct would hold every user id.
+    Register max is commutative, associative and idempotent, so the
+    snapshot after any prefix of batches equals the batch query over the
+    events ingested so far, under any batching, even with replayed
+    duplicates — restart-safe by construction.
+
+    Contract (pinned in tests/test_stateful_streaming.py): the final
+    emitted estimate per day over a replayed corpus, across a restart,
+    equals ``hll_merge_rollup``'s hll_estimate column exactly."""
+    from postgres_cdc_example_spark.queries.llmdata import HLL_M, HLL_RHO_MAX
+
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    prepped = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), h.alias("h")
+    ).select(
+        "day",
+        (F.col("h") % HLL_M).cast("int").alias("j"),
+        F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"h div {HLL_M}"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    return prepped.groupBy("day").applyInPandasWithState(
+        _hll_group,
+        outputStructType=HLL_STREAM_OUTPUT_SCHEMA,
+        stateStructType=HLL_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+hll_reach_stream.__doc__ = hll_reach_stream.__doc__.format(M=256)

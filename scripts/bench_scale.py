@@ -64,6 +64,16 @@ QUERIES = [
     "ann_ivfpq_topk",
     "boilerplate_segment_removal",
     "ann_truncated_recall_audit",
+    # round-6 families (documents/embeddings-based; the symlinked tables'
+    # queries would measure nothing here)
+    "tfidf_cosine_pairs",
+    "hybrid_rank_fusion",
+    "hybrid_recall_audit",
+    "pii_redaction_audit",
+    "boilerplate_incremental",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "quality_classifier_apply",
 ]
 
 
@@ -164,6 +174,9 @@ def main() -> None:
         from postgres_cdc_example_spark.queries.extensions import _trained_pq
 
         _trained_pq(spark, sf_dir)
+        from postgres_cdc_example_spark.queries.llmdata import _doc_winnow_fps
+
+        _doc_winnow_fps(spark, sf_dir).count()
         layer = time.perf_counter() - t0
         results[("_layer_build", tag)] = layer
         print(f"# layer build {tag}: {layer:.1f}s", file=sys.stderr)

@@ -450,6 +450,7 @@ _BNLJ_ALLOWED = {
     "embedding_covariance",  # 1-row vector-count broadcast into 2080 cells
     "quality_classifier_train",  # 1-row weight/gradient broadcasts per GD step
     "vocab_hll_audit",  # bounded sources x 256-register grid + 1-row estimate
+    "hll_merge_rollup",  # bounded days x 256-register grid + per-day estimate broadcast
     "basket_part_pairs",  # 1-row order-count broadcast into the pair table
     "event_type_pagerank",  # 1-row node-count broadcast per iteration
     "covariance_incremental",  # two 1-row count sides merged then broadcast
@@ -714,6 +715,16 @@ def test_winnowing_is_zero_shuffle_array_arithmetic(spark, sf_dir):
     """Winnowing fingerprint selection must stay per-row array arithmetic:
     no Exchange, no joins, no Python eval — one scan at any corpus size."""
     df = q.queries()["doc_winnowing_fingerprints"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_exchange(df), plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_corruption_is_zero_shuffle_bounded_lookback(spark, sf_dir):
+    """Mask planning must stay one scan of per-row array arithmetic with
+    the bounded lookback window: no Exchange, no joins, no Python eval."""
+    df = q.queries()["span_corruption_plan"](spark, sf_dir)
     plan = explain_str(df)
     assert not has_exchange(df), plan
     assert "Join" not in plan and "CartesianProduct" not in plan

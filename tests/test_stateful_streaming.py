@@ -703,3 +703,56 @@ def test_funnel_stream_flags_out_of_order_events(spark, sf_dir, tmp_path):
     assert all(r.user_id not in users_run1 for r in fresh), (
         "a flagged event advanced a funnel"
     )
+
+
+def test_hll_reach_stream_matches_batch_rollup(spark, sf_dir, tmp_path):
+    """The mergeable-sketch contract: replay the event log in two
+    micro-batches with a restart between — each day's FINAL emitted HLL
+    estimate must equal the batch hll_merge_rollup column exactly
+    (register max is order/batching/duplicate-proof), and the mid-stream
+    snapshot after batch 1 must equal a Python-recomputed sketch over
+    just the first half (prefix property)."""
+    import hashlib
+
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.llmdata import HLL_M, HLL_RHO_MAX
+    from postgres_cdc_example_spark.streaming.stateful import (
+        _hll_estimate_from_regs,
+        hll_reach_stream,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(hll_reach_stream(stream), ckpt, emitted)
+    first = {r.day: r.hll_estimate for r in emitted}
+
+    def py_sketch(rows):
+        regs: dict = {}
+        for day, uid in rows:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+            j, w = h % HLL_M, h // HLL_M
+            rho = HLL_RHO_MAX if w == 0 else HLL_RHO_MAX - w.bit_length()
+            r = regs.setdefault(day, [0] * HLL_M)
+            if rho > r[j]:
+                r[j] = rho
+        return {d: _hll_estimate_from_regs(r)[1] for d, r in regs.items()}
+
+    half1 = [
+        (r.ts.strftime("%Y-%m-%d"), r.user_id)
+        for r in ev.filter(F.col("ts") < SPLIT_TS).collect()
+    ]
+    assert first == py_sketch(half1), "prefix property must hold after batch 1"
+
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    _drain(hll_reach_stream(stream), ckpt, emitted)
+    final: dict = {}
+    for r in emitted:  # later emissions overwrite: keep each day's last
+        final[r.day] = r.hll_estimate
+    batch = {
+        r.day: r.hll_estimate
+        for r in REGISTRY["hll_merge_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert final == batch, "final stream snapshot must equal the batch rollup"
