@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "dedup_winnowing_pairs",
     "hll_merge_rollup",
     "span_corruption_plan",
+    "dedup_prefix_filter_pairs",
+    "prefix_filter_volume_stats",
 ]
 
 

@@ -451,6 +451,7 @@ _BNLJ_ALLOWED = {
     "quality_classifier_train",  # 1-row weight/gradient broadcasts per GD step
     "vocab_hll_audit",  # bounded sources x 256-register grid + 1-row estimate
     "hll_merge_rollup",  # bounded days x 256-register grid + per-day estimate broadcast
+    "prefix_filter_volume_stats",  # two 1-row volume aggregates merged via broadcast
     "basket_part_pairs",  # 1-row order-count broadcast into the pair table
     "event_type_pagerank",  # 1-row node-count broadcast per iteration
     "covariance_incremental",  # two 1-row count sides merged then broadcast
