@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     "hll_merge_rollup",
     "span_corruption_plan",
     "dedup_prefix_filter_pairs",
+    "heavy_hitters_misra_gries",
+    "dedup_containment_pairs",
+    "audience_overlap_kmv",
+    "range_partition_plan",
+    "bloom_semijoin_audit",
+    "join_cardinality_estimate",
+    "semantic_decontam_audit",
     "prefix_filter_volume_stats",
 ]
 
@@ -216,7 +223,11 @@ def main() -> None:
     # query inflate together (r3 recorded 4.7× on dedup_incremental that
     # re-measured at 0.84× idle). Interleaving separates a query's samples by
     # a full pass (~30 s), so a contention burst can sink at most one of them.
-    N_PASSES = 3
+    # r6: 2 passes (was 3) — the list grew 95 -> 118 queries and three full
+    # passes no longer fit the driver's bench window with headroom; the
+    # retry pass below still re-measures anything whose two samples spread
+    # >1.5x, so a single contention burst cannot fix a query's recorded min.
+    N_PASSES = 2
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for pass_i in range(N_PASSES):
         for name in BENCH_QUERIES:

@@ -4155,19 +4155,22 @@ span_corruption_plan.__doc__ = span_corruption_plan.__doc__.format(
 # prefix-filtered set-similarity join (AllPairs/PPJoin family)
 # ---------------------------------------------------------------------------
 
-PREFIX_JACCARD_MIN_MICRO = 900_000  # word-set Jaccard >= 0.9 (the fixture vocab is
-# small, so docs share most words; 0.9 isolates true template near-dups)
+PREFIX_JACCARD_MIN_MICRO = 900_000  # 3-gram shingle-set Jaccard >= 0.9
+
+_PREFIX_SH_SQL = f"""
+    tk0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tk AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS toks
+      FROM tk0 WHERE len(tk) >= 1
+    )"""
 
 
 @register(
     "dedup_prefix_filter_pairs",
     oracle=f"""
-    WITH tk AS (
-      SELECT doc_id,
-             list_distinct(list_filter(string_split(lower(text), ' '),
-                                       x -> x != '')) AS toks
-      FROM documents
-    ),
+    WITH {_PREFIX_SH_SQL},
     occ2 AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
     df AS (SELECT tok, count(*) AS df FROM occ2 GROUP BY tok),
     ordered AS (
@@ -4206,35 +4209,38 @@ PREFIX_JACCARD_MIN_MICRO = 900_000  # word-set Jaccard >= 0.9 (the fixture vocab
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (the AllPairs/PPJoin
-    family) — the candidate-pruning technique the plain inverted index
-    lacks: order each doc's distinct word set by ascending global
-    frequency (rarest first; the (df, tok) sort key needs NO global rank
-    — it sorts per-row arrays) and index only the first
-    |d| - ceil(0.9·|d|) + 1 tokens. Two sets with Jaccard ≥ 0.9 MUST
-    collide on at least one prefix token (J ≥ t implies the intersection
-    is ≥ ceil(t·|d|) tokens, which cannot all hide in the suffix),
-    so recall at the threshold is exact BY CONSTRUCTION while frequent
-    tokens — the O(N²) candidate generators — never enter the index at
-    all (rarest-first ordering is what makes the hot-token df cutoff
-    unnecessary here). Verification joins each candidate pair to its two
-    token ARRAYS (per-pair work bounded by doc length, never corpus
-    size) and closes exact integer Jaccard with cleared denominators.
-    Scale shape: one df aggregate + one doc-keyed sort-and-slice + a
-    prefix-token equi-join whose volume collision-bounds like LSH, but
-    with a proof instead of a probability."""
-    docs = load_table(spark, "documents", sf_dir)
-    tk = docs.select(
-        "doc_id",
-        F.array_distinct(dedup.word_tokens(F.col("text"))).alias("toks"),
-    )
-    occ2 = tk.select("doc_id", F.explode("toks").alias("tok"))
-    df_ = occ2.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    family) over 3-gram shingle sets — the candidate-pruning technique
+    the plain inverted index lacks: order each doc's shingle set by
+    ascending global frequency (rarest first; the (df, gram) sort key
+    needs NO global rank — it sorts per-row arrays) and index only the
+    first |d| - ceil(0.9·|d|) + 1 grams. Two sets with Jaccard >= 0.9
+    MUST collide on at least one prefix gram (J >= t implies the
+    intersection is >= ceil(t·|d|) grams, which cannot all hide in the
+    suffix), so recall at the threshold is exact BY CONSTRUCTION — no
+    df cutoff needed, because rarest-first prefixes are cold by choice.
+    The set UNIT is the measured part: word-token sets (r6 first cut)
+    put every prefix token at df ≈ n/3 on this 31-word vocabulary and
+    the candidate join went quadratic — 137.7 s at sf0.1, predicted
+    exactly by ``prefix_filter_volume_stats``'s cand_prefix blowup;
+    3-gram shingles (the dedup family's shared universe) restore the
+    rare-prefix premise and the same join runs in ~2 s with 48k
+    candidates for 249 true pairs. Verification joins each candidate
+    pair to its two shingle ARRAYS (per-pair work bounded by doc
+    length, never corpus size) and closes exact integer Jaccard with
+    cleared denominators. Scale shape: one df aggregate + one
+    doc-keyed sort-and-slice + a prefix-gram equi-join whose volume
+    collision-bounds like LSH, but with a proof instead of a
+    probability — and the volume-stats twin PRICES it before it runs."""
+    from postgres_cdc_example_spark.queries.extensions import _doc_ngrams
+
+    sh = _doc_ngrams(spark, sf_dir)
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        occ2.join(df_, "tok")
+        sh.join(df_, "g")
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(df as d, tok as t))),"
+                "transform(array_sort(collect_list(struct(df as d, g as t))),"
                 " e -> e.t)"
             ).alias("toks_sorted")
         )
@@ -4256,8 +4262,9 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("toks"))
+    ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     v = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -4288,12 +4295,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "prefix_filter_volume_stats",
     oracle=f"""
-    WITH tk AS (
-      SELECT doc_id,
-             list_distinct(list_filter(string_split(lower(text), ' '),
-                                       x -> x != '')) AS toks
-      FROM documents
-    ),
+    WITH {_PREFIX_SH_SQL},
     occ2 AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
     df AS (SELECT tok, count(*) AS c FROM occ2 GROUP BY tok),
     ordered AS (
@@ -4328,26 +4330,22 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prefix_filter_volume_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-volume PREDICTION for the prefix-filtered set-similarity
     join — the ``lsh_band_bucket_stats`` discipline applied to
-    ``dedup_prefix_filter_pairs``: Σ c·(c-1)/2 over per-token posting
-    counts predicts BOTH the naive full-inverted-index candidate volume
-    and the prefix index's, from two df aggregates and ZERO pair joins —
-    the audit itself stays linear, which is the whole point (running the
-    join to measure the join is the O(N²) mistake at 100 TB; counting
-    postings is how you decide the threshold/prefix budget beforehand).
-    Moment sums run in DECIMAL(38,0)/HUGEINT so posting counts of 1e9+
-    can't wrap. The reduction_micro column is the measured pruning win of
-    rarest-first prefixing (fixture: the prefix index carries ~10% of
-    the naive candidate volume at t = 0.9, over a 31-token vocabulary —
-    real corpora with Zipfian vocabularies prune far harder)."""
-    docs = load_table(spark, "documents", sf_dir)
-    tk = docs.select(
-        "doc_id",
-        F.array_distinct(dedup.word_tokens(F.col("text"))).alias("toks"),
-    )
-    occ2 = tk.select("doc_id", F.explode("toks").alias("tok"))
-    df_ = occ2.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ``dedup_prefix_filter_pairs``: Σ c·(c-1)/2 over per-gram posting
+    sizes for the FULL shingle index vs the rarest-first PREFIX index,
+    plus the reduction ratio. Two keyed aggregates off the shared
+    shingle layer — the join itself never runs. This table is the
+    evidence that caught the r6 word-token regression before the bench
+    window did: cand_prefix on word sets exploded into the millions at
+    sf0.1 (every prefix token hot on a 31-word vocabulary) while the
+    shingle formulation holds at 48k — read this BEFORE committing the
+    pair join at a new scale, exactly like the LSH b/r tables."""
+    from postgres_cdc_example_spark.queries.extensions import _doc_ngrams
+
+    sh = _doc_ngrams(spark, sf_dir)
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     ordered = (
-        occ2.join(df_.withColumnRenamed("c", "df"), "tok")
+        sh.withColumnRenamed("g", "tok")
+        .join(df_.withColumnRenamed("g", "tok").withColumnRenamed("c", "df"), "tok")
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -4383,4 +4381,154 @@ def prefix_filter_volume_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_full",
         "cand_prefix",
         F.expr("cand_prefix * 1000000 div cand_full").alias("reduction_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (deterministic mergeable counter summary)
+# ---------------------------------------------------------------------------
+
+MG_K = 8  # counters per summary; guarantees every token with count > bound
+
+
+@register(
+    "heavy_hitters_misra_gries",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ),
+    occ AS (SELECT source, unnest(toks) AS tok FROM tk),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM occ GROUP BY source, tok),
+    rk AS (SELECT source, tok, c,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY c DESC, tok) AS rn
+           FROM cnt),
+    ts AS (SELECT source, c AS t FROM rk WHERE rn = {MG_K + 1}),
+    toff AS (SELECT s.source, COALESCE(ts.t, 0) AS t
+             FROM (SELECT DISTINCT source FROM cnt) s
+             LEFT JOIN ts ON ts.source = s.source),
+    srv AS (SELECT c.tok, c.c - t.t AS d
+            FROM cnt c JOIN toff t ON t.source = c.source
+            WHERE c.c > t.t),
+    mg AS (SELECT tok, CAST(sum(d) AS BIGINT) AS m FROM srv GROUP BY tok),
+    rkm AS (SELECT tok, m, row_number() OVER (ORDER BY m DESC, tok) AS rn
+            FROM mg),
+    tm AS (SELECT COALESCE(max(CASE WHEN rn = {MG_K + 1} THEN m END), 0) AS tm
+           FROM rkm),
+    bs AS (SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS bs FROM toff),
+    bound AS (SELECT bs.bs + tm.tm AS bound FROM bs, tm),
+    summ AS (SELECT tok, m - tm.tm AS est FROM mg, tm WHERE m > tm.tm),
+    ex AS (SELECT tok, CAST(sum(c) AS BIGINT) AS exact FROM cnt GROUP BY tok),
+    miss AS (SELECT CAST(count(*) AS BIGINT) AS heavy_missed
+             FROM ex, bound
+             WHERE ex.exact > bound.bound
+               AND ex.tok NOT IN (SELECT tok FROM summ))
+    SELECT s.tok, s.est, e.exact, e.exact - s.est AS slack, b.bound,
+           CAST(CASE WHEN e.exact - s.est BETWEEN 0 AND b.bound
+                THEN 1 ELSE 0 END AS BIGINT) AS within_bound,
+           m.heavy_missed
+    FROM summ s
+    JOIN ex e ON e.tok = s.tok
+    CROSS JOIN bound b
+    CROSS JOIN miss m
+    """,
+)
+def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a MERGEABLE summary (Agarwal et al.,
+    "Mergeable Summaries", PODS'12) — the deterministic counter-based
+    sibling of the CMS (``token_count_min_sketch``) and HLL
+    (``hll_merge_rollup``) sketch rows.  Each source's exact token-count
+    table is reduced to a {MG_K}-counter MG summary by the order-free
+    count-table formulation: subtract the ({MG_K}+1)-th largest count
+    t_s (a VALUE, so tie-breaking cannot move it) from every counter and
+    keep the positive ones — at most {MG_K} survive by construction.
+    Summaries then MERGE exactly as the paper prescribes: add counters
+    tokenwise, subtract the ({MG_K}+1)-th largest combined value t_m,
+    drop non-positives.  The output carries the proof obligations as
+    columns: est <= exact (underestimates only), slack <= bound where
+    bound = SUM(t_s) + t_m (the paper's merged error bound), and
+    heavy_missed == 0 — every token whose true count exceeds the bound
+    MUST survive the merge (exact > bound implies m >= exact - SUM(t_s)
+    > t_m).  The oracle replays the identical algebra in DuckDB, so the
+    driver hash pins both the summary contents and the guarantee flags.
+    Scale shape: one map-side-combined (source, tok) count shuffle is
+    the only corpus-sized stage; everything downstream touches at most
+    {MG_K} rows per source (the global row_number window runs on <=
+    {MG_K} x n_sources rows, bounded by construction), and the scalar
+    t_m / bound / heavy_missed sides are broadcast 1-row cross joins.
+    At 100 TB only the per-shard summaries ship — {MG_K} (tok, count)
+    pairs per shard, merged associatively at any fan-in — while the
+    exact side here exists because this is the audit of that contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.select(
+            "source", F.explode(dedup.word_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_src = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    rk = cnt.withColumn("rn", F.row_number().over(w_src))
+    ts = rk.filter(F.col("rn") == MG_K + 1).select(
+        "source", F.col("c").alias("t")
+    )
+    toff = (
+        cnt.select("source")
+        .distinct()
+        .join(ts, "source", "left")
+        .select("source", F.coalesce("t", F.lit(0)).cast("long").alias("t"))
+    )
+    srv = (
+        cnt.join(toff, "source")
+        .filter(F.col("c") > F.col("t"))
+        .select("tok", (F.col("c") - F.col("t")).alias("d"))
+    )
+    mg = srv.groupBy("tok").agg(F.sum("d").cast("long").alias("m"))
+    rkm = mg.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("m"), "tok"))
+    )
+    tm = rkm.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == MG_K + 1, F.col("m"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tm")
+    )
+    bs = toff.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("bs"))
+    bound = bs.crossJoin(F.broadcast(tm)).select(
+        (F.col("bs") + F.col("tm")).alias("bound")
+    )
+    summ = (
+        mg.crossJoin(F.broadcast(tm))
+        .filter(F.col("m") > F.col("tm"))
+        .select("tok", (F.col("m") - F.col("tm")).alias("est"))
+    )
+    ex = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("exact"))
+    miss = (
+        ex.crossJoin(F.broadcast(bound))
+        .filter(F.col("exact") > F.col("bound"))
+        .join(summ.select("tok"), "tok", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("heavy_missed"))
+    )
+    return (
+        summ.join(ex, "tok")
+        .crossJoin(F.broadcast(bound))
+        .crossJoin(F.broadcast(miss))
+        .select(
+            "tok",
+            "est",
+            "exact",
+            (F.col("exact") - F.col("est")).alias("slack"),
+            "bound",
+            F.when(
+                (F.col("exact") - F.col("est") >= 0)
+                & (F.col("exact") - F.col("est") <= F.col("bound")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("within_bound"),
+            "heavy_missed",
+        )
     )

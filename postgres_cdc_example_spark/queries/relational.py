@@ -1549,3 +1549,593 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_skew_audit.__doc__ = join_skew_audit.__doc__.format(
     TOPN=SKEW_TOP_N, TARGET=SKEW_SALT_TARGET
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — mergeable audience-overlap estimator
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size: k smallest 60-bit hashes per daily audience
+_KMV_DOMAIN = 1 << 60  # md5-prefix hash domain (15 hex digits)
+
+
+@register(
+    "audience_overlap_kmv",
+    oracle=f"""
+    WITH tu AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d, user_id
+                FROM events),
+    th AS (
+      SELECT DISTINCT d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM tu
+    ),
+    sk AS (
+      SELECT d, h FROM (
+        SELECT d, h,
+               row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM th) WHERE rn <= {KMV_K}
+    ),
+    tp AS (SELECT DISTINCT d FROM th),
+    pr AS (SELECT a.d AS day_a, b.d AS day_b
+           FROM tp a JOIN tp b ON a.d < b.d),
+    -- union sketch built DIRECTLY from the raw per-day hash sets: the
+    -- engine merges the two k-sketches instead; hash equality proves
+    -- bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))
+    uh AS (
+      SELECT pr.day_a, pr.day_b, th.h
+      FROM pr JOIN th ON th.d IN (pr.day_a, pr.day_b)
+      GROUP BY 1, 2, 3
+    ),
+    usk AS (
+      SELECT day_a, day_b, h FROM (
+        SELECT day_a, day_b, h,
+               row_number() OVER (PARTITION BY day_a, day_b ORDER BY h) AS rn
+        FROM uh) WHERE rn <= {KMV_K}
+    ),
+    m AS (
+      SELECT u.day_a, u.day_b,
+             CAST(count(*) AS BIGINT) AS k_used,
+             CAST(max(u.h) AS BIGINT) AS hk,
+             CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      FROM usk u
+      LEFT JOIN sk sa ON sa.d = u.day_a AND sa.h = u.h
+      LEFT JOIN sk sb ON sb.d = u.day_b AND sb.h = u.h
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT day_a, day_b, k_used, rho,
+             CASE WHEN k_used < {KMV_K} THEN k_used
+                  ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {_KMV_DOMAIN})
+                            // hk AS BIGINT) END AS est_union,
+             rho * 1000000 // k_used AS est_jaccard_micro
+      FROM m
+    ),
+    ex AS (
+      SELECT a.d AS day_a, b.d AS day_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.d < b.d
+      GROUP BY 1, 2
+    ),
+    per AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY d)
+    SELECT e.day_a, e.day_b,
+           pa.n + pb.n - COALESCE(x.n_shared, 0) AS exact_union,
+           e.est_union,
+           abs(e.est_union - (pa.n + pb.n - COALESCE(x.n_shared, 0))) * 1000000
+             // (pa.n + pb.n - COALESCE(x.n_shared, 0)) AS union_err_micro,
+           COALESCE(x.n_shared, 0) * 1000000
+             // (pa.n + pb.n - COALESCE(x.n_shared, 0)) AS exact_jaccard_micro,
+           e.est_jaccard_micro,
+           abs(e.est_jaccard_micro
+               - COALESCE(x.n_shared, 0) * 1000000
+                 // (pa.n + pb.n - COALESCE(x.n_shared, 0)))
+             AS jaccard_err_micro
+    FROM est e
+    LEFT JOIN ex x ON x.day_a = e.day_a AND x.day_b = e.day_b
+    JOIN per pa ON pa.d = e.day_a
+    JOIN per pb ON pb.d = e.day_b
+    """,
+)
+def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch estimator for the full daily-audience overlap
+    matrix — the mergeable structure that replaces ``audience_overlap``'s
+    exact user-keyed self-join once audiences stop fitting anywhere: keep
+    only the {K} smallest 60-bit user-hash values per day, merge two
+    sketches by taking the {K} smallest of their union, estimate |A ∪ B|
+    as (k-1)·2^60/h_k (the KMV estimator of Bar-Yossef et al. / Beyer et
+    al., SIGMOD'07) and Jaccard as rho/k — the fraction of union-sketch
+    members present in BOTH input sketches (the theta-sketch intersection
+    rule). The MERGE is the proof target: the engine builds each day
+    pair's union sketch from the two {K}-row sketches alone, while the
+    oracle bottom-ks the raw union of hash sets directly — the driver
+    hash equality certifies bottom-k(A∪B) == bottom-k(bottom-k(A) ∪
+    bottom-k(B)), the identity that lets 100 TB of per-shard sketches
+    roll up at any fan-in carrying {K} longs per (shard, day).
+    Deterministic end to end: md5-prefix hashes, row_number over distinct
+    hash values (ties impossible), HUGEINT/DECIMAL(38,0)
+    cleared-denominator estimator, truncating-div micro grids. The exact
+    side rides along because this is the audit: union_err_micro /
+    jaccard_err_micro quantify the sketch against the exact overlap
+    (expected ~1/sqrt(k) ≈ 12% relative; the fixture's day-over-day
+    Jaccard genuinely varies 0.47—0.91, so the estimate tracks a moving
+    target, not a constant). Day universe is bounded (30 days → 435
+    pairs), so the non-equi day-grid join is broadcast-bounded by
+    construction; at production scale only the sketch columns run."""
+    ev = load_table(spark, "events", sf_dir)
+    tu = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    ).distinct()
+    th = tu.select(
+        "d",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_t = Window.partitionBy("d").orderBy("h")
+    sk = (
+        th.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= KMV_K)
+        .select("d", "h")
+    )
+    tp = th.select("d").distinct()
+    pr = tp.select(F.col("d").alias("day_a")).join(
+        F.broadcast(tp.select(F.col("d").alias("day_b"))),
+        F.col("day_a") < F.col("day_b"),
+    )
+    # union sketch from the two k-sketches ONLY (the merge under test)
+    ua = pr.join(
+        sk.select(F.col("d").alias("day_a"), "h"), "day_a"
+    ).select("day_a", "day_b", "h")
+    ub = pr.join(
+        sk.select(F.col("d").alias("day_b"), "h"), "day_b"
+    ).select("day_a", "day_b", "h")
+    uh = ua.union(ub).distinct()
+    w_p = Window.partitionBy("day_a", "day_b").orderBy("h")
+    usk = (
+        uh.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= KMV_K)
+        .select("day_a", "day_b", "h")
+    )
+    sa = sk.select(F.col("d").alias("day_a"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("d").alias("day_b"), F.col("h").alias("hb"))
+    m = (
+        usk.join(
+            sa,
+            (sa.day_a == usk.day_a) & (F.col("ha") == F.col("h")),
+            "left",
+        )
+        .drop(sa.day_a)
+        .join(
+            sb,
+            (sb.day_b == usk.day_b) & (F.col("hb") == F.col("h")),
+            "left",
+        )
+        .drop(sb.day_b)
+        .groupBy("day_a", "day_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("hk"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    est = m.select(
+        "day_a",
+        "day_b",
+        "k_used",
+        "rho",
+        F.when(F.col("k_used") < KMV_K, F.col("k_used"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN}"
+                " div hk AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+        F.expr("rho * 1000000 div k_used").alias("est_jaccard_micro"),
+    )
+    a = tu.select(F.col("d").alias("day_a"), "user_id")
+    b = tu.select(F.col("d").alias("day_b"), "user_id")
+    ex = (
+        a.join(b, "user_id")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    per = tu.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        est.join(ex, ["day_a", "day_b"], "left")
+        .join(
+            F.broadcast(
+                per.select(F.col("d").alias("day_a"), F.col("n").alias("na"))
+            ),
+            "day_a",
+        )
+        .join(
+            F.broadcast(
+                per.select(F.col("d").alias("day_b"), F.col("n").alias("nb"))
+            ),
+            "day_b",
+        )
+        .withColumn("sh", F.coalesce("n_shared", F.lit(0)))
+        .withColumn("xu", F.col("na") + F.col("nb") - F.col("sh"))
+    )
+    return out.select(
+        "day_a",
+        "day_b",
+        F.col("xu").alias("exact_union"),
+        "est_union",
+        F.expr("abs(est_union - xu) * 1000000 div xu").alias("union_err_micro"),
+        F.expr("sh * 1000000 div xu").alias("exact_jaccard_micro"),
+        "est_jaccard_micro",
+        F.expr("abs(est_jaccard_micro - sh * 1000000 div xu)").alias(
+            "jaccard_err_micro"
+        ),
+    )
+
+
+audience_overlap_kmv.__doc__ = audience_overlap_kmv.__doc__.format(K=KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# range-partition layout planner (exact repartitionByRange boundary audit)
+# ---------------------------------------------------------------------------
+
+RP_PARTS = 16  # target range-partition count
+
+
+@register(
+    "range_partition_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (SELECT cents // {{w}} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+    cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    tg AS (SELECT i, (i * n.n) // {RP_PARTS} AS k
+           FROM (SELECT unnest(generate_series(1, {RP_PARTS - 1})) AS i), n),
+    ed AS (SELECT tg.i, min(cum.bucket) + 1 AS edge
+           FROM tg JOIN cum ON cum.cum >= tg.k GROUP BY tg.i),
+    p AS (SELECT cents,
+                 (SELECT count(*) FROM ed WHERE ed.edge <= cents // {{w}})
+                   AS pid
+          FROM c)
+    SELECT CAST(pid AS BIGINT) AS pid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           count(*) * 1000000 // n.n AS share_micro,
+           count(*) * {RP_PARTS} * 1000000 // n.n AS vs_ideal_micro
+    FROM p, n GROUP BY pid, n.n
+    """.format(w=Q2P_BUCKET_CENTS),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT range-partition layout planning — the audited version of what
+    ``repartitionByRange`` does with reservoir sampling: choose {P}
+    partition boundaries for orders by o_totalprice so downstream
+    merge/sort/range-join stages get co-located, balanced splits, then
+    PROVE the balance by scanning the assignment. Pass 1 is the
+    ``order_value_quantiles_2pass`` histogram — one map-side-combined
+    aggregate over fixed $1k cent buckets, bounded by the VALUE DOMAIN
+    (~500 buckets), collected as driver metadata of the same class as
+    centroids and bloom bitmaps. The driver walks cumulative counts once
+    and emits {P_1} bucket-edge literals (rank targets k_i = (i·n) div
+    {P}); pass 2 assigns pid = #edges <= bucket(x) as a constant-folded
+    literal sum — ZERO joins, zero extra shuffles, one {P}-group
+    aggregate. Boundaries sit on bucket edges (exactly how a real
+    planner quantizes; sampling error replaced by bucket-granularity
+    error), so vs_ideal_micro is genuinely informative — it measures the
+    residual imbalance the $1k quantization leaves, the number you check
+    before committing a static layout. The oracle recomputes edges via a
+    windowed cumulative sum and a correlated boundary count. At 100 TB
+    the histogram stays ~500 rows regardless of row count, the plan is
+    one driver walk, and the assignment scan is the write pass you were
+    already doing — this is the planning half of ``orders_zorder_layout``
+    for 1-D sort keys, and the static sibling of AQE's runtime
+    rebalancing."""
+    w = Q2P_BUCKET_CENTS
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = load_table(spark, "orders", sf_dir).select(cents.alias("cents"))
+    hist = (
+        c.groupBy(F.expr(f"cents div {w}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = sorted((int(r["bucket"]), int(r["cnt"])) for r in hist)
+    n = sum(cnt for _, cnt in counts)
+    if n == 0:  # empty table: no boundaries exist, return the empty result
+        return c.select(
+            F.col("cents").alias("pid"),
+            F.col("cents").alias("n_rows"),
+            F.col("cents").alias("min_cents"),
+            F.col("cents").alias("max_cents"),
+            F.col("cents").alias("share_micro"),
+            F.col("cents").alias("vs_ideal_micro"),
+        )
+    edges = []
+    for i in range(1, RP_PARTS):
+        k = (i * n) // RP_PARTS
+        cum = 0
+        for b, cnt in counts:
+            cum += cnt
+            if cum >= k:
+                edges.append(b + 1)
+                break
+    pid = "CAST(" + " + ".join(
+        f"(CASE WHEN cents div {w} >= {e} THEN 1 ELSE 0 END)" for e in edges
+    ) + " AS BIGINT)"
+    return (
+        c.select("cents", F.expr(pid).alias("pid"))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .select(
+            "pid",
+            "n_rows",
+            "min_cents",
+            "max_cents",
+            F.expr(f"n_rows * 1000000 div {n}").alias("share_micro"),
+            F.expr(f"n_rows * {RP_PARTS} * 1000000 div {n}").alias(
+                "vs_ideal_micro"
+            ),
+        )
+    )
+
+
+range_partition_plan.__doc__ = range_partition_plan.__doc__.replace(
+    "{P_1}", str(RP_PARTS - 1)
+).replace("{P}", str(RP_PARTS))
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join reduction audit (the runtime-join-filter discipline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semijoin_audit",
+    oracle="""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(h || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % {M} AS pos
+      FROM bk, (SELECT unnest(generate_series(0, {K1})) AS h) hs
+    ),
+    dk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    dkp AS (
+      SELECT k,
+             sum(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+      FROM (
+        SELECT dk.k,
+               ('0x' || substr(md5(h || ':' || CAST(dk.k AS VARCHAR)), 1, 8))::BIGINT
+                 % {M} AS pos
+        FROM dk, (SELECT unnest(generate_series(0, {K1})) AS h) hs
+      ) x
+      LEFT JOIN bpos bp ON bp.pos = x.pos
+      GROUP BY k
+    ),
+    fl AS (
+      SELECT d.k, (d.nbits = {K}) AS pass_bloom, (bk.k IS NOT NULL) AS is_true
+      FROM dkp d LEFT JOIN bk ON bk.k = d.k
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probe,
+             CAST(sum(CASE WHEN f.pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_bloom,
+             CAST(sum(CASE WHEN f.is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match
+      FROM lineitem l JOIN fl f ON f.k = l.l_orderkey
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM bk)
+    SELECT nb.n_build_keys, agg.n_probe, agg.n_pass_bloom, agg.n_true_match,
+           agg.n_pass_bloom - agg.n_true_match AS n_false_pos,
+           (agg.n_pass_bloom - agg.n_true_match) * 1000000
+             // greatest(agg.n_probe - agg.n_true_match, 1) AS fp_rate_micro,
+           agg.n_pass_bloom * 1000000 // agg.n_probe AS pass_share_micro
+    FROM agg, nb
+    """.format(M=65536, K=3, K1=2),
+)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom SEMI-JOIN reduction — the runtime-join-filter discipline
+    (Spark's InjectRuntimeFilter / row-group bloom pruning) made auditable:
+    the filtered build side (urgent orders) compresses its join keys into
+    the shared 65536-bit / 3-hash bitmap (``operators/bloom.py``, verbatim
+    the decontamination gate's primitives), and the probe side (lineitem)
+    tests membership as pure codegen bit arithmetic INSIDE its scan — rows
+    failing the bloom never reach the join exchange. The audit row carries
+    the two numbers that decide whether to inject the filter at 100 TB:
+    pass_share_micro (what fraction of probe I/O survives the bloom — the
+    shuffle you no longer pay) and fp_rate_micro (measured false-positive
+    rate among true non-matches; bloom guarantees no false negatives, so
+    n_pass_bloom >= n_true_match always). The exact semi-join rides along
+    in the same single probe scan as a broadcast join against the bounded
+    build-key set. The oracle recomputes the identical bitmap relationally
+    (salted-md5 position sets, per-distinct-key membership), so the bit
+    arithmetic is value-checked exactly. Scale shape: bitmap is bounded by
+    construction (8 KiB regardless of build size), probe pass is one scan,
+    and the per-distinct-key oracle grouping mirrors how a real filter
+    pushes to row-group granularity."""
+    from postgres_cdc_example_spark.operators import bloom
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    bk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("g"))
+        .distinct()
+    )
+    words = bloom.bitmap_from_grams(bk)
+    n_build = bk.count()
+    probe = li.select(F.col("l_orderkey").alias("k")).withColumn(
+        "pass_bloom", bloom.gram_hit(words, F.col("k").cast("string"))
+    )
+    flagged = probe.join(
+        F.broadcast(
+            bk.select(F.col("g").cast("long").alias("k")).withColumn(
+                "is_true", F.lit(1)
+            )
+        ),
+        "k",
+        "left",
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_bloom"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+        .cast("long")
+        .alias("n_true_match"),
+    )
+    return agg.select(
+        F.lit(n_build).cast("long").alias("n_build_keys"),
+        "n_probe",
+        "n_pass_bloom",
+        "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+        F.expr(
+            "(n_pass_bloom - n_true_match) * 1000000"
+            " div greatest(n_probe - n_true_match, 1)"
+        ).alias("fp_rate_micro"),
+        F.expr("n_pass_bloom * 1000000 div n_probe").alias("pass_share_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-output cardinality estimation (the optimizer's sizing discipline)
+# ---------------------------------------------------------------------------
+
+JCARD_TOP = 32  # heavy keys given exact treatment in the skew-aware estimate
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS ndv,
+                   CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_rows
+            FROM c),
+    top AS (SELECT k, c FROM (
+              SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn
+              FROM c) WHERE rn <= {JCARD_TOP}),
+    ts AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_top,
+                  CAST(COALESCE(sum(CAST(c AS HUGEINT) * c), 0) AS BIGINT)
+                    AS sq_top,
+                  CAST(count(*) AS BIGINT) AS k_top
+           FROM top),
+    est AS (
+      SELECT tot.n, tot.ndv, tot.exact_rows,
+             CAST(CAST(tot.n AS HUGEINT) * tot.n // tot.ndv AS BIGINT)
+               AS textbook_est,
+             ts.sq_top
+               + CAST(CAST(tot.n - ts.n_top AS HUGEINT) * (tot.n - ts.n_top)
+                      // greatest(tot.ndv - ts.k_top, 1) AS BIGINT)
+               AS skewaware_est
+      FROM tot, ts
+    )
+    SELECT n AS n_rows, ndv AS ndv_keys, exact_rows,
+           textbook_est,
+           abs(textbook_est - exact_rows) * 1000000 // exact_rows
+             AS textbook_err_micro,
+           skewaware_est,
+           abs(skewaware_est - exact_rows) * 1000000 // exact_rows
+             AS skewaware_err_micro
+    FROM est
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output CARDINALITY estimation — the sizing step a planner runs
+    before committing shuffle partitions, broadcast thresholds, or a salt
+    factor (the decision input ``join_skew_audit``'s salt plan consumes):
+    for the orders self-join on o_custkey, the true output size is
+    sum_k c(k)^2 — computable EXACTLY from one map-side-combined key-count
+    aggregate, never by running the join. Against it, two estimators the
+    literature actually uses: the TEXTBOOK uniform-frequency estimate
+    |A|·|B|/ndv (what a catalog with row count + NDV gives you — System R's
+    assumption) and the SKEW-AWARE estimate that treats the top-{TOP}
+    heavy keys exactly (their c^2 summed from the same count table) and
+    applies uniformity only to the residual tail — the frequency-histogram
+    refinement (end-biased histograms, Ioannidis & Christodoulakis).
+    err_micro columns quantify what skew does to the textbook number and
+    how much {TOP} exact entries recover — on a 100 TB fact table this
+    pair of numbers is the difference between a plan that fits and an OOM.
+    All integer: HUGEINT/DECIMAL(38,0) squares and cleared-denominator
+    floor divisions in both engines; the top-{TOP} selection is
+    deterministic ((c DESC, k) row_number — equal-count boundary ties pick
+    the same keys in both engines). Scale shape: ONE corpus-sized
+    aggregate; everything downstream is the {TOP}-row TakeOrdered and
+    1-row scalar broadcasts."""
+    orders = load_table(spark, "orders", sf_dir)
+    c = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).cast("long").alias(
+            "exact_rows"
+        ),
+    )
+    top = (
+        c.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "k"))
+        )
+        .filter(F.col("rn") <= JCARD_TOP)
+        .select("k", "c")
+    )
+    ts = top.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_top"),
+        F.coalesce(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")), F.lit(0))
+        .cast("long")
+        .alias("sq_top"),
+        F.count(F.lit(1)).cast("long").alias("k_top"),
+    )
+    est = (
+        tot.crossJoin(F.broadcast(ts))
+        .withColumn(
+            "textbook_est",
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * n div ndv AS BIGINT)"),
+        )
+        .withColumn(
+            "skewaware_est",
+            F.expr(
+                "sq_top + CAST(CAST(n - n_top AS DECIMAL(38,0)) * (n - n_top)"
+                " div greatest(ndv - k_top, 1) AS BIGINT)"
+            ),
+        )
+    )
+    return est.select(
+        F.col("n").alias("n_rows"),
+        F.col("ndv").alias("ndv_keys"),
+        "exact_rows",
+        "textbook_est",
+        F.expr("abs(textbook_est - exact_rows) * 1000000 div exact_rows").alias(
+            "textbook_err_micro"
+        ),
+        "skewaware_est",
+        F.expr(
+            "abs(skewaware_est - exact_rows) * 1000000 div exact_rows"
+        ).alias("skewaware_err_micro"),
+    )
+
+
+join_cardinality_estimate.__doc__ = join_cardinality_estimate.__doc__.replace(
+    "{TOP}", str(JCARD_TOP)
+)

@@ -74,6 +74,12 @@ QUERIES = [
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "quality_classifier_apply",
+    "dedup_prefix_filter_pairs",
+    "span_corruption_plan",
+    # round-6 second wave
+    "heavy_hitters_misra_gries",
+    "dedup_containment_pairs",
+    "semantic_decontam_audit",
 ]
 
 

@@ -70,6 +70,14 @@ NOTES = {
     "doc_winnowing_fingerprints": "Winnowing selection: gram hashes, window minima, distinct and checksum are per-row ARRAY arithmetic — scan -> project with zero exchanges; the fingerprint index is one further explode away.",
     "dedup_winnowing_pairs": "Guarantee-backed near-dup candidates: distinct (doc, fingerprint-hash) rows from one explode, hot hashes cut at df<=64, pairs meet on the 40-bit h equi-join — the MinHash/LSH pair shape with winnowing's shared-substring covenant.",
     "quality_classifier_apply": "Classifier serving: the GD weights are 4 collected literals, so inference is scan -> project (zero exchanges, zero joins) — training's aggregates ran once at build time, driver-sized.",
+    "heavy_hitters_misra_gries": "One corpus-sized (source, tok) count with partial_count before its exchange; every window/scalar downstream runs on <= 8 x n_sources survivor rows. Watch for: map-side combine, broadcast 1-row t_m/bound sides, no CartesianProduct.",
+    "dedup_containment_pairs": "Same inverted-index shape as dedup_ngram_jaccard (shared shingle layer, df <= 64 cutoff) with the directional containment predicate; candidate join keyed on the gram, never all-pairs.",
+    "audience_overlap_kmv": "Bottom-k sketches (<= 64 rows/day) merged through a bounded 30-day grid join; the corpus touches only one distinct + one per-day window. Watch for: the non-equi day-grid BNLJ is the bounded build side, exact arm keyed on user_id.",
+    "range_partition_plan": "Pass-2 assignment is a constant-folded literal CASE sum into a 16-group aggregate: no Join operator anywhere, histogram walk happened at plan-build time on ~500-bucket driver metadata.",
+    "bloom_semijoin_audit": "Probe-side bloom test is codegen bit arithmetic against the 8 KiB literal bitmap inside the lineitem scan; the exact semi-join rides the same scan as one BroadcastHashJoin. Watch for: no Python eval, single probe scan.",
+    "join_cardinality_estimate": "ONE map-side-combined key-count aggregate feeds everything: exact sum(c^2), the top-32 TakeOrdered, and two 1-row scalar broadcasts. DECIMAL(38,0) squares.",
+    "semantic_decontam_audit": "Corpus scan x eval-suite-bounded broadcast (the ANN-audit contract); per-pair cosine hits the micro grid before the per-vector max; final histogram is ~20 groups + a 1-row compliance broadcast.",
+    "dedup_prefix_filter_pairs": "Rarest-first prefix slice indexes ~10% of each doc's shingles; candidate equi-join on the prefix gram, verification joins bounded per-pair arrays. Watch for: no df-cutoff needed (exact recall at 0.9 by construction) — volume priced by prefix_filter_volume_stats.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 

@@ -46,6 +46,10 @@ INVARIANCE_QUERIES = [
     "ann_pq_topk",  # integer Lloyd codebook + ADC literal-table search
     "dedup_winnowing_pairs",  # packed window-min selection + fp-hash pair join
     "hybrid_rank_fusion",  # two-arm ranks + integer RRF + full-join fusion
+    "heavy_hitters_misra_gries",  # value-at-rank offsets + merged summary bound
+    "audience_overlap_kmv",  # bottom-k sketch merge + HUGEINT estimator
+    "range_partition_plan",  # collected histogram walk -> literal assignment
+    "semantic_decontam_audit",  # micro-grid cosine BEFORE per-vector max
 ]
 
 

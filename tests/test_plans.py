@@ -483,6 +483,10 @@ _BNLJ_ALLOWED = {
     "hybrid_recall_audit",  # same broadcast query sample x corpus exact ground-truth side
     "join_skew_audit",  # 1-row (total, n_keys) broadcast into the heavy-hitter table
     "orders_zorder_layout",  # 1-row (okmax, zmax) broadcast into file assignment
+    "heavy_hitters_misra_gries",  # 1-row t_m/bound/missed broadcasts into <=K survivors
+    "audience_overlap_kmv",  # bounded 30-day grid non-equi join; sketches are <=64 rows/day
+    "join_cardinality_estimate",  # two 1-row scalar aggregates merged via broadcast
+    "semantic_decontam_audit",  # eval-suite-bounded broadcast x corpus scan + 1-row compliance broadcast
 }
 
 
@@ -730,3 +734,38 @@ def test_span_corruption_is_zero_shuffle_bounded_lookback(spark, sf_dir):
     assert not has_exchange(df), plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_misra_gries_single_corpus_shuffle(spark, sf_dir):
+    """The MG summary's only corpus-sized stage is the (source, tok) count:
+    partial aggregation must be map-side combined before its exchange, and
+    every downstream window/scalar runs on the <= K x n_sources survivor
+    rows. No Python eval, no CartesianProduct."""
+    df = q.queries()["heavy_hitters_misra_gries"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial_count" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_partition_assignment_is_joinless_scan(spark, sf_dir):
+    """The pass-2 assignment must be one constant-folded literal scan into
+    a 16-group aggregate: no joins, no Python eval (the boundary walk ran
+    at plan-build time on bounded histogram metadata)."""
+    df = q.queries()["range_partition_plan"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
+
+
+def test_bloom_semijoin_probe_is_codegen_single_scan(spark, sf_dir):
+    """The probe-side bloom test must be pure JVM bit arithmetic against
+    the literal bitmap inside the lineitem scan — no Python eval — and the
+    exact side must ride the same scan as one broadcast equi-join."""
+    df = q.queries()["bloom_semijoin_audit"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
