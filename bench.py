@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "bloom_semijoin_audit",
     "join_cardinality_estimate",
     "semantic_decontam_audit",
+    "contrastive_negatives_plan",
     "prefix_filter_volume_stats",
 ]
 

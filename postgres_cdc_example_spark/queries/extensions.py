@@ -4352,3 +4352,130 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 semantic_decontam_audit.__doc__ = semantic_decontam_audit.__doc__.replace(
     "{TAU}", str(SEM_TAU_MICRO)
 )
+
+
+# ---------------------------------------------------------------------------
+# contrastive negative sampling (deterministic, near-dup-aware)
+# ---------------------------------------------------------------------------
+
+NEG_POOL = 64  # candidate pool: docs with the 64 smallest md5(doc_id) hashes
+NEG_K = 4  # negatives emitted per anchor
+
+
+_CNP_ORACLE = f"""
+    WITH pool AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 doc_id) AS rn
+        FROM documents) WHERE rn <= {NEG_POOL}
+    ),
+    mh AS ({{mh}}),
+    nbr AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM mh
+    ),
+    sc AS (
+      SELECT d.doc_id AS anchor, p.doc_id AS neg_id,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT AS pick_hash
+      FROM documents d, pool p
+      WHERE p.doc_id != d.doc_id
+        AND NOT EXISTS (SELECT 1 FROM nbr
+                        WHERE nbr.a = d.doc_id AND nbr.b = p.doc_id)
+    ),
+    rk AS (
+      SELECT anchor, neg_id, pick_hash,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY pick_hash, neg_id) AS neg_rank
+      FROM sc
+    )
+    SELECT anchor, CAST(neg_rank AS BIGINT) AS neg_rank, neg_id, pick_hash
+    FROM rk WHERE neg_rank <= {NEG_K}
+    """
+
+
+@register(
+    "contrastive_negatives_plan",
+    oracle=_CNP_ORACLE.replace("{mh}", _minhash_oracle()),
+)
+def contrastive_negatives_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training pairs —
+    the step after dedup in an embedding-training pipeline: every anchor
+    document draws {K} negatives from a fixed {POOL}-document candidate
+    pool (the {POOL} smallest md5(doc_id) values — a deterministic
+    hash-reservoir, so the pool is identical across engines, runs and
+    partitionings), ranked by the pair hash md5(anchor:candidate) — i.e.
+    "random" negatives that are pure functions of ids, replayable forever
+    (the `sample_hash_10pct` discipline applied to PAIR selection). The
+    part a naive sampler gets wrong is baked in: a candidate that is a
+    NEAR-DUPLICATE of its anchor (verified MinHash/LSH pair universe,
+    both directions) is excluded — a false negative in the contrastive
+    loss pushes apart what training should pull together. Scale shape:
+    the pool ids are bounded driver metadata ({POOL} longs, collected off
+    a TakeOrdered); scoring is one corpus scan against the {POOL}-row
+    broadcast (no self-join — the pool side is constant), the near-dup
+    exclusion is one keyed join against the (small) verified pair table,
+    and the per-anchor ranking window orders at most {POOL} rows per
+    anchor. The oracle replays pool selection, exclusion, and ranking
+    relationally; pick_hash rides along so the driver hash pins the
+    actual selection values, not just the ids."""
+    docs = load_table(spark, "documents", sf_dir)
+    pool = (
+        docs.select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(NEG_POOL)
+        .select(F.col("doc_id").alias("neg_id"))
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingles=_doc_ngrams(spark, sf_dir), bands=_doc_bands(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    nbr = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("neg_id")
+    ).union(
+        pairs.select(F.col("doc_b").alias("anchor"), F.col("doc_a").alias("neg_id"))
+    )
+    sc = (
+        docs.select(F.col("doc_id").alias("anchor"))
+        .join(F.broadcast(pool), F.col("neg_id") != F.col("anchor"))
+        .join(nbr, ["anchor", "neg_id"], "left_anti")
+        .select(
+            "anchor",
+            "neg_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor").cast("string"),
+                            F.lit(":"),
+                            F.col("neg_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("pick_hash"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy("pick_hash", "neg_id")
+    return (
+        sc.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("anchor", "neg_rank", "neg_id", "pick_hash")
+    )
+
+
+contrastive_negatives_plan.__doc__ = contrastive_negatives_plan.__doc__.replace(
+    "{K}", str(NEG_K)
+).replace("{POOL}", str(NEG_POOL))

@@ -78,6 +78,7 @@ NOTES = {
     "join_cardinality_estimate": "ONE map-side-combined key-count aggregate feeds everything: exact sum(c^2), the top-32 TakeOrdered, and two 1-row scalar broadcasts. DECIMAL(38,0) squares.",
     "semantic_decontam_audit": "Corpus scan x eval-suite-bounded broadcast (the ANN-audit contract); per-pair cosine hits the micro grid before the per-vector max; final histogram is ~20 groups + a 1-row compliance broadcast.",
     "dedup_prefix_filter_pairs": "Rarest-first prefix slice indexes ~10% of each doc's shingles; candidate equi-join on the prefix gram, verification joins bounded per-pair arrays. Watch for: no df-cutoff needed (exact recall at 0.9 by construction) — volume priced by prefix_filter_volume_stats.",
+    "contrastive_negatives_plan": "One corpus scan against the 64-row hash-reservoir pool broadcast (non-equi, bounded build side), one keyed anti-join against the verified near-dup pairs, one per-anchor window over <= 64 rows.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 

@@ -487,6 +487,7 @@ _BNLJ_ALLOWED = {
     "audience_overlap_kmv",  # bounded 30-day grid non-equi join; sketches are <=64 rows/day
     "join_cardinality_estimate",  # two 1-row scalar aggregates merged via broadcast
     "semantic_decontam_audit",  # eval-suite-bounded broadcast x corpus scan + 1-row compliance broadcast
+    "contrastive_negatives_plan",  # 64-row hash-reservoir pool broadcast x corpus, != condition
 }
 
 
