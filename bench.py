@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "semantic_decontam_audit",
     "contrastive_negatives_plan",
+    "dedup_sorted_neighborhood",
+    "quantile_histogram_rollup",
     "prefix_filter_volume_stats",
 ]
 

@@ -906,3 +906,171 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.n").cast("long").alias("n_users"),
         F.expr("t.n * 1000000 div greatest(t.prev, 1L)").alias("conv_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile-histogram rollup (bounded-error daily percentiles)
+# ---------------------------------------------------------------------------
+
+QHR_BUCKET_MILLI = 10_000  # histogram bucket width (10 value units, milli grid)
+
+
+@register(
+    "quantile_histogram_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%H') AS hour,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli, event_id
+      FROM events
+    ),
+    hourly AS (
+      SELECT day, hour, milli // {QHR_BUCKET_MILLI} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      SELECT day, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM hourly GROUP BY day, bucket
+    ),
+    nd AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n,
+                  (50 * sum(cnt) + 99) // 100 AS k50,
+                  (90 * sum(cnt) + 99) // 100 AS k90
+           FROM daily GROUP BY day),
+    cum AS (
+      SELECT d.day, d.bucket,
+             sum(d.cnt) OVER (PARTITION BY d.day ORDER BY d.bucket) AS cum
+      FROM daily d
+    ),
+    est AS (
+      SELECT c.day,
+             min(CASE WHEN c.cum >= nd.k50 THEN c.bucket END)
+               * {QHR_BUCKET_MILLI} AS p50_est_milli,
+             min(CASE WHEN c.cum >= nd.k90 THEN c.bucket END)
+               * {QHR_BUCKET_MILLI} AS p90_est_milli
+      FROM cum c JOIN nd ON nd.day = c.day
+      GROUP BY c.day
+    ),
+    rk AS (
+      SELECT day, milli,
+             row_number() OVER (PARTITION BY day ORDER BY milli, event_id) AS rn
+      FROM e
+    ),
+    ex AS (
+      SELECT r.day,
+             max(CASE WHEN r.rn = nd.k50 THEN r.milli END) AS p50_exact_milli,
+             max(CASE WHEN r.rn = nd.k90 THEN r.milli END) AS p90_exact_milli
+      FROM rk r JOIN nd ON nd.day = r.day
+      GROUP BY r.day
+    )
+    SELECT nd.day, nd.n,
+           est.p50_est_milli, ex.p50_exact_milli,
+           CAST(CASE WHEN ex.p50_exact_milli - est.p50_est_milli >= 0
+                      AND ex.p50_exact_milli - est.p50_est_milli
+                          < {QHR_BUCKET_MILLI}
+                THEN 1 ELSE 0 END AS BIGINT) AS p50_in_bucket,
+           est.p90_est_milli, ex.p90_exact_milli,
+           CAST(CASE WHEN ex.p90_exact_milli - est.p90_est_milli >= 0
+                      AND ex.p90_exact_milli - est.p90_est_milli
+                          < {QHR_BUCKET_MILLI}
+                THEN 1 ELSE 0 END AS BIGINT) AS p90_in_bucket
+    FROM nd JOIN est ON est.day = nd.day JOIN ex ON ex.day = nd.day
+    """,
+)
+def quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the percentile sibling of
+    ``hll_merge_rollup``: hourly fixed-width value histograms (the at-rest
+    sketch a metrics pipeline keeps per shard) merge into daily ones by
+    plain per-bucket ADDITION — the trivially-commutative merge that makes
+    the structure roll up at any fan-in — and each day's p50/p90 read off
+    the merged cumulative counts with error bounded BY CONSTRUCTION: the
+    estimate is the target rank's bucket lower edge, so
+    0 <= exact - est < bucket width, and the output PINS that obligation
+    per day/percentile (p50_in_bucket / p90_in_bucket, all 1, alongside
+    the exact rank values computed the expensive way). This is the
+    bounded-domain discipline of ``order_value_quantiles_2pass`` turned
+    into a persistent rollup structure: the histogram is sized by the
+    VALUE DOMAIN (~50 buckets at width {W} milli), never the row count,
+    so a 100 TB day still ships ~50 longs per (shard, hour) and the
+    daily/weekly/monthly quantile is one bucketwise sum + one ~50-row
+    cumulative walk — the exact side here exists because this is the
+    audit of that contract. All integer end to end (milli grid before
+    any aggregate; ceil via (q·n + 99) div 100)."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("milli"),
+        "event_id",
+    )
+    hourly = (
+        e.groupBy(
+            "day", "hour", F.expr(f"milli div {QHR_BUCKET_MILLI}").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    daily = hourly.groupBy("day", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    nd = daily.groupBy("day").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("(50 * sum(cnt) + 99) div 100").alias("k50"),
+        F.expr("(90 * sum(cnt) + 99) div 100").alias("k90"),
+    )
+    wc = Window.partitionBy("day").orderBy("bucket")
+    cum = daily.withColumn("cum", F.sum("cnt").over(wc))
+    est = (
+        cum.join(F.broadcast(nd), "day")
+        .groupBy("day")
+        .agg(
+            (
+                F.min(F.when(F.col("cum") >= F.col("k50"), F.col("bucket")))
+                * QHR_BUCKET_MILLI
+            ).alias("p50_est_milli"),
+            (
+                F.min(F.when(F.col("cum") >= F.col("k90"), F.col("bucket")))
+                * QHR_BUCKET_MILLI
+            ).alias("p90_est_milli"),
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("milli", "event_id")
+    rk = e.withColumn("rn", F.row_number().over(wr))
+    ex = (
+        rk.join(F.broadcast(nd), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("k50"), F.col("milli"))).alias(
+                "p50_exact_milli"
+            ),
+            F.max(F.when(F.col("rn") == F.col("k90"), F.col("milli"))).alias(
+                "p90_exact_milli"
+            ),
+        )
+    )
+    inb = lambda ex_c, es_c: (  # noqa: E731
+        F.when(
+            (F.col(ex_c) - F.col(es_c) >= 0)
+            & (F.col(ex_c) - F.col(es_c) < QHR_BUCKET_MILLI),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        nd.join(est, "day")
+        .join(ex, "day")
+        .select(
+            "day",
+            "n",
+            "p50_est_milli",
+            "p50_exact_milli",
+            inb("p50_exact_milli", "p50_est_milli").alias("p50_in_bucket"),
+            "p90_est_milli",
+            "p90_exact_milli",
+            inb("p90_exact_milli", "p90_est_milli").alias("p90_in_bucket"),
+        )
+    )
+
+
+quantile_histogram_rollup.__doc__ = quantile_histogram_rollup.__doc__.replace(
+    "{W}", str(QHR_BUCKET_MILLI)
+)

@@ -80,6 +80,8 @@ QUERIES = [
     "heavy_hitters_misra_gries",
     "dedup_containment_pairs",
     "semantic_decontam_audit",
+    "dedup_sorted_neighborhood",
+    "contrastive_negatives_plan",
 ]
 
 

@@ -79,6 +79,8 @@ NOTES = {
     "semantic_decontam_audit": "Corpus scan x eval-suite-bounded broadcast (the ANN-audit contract); per-pair cosine hits the micro grid before the per-vector max; final histogram is ~20 groups + a 1-row compliance broadcast.",
     "dedup_prefix_filter_pairs": "Rarest-first prefix slice indexes ~10% of each doc's shingles; candidate equi-join on the prefix gram, verification joins bounded per-pair arrays. Watch for: no df-cutoff needed (exact recall at 0.9 by construction) — volume priced by prefix_filter_volume_stats.",
     "contrastive_negatives_plan": "One corpus scan against the 64-row hash-reservoir pool broadcast (non-equi, bounded build side), one keyed anti-join against the verified near-dup pairs, one per-anchor window over <= 64 rows.",
+    "dedup_sorted_neighborhood": "Two-pass distributed rank (prefix-bucket row_number + broadcast offsets), 8-way rank-key explode + equi-join for neighbor pairs (no range join), bounded per-pair array verification off the shared shingle layer.",
+    "quantile_histogram_rollup": "Hourly histogram -> daily merge is two map-side-combined aggregates on (day, bucket); the cumulative walk windows over ~50 buckets per day; exact side is one per-day ranking window (the audit, not the product).",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 
