@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "contrastive_negatives_plan",
     "dedup_sorted_neighborhood",
     "quantile_histogram_rollup",
+    "dedup_graph_shape_audit",
     "prefix_filter_volume_stats",
 ]
 

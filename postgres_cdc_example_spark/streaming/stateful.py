@@ -983,3 +983,105 @@ def hll_reach_stream(events: DataFrame) -> DataFrame:
 
 
 hll_reach_stream.__doc__ = hll_reach_stream.__doc__.format(M=256)
+
+
+# --- streaming quantile-histogram rollup (bounded-error percentiles) ---------
+
+QH_STREAM_OUTPUT_SCHEMA = (
+    "day string, n long, p50_est_milli long, p90_est_milli long"
+)
+QH_STREAM_STATE_SCHEMA = "counts array<long>"
+QH_STREAM_BUCKETS = 64  # value domain [0, 640) units at width 10; fixture max 490
+
+
+def _qh_estimates(counts: list[int]) -> tuple[int, int, int]:
+    """(n, p50_est, p90_est) from a bucket-count vector — the identical
+    rank rule the batch ``quantile_histogram_rollup`` runs JVM-side:
+    k = ceil(q·n/100) via (q·n + 99) // 100, estimate = lower edge of the
+    first bucket whose cumulative count reaches k. All integer."""
+    from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
+
+    n = sum(counts)
+    out = []
+    for q in (50, 90):
+        k = (q * n + 99) // 100
+        cum = 0
+        est = 0
+        for b, c in enumerate(counts):
+            cum += c
+            if cum >= k:
+                est = b * QHR_BUCKET_MILLI
+                break
+        out.append(est)
+    return n, out[0], out[1]
+
+
+def _qh_group(key, pdfs, state: GroupState):
+    """Fold a batch of bucket ids into the day's count vector. Addition is
+    commutative and associative, so any batch slicing or arrival order
+    yields the same vector (NOT idempotent — counters need the file
+    source's exactly-once replay, same contract as running_totals_stream);
+    emits the updated day snapshot each batch (monitoring-style)."""
+    (day,) = key
+    counts = list(state.get[0]) if state.exists else [0] * QH_STREAM_BUCKETS
+    batch = pd.concat(list(pdfs))
+    for b in batch["bucket"]:
+        counts[int(b)] += 1
+    state.update((counts,))
+    n, p50, p90 = _qh_estimates(counts)
+    yield pd.DataFrame(
+        {
+            "day": [day],
+            "n": [n],
+            "p50_est_milli": [p50],
+            "p90_est_milli": [p90],
+        }
+    )
+
+
+def quantile_rollup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``quantile_histogram_rollup``: per-day
+    value histograms tracked at ingest as keyed state ({B} longs per day,
+    PERIOD — the bounded footprint that answers "today's p50/p90 so far"
+    on a stream where exact rank quantiles would hold every value). The
+    milli-grid and bucket id are computed JVM-side as codegen projections
+    BEFORE the stateful stage (the Arrow hop carries one small int per
+    event); bucket-count ADDITION is commutative and associative, so the
+    snapshot after any prefix of batches equals the batch query over the
+    events ingested so far under any batching/order — unlike the HLL
+    gate's max it is NOT idempotent, so the counter contract leans on the
+    checkpointed source's exactly-once replay (the same deal every
+    counting stream in this repo documents). Estimates inherit the batch
+    side's by-construction bound: 0 <= exact - est < bucket width.
+
+    Contract (pinned in tests/test_stateful_streaming.py): the final
+    emitted (n, p50, p90) per day over a replayed corpus, across a
+    restart, equals ``quantile_histogram_rollup``'s (n, p50_est_milli,
+    p90_est_milli) columns exactly; the mid-stream snapshot equals a
+    Python-recomputed histogram over just the first half."""
+    from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
+
+    prepped = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.least(
+            F.expr(
+                f"CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+                f" div {QHR_BUCKET_MILLI}"
+            ),
+            F.lit(QH_STREAM_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return prepped.groupBy("day").applyInPandasWithState(
+        _qh_group,
+        outputStructType=QH_STREAM_OUTPUT_SCHEMA,
+        stateStructType=QH_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+quantile_rollup_stream.__doc__ = quantile_rollup_stream.__doc__.replace(
+    "{B}", str(QH_STREAM_BUCKETS)
+)

@@ -82,6 +82,7 @@ QUERIES = [
     "semantic_decontam_audit",
     "dedup_sorted_neighborhood",
     "contrastive_negatives_plan",
+    "dedup_graph_shape_audit",
 ]
 
 

@@ -81,6 +81,7 @@ NOTES = {
     "contrastive_negatives_plan": "One corpus scan against the 64-row hash-reservoir pool broadcast (non-equi, bounded build side), one keyed anti-join against the verified near-dup pairs, one per-anchor window over <= 64 rows.",
     "dedup_sorted_neighborhood": "Two-pass distributed rank (prefix-bucket row_number + broadcast offsets), 8-way rank-key explode + equi-join for neighbor pairs (no range join), bounded per-pair array verification off the shared shingle layer.",
     "quantile_histogram_rollup": "Hourly histogram -> daily merge is two map-side-combined aggregates on (day, bucket); the cumulative walk windows over ~50 buckets per day; exact side is one per-day ranking window (the audit, not the product).",
+    "dedup_graph_shape_audit": "All six consumers (triangle arms, components, degrees, edges) read the ONE checkpointed verified-pair table; triangle counting is the ordered 3-way self-join on pair-table-sized inputs, never the corpus.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 

@@ -756,3 +756,58 @@ def test_hll_reach_stream_matches_batch_rollup(spark, sf_dir, tmp_path):
         for r in REGISTRY["hll_merge_rollup"].fn(spark, sf_dir).collect()
     }
     assert final == batch, "final stream snapshot must equal the batch rollup"
+
+
+def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The additive-histogram contract: replay the event log in two
+    micro-batches with a restart between — each day's FINAL emitted
+    (n, p50, p90) must equal the batch quantile_histogram_rollup's
+    (n, p50_est_milli, p90_est_milli) exactly (bucket addition is
+    order/batching-proof under exactly-once replay), and the mid-stream
+    snapshot after batch 1 must equal a Python-recomputed histogram over
+    just the first half (prefix property)."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
+    from postgres_cdc_example_spark.streaming.stateful import (
+        QH_STREAM_BUCKETS,
+        _qh_estimates,
+        quantile_rollup_stream,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(quantile_rollup_stream(stream), ckpt, emitted)
+    first = {r.day: (r.n, r.p50_est_milli, r.p90_est_milli) for r in emitted}
+
+    def py_hist(rows):
+        import math
+
+        days: dict = {}
+        for day, value in rows:
+            b = min(
+                int(math.floor(value * 1000 + 0.5)) // QHR_BUCKET_MILLI,
+                QH_STREAM_BUCKETS - 1,
+            )
+            days.setdefault(day, [0] * QH_STREAM_BUCKETS)[b] += 1
+        return {d: _qh_estimates(c) for d, c in days.items()}
+
+    half1 = [
+        (r.ts.strftime("%Y-%m-%d"), r.value)
+        for r in ev.filter(F.col("ts") < SPLIT_TS).collect()
+    ]
+    assert first == py_hist(half1), "prefix property must hold after batch 1"
+    assert first, "first half must emit at least one day"
+
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    _drain(quantile_rollup_stream(stream), ckpt, emitted)
+    final: dict = {}
+    for r in emitted:  # later emissions overwrite: keep each day's last
+        final[r.day] = (r.n, r.p50_est_milli, r.p90_est_milli)
+    batch = {
+        r.day: (r.n, r.p50_est_milli, r.p90_est_milli)
+        for r in REGISTRY["quantile_histogram_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert final == batch, "final stream snapshot must equal the batch rollup"
