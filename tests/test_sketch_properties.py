@@ -1,0 +1,112 @@
+"""Property tests for the round-6 sketch ALGEBRA (pure Python, no Spark).
+
+The oracle comparisons prove engine == DuckDB on the fixtures; these prove
+the algebraic guarantees the docstrings claim hold on ARBITRARY inputs —
+the part a fixed fixture can't: Misra-Gries's merged error bound and
+heavy-hitter completeness, KMV's merge == direct identity, and the
+histogram quantile's bucket-width error bound. Each mirror implementation
+follows the registered query's integer algebra exactly
+(queries/llmdata.heavy_hitters_misra_gries,
+queries/relational.audience_overlap_kmv,
+queries/windows.quantile_histogram_rollup)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgres_cdc_example_spark.queries.llmdata import MG_K
+from postgres_cdc_example_spark.queries.relational import KMV_K
+from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
+
+
+def _mg_reduce(counts: dict, k: int) -> tuple[dict, int]:
+    """Order-free MG on a count table: subtract the (k+1)-th largest count,
+    keep positives. Returns (summary, offset)."""
+    if len(counts) <= k:
+        return dict(counts), 0
+    t = sorted(counts.values(), reverse=True)[k]
+    return {x: c - t for x, c in counts.items() if c > t}, t
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(st.integers(0, 40), st.integers(1, 500)), max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_misra_gries_merge_bound_and_completeness(sources):
+    """For ANY per-source count tables: the merged summary underestimates,
+    the underestimate is within SUM(t_s) + t_m, and every item whose true
+    count exceeds that bound survives the merge."""
+    per_source = []
+    for src_rows in sources:
+        c = Counter()
+        for tok, n in src_rows:
+            c[tok] += n
+        per_source.append(c)
+
+    exact = Counter()
+    for c in per_source:
+        exact.update(c)
+
+    offsets = []
+    merged = Counter()
+    for c in per_source:
+        summ, t = _mg_reduce(c, MG_K)
+        offsets.append(t)
+        merged.update(summ)
+    final, t_m = _mg_reduce(merged, MG_K)
+    bound = sum(offsets) + t_m
+
+    assert len(final) <= MG_K
+    for tok, est in final.items():
+        assert 0 < est <= exact[tok], "MG must underestimate"
+        assert exact[tok] - est <= bound, "merged error bound must hold"
+    for tok, c in exact.items():
+        if c > bound:
+            assert tok in final, "a heavy hitter above the bound must survive"
+
+
+def _bottom_k(values, k):
+    return sorted(set(values))[:k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(st.integers(0, 10**6), max_size=300),
+    st.sets(st.integers(0, 10**6), max_size=300),
+)
+def test_kmv_merge_equals_direct(a, b):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) for ANY hash
+    sets — the identity the oracle pins on the fixture, universally."""
+    direct = _bottom_k(a | b, KMV_K)
+    merged = _bottom_k(set(_bottom_k(a, KMV_K)) | set(_bottom_k(b, KMV_K)), KMV_K)
+    assert direct == merged
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 639_999), min_size=1, max_size=400))
+def test_histogram_quantile_error_bounded_by_bucket_width(millis):
+    """The bucket-lower-edge estimate at rank ceil(q·n/100) is within one
+    bucket width below the exact rank value, for ANY value multiset and
+    both registered percentiles."""
+    hist = Counter(m // QHR_BUCKET_MILLI for m in millis)
+    ordered = sorted(millis)
+    n = len(millis)
+    for q in (50, 90):
+        k = (q * n + 99) // 100
+        cum = 0
+        est = None
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= k:
+                est = b * QHR_BUCKET_MILLI
+                break
+        exact = ordered[k - 1]
+        assert est is not None
+        assert 0 <= exact - est < QHR_BUCKET_MILLI
