@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "dedup_sorted_neighborhood",
     "quantile_histogram_rollup",
     "dedup_graph_shape_audit",
+    "cdc_gap_detection",
     "prefix_filter_volume_stats",
 ]
 

@@ -352,3 +352,115 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return j(d_o, b_c).unionByName(j(b_o, d_c)).unionByName(j(d_o, d_c))
+
+
+# ---------------------------------------------------------------------------
+# replication gap detection (monitoring for at-most-once consumption)
+# ---------------------------------------------------------------------------
+
+GAP_DROP_MOD = 97  # deterministic ~1% simulated delivery loss
+
+
+@register(
+    "cdc_gap_detection",
+    oracle=f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    dropped AS (
+      SELECT seq, id FROM ch
+      WHERE ('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 8))::BIGINT
+            % {GAP_DROP_MOD} = 0
+    ),
+    kept AS (
+      SELECT seq, id FROM ch
+      WHERE ('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 8))::BIGINT
+            % {GAP_DROP_MOD} != 0
+    ),
+    g AS (
+      SELECT id, seq,
+             (seq - lag(seq) OVER (PARTITION BY id ORDER BY seq)) // 120 - 1
+               AS interior
+      FROM kept
+    ),
+    per_key AS (
+      SELECT id,
+             CAST(COALESCE(sum(interior), 0) AS BIGINT)
+               + (min(seq) - id) // 120 AS missing,
+             CAST(greatest(COALESCE(max(interior), 0),
+                           (min(seq) - id) // 120) AS BIGINT) AS max_run
+      FROM g GROUP BY id
+    )
+    SELECT CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_injected_lost,
+           CAST(sum(missing) AS BIGINT) AS n_detected,
+           CAST(CAST((SELECT count(*) FROM dropped) AS BIGINT)
+                - sum(missing) AS BIGINT) AS n_tail_undetectable,
+           CAST(count(CASE WHEN missing > 0 THEN 1 END) AS BIGINT)
+             AS n_keys_affected,
+           CAST(max(max_run) AS BIGINT) AS max_gap_run
+    FROM per_key
+    """,
+)
+def cdc_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication GAP detection — the monitor that makes the reference's
+    at-most-once slot consumption operable (replicator/main.go consumes
+    the slot without replay; pubsub/main.go:128-209 polls counts but
+    cannot say WHICH rows vanished): treat per-key WAL sequence numbers
+    as an arithmetic stride and count the holes. The fixture's change
+    stream is gap-free by construction, so the query injects a
+    deterministic ~1/{MOD} delivery loss (hash-of-seq drop — identical in
+    both engines, the ``pii_redaction_audit`` test-vector pattern) and
+    then detects it WITHOUT knowing the injection: interior gaps via the
+    per-key lag stride, head losses via min(seq) vs the key's expected
+    first sequence. The output row is the monitoring contract: detected
+    == injected minus the provably-undetectable tail losses (a dropped
+    final event has no successor to expose it — the fundamental blind
+    spot of gap detection, surfaced as its own column instead of papered
+    over; closing it is exactly why real replicators heartbeat). Scale
+    shape: one keyed window over the change log (the compaction shuffle
+    it shares), a 120-key rollup, and two scalar sides."""
+    ch = _changes(spark, sf_dir).select("seq", "id")
+    h = F.conv(F.substring(F.md5(F.col("seq").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    flagged = ch.withColumn("is_drop", (h % GAP_DROP_MOD) == 0)
+    dropped = flagged.filter(F.col("is_drop")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_injected_lost")
+    )
+    kept = flagged.filter(~F.col("is_drop")).select("seq", "id")
+    g = kept.withColumn(
+        "interior", F.expr("(seq - lag(seq) OVER (PARTITION BY id ORDER BY seq)) div 120 - 1")
+    )
+    per_key = g.groupBy("id").agg(
+        (
+            F.coalesce(F.sum("interior"), F.lit(0))
+            + F.expr("(min(seq) - id) div 120")
+        )
+        .cast("long")
+        .alias("missing"),
+        F.greatest(
+            F.coalesce(F.max("interior"), F.lit(0)),
+            F.expr("(min(seq) - id) div 120"),
+        )
+        .cast("long")
+        .alias("max_run"),
+    )
+    agg = per_key.agg(
+        F.sum("missing").cast("long").alias("n_detected"),
+        F.count(F.when(F.col("missing") > 0, 1)).cast("long").alias(
+            "n_keys_affected"
+        ),
+        F.max("max_run").cast("long").alias("max_gap_run"),
+    )
+    return agg.crossJoin(F.broadcast(dropped)).select(
+        "n_injected_lost",
+        "n_detected",
+        (F.col("n_injected_lost") - F.col("n_detected")).alias(
+            "n_tail_undetectable"
+        ),
+        "n_keys_affected",
+        "max_gap_run",
+    )
+
+
+cdc_gap_detection.__doc__ = cdc_gap_detection.__doc__.replace(
+    "{MOD}", str(GAP_DROP_MOD)
+)

@@ -82,6 +82,7 @@ NOTES = {
     "dedup_sorted_neighborhood": "Two-pass distributed rank (prefix-bucket row_number + broadcast offsets), 8-way rank-key explode + equi-join for neighbor pairs (no range join), bounded per-pair array verification off the shared shingle layer.",
     "quantile_histogram_rollup": "Hourly histogram -> daily merge is two map-side-combined aggregates on (day, bucket); the cumulative walk windows over ~50 buckets per day; exact side is one per-day ranking window (the audit, not the product).",
     "dedup_graph_shape_audit": "All six consumers (triangle arms, components, degrees, edges) read the ONE checkpointed verified-pair table; triangle counting is the ordered 3-way self-join on pair-table-sized inputs, never the corpus.",
+    "cdc_gap_detection": "One keyed window over the change log (the compaction shuffle it shares), a 120-key rollup, and the 1-row injected-loss broadcast closing the summary.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 

@@ -488,6 +488,7 @@ _BNLJ_ALLOWED = {
     "join_cardinality_estimate",  # two 1-row scalar aggregates merged via broadcast
     "semantic_decontam_audit",  # eval-suite-bounded broadcast x corpus scan + 1-row compliance broadcast
     "contrastive_negatives_plan",  # 64-row hash-reservoir pool broadcast x corpus, != condition
+    "cdc_gap_detection",  # 1-row injected-loss scalar broadcast into the summary row
 }
 
 
