@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "quantile_histogram_rollup",
     "dedup_graph_shape_audit",
     "cdc_gap_detection",
+    "audience_churn_kmv",
     "prefix_filter_volume_stats",
 ]
 

@@ -2139,3 +2139,213 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_cardinality_estimate.__doc__ = join_cardinality_estimate.__doc__.replace(
     "{TOP}", str(JCARD_TOP)
 )
+
+
+@register(
+    "audience_churn_kmv",
+    oracle=f"""
+    WITH tu AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d, user_id
+                FROM events),
+    th AS (
+      SELECT DISTINCT d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM tu
+    ),
+    sk AS (
+      SELECT d, h FROM (
+        SELECT d, h,
+               row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM th) WHERE rn <= {KMV_K}
+    ),
+    tp AS (SELECT DISTINCT d FROM th),
+    pr AS (SELECT a.d AS day_a, b.d AS day_b
+           FROM tp a JOIN tp b
+             ON CAST(b.d AS DATE) = CAST(a.d AS DATE) + INTERVAL 1 DAY),
+    uh AS (
+      SELECT pr.day_a, pr.day_b, sk.h
+      FROM pr JOIN sk ON sk.d IN (pr.day_a, pr.day_b)
+      GROUP BY 1, 2, 3
+    ),
+    usk AS (
+      SELECT day_a, day_b, h FROM (
+        SELECT day_a, day_b, h,
+               row_number() OVER (PARTITION BY day_a, day_b ORDER BY h) AS rn
+        FROM uh) WHERE rn <= {KMV_K}
+    ),
+    m AS (
+      SELECT u.day_a, u.day_b,
+             CAST(count(*) AS BIGINT) AS k_used,
+             CAST(max(u.h) AS BIGINT) AS hk,
+             CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rho_lost,
+             CAST(sum(CASE WHEN sa.h IS NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rho_new
+      FROM usk u
+      LEFT JOIN sk sa ON sa.d = u.day_a AND sa.h = u.h
+      LEFT JOIN sk sb ON sb.d = u.day_b AND sb.h = u.h
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT day_a, day_b,
+             CASE WHEN k_used < {KMV_K} THEN k_used
+                  ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {_KMV_DOMAIN})
+                            // hk AS BIGINT) END AS est_union,
+             k_used, rho_lost, rho_new
+      FROM m
+    ),
+    ex AS (
+      SELECT a.d AS day_a, b.d AS day_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id
+       AND CAST(b.d AS DATE) = CAST(a.d AS DATE) + INTERVAL 1 DAY
+      GROUP BY 1, 2
+    ),
+    per AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY d)
+    SELECT e.day_a, e.day_b,
+           pa.n - COALESCE(x.n_shared, 0) AS exact_lost,
+           CAST(e.rho_lost * e.est_union // e.k_used AS BIGINT) AS est_lost,
+           abs(CAST(e.rho_lost * e.est_union // e.k_used AS BIGINT)
+               - (pa.n - COALESCE(x.n_shared, 0))) * 1000000
+             // greatest(pa.n - COALESCE(x.n_shared, 0), 1) AS lost_err_micro,
+           pb.n - COALESCE(x.n_shared, 0) AS exact_new,
+           CAST(e.rho_new * e.est_union // e.k_used AS BIGINT) AS est_new,
+           abs(CAST(e.rho_new * e.est_union // e.k_used AS BIGINT)
+               - (pb.n - COALESCE(x.n_shared, 0))) * 1000000
+             // greatest(pb.n - COALESCE(x.n_shared, 0), 1) AS new_err_micro
+    FROM est e
+    LEFT JOIN ex x ON x.day_a = e.day_a AND x.day_b = e.day_b
+    JOIN per pa ON pa.d = e.day_a
+    JOIN per pb ON pb.d = e.day_b
+    """,
+)
+def audience_churn_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV A-NOT-B — the set-difference estimator that completes the
+    theta-sketch operation set next to ``audience_overlap_kmv``'s union
+    and intersection: day-over-day LOST users (active day a, gone day b)
+    and NEW users (absent day a, arrived day b), estimated from the two
+    {K}-hash sketches alone. The correctness hinge is the theta-window
+    argument, stated here because it is why the naive membership test is
+    legitimately EXACT within the sketch: every union-sketch member h
+    satisfies h <= theta_union <= theta_B (the union's k-th minimum can
+    only be tighter than either input's), so "h not in B's sketch" IS
+    "h not in B" for those h — no false negatives inside the window —
+    and rho_lost/k_used is an unbiased Jaccard-style share that scales
+    by the union estimate. The exact lost/new columns (one user-keyed
+    join on consecutive days) ride along as the audit with relative-error
+    micro columns, ~1/sqrt(k) expected; day pairs are consecutive only
+    (29 rows), so the retention/churn dashboard this feeds is the
+    classic DAU waterfall. Same determinism stack as the overlap query:
+    md5-prefix hashes, tie-free row_numbers, HUGEINT/DECIMAL(38,0)
+    cleared denominators, truncating div."""
+    ev = load_table(spark, "events", sf_dir)
+    tu = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    ).distinct()
+    th = tu.select(
+        "d",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_t = Window.partitionBy("d").orderBy("h")
+    sk = (
+        th.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= KMV_K)
+        .select("d", "h")
+    )
+    tp = th.select("d").distinct()
+    pr = tp.select(F.col("d").alias("day_a")).join(
+        F.broadcast(tp.select(F.col("d").alias("day_b"))),
+        F.to_date("day_b") == F.date_add(F.to_date("day_a"), 1),
+    )
+    ua = pr.join(
+        sk.select(F.col("d").alias("day_a"), "h"), "day_a"
+    ).select("day_a", "day_b", "h")
+    ub = pr.join(
+        sk.select(F.col("d").alias("day_b"), "h"), "day_b"
+    ).select("day_a", "day_b", "h")
+    uh = ua.union(ub).distinct()
+    w_p = Window.partitionBy("day_a", "day_b").orderBy("h")
+    usk = (
+        uh.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= KMV_K)
+        .select("day_a", "day_b", "h")
+    )
+    sa = sk.select(F.col("d").alias("day_a"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("d").alias("day_b"), F.col("h").alias("hb"))
+    m = (
+        usk.join(sa, (sa.day_a == usk.day_a) & (F.col("ha") == F.col("h")), "left")
+        .drop(sa.day_a)
+        .join(sb, (sb.day_b == usk.day_b) & (F.col("hb") == F.col("h")), "left")
+        .drop(sb.day_b)
+        .groupBy("day_a", "day_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("hk"),
+            F.sum(
+                F.when(F.col("ha").isNotNull() & F.col("hb").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rho_lost"),
+            F.sum(
+                F.when(F.col("ha").isNull() & F.col("hb").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rho_new"),
+        )
+    )
+    est = m.select(
+        "day_a",
+        "day_b",
+        "k_used",
+        "rho_lost",
+        "rho_new",
+        F.when(F.col("k_used") < KMV_K, F.col("k_used"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_DOMAIN}"
+                " div hk AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+    )
+    a = tu.select(F.col("d").alias("day_a"), "user_id")
+    b = tu.select(F.col("d").alias("day_b"), "user_id")
+    ex = (
+        a.join(b, "user_id")
+        .filter(F.to_date("day_b") == F.date_add(F.to_date("day_a"), 1))
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    per = tu.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        est.join(ex, ["day_a", "day_b"], "left")
+        .join(
+            F.broadcast(per.select(F.col("d").alias("day_a"), F.col("n").alias("na"))),
+            "day_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("d").alias("day_b"), F.col("n").alias("nb"))),
+            "day_b",
+        )
+        .withColumn("sh", F.coalesce("n_shared", F.lit(0)))
+        .withColumn("xl", F.col("na") - F.col("sh"))
+        .withColumn("xn", F.col("nb") - F.col("sh"))
+        .withColumn("el", F.expr("CAST(rho_lost * est_union div k_used AS BIGINT)"))
+        .withColumn("en", F.expr("CAST(rho_new * est_union div k_used AS BIGINT)"))
+    )
+    return out.select(
+        "day_a",
+        "day_b",
+        F.col("xl").alias("exact_lost"),
+        F.col("el").alias("est_lost"),
+        F.expr("abs(el - xl) * 1000000 div greatest(xl, 1)").alias(
+            "lost_err_micro"
+        ),
+        F.col("xn").alias("exact_new"),
+        F.col("en").alias("est_new"),
+        F.expr("abs(en - xn) * 1000000 div greatest(xn, 1)").alias(
+            "new_err_micro"
+        ),
+    )
