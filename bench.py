@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "dedup_graph_shape_audit",
     "cdc_gap_detection",
     "audience_churn_kmv",
+    "event_volume_trend",
     "prefix_filter_volume_stats",
 ]
 

@@ -1074,3 +1074,106 @@ def quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 quantile_histogram_rollup.__doc__ = quantile_histogram_rollup.__doc__.replace(
     "{W}", str(QHR_BUCKET_MILLI)
 )
+
+
+# ---------------------------------------------------------------------------
+# closed-form OLS volume trend (exact-moment linear regression per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_volume_trend",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events
+    ),
+    mn AS (SELECT min(day) AS d0 FROM base),
+    daily AS (
+      SELECT b.event_type,
+             CAST(date_diff('day', mn.d0, b.day) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM base b, mn GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (n * sxx - sx * sx) * 1000000 + 0.5) AS BIGINT)
+             AS slope_micro,
+           CAST(floor(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx
+                           AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n * sxx - sx * sx)) * 1000000 + 0.5)
+                AS BIGINT) AS intercept_micro,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                * (n * sxy - sx * sy)
+                / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+                * 1000000 + 0.5) AS BIGINT) AS r2_micro
+    FROM s
+    """,
+)
+def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS TREND per event type — the grouped linear
+    regression a monitoring dashboard fits over daily volumes (is error
+    traffic growing? is signup flat?): slope, intercept and R² from the
+    five exact integer moments (n, Σx, Σy, Σx², Σxy, Σy²) — the
+    textbook normal-equation solution, which distributes as ONE
+    map-side-combined aggregate per group and never iterates (contrast
+    ``quality_classifier_train``'s GD loop, which exists for the case
+    where features don't fit a closed form). x is the day offset from
+    the corpus's first day (deterministic integer), y the daily count;
+    all moments are exact BIGINTs, and each output coefficient is ONE
+    IEEE double division of two exact integers rounded half-up onto the
+    micro grid — the ``hll_merge_rollup`` determinism recipe, safe for
+    NEGATIVE slopes too (floor(x + 0.5) rounds identically in both
+    engines regardless of sign, where a truncating integer div would
+    diverge from DuckDB's flooring `//`). Scale shape: daily rollup
+    (one shuffle on (type, day)), then a 5-group moment aggregate; the
+    moment vector is the mergeable summary — shards combine by
+    addition, the same contract as the covariance Gram family."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select("event_type", F.col("ts").cast("date").alias("day"))
+    d0 = base.agg(F.min("day").alias("d0"))
+    daily = (
+        base.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type", F.datediff("day", "d0").cast("long").alias("x")
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (n * sxx - sx * sx) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(floor(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx"
+            " AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n * sxx - sx * sx)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("intercept_micro"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * (n * sxy - sx * sy)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("r2_micro"),
+    )

@@ -489,6 +489,7 @@ _BNLJ_ALLOWED = {
     "semantic_decontam_audit",  # eval-suite-bounded broadcast x corpus scan + 1-row compliance broadcast
     "contrastive_negatives_plan",  # 64-row hash-reservoir pool broadcast x corpus, != condition
     "cdc_gap_detection",  # 1-row injected-loss scalar broadcast into the summary row
+    "event_volume_trend",  # 1-row min-day scalar broadcast into the daily rollup
 }
 
 
