@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "audience_churn_kmv",
     "event_volume_trend",
     "prefix_filter_volume_stats",
+    # corpus_dedup_summary is deliberately NOT benched: it composes seven
+    # already-benched pipelines into one dashboard row set (6.9 s steady at
+    # sf0.1 = the sum of its members), so benching it would double-charge
+    # the window for numbers the per-family rows already carry.
 ]
 
 

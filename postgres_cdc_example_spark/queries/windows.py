@@ -1177,3 +1177,85 @@ def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup method dashboard (one row per family, composed from the registry)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_summary_oracle() -> str:
+    """Compose the dashboard oracle from the REGISTERED oracles of the
+    member queries — by construction it can never drift from what each
+    family actually computes (windows.py loads last, so every member is
+    already registered)."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    parts = [
+        "SELECT 'exact' AS method, CAST(sum(n_docs * (n_docs - 1) // 2)"
+        f" AS BIGINT) AS n_pairs FROM ({REGISTRY['dedup_exact'].oracle})"
+    ]
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_prefix_filter_pairs",
+        "dedup_containment_pairs",
+        "dedup_sorted_neighborhood",
+        "dedup_winnowing_pairs",
+    ):
+        parts.append(
+            f"SELECT '{name[6:]}' AS method, CAST(count(*) AS BIGINT)"
+            f" AS n_pairs FROM ({REGISTRY[name].oracle})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("corpus_dedup_summary", oracle=_dedup_summary_oracle())
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD — one row per registered near-duplicate family
+    with its verified pair count over the same corpus: exact-content
+    groups (as C(n,2) pairs), MinHash/LSH (symmetric Jaccard >= 0.5),
+    exact inverted-index Jaccard (>= 0.5), prefix-filtered shingle sets
+    (>= 0.9, exact recall by construction), directional containment
+    (>= 0.8), sorted-neighborhood (window 8, >= 0.5), and winnowing
+    fingerprint pairs (>= 3 shared, provable verbatim runs). The numbers
+    answer the operational question a curation run starts with — how much
+    duplication, and does the cheap method agree with the expensive one —
+    and their RELATIONSHIPS are the cross-check (prefix >= 0.9 pairs are
+    a subset of the >= 0.5 families; containment counts both directions
+    of every symmetric dup plus the truncations only it sees). Both
+    sides COMPOSE the registered member definitions: the engine calls
+    the same query functions (sharing the session's persisted
+    shingle/band layers, so the marginal cost is aggregation, not
+    recomputation), and the oracle interpolates the members' registered
+    oracle SQL — drift between the dashboard and the families is
+    impossible by construction."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    def cnt(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+
+    exact = (
+        REGISTRY["dedup_exact"]
+        .fn(spark, sf_dir)
+        .agg(
+            F.lit("exact").alias("method"),
+            F.sum(F.expr("n_docs * (n_docs - 1) div 2"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+    out = exact
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_prefix_filter_pairs",
+        "dedup_containment_pairs",
+        "dedup_sorted_neighborhood",
+        "dedup_winnowing_pairs",
+    ):
+        out = out.union(cnt(name[6:], REGISTRY[name].fn(spark, sf_dir)))
+    return out
