@@ -1189,6 +1189,13 @@ def _dedup_summary_oracle() -> str:
     member queries — by construction it can never drift from what each
     family actually computes (windows.py loads last, so every member is
     already registered)."""
+    # force member registration first: windows.py must stay importable on
+    # its own (tests import streaming modules that pull it in directly),
+    # not only via the package loader's fixed module order
+    from postgres_cdc_example_spark.queries import (  # noqa: F401
+        extensions as _ext,
+        llmdata as _llm,
+    )
     from postgres_cdc_example_spark.queries import REGISTRY
 
     parts = [

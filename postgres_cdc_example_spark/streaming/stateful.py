@@ -1085,3 +1085,80 @@ def quantile_rollup_stream(events: DataFrame) -> DataFrame:
 quantile_rollup_stream.__doc__ = quantile_rollup_stream.__doc__.replace(
     "{B}", str(QH_STREAM_BUCKETS)
 )
+
+
+# --- streaming OLS volume-trend moments (mergeable regression state) ----------
+
+TREND_STREAM_OUTPUT_SCHEMA = (
+    "event_type string, n long, sx long, sy long, sxx long, sxy long, syy long"
+)
+TREND_STREAM_STATE_SCHEMA = (
+    "days array<long>, counts array<long>"
+)
+
+
+def _trend_group(key, pdfs, state: GroupState):
+    """Fold arriving (day_offset) rows into per-day counts, then emit the
+    exact regression moments over the days seen so far. Per-day counting
+    is additive (order/batching-proof under exactly-once replay); moments
+    are recomputed from the compact (day -> count) map each emission so a
+    day receiving MORE events in a later batch updates y, which running
+    moment sums could not do. State is bounded by the day domain, not the
+    event count."""
+    (event_type,) = key
+    if state.exists:
+        days, counts = state.get
+        per_day = dict(zip(days, counts))
+    else:
+        per_day = {}
+    batch = pd.concat(list(pdfs))
+    for x in batch["x"]:
+        per_day[int(x)] = per_day.get(int(x), 0) + 1
+    ds = sorted(per_day)
+    state.update(([int(d) for d in ds], [int(per_day[d]) for d in ds]))
+    n = len(per_day)
+    sx = sum(per_day.keys())
+    sy = sum(per_day.values())
+    sxx = sum(x * x for x in per_day)
+    sxy = sum(x * y for x, y in per_day.items())
+    syy = sum(y * y for y in per_day.values())
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "sx": [sx],
+            "sy": [sy],
+            "sxx": [sxx],
+            "sxy": [sxy],
+            "syy": [syy],
+        }
+    )
+
+
+def volume_trend_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``event_volume_trend``: the exact OLS
+    moment vector per event type maintained as keyed state — the
+    regression analogue of the HLL/quantile gates, and the demonstration
+    that a CLOSED-FORM model needs no training loop even on a stream
+    (contrast the GD classifier). The day offset x anchors at the fixed
+    epoch (``to_date(ts)`` day number) rather than the batch query's
+    corpus-min-day, because a stream cannot know the global minimum up
+    front; the slope is SHIFT-INVARIANT so the anchor choice cancels,
+    and the restart test recovers the batch-anchored moments exactly via
+    the integer shift identities (sx = sx' - n·d0, sxx = sxx' - 2·d0·sx'
+    + n·d0², sxy = sxy' - d0·sy) before applying the identical IEEE
+    coefficient divisions. State per type is the (day -> count) map —
+    bounded by the day DOMAIN, never the event count."""
+    prepped = events.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        _trend_group,
+        outputStructType=TREND_STREAM_OUTPUT_SCHEMA,
+        stateStructType=TREND_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -811,3 +811,61 @@ def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in REGISTRY["quantile_histogram_rollup"].fn(spark, sf_dir).collect()
     }
     assert final == batch, "final stream snapshot must equal the batch rollup"
+
+
+def test_volume_trend_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The mergeable-moments contract: replay events in two micro-batches
+    with a restart — shifting each type's FINAL emitted epoch-anchored
+    moments to the batch query's corpus-min-day anchor (exact integer
+    identities) and applying the identical IEEE divisions must reproduce
+    event_volume_trend's slope/intercept/r2 columns exactly."""
+    import math
+
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.streaming.stateful import volume_trend_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(volume_trend_stream(stream), ckpt, emitted)
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    _drain(volume_trend_stream(stream), ckpt, emitted)
+    final: dict = {}
+    for r in emitted:
+        final[r.event_type] = (r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy)
+
+    d0 = (
+        ev.select(
+            F.datediff(
+                F.min(F.col("ts").cast("date")), F.lit("1970-01-01").cast("date")
+            ).alias("d0")
+        ).collect()[0]["d0"]
+    )
+
+    def coeffs(n, sx_e, sy, sxx_e, sxy_e, syy):
+        sx = sx_e - n * d0
+        sxx = sxx_e - 2 * d0 * sx_e + n * d0 * d0
+        sxy = sxy_e - d0 * sy
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        slope = int(math.floor(float(num) / den * 1_000_000 + 0.5))
+        intercept = int(
+            math.floor(float(sy * den - num * sx) / (float(n) * den) * 1_000_000 + 0.5)
+        )
+        r2 = int(
+            math.floor(
+                float(num) * num / (float(den) * (n * syy - sy * sy)) * 1_000_000
+                + 0.5
+            )
+        )
+        return slope, intercept, r2
+
+    batch = {
+        r.event_type: (r.slope_micro, r.intercept_micro, r.r2_micro)
+        for r in REGISTRY["event_volume_trend"].fn(spark, sf_dir).collect()
+    }
+    assert batch, "batch trend must be non-empty"
+    got = {t: coeffs(*m) for t, m in final.items()}
+    assert got == batch, "shifted stream moments must reproduce the batch fit"
