@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "cdc_gap_detection",
     "audience_churn_kmv",
     "event_volume_trend",
+    "join_order_advisor",
     "prefix_filter_volume_stats",
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at

@@ -490,6 +490,7 @@ _BNLJ_ALLOWED = {
     "contrastive_negatives_plan",  # 64-row hash-reservoir pool broadcast x corpus, != condition
     "cdc_gap_detection",  # 1-row injected-loss scalar broadcast into the summary row
     "event_volume_trend",  # 1-row min-day scalar broadcast into the daily rollup
+    "join_order_advisor",  # three 1-row cardinality scalars merged via broadcast
 }
 
 
