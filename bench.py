@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "audience_churn_kmv",
     "event_volume_trend",
     "join_order_advisor",
+    "lang_id_confusion",
+    "user_activity_gini",
     "prefix_filter_volume_stats",
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at

@@ -4725,3 +4725,56 @@ def dedup_graph_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_micro"),
         )
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS ({{p}}),
+    j AS (
+      SELECT d.lang AS actual_lang, p.detected_lang
+      FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    tot AS (SELECT actual_lang, CAST(count(*) AS BIGINT) AS n_actual
+            FROM j GROUP BY actual_lang)
+    SELECT j.actual_lang, j.detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) * 1000000 // t.n_actual AS cell_share_micro
+    FROM j JOIN tot t ON t.actual_lang = j.actual_lang
+    GROUP BY j.actual_lang, j.detected_lang, t.n_actual
+    """.format(p=_lang_oracle()),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the eval the detector has owed since
+    it was registered: the fixture's `lang` column is ground truth, so
+    per (actual, detected) cell the doc count and the per-actual share
+    (diagonal cells read as recall). This is the operator that decides
+    whether the marker-phrase heuristic is good enough to route a corpus
+    or needs replacing — and where it fails (which language pairs
+    confuse). Composes the REGISTERED detector on both sides: the engine
+    calls the same ``text.lang_id`` operator, the oracle interpolates the
+    registered oracle SQL — evaluation and production can never drift.
+    On THIS fixture the matrix reads all-'en': the synthetic text draws
+    from an English-ish vocabulary for every lang LABEL, so the
+    marker-phrase detector (correctly) sees English text under de/fr/es
+    labels — the eval telling you the label column and the text disagree
+    is exactly the job such an audit does on a real crawl.
+    Scale shape: the detector's zero-shuffle scan, one thin doc_id join
+    for labels, a |langs|²-bounded rollup plus a |langs|-row broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = text.lang_id(docs).select("doc_id", "detected_lang")
+    j = pred.join(docs.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id")
+    tot = j.groupBy("actual_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual")
+    )
+    return (
+        j.groupBy("actual_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "detected_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_actual").alias("cell_share_micro"),
+        )
+    )

@@ -2448,3 +2448,110 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recommended"),
     )
+
+
+# ---------------------------------------------------------------------------
+# activity concentration (Gini + top-share from the count histogram)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_gini",
+    oracle="""
+    WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY user_id),
+    h AS (SELECT c, CAST(count(*) AS BIGINT) AS n_b FROM per GROUP BY c),
+    w AS (
+      SELECT c, n_b,
+             sum(n_b) OVER (ORDER BY c) AS cum_asc,
+             sum(n_b) OVER (ORDER BY c DESC) AS cum_desc
+      FROM h
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(c * n_b) AS BIGINT) AS s0
+            FROM h),
+    s1 AS (
+      SELECT CAST(sum(c * (n_b * (cum_asc - n_b)
+                           + n_b * (n_b + 1) // 2)) AS BIGINT) AS s1
+      FROM w
+    ),
+    k AS (SELECT (n + 99) // 100 AS k FROM tot),
+    top AS (
+      SELECT CAST(sum(c * greatest(0, least(n_b, k.k - (cum_desc - n_b))))
+                  AS BIGINT) AS top_events
+      FROM w, k
+    )
+    SELECT tot.n AS n_users, tot.s0 AS total_events,
+           CAST((2 * s1.s1 - (tot.n + 1) * tot.s0) * 1000000
+                // (CAST(tot.n AS HUGEINT) * tot.s0) AS BIGINT) AS gini_micro,
+           k.k AS top_k_users,
+           top.top_events,
+           top.top_events * 1000000 // tot.s0 AS top_share_micro
+    FROM tot, s1, k, top
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity CONCENTRATION — the Gini coefficient and top-1% share of
+    events per user, the distribution audit that separates an organic
+    audience from a bot-dominated one (and prices how much a per-user
+    cap would remove). The scale trick is that BOTH statistics come
+    entirely from the (count -> n_users) HISTOGRAM, never a global
+    per-user ranking: within a count bucket every y is equal, so the
+    rank-weighted Gini sum collapses to the closed form
+    c·(n_b·offset + n_b(n_b+1)/2) per bucket, and the top-k share walks
+    the same histogram descending with a greatest/least partial-bucket
+    take. One user-keyed count, one count-keyed histogram (bounded by
+    the activity DOMAIN, not the user count), windows over histogram
+    rows only. All integer: HUGEINT/DECIMAL cleared denominators; the
+    ascending-rank Gini numerator is non-negative so truncating div is
+    sign-safe. Tie order inside a bucket cannot move either statistic —
+    equal values contribute identically under any permutation."""
+    ev = load_table(spark, "events", sf_dir)
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h = per.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    w_asc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_desc = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, 0)
+    w = h.select(
+        "c",
+        "n_b",
+        F.sum("n_b").over(w_asc).alias("cum_asc"),
+        F.sum("n_b").over(w_desc).alias("cum_desc"),
+    )
+    tot = h.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum(F.expr("c * n_b")).cast("long").alias("s0"),
+    )
+    s1 = w.agg(
+        F.sum(
+            F.expr("c * (n_b * (cum_asc - n_b) + n_b * (n_b + 1) div 2)")
+        )
+        .cast("long")
+        .alias("s1")
+    )
+    kt = tot.select(F.expr("(n + 99) div 100").alias("k"))
+    top = (
+        w.crossJoin(F.broadcast(kt))
+        .agg(
+            F.sum(
+                F.expr("c * greatest(0, least(n_b, k - (cum_desc - n_b)))")
+            )
+            .cast("long")
+            .alias("top_events")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(kt))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("s0").alias("total_events"),
+            F.expr(
+                "CAST((2 * s1 - (n + 1) * s0) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
+            ).alias("gini_micro"),
+            F.col("k").alias("top_k_users"),
+            "top_events",
+            F.expr("top_events * 1000000 div s0").alias("top_share_micro"),
+        )
+    )

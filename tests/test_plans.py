@@ -491,6 +491,7 @@ _BNLJ_ALLOWED = {
     "cdc_gap_detection",  # 1-row injected-loss scalar broadcast into the summary row
     "event_volume_trend",  # 1-row min-day scalar broadcast into the daily rollup
     "join_order_advisor",  # three 1-row cardinality scalars merged via broadcast
+    "user_activity_gini",  # four 1-row scalars off the bounded count histogram
 }
 
 
