@@ -2555,3 +2555,105 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("top_events * 1000000 div s0").alias("top_share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence audit (categorical drift / association test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_chi2",
+    oracle="""
+    WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
+               FROM orders),
+    cell AS (SELECT pri, st, CAST(count(*) AS BIGINT) AS obs
+             FROM o GROUP BY pri, st),
+    r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rn FROM cell GROUP BY pri),
+    c AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cn FROM cell GROUP BY st),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    x AS (
+      SELECT cell.pri, cell.st, cell.obs,
+             CAST(CAST(r.rn AS HUGEINT) * c.cn * 1000 // n.n AS BIGINT)
+               AS expected_milli,
+             CAST((CAST(cell.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
+                  * (CAST(cell.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
+                  * 1000000
+                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+               AS chi2_cell_micro
+      FROM cell JOIN r ON r.pri = cell.pri
+                JOIN c ON c.st = cell.st
+                CROSS JOIN n
+    ),
+    t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro,
+                 CAST((count(DISTINCT pri) - 1) * (count(DISTINCT st) - 1)
+                      AS BIGINT) AS dof
+          FROM x)
+    SELECT x.pri AS priority, x.st AS status, x.obs, x.expected_milli,
+           x.chi2_cell_micro, t.chi2_total_micro, t.dof
+    FROM x CROSS JOIN t
+    """,
+)
+def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE audit for two categorical columns (order
+    priority x order status) — the drift/association test a data-quality
+    monitor runs when a dimension's distribution should not depend on
+    another (a dependence appearing release-over-release is a pipeline
+    bug or a behavior change worth a page). Entirely
+    TRANSCENDENTAL-FREE: the per-cell statistic is the cleared-
+    denominator rational (obs·N - R·C)² / (N·R·C) — no floats anywhere,
+    HUGEINT/DECIMAL(38,0) cross-multiplication keeps the micro grid
+    exact at any N (obs·N at 100 TB scale is ~1e2x, squared ~1e5x —
+    inside 38 digits with room; the identical overflow discipline as
+    ``tfidf_cosine_pairs``). Each row carries its cell's contribution
+    plus the grand total and degrees of freedom, so the consumer reads
+    WHICH cells drive the dependence, not just that one exists. Scale
+    shape: one map-side-combined |cells|-bounded aggregate; everything
+    downstream (margins, total) lives on the bounded cell table."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    cell = o.groupBy("pri", "st").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    r = cell.groupBy("pri").agg(F.sum("obs").cast("long").alias("rn"))
+    c = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("cn"))
+    n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    x = (
+        cell.join(F.broadcast(r), "pri")
+        .join(F.broadcast(c), "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pri",
+            "st",
+            "obs",
+            F.expr(
+                "CAST(CAST(rn AS DECIMAL(38,0)) * cn * 1000 div n AS BIGINT)"
+            ).alias("expected_milli"),
+            F.expr(
+                "CAST((CAST(obs AS DECIMAL(38,0)) * n"
+                " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * (CAST(obs AS DECIMAL(38,0)) * n"
+                " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+            ).alias("chi2_cell_micro"),
+        )
+    )
+    t = x.agg(
+        F.sum("chi2_cell_micro").cast("long").alias("chi2_total_micro"),
+        (
+            (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
+    return x.crossJoin(F.broadcast(t)).select(
+        F.col("pri").alias("priority"),
+        F.col("st").alias("status"),
+        "obs",
+        "expected_milli",
+        "chi2_cell_micro",
+        "chi2_total_micro",
+        "dof",
+    )

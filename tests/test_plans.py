@@ -492,6 +492,7 @@ _BNLJ_ALLOWED = {
     "event_volume_trend",  # 1-row min-day scalar broadcast into the daily rollup
     "join_order_advisor",  # three 1-row cardinality scalars merged via broadcast
     "user_activity_gini",  # four 1-row scalars off the bounded count histogram
+    "order_priority_chi2",  # 1-row N + chi2-total scalars broadcast into the cell table
 }
 
 
