@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "user_activity_gini",
     "order_priority_chi2",
+    "value_distribution_ks",
     "prefix_filter_volume_stats",
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at

@@ -2657,3 +2657,133 @@ def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_total_micro",
         "dof",
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov distance (distribution drift test)
+# ---------------------------------------------------------------------------
+
+KS_C2_MICRO = 1_844_164  # 1.358^2 on the micro grid (alpha = 0.05 two-sample)
+
+
+@register(
+    "value_distribution_ks",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT m,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM e GROUP BY m
+    ),
+    w AS (
+      SELECT m, sum(ca) OVER (ORDER BY m) AS cum_a,
+             sum(cb) OVER (ORDER BY m) AS cum_b
+      FROM g
+    ),
+    n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+          FROM g),
+    d AS (
+      SELECT CAST(max(abs(CAST(w.cum_a AS HUGEINT) * n.nb
+                          - CAST(w.cum_b AS HUGEINT) * n.na)) AS BIGINT)
+               AS d_num
+      FROM w, n
+    )
+    SELECT n.na, n.nb,
+           CAST(CAST(d.d_num AS HUGEINT) * 1000000
+                // (CAST(n.na AS HUGEINT) * n.nb) AS BIGINT) AS ks_micro,
+           CAST(CASE WHEN
+                  CAST(CAST(d.d_num AS HUGEINT) * 1000000
+                       // (CAST(n.na AS HUGEINT) * n.nb) AS HUGEINT)
+                  * (CAST(d.d_num AS HUGEINT) * 1000000
+                     // (CAST(n.na AS HUGEINT) * n.nb))
+                  * n.na * n.nb
+                  > CAST({KS_C2_MICRO} AS HUGEINT) * 1000000 * (n.na + n.nb)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_same_dist
+    FROM d, n
+    """,
+)
+def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between the purchase and
+    view value distributions — the nonparametric drift test a pipeline
+    runs when two cohorts' metric distributions should match (release
+    A/B, source-vs-source, yesterday-vs-today). Exact and
+    transcendental-free end to end: the supremum runs over the pooled
+    distinct milli-value grid (the empirical CDFs only change there),
+    the CDF gap is the cleared-denominator integer
+    |cumA·nB - cumB·nA|, and the alpha=0.05 decision compares
+    ks_micro²·na·nb against 1.358²·(na+nb) on the micro grid — the
+    square of the classical critical form, so no sqrt ever runs (the
+    {C2} literal is Python-precomputed, the `_BENFORD_MICRO` policy).
+    The one intentional rounding: ks_micro truncates BEFORE the
+    significance comparison, identically in both engines, keeping every
+    product inside DECIMAL(38,0)/HUGEINT even at 1e10-row cohorts.
+    Scale shape: one map-side-combined aggregate on the bounded value
+    domain (~50k distinct millis by construction), one cumulative window
+    over those bounded rows — the ``order_value_quantiles_2pass``
+    discipline applied to a hypothesis test."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    g = e.groupBy("m").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wom = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    w = g.select(
+        "m",
+        F.sum("ca").over(wom).alias("cum_a"),
+        F.sum("cb").over(wom).alias("cum_b"),
+    )
+    n = g.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = (
+        w.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.expr(
+                    "abs(CAST(cum_a AS DECIMAL(38,0)) * nb"
+                    " - CAST(cum_b AS DECIMAL(38,0)) * na)"
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "na",
+        "nb",
+        F.expr(
+            "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+        ).alias("ks_micro"),
+        F.expr(
+            "CAST(CASE WHEN"
+            " CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+            "  div (CAST(na AS DECIMAL(38,0)) * nb) AS DECIMAL(38,0))"
+            " * (CAST(d_num AS DECIMAL(38,0)) * 1000000"
+            "  div (CAST(na AS DECIMAL(38,0)) * nb))"
+            " * na * nb"
+            f" > CAST({KS_C2_MICRO} AS DECIMAL(38,0)) * 1000000 * (na + nb)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_same_dist"),
+    )
+
+
+value_distribution_ks.__doc__ = value_distribution_ks.__doc__.replace(
+    "{C2}", str(KS_C2_MICRO)
+)

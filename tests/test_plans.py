@@ -493,6 +493,7 @@ _BNLJ_ALLOWED = {
     "join_order_advisor",  # three 1-row cardinality scalars merged via broadcast
     "user_activity_gini",  # four 1-row scalars off the bounded count histogram
     "order_priority_chi2",  # 1-row N + chi2-total scalars broadcast into the cell table
+    "value_distribution_ks",  # 1-row (na, nb) scalar broadcast over the bounded value grid
 }
 
 
