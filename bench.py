@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "user_activity_gini",
     "order_priority_chi2",
     "value_distribution_ks",
+    "length_quality_spearman",
     "prefix_filter_volume_stats",
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at

@@ -4532,3 +4532,96 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heavy_missed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: document length vs quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_quality_spearman",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES},
+    s AS (SELECT doc_id, n_tokens AS t, quality_micro AS q FROM qscored),
+    ht AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM s GROUP BY t),
+    wt AS (SELECT t, 2 * sum(ct) OVER (ORDER BY t) - ct + 1 AS mr2 FROM ht),
+    hq AS (SELECT q, CAST(count(*) AS BIGINT) AS cq FROM s GROUP BY q),
+    wq AS (SELECT q, 2 * sum(cq) OVER (ORDER BY q) - cq + 1 AS mr2 FROM hq),
+    r AS (
+      SELECT CAST(wt.mr2 AS BIGINT) AS rx, CAST(wq.mr2 AS BIGINT) AS ry
+      FROM s JOIN wt ON wt.t = s.t JOIN wq ON wq.q = s.q
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+             CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+      FROM r
+    )
+    SELECT n AS n_docs,
+           CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS spearman_micro
+    FROM mo
+    """,
+)
+def length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between document length and the frozen
+    quality score — the number that answers the question
+    ``quality_curriculum``'s docstring raises ('is high quality also
+    short documents?') as one statistic instead of a table to eyeball.
+    Ranks come from the two bounded VALUE-KEYED histograms (the Gini
+    discipline): ties get exact midranks on the doubled grid
+    (2·midrank = 2·cum - count + 1, an integer — no .5s ever
+    materialize), every moment is an exact HUGEINT/DECIMAL(38,0) sum
+    over those integer ranks, and the closing Pearson-on-ranks formula
+    runs as IEEE double ops on exact integers (mul/div/sqrt are all
+    correctly rounded, so both engines produce the identical double)
+    rounded half-up onto the micro grid — sign-safe for the negative
+    correlation this corpus actually has (the quality scorer penalizes
+    |len - 150|, so length and quality anti-correlate beyond the
+    sweet spot). Scale shape: one zero-shuffle scoring scan, two
+    value-domain-bounded histograms with windows over histogram rows
+    only, two keyed joins to attach midranks, one moment aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = _quality_scored(docs).select(
+        F.col("n_tokens").alias("t"), F.col("quality_micro").alias("q")
+    )
+    ht = s.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    wot = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wt = ht.select(
+        "t", (2 * F.sum("ct").over(wot) - F.col("ct") + 1).alias("mr2")
+    )
+    hq = s.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    woq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wq = hq.select(
+        "q", (2 * F.sum("cq").over(woq) - F.col("cq") + 1).alias("mr2")
+    )
+    r = (
+        s.join(F.broadcast(wt), "t")
+        .join(F.broadcast(wq), "q")
+        .select(
+            wt["mr2"].cast("long").alias("rx"),
+            wq["mr2"].cast("long").alias("ry"),
+        )
+    )
+    mo = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * rx")).alias("sxx"),
+        F.sum(F.expr("CAST(ry AS DECIMAL(38,0)) * ry")).alias("syy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * ry")).alias("sxy"),
+    )
+    return mo.select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            "        * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("spearman_micro"),
+    )

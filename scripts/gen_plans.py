@@ -89,6 +89,7 @@ NOTES = {
     "user_activity_gini": "Both statistics come from the bounded (count -> n_users) histogram — windows over histogram rows only, never a global per-user ranking; four 1-row scalar broadcasts close the output.",
     "order_priority_chi2": "One map-side-combined |cells|-bounded aggregate; margins/total live on the cell table; per-cell statistic is cleared-denominator HUGEINT rational — no floats anywhere in a significance test.",
     "value_distribution_ks": "One map-side-combined aggregate on the bounded milli-value domain; the CDF supremum windows over those bounded rows; the significance decision is squared-form integer arithmetic — no sqrt ever runs.",
+    "length_quality_spearman": "Zero-shuffle scoring scan + two value-domain-bounded midrank histograms (windows over histogram rows only) + one moment aggregate; the closing Pearson-on-ranks runs as correctly-rounded IEEE ops on exact integers.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
 }
 
