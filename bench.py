@@ -282,8 +282,9 @@ def main() -> None:
     # query inflate together (r3 recorded 4.7× on dedup_incremental that
     # re-measured at 0.84× idle). Interleaving separates a query's samples by
     # a full pass (~30 s), so a contention burst can sink at most one of them.
-    # r6: 2 passes (was 3) — the list grew 95 -> 118 queries and three full
-    # passes no longer fit the driver's bench window with headroom; the
+    # r6: 2 passes (was 3) — the list grew well past 95 queries (131 at the
+    # r6 cut) and three full passes no longer fit the driver's bench window
+    # with headroom; the
     # retry pass below still re-measures anything whose two samples spread
     # >1.5x, so a single contention burst cannot fix a query's recorded min.
     N_PASSES = 2

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from postgres_cdc_example_spark.operators import hints
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -1950,7 +1951,11 @@ range_partition_plan.__doc__ = range_partition_plan.__doc__.replace(
     FROM agg, nb
     """.format(M=65536, K=3, K1=2),
 )
-def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_semijoin_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_rows: int = hints.BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Bloom SEMI-JOIN reduction — the runtime-join-filter discipline
     (Spark's InjectRuntimeFilter / row-group bloom pruning) made auditable:
     the filtered build side (urgent orders) compresses its join keys into
@@ -1963,8 +1968,14 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle you no longer pay) and fp_rate_micro (measured false-positive
     rate among true non-matches; bloom guarantees no false negatives, so
     n_pass_bloom >= n_true_match always). The exact semi-join rides along
-    in the same single probe scan as a broadcast join against the bounded
-    build-key set. The oracle recomputes the identical bitmap relationally
+    in the same single probe scan as a SIZE-GATED broadcast join against
+    the build-key set — that set is filter-selected (~urgent share of
+    orders), i.e. corpus-PROPORTIONAL, not bounded by construction, so the
+    hint goes through ``hints.broadcast_if_small`` with the already-known
+    ``n_build`` as the (free) size evidence: below the gate it broadcasts,
+    above it the plan degrades to a shuffled equi-join instead of OOMing
+    executors (both shapes pinned in ``tests/test_plans.py``). The oracle
+    recomputes the identical bitmap relationally
     (salted-md5 position sets, per-distinct-key membership), so the bit
     arithmetic is value-checked exactly. Scale shape: bitmap is bounded by
     construction (8 KiB regardless of build size), probe pass is one scan,
@@ -1984,11 +1995,14 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = li.select(F.col("l_orderkey").alias("k")).withColumn(
         "pass_bloom", bloom.gram_hit(words, F.col("k").cast("string"))
     )
+    bk_keys = bk.select(F.col("g").cast("long").alias("k")).withColumn(
+        "is_true", F.lit(1)
+    )
+    # n_build is already materialized for the output column — reuse it as
+    # the gate's upper bound so the size check costs nothing extra.
     flagged = probe.join(
-        F.broadcast(
-            bk.select(F.col("g").cast("long").alias("k")).withColumn(
-                "is_true", F.lit(1)
-            )
+        hints.broadcast_if_small(
+            bk_keys, broadcast_max_rows, upper_bound=n_build
         ),
         "k",
         "left",
@@ -2078,10 +2092,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair of numbers is the difference between a plan that fits and an OOM.
     All integer: HUGEINT/DECIMAL(38,0) squares and cleared-denominator
     floor divisions in both engines; the top-{TOP} selection is
-    deterministic ((c DESC, k) row_number — equal-count boundary ties pick
-    the same keys in both engines). Scale shape: ONE corpus-sized
-    aggregate; everything downstream is the {TOP}-row TakeOrdered and
-    1-row scalar broadcasts."""
+    deterministic under the (c DESC, k) total order — equal-count boundary
+    ties pick the same keys in both engines (oracle row_number ≡ engine
+    TakeOrdered on the same order). Scale shape: ONE corpus-sized
+    aggregate; everything downstream is the {TOP}-row TakeOrderedAndProject
+    (per-partition heaps, no SinglePartition sort exchange — plan-pinned)
+    and 1-row scalar broadcasts."""
     orders = load_table(spark, "orders", sf_dir)
     c = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -2093,13 +2109,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_rows"
         ),
     )
-    top = (
-        c.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "k"))
-        )
-        .filter(F.col("rn") <= JCARD_TOP)
-        .select("k", "c")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # driver merge of JCARD_TOP rows) — never the SinglePartition sort
+    # exchange an un-partitioned row_number() Window would force. The
+    # (c DESC, k) total order makes the selected SET identical to the
+    # oracle's row_number tie-break.
+    top = c.orderBy(F.desc("c"), "k").limit(JCARD_TOP).select("k", "c")
     ts = top.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_top"),
         F.coalesce(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")), F.lit(0))

@@ -225,9 +225,12 @@ def content_dedup_stream(
 
 FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, ts timestamp_ntz"
 # per-user funnel state: first-completion ns timestamps, -1 = not reached,
-# plus the per-user event-time high-watermark (max ts ever processed) that
-# makes cross-batch ordering violations OBSERVABLE instead of silent
-FUNNEL_STATE_SCHEMA = "t1_ns long, t2_ns long, t3_ns long, hw_ns long"
+# plus the per-user event-time high-watermark — (max ts, its event_id),
+# the SAME (ts, event_id) lexicographic order the batch funnel sorts by —
+# that makes cross-batch ordering violations OBSERVABLE instead of silent
+FUNNEL_STATE_SCHEMA = (
+    "t1_ns long, t2_ns long, t3_ns long, hw_ns long, hw_eid long"
+)
 _FUNNEL_STEPS = ("view", "click", "purchase")
 # output stage for an event that arrived BELOW the user's high-watermark:
 # the ordering assumption was violated, the event is NOT applied to the
@@ -241,19 +244,31 @@ def _funnel_group(
     (user_id,) = key
     batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     ts_ns = pd.DatetimeIndex(batch["ts"]).asi8
+    eids = batch["event_id"].to_numpy()
     types = batch["event_type"].to_numpy()
-    t1, t2, t3, hw = state.get if state.exists else (-1, -1, -1, -1)
+    t1, t2, t3, hw, hw_eid = (
+        state.get if state.exists else (-1, -1, -1, -1, -1)
+    )
     hits: list[tuple[int, int, int]] = []
-    # events below the high-watermark arrived AFTER a later-ts batch was
-    # already processed: the cross-batch ordering contract is broken for
-    # them. Applying them would silently disagree with the batch funnel,
-    # so they are flagged (stage = FUNNEL_LATE_STAGE) and skipped.
-    late = ts_ns < hw
+    # events at-or-below the (ts, event_id) high-watermark arrived AFTER
+    # a lexicographically-later event was already processed: the
+    # cross-batch ordering contract is broken for them. Applying them
+    # would silently disagree with the batch funnel's (ts, event_id)
+    # sort, so they are flagged (stage = FUNNEL_LATE_STAGE) and skipped.
+    # Tracking the watermark's event_id (not just its ts) means a
+    # later-batch event with ts EXACTLY equal to the watermark is judged
+    # by the same tiebreak the batch twin sorts by: eid > hw_eid is the
+    # position it would occupy in batch order anyway (applied), eid <=
+    # hw_eid is genuinely out of order (dead-lettered).
+    late = (ts_ns < hw) | ((ts_ns == hw) & (eids <= hw_eid))
     for t in ts_ns[late]:
         hits.append((user_id, FUNNEL_LATE_STAGE, int(t)))
     ts_ns, types = ts_ns[~late], types[~late]
+    eids = eids[~late]
     if len(ts_ns):
-        hw = max(int(hw), int(ts_ns[-1]))
+        # batch is (ts, event_id)-sorted and every kept row is above the
+        # old watermark, so the last kept row IS the new watermark
+        hw, hw_eid = int(ts_ns[-1]), int(eids[-1])
     for t, et in zip(ts_ns, types):
         if t1 < 0:
             if et == _FUNNEL_STEPS[0]:
@@ -269,7 +284,7 @@ def _funnel_group(
                 hits.append((user_id, 3, t3))
         else:
             break  # funnel complete: nothing left to track for this user
-    state.update((int(t1), int(t2), int(t3), int(hw)))
+    state.update((int(t1), int(t2), int(t3), int(hw), int(hw_eid)))
     if hits:
         out = pd.DataFrame(hits, columns=["user_id", "stage", "ts"])
         out["ts"] = pd.to_datetime(out["ts"])
@@ -286,16 +301,21 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     without rescanning history.
 
     Scale shape: one shuffle on user_id (same key the batch funnel
-    partitions by), 4 longs of state per user ever seen, and completed
+    partitions by), 5 longs of state per user ever seen, and completed
     funnels short-circuit (a user past stage 3 costs an O(1) state probe
     per batch). Correctness requires batches to arrive in event-time order
     ACROSS batches (within a batch the group sorts) — the replay/CDC-tail
     shape every twin in this module assumes. A violated assumption is no
-    longer silent: the per-user high-watermark (max processed ts, kept in
-    state) flags any event arriving below it as a dead-letter row with
-    ``stage = FUNNEL_LATE_STAGE`` and leaves the funnel state untouched,
-    so consumers can count/route ordering violations instead of getting
-    quietly wrong stage counts.
+    longer silent: the per-user high-watermark — the (max processed ts,
+    its event_id) pair, i.e. the SAME (ts, event_id) lexicographic order
+    the batch twin sorts by — flags any event arriving at-or-below it as
+    a dead-letter row with ``stage = FUNNEL_LATE_STAGE`` and leaves the
+    funnel state untouched, so consumers can count/route ordering
+    violations instead of getting quietly wrong stage counts. Carrying
+    the event_id closes the equal-timestamp edge: a later-batch event
+    tied on ts is applied iff its event_id places it AFTER the watermark
+    in batch order, so cross-batch ties replay in batch tiebreak order
+    rather than arrival order.
 
     Agreement contract (pinned in tests/test_stateful_streaming.py):
     replaying the corpus in ts order — across a restart — emits exactly
@@ -912,8 +932,16 @@ def _hll_estimate_from_regs(regs: list[int]) -> tuple[int, int]:
 
     S = sum(1 << (HLL_RHO_MAX - mj) for mj in regs)
     V = sum(1 for mj in regs if mj == 0)
-    raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 / float(S)
-    if raw <= 640.0 and V > 0:
+    # Every constant is DERIVED from the shared llmdata parameters so a
+    # register-count change there cannot silently desync this estimator
+    # from the batch hll_merge_rollup it pins equality with. HLL_M is a
+    # power of two, so alpha*m*m*2^rho_max re-associates bit-identically
+    # to the former literal product (power-of-two multiplies are exact
+    # exponent shifts in IEEE doubles).
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << HLL_RHO_MAX) / float(S)
+    if raw <= 2.5 * m and V > 0:
         return V, _HLL_LC_FLOOR[V - 1]
     import math
 
@@ -988,9 +1016,9 @@ hll_reach_stream.__doc__ = hll_reach_stream.__doc__.format(M=256)
 # --- streaming quantile-histogram rollup (bounded-error percentiles) ---------
 
 QH_STREAM_OUTPUT_SCHEMA = (
-    "day string, n long, p50_est_milli long, p90_est_milli long"
+    "day string, n long, p50_est_milli long, p90_est_milli long, n_oob long"
 )
-QH_STREAM_STATE_SCHEMA = "counts array<long>"
+QH_STREAM_STATE_SCHEMA = "counts array<long>, n_oob long"
 QH_STREAM_BUCKETS = 64  # value domain [0, 640) units at width 10; fixture max 490
 
 
@@ -1021,13 +1049,28 @@ def _qh_group(key, pdfs, state: GroupState):
     commutative and associative, so any batch slicing or arrival order
     yields the same vector (NOT idempotent — counters need the file
     source's exactly-once replay, same contract as running_totals_stream);
-    emits the updated day snapshot each batch (monitoring-style)."""
+    emits the updated day snapshot each batch (monitoring-style).
+
+    Rows whose bucket falls OUTSIDE [0, QH_STREAM_BUCKETS) — a value below
+    0 or at/above the domain ceiling — are DEAD-LETTERED into the visible
+    ``n_oob`` counter instead of being folded in: a negative bucket would
+    silently wrap (Python negative list index) into a top bucket, and a
+    too-large one would collapse into bucket B-1, both corrupting
+    p50/p90 with no signal while the uncapped batch twin diverges. The
+    same flag-and-exclude pattern the quota/funnel gates use."""
     (day,) = key
-    counts = list(state.get[0]) if state.exists else [0] * QH_STREAM_BUCKETS
+    if state.exists:
+        counts, n_oob = list(state.get[0]), int(state.get[1])
+    else:
+        counts, n_oob = [0] * QH_STREAM_BUCKETS, 0
     batch = pd.concat(list(pdfs))
     for b in batch["bucket"]:
-        counts[int(b)] += 1
-    state.update((counts,))
+        b = int(b)
+        if 0 <= b < QH_STREAM_BUCKETS:
+            counts[b] += 1
+        else:
+            n_oob += 1
+    state.update((counts, n_oob))
     n, p50, p90 = _qh_estimates(counts)
     yield pd.DataFrame(
         {
@@ -1035,6 +1078,7 @@ def _qh_group(key, pdfs, state: GroupState):
             "n": [n],
             "p50_est_milli": [p50],
             "p90_est_milli": [p90],
+            "n_oob": [n_oob],
         }
     )
 
@@ -1045,8 +1089,8 @@ def quantile_rollup_stream(events: DataFrame) -> DataFrame:
     PERIOD — the bounded footprint that answers "today's p50/p90 so far"
     on a stream where exact rank quantiles would hold every value). The
     milli-grid and bucket id are computed JVM-side as codegen projections
-    BEFORE the stateful stage (the Arrow hop carries one small int per
-    event); bucket-count ADDITION is commutative and associative, so the
+    BEFORE the stateful stage (the Arrow hop carries one long per event);
+    bucket-count ADDITION is commutative and associative, so the
     snapshot after any prefix of batches equals the batch query over the
     events ingested so far under any batching/order — unlike the HLL
     gate's max it is NOT idempotent, so the counter contract leans on the
@@ -1054,24 +1098,37 @@ def quantile_rollup_stream(events: DataFrame) -> DataFrame:
     counting stream in this repo documents). Estimates inherit the batch
     side's by-construction bound: 0 <= exact - est < bucket width.
 
-    Contract (pinned in tests/test_stateful_streaming.py): the final
-    emitted (n, p50, p90) per day over a replayed corpus, across a
-    restart, equals ``quantile_histogram_rollup``'s (n, p50_est_milli,
-    p90_est_milli) columns exactly; the mid-stream snapshot equals a
-    Python-recomputed histogram over just the first half."""
+    Out-of-domain values (bucket outside [0, {B})) are DEAD-LETTERED into
+    the emitted ``n_oob`` counter — excluded from the histogram and from
+    ``n`` — instead of being clamped into a boundary bucket: clamping
+    would keep the stream "green" while the uncapped batch twin diverges,
+    exactly the silent failure this flag exists to surface. n_oob == 0
+    certifies the equals-batch contract below holds unconditionally.
+
+    Contract (pinned in tests/test_stateful_streaming.py): with n_oob == 0
+    (the whole [0, 640) fixture domain), the final emitted (n, p50, p90)
+    per day over a replayed corpus, across a restart, equals
+    ``quantile_histogram_rollup``'s (n, p50_est_milli, p90_est_milli)
+    columns exactly; the mid-stream snapshot equals a Python-recomputed
+    histogram over just the first half; and injected out-of-domain values
+    land in n_oob without disturbing the in-domain estimates."""
     from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
 
+    # UNCAPPED floor-division bucket (sign-safe: `div` truncates toward
+    # zero, so negative milli gets the explicit floor correction) — the
+    # stateful stage dead-letters anything outside [0, B) into n_oob
+    # rather than capping it into a real bucket, so an out-of-domain value
+    # is a visible counter, never a silent histogram corruption.
     prepped = events.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.least(
-            F.expr(
-                f"CAST(floor(value * 1000 + 0.5) AS BIGINT)"
-                f" div {QHR_BUCKET_MILLI}"
-            ),
-            F.lit(QH_STREAM_BUCKETS - 1),
-        )
-        .cast("int")
-        .alias("bucket"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("m"),
+    ).select(
+        "day",
+        F.expr(
+            f"m div {QHR_BUCKET_MILLI}"
+            f" - (CASE WHEN m < 0 AND m % {QHR_BUCKET_MILLI} != 0"
+            "      THEN 1 ELSE 0 END)"
+        ).alias("bucket"),
     )
     return prepped.groupBy("day").applyInPandasWithState(
         _qh_group,

@@ -776,3 +776,45 @@ def test_bloom_semijoin_probe_is_codegen_single_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_semijoin_exact_side_broadcast_is_size_gated(spark, sf_dir):
+    """The urgent-key build side is filter-selected — corpus-PROPORTIONAL,
+    not bounded by construction — so its broadcast hint must be the
+    size-gated kind: small side broadcasts (fast path), an over-threshold
+    side degrades to a shuffled equi-join instead of OOMing executors.
+    Both degradation shapes pinned, mirroring the r3 similarity gates."""
+    from postgres_cdc_example_spark.queries.relational import (
+        bloom_semijoin_audit,
+    )
+
+    plan_small = explain_str(bloom_semijoin_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan_small
+    assert "CartesianProduct" not in plan_small
+
+    # Gate tripped + optimizer's own stats-based broadcast disabled: the
+    # forced hint must be gone (Spark re-choosing broadcast from accurate
+    # stats is fine; a forced hint surviving the gate is not).
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = explain_str(
+            bloom_semijoin_audit(spark, sf_dir, broadcast_max_rows=0)
+        )
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        assert "CartesianProduct" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_join_cardinality_top_keys_avoid_global_sort_exchange(spark, sf_dir):
+    """The top-JCARD_TOP heavy-key selection must plan as
+    TakeOrderedAndProject (per-partition heaps, bounded driver merge) —
+    never an un-partitioned Window's SinglePartition sort exchange, which
+    funnels the whole NDV-sized count table through one reducer."""
+    df = q.queries()["join_cardinality_estimate"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

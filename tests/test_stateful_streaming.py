@@ -705,6 +705,54 @@ def test_funnel_stream_flags_out_of_order_events(spark, sf_dir, tmp_path):
     )
 
 
+def test_funnel_stream_equal_ts_cross_batch_uses_batch_tiebreak(
+    spark, tmp_path
+):
+    """A later-batch event whose ts EQUALS the user's high-watermark must
+    be judged by the batch twin's (ts, event_id) tiebreak, not arrival
+    order: event_id <= the watermark's is out of order (dead-letter),
+    event_id above it occupies its legitimate batch-order position
+    (applied, no flag)."""
+    import datetime
+
+    from postgres_cdc_example_spark.streaming.stateful import (
+        FUNNEL_LATE_STAGE,
+        funnel_stream,
+    )
+
+    T = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    T1 = T + datetime.timedelta(seconds=1)
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame([(1, 10, T, "view")], schema)
+    b1.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    emitted: list = []
+    _drain(funnel_stream(stream), ckpt, emitted)
+    assert [(r.user_id, r.stage) for r in emitted] == [(1, 1)]
+
+    b2 = spark.createDataFrame(
+        [
+            (1, 5, T, "view"),  # ties hw ts, eid below hw's -> late
+            (1, 20, T, "click"),  # ties hw ts, eid above -> applied
+            (1, 30, T1, "click"),  # strictly later -> stage 2
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _drain(funnel_stream(stream), ckpt, emitted)
+    batch2 = emitted[1:]
+    late = [r for r in batch2 if r.stage == FUNNEL_LATE_STAGE]
+    assert len(late) == 1 and late[0].ts == T, (
+        "exactly the eid-below-watermark tie must dead-letter"
+    )
+    stages = [(r.stage, r.ts) for r in batch2 if r.stage != FUNNEL_LATE_STAGE]
+    # eid=20 click at ts==t1 cannot advance (strictly-after spec); the
+    # T1 click completes stage 2 — and was judged against the (T, 20)
+    # watermark the applied tie advanced
+    assert stages == [(2, T1)]
+
+
 def test_hll_reach_stream_matches_batch_rollup(spark, sf_dir, tmp_path):
     """The mergeable-sketch contract: replay the event log in two
     micro-batches with a restart between — each day's FINAL emitted HLL
@@ -780,6 +828,9 @@ def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(src)
     emitted: list = []
     _drain(quantile_rollup_stream(stream), ckpt, emitted)
+    assert all(r.n_oob == 0 for r in emitted), (
+        "fixture values live in [0, 640) — nothing may dead-letter"
+    )
     first = {r.day: (r.n, r.p50_est_milli, r.p90_est_milli) for r in emitted}
 
     def py_hist(rows):
@@ -787,10 +838,8 @@ def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
 
         days: dict = {}
         for day, value in rows:
-            b = min(
-                int(math.floor(value * 1000 + 0.5)) // QHR_BUCKET_MILLI,
-                QH_STREAM_BUCKETS - 1,
-            )
+            b = int(math.floor(value * 1000 + 0.5)) // QHR_BUCKET_MILLI
+            assert 0 <= b < QH_STREAM_BUCKETS
             days.setdefault(day, [0] * QH_STREAM_BUCKETS)[b] += 1
         return {d: _qh_estimates(c) for d, c in days.items()}
 
@@ -803,6 +852,7 @@ def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
 
     ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
     _drain(quantile_rollup_stream(stream), ckpt, emitted)
+    assert all(r.n_oob == 0 for r in emitted)
     final: dict = {}
     for r in emitted:  # later emissions overwrite: keep each day's last
         final[r.day] = (r.n, r.p50_est_milli, r.p90_est_milli)
@@ -811,6 +861,39 @@ def test_quantile_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in REGISTRY["quantile_histogram_rollup"].fn(spark, sf_dir).collect()
     }
     assert final == batch, "final stream snapshot must equal the batch rollup"
+
+
+def test_quantile_rollup_stream_dead_letters_out_of_domain(spark, tmp_path):
+    """Out-of-domain values (negative, or at/above the 640-unit domain
+    ceiling) must land in the visible n_oob counter — NOT wrap (negative
+    Python list index) into a top bucket or collapse into bucket B-1 —
+    and must leave the in-domain estimates untouched."""
+    import datetime
+
+    from postgres_cdc_example_spark.streaming.stateful import (
+        _qh_estimates,
+        QH_STREAM_BUCKETS,
+        quantile_rollup_stream,
+    )
+    from postgres_cdc_example_spark.queries.windows import QHR_BUCKET_MILLI
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    in_domain = [5.0, 25.0, 25.0, 487.5]  # buckets 0, 2, 2, 48
+    out_domain = [-3.0, -0.2, 640.0, 1e9]  # below 0 / at+above ceiling
+    rows = [(ts, float(v)) for v in in_domain + out_domain]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    emitted: list = []
+    _drain(quantile_rollup_stream(stream), ckpt, emitted)
+    (r,) = emitted
+    assert r.n_oob == len(out_domain)
+    counts = [0] * QH_STREAM_BUCKETS
+    for v in in_domain:
+        counts[int(v * 1000 + 0.5) // QHR_BUCKET_MILLI] += 1
+    n, p50, p90 = _qh_estimates(counts)
+    assert (r.n, r.p50_est_milli, r.p90_est_milli) == (n, p50, p90)
 
 
 def test_volume_trend_stream_matches_batch(spark, sf_dir, tmp_path):
