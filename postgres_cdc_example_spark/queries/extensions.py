@@ -99,14 +99,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, "documents", sf_dir))
 
 
-def _lang_oracle() -> str:
+def _lang_oracle(src: str = "documents") -> str:
     pads = "(' ' || lower(text) || ' ')"
     cols = []
     for lang, markers in text.LANG_MARKERS.items():
         total = " + ".join(_occ(pads, m) for m in markers)
         cols.append(f"({total}) AS hits_{lang}")
     return f"""
-    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents)
+    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM {src})
     SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
            CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
                 WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
@@ -123,7 +123,76 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_table(spark, "documents", sf_dir))
 
 
-def _mixed_lang_oracle() -> str:
+# --- deterministic foreign-text injection (language eval test vectors) -------
+#
+# The fixture's text is English-ish under EVERY lang label, so the language
+# eval surface was vacuous (all-'en' confusion matrix, zero code-switch
+# flags). The fix is the ``pii_redaction_audit`` pattern applied to
+# language: doc_id-keyed slices get deterministic marker blocks — built
+# from the DETECTOR'S OWN vocabulary (``text.LANG_MARKERS``) so eval and
+# detector cannot drift — PREPENDED (whole-doc language flips, labeled
+# ground truth by construction) or APPENDED (the tail flips -> genuine
+# code-switching for the half-split detector). Identical string
+# construction is interpolated into both engines.
+
+_INJ_MOD = 17
+_INJ_PREPEND = {3: "de", 5: "fr", 7: "es"}  # doc_id % _INJ_MOD -> language
+_INJ_APPEND_SLOT = 9  # doc_id % _INJ_MOD == 9 -> foreign tail (code-switch)
+_INJ_APPEND_LANG = "de"
+_INJ_REPS = 40  # marker-block repetitions: dominates any <=100-token doc
+
+
+def _inj_block(lang: str) -> str:
+    words = " ".join(m.strip() for m in text.LANG_MARKERS[lang])
+    return " ".join([words] * _INJ_REPS)
+
+
+def _injected_docs(docs: DataFrame) -> DataFrame:
+    """The injected eval corpus: (doc_id, text, lang) with the prepend
+    slices' text foreign-dominated and their lang OVERRIDDEN to the
+    injected language (ground truth by construction), plus the append
+    slice's foreign tail (label unchanged — the doc genuinely starts
+    English and ends foreign)."""
+    mod = F.col("doc_id") % _INJ_MOD
+    t = F.col("text")
+    lang = F.col("lang")
+    for slot, lg in _INJ_PREPEND.items():
+        t = F.when(mod == slot, F.concat(F.lit(_inj_block(lg) + " "), F.col("text"))).otherwise(t)
+        lang = F.when(mod == slot, F.lit(lg)).otherwise(lang)
+    t = F.when(
+        mod == _INJ_APPEND_SLOT,
+        F.concat(F.col("text"), F.lit(" " + _inj_block(_INJ_APPEND_LANG))),
+    ).otherwise(t)
+    return docs.select("doc_id", t.alias("text"), lang.alias("lang"))
+
+
+def _injected_docs_sql() -> str:
+    """`docs_inj` CTE body — the oracle twin of :func:`_injected_docs`.
+    Interpolating it as ``WITH docs_inj AS (...)`` lets the registered
+    detector SQL run over the injected corpus by passing ``src='docs_inj'``
+    to the oracle builders (CTE shadows compose, definitions stay single-
+    sourced)."""
+    pre_txt = " ".join(
+        f"WHEN doc_id % {_INJ_MOD} = {slot} THEN '{_inj_block(lg)} ' || text"
+        for slot, lg in _INJ_PREPEND.items()
+    )
+    pre_lang = " ".join(
+        f"WHEN doc_id % {_INJ_MOD} = {slot} THEN '{lg}'"
+        for slot, lg in _INJ_PREPEND.items()
+    )
+    tail = _inj_block(_INJ_APPEND_LANG)
+    return f"""
+      SELECT doc_id,
+             CASE {pre_txt}
+                  WHEN doc_id % {_INJ_MOD} = {_INJ_APPEND_SLOT}
+                    THEN text || ' {tail}'
+                  ELSE text END AS text,
+             CASE {pre_lang} ELSE lang END AS lang
+      FROM documents
+    """
+
+
+def _mixed_lang_oracle(src: str = "documents") -> str:
     halves = {
         "a": "substr(text, 1, CAST(floor(length(text) / 2) AS INT))",
         "b": "substr(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text))",
@@ -143,7 +212,7 @@ def _mixed_lang_oracle() -> str:
                 ELSE 'es' END"""
 
     return f"""
-    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents),
+    WITH c AS (SELECT doc_id, {", ".join(cols)} FROM {src}),
     d AS (SELECT doc_id, {case("a")} AS lang_first, {case("b")} AS lang_second FROM c)
     SELECT doc_id, lang_first, lang_second,
            lang_first != lang_second AS is_mixed
@@ -151,16 +220,11 @@ def _mixed_lang_oracle() -> str:
     """
 
 
-@register("text_mixed_language", oracle=_mixed_lang_oracle())
-def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-language / code-switching detection: language-ID each HALF of
-    the document (char midpoint split) with the same marker-phrase counter
-    and tie-break as ``text_lang_id``; halves disagreeing flags the doc —
-    the cheap detector for concatenation artifacts, translated boilerplate,
-    and code-switched text that a whole-doc language ID averages away.
-    Same cost class as the parent: pure per-row string arithmetic, zero
-    shuffle, pushdown-safe — stackable into the scan-front gate battery."""
-    docs = load_table(spark, "documents", sf_dir)
+def _half_split_langs(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_first, lang_second, is_mixed): language-ID each HALF
+    of the document (char midpoint split) with the same marker-phrase
+    counter and tie-break as ``text_lang_id`` — the shared core of the
+    ``text_mixed_language`` gate and the injection audit."""
     h1 = F.expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
     h2 = F.expr(
         "substring(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text))"
@@ -201,6 +265,80 @@ def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_second",
         (F.col("lang_first") != F.col("lang_second")).alias("is_mixed"),
     )
+
+
+@register("text_mixed_language", oracle=_mixed_lang_oracle())
+def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language / code-switching detection: language-ID each HALF of
+    the document (char midpoint split) with the same marker-phrase counter
+    and tie-break as ``text_lang_id``; halves disagreeing flags the doc —
+    the cheap detector for concatenation artifacts, translated boilerplate,
+    and code-switched text that a whole-doc language ID averages away.
+    Same cost class as the parent: pure per-row string arithmetic, zero
+    shuffle, pushdown-safe — stackable into the scan-front gate battery.
+    On the raw fixture the flag count is zero (English-ish text under
+    every label) — ``mixed_language_injection_audit`` proves the gate
+    FIRES on deterministic injected code-switching."""
+    return _half_split_langs(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "mixed_language_injection_audit",
+    oracle=f"""
+    WITH docs_inj AS ({_injected_docs_sql()}),
+    d AS ({_mixed_lang_oracle("docs_inj")})
+    SELECT (doc_id % {_INJ_MOD} = {_INJ_APPEND_SLOT}) AS injected,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_mixed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN is_mixed THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS flag_share_micro
+    FROM d GROUP BY 1
+    """,
+)
+def mixed_language_injection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch gate EFFECTIVENESS audit — the test-vector pattern
+    (``pii_redaction_audit``) applied to ``text_mixed_language``: the raw
+    fixture never code-switches (English-ish text under every label), so
+    the gate's zero flags were unfalsifiable. The injected corpus
+    (:func:`_injected_docs`) gives the doc_id % {_INJ_MOD} ==
+    {_INJ_APPEND_SLOT} slice a deterministic foreign TAIL — the document
+    genuinely starts English and ends '{_INJ_APPEND_LANG}' — and this
+    audit rolls up the gate's flag rate for the injected vs untouched
+    slices: injected docs must flag (short docs' second halves are
+    foreign-dominated), untouched-slice flags measure the false-positive
+    floor. Composes the REGISTERED gate core on both sides
+    (:func:`_half_split_langs` / the interpolated oracle builder over the
+    shared ``docs_inj`` CTE) so audit and gate cannot drift. Scale shape:
+    injection is a per-row CASE in the gate's zero-shuffle scan; the
+    rollup is a 2-group aggregate."""
+    flags = _half_split_langs(
+        _injected_docs(load_table(spark, "documents", sf_dir))
+    )
+    return (
+        flags.groupBy(
+            (F.col("doc_id") % _INJ_MOD == _INJ_APPEND_SLOT).alias("injected")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_mixed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .select(
+            "injected",
+            "n_docs",
+            "n_flagged",
+            F.expr("n_flagged * 1000000 div n_docs").alias("flag_share_micro"),
+        )
+    )
+
+
+mixed_language_injection_audit.__doc__ = (
+    mixed_language_injection_audit.__doc__.replace("{_INJ_MOD}", str(_INJ_MOD))
+    .replace("{_INJ_APPEND_SLOT}", str(_INJ_APPEND_SLOT))
+    .replace("{_INJ_APPEND_LANG}", _INJ_APPEND_LANG)
+)
 
 
 @register(
@@ -3435,18 +3573,20 @@ _PQ_EM_CTE = """em AS MATERIALIZED (
     )"""
 
 
-def _pq_lloyd_parts(sv: str) -> list[str]:
+def _pq_lloyd_parts(sv: str, pre: str = "") -> list[str]:
     """The trainable core of the PQ oracle, parameterized on the name of
     a (vec_id, s, sv) subvector CTE (raw subvectors for ``ann_pq_*``,
     coarse-residual subvectors for ``ann_ivfpq_topk``): first-K init,
     PQ_ITERS unrolled integer Lloyd steps (means = HUGEINT sum // count,
     so codewords stay EXACTLY on the micro grid; empty codes keep their
     previous codeword), then the bulk ``codes`` assignment and the final
-    ``cbF`` codebook."""
+    ``cbF`` codebook. ``pre`` prefixes every generated CTE name so two
+    independent trainings (e.g. the staleness audit's frozen vs
+    retrained codebooks) can coexist in one oracle."""
     D, K = similarity.PQ_D, similarity.PQ_K
     d2 = _pq_d2_sql("x.sv", "c.cv", D)
     parts = [
-        f"""cb0 AS MATERIALIZED (
+        f"""{pre}cb0 AS MATERIALIZED (
       SELECT s, rn - 1 AS code, sv AS cv FROM (
         SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
         FROM {sv})
@@ -3455,34 +3595,34 @@ def _pq_lloyd_parts(sv: str) -> list[str]:
     ]
     for t in range(similarity.PQ_ITERS):
         parts.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{pre}a{t} AS MATERIALIZED (
       SELECT vec_id, s, sv, code FROM (
         SELECT x.vec_id, x.s, x.sv, c.code,
                row_number() OVER (PARTITION BY x.vec_id, x.s
                                   ORDER BY {d2}, c.code) AS r
-        FROM {sv} x JOIN cb{t} c ON c.s = x.s)
+        FROM {sv} x JOIN {pre}cb{t} c ON c.s = x.s)
       WHERE r = 1
     )"""
         )
         parts.append(
-            f"""m{t} AS MATERIALIZED (
+            f"""{pre}m{t} AS MATERIALIZED (
       SELECT s, code, list(mu ORDER BY d) AS cv FROM (
         SELECT s, code, u.d AS d,
                CAST(CAST(sum(sv[u.d]) AS HUGEINT) // count(*) AS BIGINT) AS mu
-        FROM a{t}, unnest(generate_series(1, {D})) AS u(d)
+        FROM {pre}a{t}, unnest(generate_series(1, {D})) AS u(d)
         GROUP BY s, code, u.d)
       GROUP BY s, code
     )"""
         )
         parts.append(
-            f"""cb{t + 1} AS MATERIALIZED (
+            f"""{pre}cb{t + 1} AS MATERIALIZED (
       SELECT c.s, c.code, COALESCE(m.cv, c.cv) AS cv
-      FROM cb{t} c LEFT JOIN m{t} m ON m.s = c.s AND m.code = c.code
+      FROM {pre}cb{t} c LEFT JOIN {pre}m{t} m ON m.s = c.s AND m.code = c.code
     )"""
         )
-    cbf = f"cb{similarity.PQ_ITERS}"
+    cbf = f"{pre}cb{similarity.PQ_ITERS}"
     parts.append(
-        f"""codes AS MATERIALIZED (
+        f"""{pre}codes AS MATERIALIZED (
       SELECT vec_id, s, code FROM (
         SELECT x.vec_id, x.s, c.code,
                row_number() OVER (PARTITION BY x.vec_id, x.s
@@ -3491,7 +3631,7 @@ def _pq_lloyd_parts(sv: str) -> list[str]:
       WHERE r = 1
     )""",
         )
-    parts.append(f"cbF AS MATERIALIZED (SELECT s, code, cv FROM {cbf})")
+    parts.append(f"{pre}cbF AS MATERIALIZED (SELECT s, code, cv FROM {cbf})")
     return parts
 
 
@@ -3710,6 +3850,338 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ann_pq_recall_audit.__doc__ = ann_pq_recall_audit.__doc__.format(
     PQ_TOPK=similarity.PQ_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# ANN index staleness audit (frozen codebook vs drifted delta slice)
+# ---------------------------------------------------------------------------
+
+STALE_MOD = 10  # vec_id % STALE_MOD == 0 -> the "arrived after training" slice
+# deterministic drift on the delta slice: PER-VECTOR magnitude
+# ((vec_id div 10) % 7) * STALE_DRIFT_MICRO on the first STALE_DRIFT_DIMS
+# dims. A constant offset would shift every delta vector equally and leave
+# their RELATIVE distances (hence rankings) intact; varying the magnitude
+# per vector spreads the delta cloud along directions the frozen codebook
+# has no codewords for, which is what actually degrades a stale index.
+STALE_DRIFT_MICRO = 300_000
+STALE_DRIFT_DIMS = 16  # first 16 of 64 dims (2 of 8 PQ subspaces)
+
+_STALE_PQ_SHARE: dict[tuple[str, str], list] = {}
+_RETRAIN_PQ_SHARE: dict[tuple[str, str], list] = {}
+
+
+def _trained_pq_stale(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized FROZEN codebook: PQ trained on the base slice only
+    (vec_id % STALE_MOD != 0) — the index as it existed before the delta
+    vectors arrived. Same driver-state bound as ``_trained_pq``."""
+    return memo_get(
+        _STALE_PQ_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: similarity.train_pq(
+            load_table(spark, "embeddings", sf_dir).filter(
+                F.col("vec_id") % STALE_MOD != 0
+            )
+        ),
+        unpersist=False,
+    )
+
+
+def _trained_pq_retrained(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized RETRAINED codebook: PQ trained on the full
+    corpus as it is NOW (base + drifted delta) — the counterfactual the
+    staleness audit prices the frozen index against."""
+    return memo_get(
+        _RETRAIN_PQ_SHARE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: similarity.train_pq_base(
+            _drifted_subvecs(
+                _drifted_vm(load_table(spark, "embeddings", sf_dir))
+            )
+        ),
+        unpersist=False,
+    )
+
+
+def _drifted_vm(emb: DataFrame) -> DataFrame:
+    """(vec_id, vm): micro vectors with the deterministic DELTA DRIFT
+    applied — delta-slice vectors get +STALE_DRIFT_MICRO on the first
+    STALE_DRIFT_DIMS dims AFTER the micro conversion (exact integer
+    addition, identical in both engines). Models distribution shift in
+    the post-training arrivals."""
+    from postgres_cdc_example_spark.operators.dedup import _spread
+
+    spread = _spread(emb.select("vec_id", "embedding"), "vec_id")
+    vm0 = spread.select(
+        "vec_id", similarity.micro_vec(F.col("embedding")).alias("vm0")
+    )
+    return vm0.select(
+        "vec_id",
+        F.expr(
+            f"transform(vm0, (x, i) -> x +"
+            f" IF(vec_id % {STALE_MOD} = 0 AND i < {STALE_DRIFT_DIMS},"
+            f" CAST(((vec_id div {STALE_MOD}) % 7) * {STALE_DRIFT_MICRO}"
+            f" AS BIGINT), CAST(0 AS BIGINT)))"
+        ).alias("vm"),
+    )
+
+
+def _drifted_subvecs(vmd: DataFrame) -> DataFrame:
+    """(vec_id, sv0..sv7) from a drifted (vec_id, vm) frame — mirrors
+    ``similarity._with_subvecs``'s Generate-barrier slicing."""
+    M, D = similarity.PQ_M, similarity.PQ_D
+    return vmd.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    *[
+                        F.slice(F.col("vm"), s * D + 1, D).alias(f"sv{s}")
+                        for s in range(M)
+                    ]
+                )
+            )
+        ).alias("r"),
+    ).select("vec_id", *[F.col(f"r.sv{s}").alias(f"sv{s}") for s in range(M)])
+
+
+def _staleness_oracle() -> str:
+    M, D = similarity.PQ_M, similarity.PQ_D
+    adc_term = _pq_d2_sql("q.sv", "b.cv", D)
+    ex_d2 = _pq_d2_sql("q.vm", "e.vm", similarity.EMB_DIM)
+
+    def delta_codes(name: str, cbf: str) -> str:
+        d2c = _pq_d2_sql("x.sv", "c.cv", D)
+        return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT x.vec_id, x.s, c.code,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY {d2c}, c.code) AS r
+        FROM svd x JOIN {cbf} c ON c.s = x.s)
+      WHERE r = 1
+    )"""
+
+    def adc_rank(name: str, codes: str, cbf: str) -> str:
+        return f"""{name} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist, vec_id) AS r
+        FROM (
+          SELECT q.q_id, c.vec_id, CAST(sum({adc_term}) AS BIGINT) AS dist
+          FROM qs q
+          JOIN {codes} c ON c.s = q.s AND c.vec_id != q.q_id
+          JOIN {cbf} b ON b.s = c.s AND b.code = c.code
+          GROUP BY q.q_id, c.vec_id))
+      WHERE r <= {similarity.PQ_TOPK}
+    )"""
+
+    parts = [
+        f"""em AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(generate_series(1, {similarity.EMB_DIM}), d ->
+               CAST(floor(embedding[d]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+               + CASE WHEN d <= {STALE_DRIFT_DIMS}
+                           AND vec_id % {STALE_MOD} = 0
+                      THEN ((vec_id // {STALE_MOD}) % 7)
+                           * {STALE_DRIFT_MICRO} ELSE 0 END) AS vm
+      FROM embeddings
+    )""",
+        f"""sv AS MATERIALIZED (
+      SELECT vec_id, u.s AS s, vm[u.s * {D} + 1 : u.s * {D} + {D}] AS sv
+      FROM em, unnest(generate_series(0, {M - 1})) AS u(s)
+    )""",
+        f"""svb AS MATERIALIZED (
+      SELECT * FROM sv WHERE vec_id % {STALE_MOD} != 0
+    )""",
+        f"""svd AS MATERIALIZED (
+      SELECT * FROM sv WHERE vec_id % {STALE_MOD} = 0
+    )""",
+    ]
+    parts += _pq_lloyd_parts("svb")  # frozen codebook -> cbF
+    parts += _pq_lloyd_parts("sv", pre="r")  # retrained codebook -> rcbF
+    parts.append(delta_codes("codes_f", "cbF"))
+    parts.append(delta_codes("codes_r", "rcbF"))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    qs AS (SELECT vec_id AS q_id, s, sv FROM sv
+           WHERE vec_id < {similarity.N_QUERIES}),
+    {adc_rank("pq_f", "codes_f", "cbF")},
+    {adc_rank("pq_r", "codes_r", "rcbF")},
+    exq AS (SELECT vec_id AS q_id, vm FROM em
+            WHERE vec_id < {similarity.N_QUERIES}),
+    exr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {ex_d2}, e.vec_id) AS r
+        FROM exq q
+        JOIN em e ON e.vec_id != q.q_id AND e.vec_id % {STALE_MOD} = 0)
+      WHERE r <= {similarity.PQ_TOPK}
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_delta_vectors FROM em
+           WHERE vec_id % {STALE_MOD} = 0),
+    tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM exr),
+    hf AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           FROM pq_f p JOIN exr e ON e.q_id = p.q_id AND e.vec_id = p.vec_id),
+    hr AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           FROM pq_r p JOIN exr e ON e.q_id = p.q_id AND e.vec_id = p.vec_id)
+    SELECT 'frozen' AS codebook, nd.n_delta_vectors, tr.n_truth,
+           hf.n_hits, hf.n_hits * 1000000 // tr.n_truth AS recall_micro
+    FROM nd, tr, hf
+    UNION ALL
+    SELECT 'retrained' AS codebook, nd.n_delta_vectors, tr.n_truth,
+           hr.n_hits, hr.n_hits * 1000000 // tr.n_truth AS recall_micro
+    FROM nd, tr, hr
+    """
+    )
+
+
+@register("ann_staleness_audit", oracle=_staleness_oracle())
+def ann_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index STALENESS audit — the retrain-trigger number a vector
+    store operates on once an index persists (the question the
+    cid-partitioned IVF-PQ code table and the streaming ``pq_encode_gate``
+    raise): for vectors that arrived AFTER training, how much recall does
+    the FROZEN codebook lose versus retraining on the corpus as it is
+    now? Controlled comparison — same fixed {NQ}-query sample, same
+    delta-slice candidate pool, same exact integer-L2 ground truth — with
+    ONLY the codebook varying: 'frozen' is PQ trained on the base slice
+    (vec_id % {MOD} != 0, memoized like ``_trained_pq``), 'retrained' is
+    PQ trained on the full current corpus. The delta slice (% {MOD} == 0)
+    models post-training arrivals WITH deterministic distribution shift —
+    a per-vector ((vec_id div {MOD}) % 7) x {DRIFT}-micro offset on the
+    first {DIMS} dims, applied after the micro conversion so it is exact
+    integer addition in both engines (per-vector magnitudes, because a
+    constant offset preserves relative distances and degrades nothing;
+    the
+    ``pii_redaction_audit`` injection pattern: without injected drift the
+    iid fixture would make this audit vacuous). Comparing the two slices'
+    recalls directly would be confounded by candidate-pool size (chance
+    recall scales with topk/|pool|); holding the pool fixed and swapping
+    codebooks isolates exactly the quantity retraining buys — the number
+    an operator alerts on.
+
+    Scale shape: training/encoding inherit the PQ family's bounds
+    (codebooks = driver literals, encode = zero-shuffle argmin over the
+    DELTA slice only, ADC = one codes-table scan per query batch); the
+    exact side is audit-sized by construction (|queries| x delta-slice
+    distances, query side broadcast); rollups are 1-row aggregates.
+    Cites the same PQ design as ``ann_pq_topk``
+    (operators/similarity.py:612-830)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb_frozen = _trained_pq_stale(spark, sf_dir)
+    cb_retrained = _trained_pq_retrained(spark, sf_dir)
+    vmd = _drifted_vm(emb)
+    empty = vmd.limit(0).select(
+        F.lit("frozen").alias("codebook"),
+        F.lit(0).cast("long").alias("n_delta_vectors"),
+        F.lit(0).cast("long").alias("n_truth"),
+        F.lit(0).cast("long").alias("n_hits"),
+        F.lit(0).cast("long").alias("recall_micro"),
+    )
+    if not cb_frozen or not cb_retrained:
+        return empty
+    qrows = vmd.filter(F.col("vec_id") < similarity.N_QUERIES).collect()
+    if not qrows:
+        return empty
+    delta_sv = _drifted_subvecs(
+        vmd.filter(F.col("vec_id") % STALE_MOD == 0)
+    )
+
+    def pq_topk(cb: list) -> DataFrame:
+        """ADC top-k over the delta pool under one codebook — the same
+        literal-lookup-table construction as ``ann_pq_topk``."""
+        codes = similarity.pq_encode_base(delta_sv, cb)
+        M, D, K = similarity.PQ_M, similarity.PQ_D, len(cb[0])
+        per_q = []
+        for r in qrows:
+            qid, vm = int(r["vec_id"]), [int(x) for x in r["vm"]]
+            table = [
+                [
+                    sum((vm[s * D + d] - cb[s][k][d]) ** 2 for d in range(D))
+                    for k in range(K)
+                ]
+                for s in range(M)
+            ]
+            dist = " + ".join(
+                "element_at(array({vals}), c{s} + 1)".format(
+                    vals=",".join(f"{int(v)}L" for v in table[s]), s=s
+                )
+                for s in range(M)
+            )
+            per_q.append(f"named_struct('q_id', {qid}, 'dist', {dist})")
+        stacked = codes.select(
+            "vec_id",
+            F.expr("explode(array(" + ",".join(per_q) + "))").alias("qd"),
+        ).select(
+            "vec_id",
+            F.col("qd.q_id").alias("q_id"),
+            F.col("qd.dist").alias("dist"),
+        )
+        w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+        return (
+            stacked.filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= similarity.PQ_TOPK)
+            .select("q_id", "vec_id")
+        )
+
+    q = vmd.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vm").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wex = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exr = (
+        F.broadcast(q)
+        .join(
+            vmd.filter(F.col("vec_id") % STALE_MOD == 0),
+            F.col("vec_id") != F.col("q_id"),
+        )
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wex))
+        .filter(F.col("r") <= similarity.PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    nd = vmd.filter(F.col("vec_id") % STALE_MOD == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_vectors")
+    )
+    tr = exr.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    def audit_row(label: str, cb: list) -> DataFrame:
+        hits = (
+            pq_topk(cb)
+            .join(exr, ["q_id", "vec_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        return (
+            nd.crossJoin(F.broadcast(tr))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(label).alias("codebook"),
+                "n_delta_vectors",
+                "n_truth",
+                "n_hits",
+                F.expr("n_hits * 1000000 div n_truth").alias("recall_micro"),
+            )
+        )
+
+    return audit_row("frozen", cb_frozen).unionByName(
+        audit_row("retrained", cb_retrained)
+    )
+
+
+ann_staleness_audit.__doc__ = (
+    ann_staleness_audit.__doc__.replace("{MOD}", str(STALE_MOD))
+    .replace("{DRIFT}", str(STALE_DRIFT_MICRO))
+    .replace("{DIMS}", str(STALE_DRIFT_DIMS))
+    .replace("{NQ}", str(similarity.N_QUERIES))
 )
 
 
@@ -4307,10 +4779,12 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates while DuckDB's ``//`` floors on NEGATIVE operands — the one
     divergence class integer grids don't fix by themselves. Scale shape:
     the eval suite is BOUNDED BY CONSTRUCTION in production (a fixed
-    benchmark, not a corpus sample), so the broadcast non-equi join is
-    one corpus scan against a constant-size build side — the same
-    contract as the ANN audits' fixed query samples — followed by one
-    per-vector max and a ~20-group histogram."""
+    benchmark, not a corpus sample) — but because THIS implementation
+    derives it from a corpus slice, the broadcast hint additionally goes
+    through the ``hints.broadcast_if_small`` size gate (belt-and-braces:
+    a mis-deployed corpus-sized "benchmark" degrades to a shuffle join
+    instead of OOMing executors) — then one corpus scan against the
+    bounded build side, one per-vector max and a ~20-group histogram."""
     emb = load_table(spark, "embeddings", sf_dir)
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -4327,7 +4801,13 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long")
     ).alias("mx_micro")
-    s = t.join(F.broadcast(b)).groupBy("vec_id").agg(mx)
+    from postgres_cdc_example_spark.operators import hints
+
+    # wide rows (64-dim vector + norm ≈ 0.5 KB) -> a tighter row bound
+    # than the default keeps the broadcast in the low hundreds of MB
+    s = t.join(
+        hints.broadcast_if_small(b, max_rows=200_000)
+    ).groupBy("vec_id").agg(mx)
     g = s.agg(
         F.count(F.when(F.col("mx_micro") >= SEM_TAU_MICRO, 1))
         .cast("long")
@@ -4730,10 +5210,11 @@ def dedup_graph_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_id_confusion",
     oracle=f"""
-    WITH pred AS ({{p}}),
+    WITH docs_inj AS ({{inj}}),
+    pred AS ({{p}}),
     j AS (
       SELECT d.lang AS actual_lang, p.detected_lang
-      FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+      FROM pred p JOIN docs_inj d ON d.doc_id = p.doc_id
     ),
     tot AS (SELECT actual_lang, CAST(count(*) AS BIGINT) AS n_actual
             FROM j GROUP BY actual_lang)
@@ -4742,26 +5223,30 @@ def dedup_graph_shape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) * 1000000 // t.n_actual AS cell_share_micro
     FROM j JOIN tot t ON t.actual_lang = j.actual_lang
     GROUP BY j.actual_lang, j.detected_lang, t.n_actual
-    """.format(p=_lang_oracle()),
+    """.format(inj=_injected_docs_sql(), p=_lang_oracle("docs_inj")),
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID CONFUSION MATRIX — the eval the detector has owed since
-    it was registered: the fixture's `lang` column is ground truth, so
-    per (actual, detected) cell the doc count and the per-actual share
-    (diagonal cells read as recall). This is the operator that decides
-    whether the marker-phrase heuristic is good enough to route a corpus
-    or needs replacing — and where it fails (which language pairs
-    confuse). Composes the REGISTERED detector on both sides: the engine
-    calls the same ``text.lang_id`` operator, the oracle interpolates the
-    registered oracle SQL — evaluation and production can never drift.
-    On THIS fixture the matrix reads all-'en': the synthetic text draws
-    from an English-ish vocabulary for every lang LABEL, so the
-    marker-phrase detector (correctly) sees English text under de/fr/es
-    labels — the eval telling you the label column and the text disagree
-    is exactly the job such an audit does on a real crawl.
-    Scale shape: the detector's zero-shuffle scan, one thin doc_id join
-    for labels, a |langs|²-bounded rollup plus a |langs|-row broadcast."""
-    docs = load_table(spark, "documents", sf_dir)
+    """Language-ID CONFUSION MATRIX over the INJECTED eval corpus — the
+    eval the detector has owed since it was registered, de-vacuized: the
+    raw fixture's text is English-ish under every lang label, so the
+    matrix used to read all-'en' (an honest but information-free row).
+    The ``pii_redaction_audit`` injection pattern fixes it: doc_id-keyed
+    slices get deterministic marker blocks from the detector's own
+    vocabulary prepended, with their actual_lang OVERRIDDEN to the
+    injected language — labeled ground truth by construction, identical
+    in both engines (:func:`_injected_docs`). The matrix now carries
+    de/fr/es diagonal mass (injected slices the detector must recover),
+    off-diagonal mass (fixture-labeled de/fr/es rows whose text is
+    English — the label-vs-text disagreement a real crawl audit
+    surfaces), and the en/code-switch rows. Composes the REGISTERED
+    detector on both sides: the engine calls the same ``text.lang_id``
+    operator over the injected frame, the oracle interpolates the
+    registered oracle SQL over the ``docs_inj`` CTE — evaluation and
+    production can never drift.
+    Scale shape: injection is a per-row CASE inside the detector's
+    zero-shuffle scan, one thin doc_id join for labels, a
+    |langs|²-bounded rollup plus a |langs|-row broadcast."""
+    docs = _injected_docs(load_table(spark, "documents", sf_dir))
     pred = text.lang_id(docs).select("doc_id", "detected_lang")
     j = pred.join(docs.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id")
     tot = j.groupBy("actual_lang").agg(

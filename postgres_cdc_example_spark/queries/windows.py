@@ -1077,6 +1077,174 @@ quantile_histogram_rollup.__doc__ = quantile_histogram_rollup.__doc__.replace(
 
 
 # ---------------------------------------------------------------------------
+# mergeable bottom-k rank sample (quantiles on an UNBOUNDED value domain)
+# ---------------------------------------------------------------------------
+
+RANK_SKETCH_K = 512  # sample size: rank error ~ n/sqrt(k) w.h.p.
+RANK_SKETCH_QS = (50, 90)
+
+
+def _rank_sketch_merged(spark: SparkSession, sf_dir: str):
+    """(base, merged): the hashed corpus projection and the K-row merged
+    bottom-k sample — factored out so the plan test can pin the merge
+    shape (the query itself materializes ``merged`` eagerly)."""
+    K = RANK_SKETCH_K
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+        "event_id",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wday = Window.partitionBy("day").orderBy("h", "event_id")
+    partials = (
+        base.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= K)
+        .select("m", "h", "event_id")
+    )
+    # bottom-k of the union of per-day bottom-ks == bottom-k of the corpus
+    # (idempotent monoid); orderBy+limit plans as a TakeOrdered, so the
+    # merge never funnels more than n_days * K rows anywhere
+    merged = partials.orderBy("h", "event_id").limit(K).select("m")
+    return base, merged
+
+
+@register(
+    "rank_sketch_bottomk",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT m FROM (
+        SELECT m, row_number() OVER (ORDER BY h, event_id) AS rn FROM e
+      ) WHERE rn <= {RANK_SKETCH_K}
+    ),
+    sv AS (SELECT m, row_number() OVER (ORDER BY m) AS srn FROM sk),
+    kn AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sk),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    t AS (SELECT unnest([{", ".join(str(q) for q in RANK_SKETCH_QS)}]) AS q),
+    est AS (
+      SELECT t.q, sv.m AS est_milli
+      FROM t, kn, sv
+      WHERE sv.srn = (t.q * kn.k + 99) // 100
+    ),
+    le AS (
+      SELECT est.q, CAST(count(*) AS BIGINT) AS rank_le
+      FROM est JOIN e ON e.m <= est.est_milli GROUP BY est.q
+    )
+    SELECT CAST(est.q AS BIGINT) AS quantile_pct, nn.n AS n_rows,
+           kn.k AS k_sketch, est.est_milli,
+           (est.q * nn.n + 99) // 100 AS target_rank, le.rank_le,
+           abs(le.rank_le - (est.q * nn.n + 99) // 100) * 1000000 // nn.n
+             AS rank_err_micro
+    FROM est JOIN le USING (q), nn, kn
+    """,
+)
+def rank_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable BOTTOM-K RANK SAMPLE — quantiles on an UNBOUNDED value
+    domain, the case ``quantile_histogram_rollup`` cannot serve (its
+    bucket grid needs a value domain bounded by construction; a production
+    pipeline's long-tail metrics — bytes, latencies, token counts — have
+    none). The compactor-family idea (KLL / Karnin-Lang-Liberty) realized
+    with DETERMINISTIC selection instead of random compaction: hash every
+    row by its unique event_id (md5-prefix 60-bit — a fixed pseudo-random
+    permutation of the corpus), keep the {K} rows with the SMALLEST
+    hashes. Bottom-k under a total order is a commutative, associative,
+    IDEMPOTENT monoid — bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪
+    bottom-k(B)) — so per-day partial sketches merge into exactly the
+    sketch of the whole corpus, in any order, replay-safe: the mergeable-
+    summaries contract, proven here by construction because the ENGINE
+    computes per-day bottom-k then merges while the ORACLE bottom-ks the
+    corpus directly, and the driver hash-compares the results. The kept
+    rows are a uniform size-{K} sample without replacement, so the value
+    at sample rank ceil(q·k/100) estimates the q-th percentile with rank
+    error O(n/sqrt(k)) w.h.p. — and the query AUDITS that claim instead
+    of asserting it: one corpus scan counts rank_le = |{{m <= est}}|
+    exactly and reports |rank_le - target_rank| on the micro grid.
+
+    Scale shape: the per-day partials are one shuffle keyed on day with
+    a bounded {K}-row window per day (the same keyed-state footprint as
+    the streaming twins); the merge is a {K}-row TakeOrdered, never a
+    global sort; the two collected estimate values are bounded driver
+    metadata (2 longs — centroid/bloom-bitmap class); the audit is ONE
+    map-side-combined corpus aggregate over codegen comparisons. Nothing
+    grows with the value domain — the property the histogram rollup
+    lacks. Deterministic end to end: unique event_id ⇒ (h, event_id)
+    total order has no ties; all arithmetic integer.
+
+    At 100 TB: persist the per-day {K}-row partials (a few KB each) and
+    answer any date-range quantile by merging the covered days — the same
+    pre-aggregated serving shape as the HLL/KMV rollups."""
+    base, merged = _rank_sketch_merged(spark, sf_dir)
+    K = RANK_SKETCH_K
+    vals = sorted(r.m for r in merged.collect())  # bounded: <= K longs
+    k = len(vals)
+    if k == 0:  # empty stream table: no ranks exist, return empty result
+        z = F.lit(0).cast("long")
+        return base.limit(0).select(
+            z.alias("quantile_pct"),
+            z.alias("n_rows"),
+            z.alias("k_sketch"),
+            z.alias("est_milli"),
+            z.alias("target_rank"),
+            z.alias("rank_le"),
+            z.alias("rank_err_micro"),
+        )
+    ests = {q: int(vals[(q * k + 99) // 100 - 1]) for q in RANK_SKETCH_QS}
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("m") <= F.lit(ests[q]), 1).otherwise(0))
+            .cast("long")
+            .alias(f"le_{q}")
+            for q in RANK_SKETCH_QS
+        ],
+    )
+    targets = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("q"),
+                        F.lit(ests[q]).cast("long").alias("est_milli"),
+                    )
+                    for q in RANK_SKETCH_QS
+                ]
+            )
+        ).alias("t")
+    ).select("t.q", "t.est_milli")
+    le_col = F.when(F.col("q") == RANK_SKETCH_QS[0], F.col(f"le_{RANK_SKETCH_QS[0]}"))
+    for q in RANK_SKETCH_QS[1:]:
+        le_col = le_col.when(F.col("q") == q, F.col(f"le_{q}"))
+    return (
+        agg.crossJoin(F.broadcast(targets))
+        .select(
+            F.col("q").alias("quantile_pct"),
+            F.col("n").alias("n_rows"),
+            F.lit(k).cast("long").alias("k_sketch"),
+            "est_milli",
+            F.expr("(q * n + 99) div 100").alias("target_rank"),
+            le_col.cast("long").alias("rank_le"),
+        )
+        .withColumn(
+            "rank_err_micro",
+            F.expr("abs(rank_le - target_rank) * 1000000 div n_rows"),
+        )
+    )
+
+
+rank_sketch_bottomk.__doc__ = rank_sketch_bottomk.__doc__.replace(
+    "{K}", str(RANK_SKETCH_K)
+)
+
+
+# ---------------------------------------------------------------------------
 # closed-form OLS volume trend (exact-moment linear regression per group)
 # ---------------------------------------------------------------------------
 

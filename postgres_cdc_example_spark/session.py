@@ -58,12 +58,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Static conf: the generated-class cache defaults to 100 entries —
-        # a session cycling through the full 130-query registry (the bench's
+        # a session cycling through the full registry (the bench's
         # interleaved passes, the all-oracle test sweep) evicts every
         # query's compiled stages between its own samples and re-pays Janino
-        # compilation per pass (measured ~1.5-2x inflation on the dedup
-        # family). 2000 comfortably holds the whole registry's stages.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # compilation per pass. 2000 sufficed at ~95 benched queries; at 131
+        # (x2 scale factors in a bench session) total fragments exceed it
+        # again — the r6 "exact-substring regression" was exactly this
+        # (measured r7: 2000 -> 10000 took dedup_exact_substring 3.03 ->
+        # 1.33 s and dedup_substring_removal 4.52 -> 2.94 s in the full
+        # bench shape, whole-list total 124 -> 116 s; a 1 GiB JVM
+        # ReservedCodeCacheSize changed nothing, exonerating the JIT).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1219,3 +1219,102 @@ def volume_trend_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming bottom-k rank sample (mergeable quantile state, unbounded domain)
+
+RANK_STREAM_OUTPUT_SCHEMA = (
+    "day string, k_sketch long, p50_est_milli long, p90_est_milli long"
+)
+RANK_STREAM_STATE_SCHEMA = "hs array<long>, eids array<long>, ms array<long>"
+
+
+def _rank_sample_estimates(ms: list[int], qs=(50, 90)) -> list[int]:
+    """Sample-rank estimates from a bottom-k sample's values — the
+    IDENTICAL rule the batch ``rank_sketch_bottomk`` applies to its
+    merged sample: value at sample rank ceil(q*k/100)."""
+    vals = sorted(ms)
+    k = len(vals)
+    return [int(vals[(q * k + 99) // 100 - 1]) for q in qs]
+
+
+def _rank_sample_group(key, pdfs, state: GroupState):
+    """Fold a batch of (h, event_id, m) rows into the day's bottom-K
+    sample under the (h, event_id) total order. Bottom-k is a
+    commutative, associative, IDEMPOTENT monoid — any batch slicing,
+    arrival order, or replayed duplicate yields the same sample, the
+    restart-safe-by-construction property the HLL gate's register max
+    has (contrast the additive quantile-histogram counters, which need
+    exactly-once replay). Emits the day's updated estimates each batch
+    (monitoring-style)."""
+    from postgres_cdc_example_spark.queries.windows import RANK_SKETCH_K
+
+    (day,) = key
+    rows: list[tuple[int, int, int]] = []
+    if state.exists:
+        hs, eids, ms = state.get
+        rows = list(zip([int(x) for x in hs], [int(x) for x in eids],
+                        [int(x) for x in ms]))
+    batch = pd.concat(list(pdfs))
+    for h, e, m in zip(batch["h"], batch["event_id"], batch["m"]):
+        rows.append((int(h), int(e), int(m)))
+    rows.sort()  # (h, event_id, m): unique event_id => total order
+    rows = rows[:RANK_SKETCH_K]
+    state.update((
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [r[2] for r in rows],
+    ))
+    p50, p90 = _rank_sample_estimates([r[2] for r in rows])
+    yield pd.DataFrame(
+        {
+            "day": [day],
+            "k_sketch": [len(rows)],
+            "p50_est_milli": [p50],
+            "p90_est_milli": [p90],
+        }
+    )
+
+
+def rank_sample_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``rank_sketch_bottomk``'s per-day
+    partials: the bottom-{K} rank sample AS keyed state — quantiles on an
+    UNBOUNDED value domain at ingest, the case ``quantile_rollup_stream``'s
+    fixed bucket grid cannot serve. Hash/milli computations run JVM-side
+    as codegen projections BEFORE the stateful stage (the Arrow hop
+    carries three longs per event); state is at most {K} (hash, event_id,
+    value) triples per day, PERIOD — independent of stream length AND of
+    the value domain. Bottom-k under the (hash, event_id) total order is
+    commutative, associative and idempotent, so the snapshot after any
+    prefix of batches equals the batch construction over the events
+    ingested so far, under any batching, even with replayed duplicates —
+    restart-safe by construction (no exactly-once lean).
+
+    Contract (pinned in tests/test_stateful_streaming.py): each day's
+    FINAL emitted (k, p50, p90) over a replayed corpus, across a restart,
+    equals a mirror of the batch per-day bottom-k + sample-rank rule; and
+    merging the per-day samples with the batch monoid reproduces
+    ``rank_sketch_bottomk``'s corpus estimates exactly — the persisted
+    per-day partials ARE the serving layer the batch query's 100 TB note
+    describes."""
+    from postgres_cdc_example_spark.queries.windows import RANK_SKETCH_K  # noqa: F401
+
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    prepped = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        h.alias("h"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    return prepped.groupBy("day").applyInPandasWithState(
+        _rank_sample_group,
+        outputStructType=RANK_STREAM_OUTPUT_SCHEMA,
+        stateStructType=RANK_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+rank_sample_stream.__doc__ = rank_sample_stream.__doc__.replace("{K}", "512")

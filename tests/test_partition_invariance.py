@@ -50,6 +50,7 @@ INVARIANCE_QUERIES = [
     "audience_overlap_kmv",  # bottom-k sketch merge + HUGEINT estimator
     "range_partition_plan",  # collected histogram walk -> literal assignment
     "semantic_decontam_audit",  # micro-grid cosine BEFORE per-vector max
+    "rank_sketch_bottomk",  # hash bottom-k sample + literal-estimate audit
 ]
 
 
@@ -80,10 +81,16 @@ def _clear_shared_layers():
             except Exception:
                 pass
         cache.clear()
-    from postgres_cdc_example_spark.queries.extensions import _PQ_SHARE
+    from postgres_cdc_example_spark.queries.extensions import (
+        _PQ_SHARE,
+        _RETRAIN_PQ_SHARE,
+        _STALE_PQ_SHARE,
+    )
 
     _PCA_FIT_SHARE.clear()  # driver-value memo: rebuild the fit per config
     _PQ_SHARE.clear()  # same for the PQ codebook
+    _STALE_PQ_SHARE.clear()  # ...and the staleness audit's frozen codebook
+    _RETRAIN_PQ_SHARE.clear()  # ...and its retrained counterfactual
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)

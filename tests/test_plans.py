@@ -457,6 +457,8 @@ _BNLJ_ALLOWED = {
     "covariance_incremental",  # two 1-row count sides merged then broadcast
     "embedding_outliers",  # 1-row moment-stats broadcast into the verdicts
     "ann_pq_recall_audit",  # broadcast query sample x corpus, != condition (exact audit side)
+    "ann_staleness_audit",  # broadcast query sample x corpus, != condition (per-slice exact side)
+    "rank_sketch_bottomk",  # 1-row corpus aggregate x 2-row literal target table
     "ann_truncated_recall_audit",  # broadcast query sample x corpus, != condition (both audit sides share one scan)
     "orders_benford_audit",  # 1-row total broadcast into the 9-digit table
     "orders_rfm_segments",  # 1-row customer-count broadcast closing the quintile scores
@@ -806,6 +808,28 @@ def test_bloom_semijoin_exact_side_broadcast_is_size_gated(spark, sf_dir):
         assert "CartesianProduct" not in plan_big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_rank_sketch_merge_is_takeordered_not_global_sort(spark, sf_dir):
+    """The bottom-k merge must plan as TakeOrderedAndProject over the
+    per-day partials (bounded n_days*K rows), never a global Sort+
+    SinglePartition exchange; the per-day partials shuffle once on day.
+    The merge materializes eagerly inside the query (bounded driver
+    metadata), so the pin reads the factored construction directly."""
+    from postgres_cdc_example_spark.queries.windows import _rank_sketch_merged
+
+    _, merged = _rank_sketch_merged(spark, sf_dir)
+    plan = explain_str(merged)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning(day" in plan, plan
+    assert "CartesianProduct" not in plan
+
+    # the returned audit frame: one corpus aggregate x 2-row literal
+    # broadcast, no Python eval, no cartesian
+    df = q.queries()["rank_sketch_bottomk"](spark, sf_dir)
+    final = explain_str(df)
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
 
 
 def test_join_cardinality_top_keys_avoid_global_sort_exchange(spark, sf_dir):

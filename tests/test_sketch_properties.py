@@ -110,3 +110,67 @@ def test_histogram_quantile_error_bounded_by_bucket_width(millis):
         exact = ordered[k - 1]
         assert est is not None
         assert 0 <= exact - est < QHR_BUCKET_MILLI
+
+
+def _rs_hash(event_id: int) -> int:
+    """The registered query's 60-bit row hash, mirrored exactly:
+    md5 of the decimal id string, first 15 hex chars as an integer."""
+    import hashlib
+
+    return int(hashlib.md5(str(event_id).encode()).hexdigest()[:15], 16)
+
+
+def _rs_bottom_k(rows, k):
+    """bottom-k rows of [(id, value)] under the (hash, id) total order —
+    the exact selection rank_sketch_bottomk runs per day and at merge."""
+    return sorted(rows, key=lambda r: (_rs_hash(r[0]), r[0]))[:k]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 10**12)),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(st.integers(0, 5), min_size=1, max_size=300),
+    st.integers(2, 64),
+)
+def test_rank_sketch_bottomk_merge_equals_direct(rows, groups, k):
+    """For ANY unique-id row multiset, ANY partition into groups, and ANY
+    sketch size: merging per-group bottom-k partials yields exactly the
+    direct corpus bottom-k — the idempotent-monoid identity
+    rank_sketch_bottomk's per-day-then-merge construction relies on
+    (queries/windows.rank_sketch_bottomk)."""
+    parts: dict[int, list] = {}
+    for row, g in zip(rows, groups * (len(rows) // len(groups) + 1)):
+        parts.setdefault(g, []).append(row)
+    union_of_partials: list = []
+    for part in parts.values():
+        union_of_partials.extend(_rs_bottom_k(part, k))
+    merged = _rs_bottom_k(union_of_partials, k)
+    direct = _rs_bottom_k(rows, k)
+    assert merged == direct
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 10**12)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_rank_sketch_exact_when_n_at_most_k(rows):
+    """With n <= k the sketch IS the corpus: the sample-rank estimate at
+    ceil(q·k/100) must equal the exact corpus value at ceil(q·n/100) for
+    both registered percentiles (the sketch degrades to exact, never to
+    wrong)."""
+    k = len(rows)  # sketch size >= corpus
+    sample = sorted(v for _, v in _rs_bottom_k(rows, k))
+    exact = sorted(v for _, v in rows)
+    n = len(rows)
+    for q in (50, 90):
+        assert sample[(q * k + 99) // 100 - 1] == exact[(q * n + 99) // 100 - 1]

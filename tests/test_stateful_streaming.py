@@ -952,3 +952,82 @@ def test_volume_trend_stream_matches_batch(spark, sf_dir, tmp_path):
     assert batch, "batch trend must be non-empty"
     got = {t: coeffs(*m) for t, m in final.items()}
     assert got == batch, "shifted stream moments must reproduce the batch fit"
+
+
+def test_rank_sample_stream_matches_batch_and_merges(spark, sf_dir, tmp_path):
+    """The idempotent-monoid contract for the bottom-k rank sample:
+    replay the event log in two micro-batches with a restart between —
+    each day's FINAL emitted (k, p50, p90) must equal a Python mirror of
+    the batch per-day bottom-k + sample-rank rule (prefix property holds
+    mid-stream too, since bottom-k is replay/batching-proof), and merging
+    the mirrored per-day samples with the batch monoid must reproduce
+    rank_sketch_bottomk's corpus estimates exactly — the per-day state IS
+    the batch query's serving layer."""
+    import hashlib
+
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.windows import (
+        RANK_SKETCH_K,
+        RANK_SKETCH_QS,
+    )
+    from postgres_cdc_example_spark.streaming.stateful import (
+        _rank_sample_estimates,
+        rank_sample_stream,
+    )
+
+    def h(eid: int) -> int:
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16)
+
+    import math
+
+    def mirror(rows):
+        days: dict = {}
+        for day, eid, value in rows:
+            m = int(math.floor(value * 1000 + 0.5))
+            days.setdefault(day, []).append((h(eid), eid, m))
+        out = {}
+        for day, rs in days.items():
+            rs.sort()
+            rs = rs[:RANK_SKETCH_K]
+            p50, p90 = _rank_sample_estimates([r[2] for r in rs])
+            out[day] = (len(rs), p50, p90, rs)
+        return out
+
+    ev = load_table(spark, "events", sf_dir)
+    rows_all = [
+        (r.ts.strftime("%Y-%m-%d"), int(r.event_id), float(r.value))
+        for r in ev.collect()
+    ]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < SPLIT_TS).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    emitted: list = []
+    _drain(rank_sample_stream(stream), ckpt, emitted)
+    first = {r.day: (r.k_sketch, r.p50_est_milli, r.p90_est_milli) for r in emitted}
+    half1 = [
+        (r.ts.strftime("%Y-%m-%d"), int(r.event_id), float(r.value))
+        for r in ev.filter(F.col("ts") < SPLIT_TS).collect()
+    ]
+    m1 = mirror(half1)
+    assert first == {d: v[:3] for d, v in m1.items()}, "prefix property"
+
+    ev.filter(F.col("ts") >= SPLIT_TS).coalesce(1).write.mode("append").parquet(src)
+    _drain(rank_sample_stream(stream), ckpt, emitted)
+    final: dict = {}
+    for r in emitted:
+        final[r.day] = (r.k_sketch, r.p50_est_milli, r.p90_est_milli)
+    m_all = mirror(rows_all)
+    assert final == {d: v[:3] for d, v in m_all.items()}, (
+        "final stream snapshot must equal the batch per-day bottom-k"
+    )
+
+    # merge the per-day samples with the batch monoid -> corpus estimates
+    union = [t for _, v in m_all.items() for t in v[3]]
+    union.sort()
+    merged = union[:RANK_SKETCH_K]
+    ests = dict(zip(RANK_SKETCH_QS, _rank_sample_estimates([t[2] for t in merged])))
+    batch = {
+        int(r.quantile_pct): int(r.est_milli)
+        for r in REGISTRY["rank_sketch_bottomk"].fn(spark, sf_dir).collect()
+    }
+    assert ests == batch, "merged per-day samples must reproduce the batch sketch"
