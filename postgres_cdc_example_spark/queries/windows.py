@@ -1245,6 +1245,248 @@ rank_sketch_bottomk.__doc__ = rank_sketch_bottomk.__doc__.replace(
 
 
 # ---------------------------------------------------------------------------
+# late-arrival injection audit (the watermark-sensitivity what-if)
+# ---------------------------------------------------------------------------
+
+LATE_WM_US = 600 * 1_000_000  # the what-if watermark delay: 10 minutes
+LATE_JITTER_US = 1800 * 1_000_000  # arrival displacement bound: 30 minutes
+
+
+def _injected_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, late_us): per-event lateness under the deterministic
+    bounded-jitter arrival injection — the shared core of
+    ``late_arrival_injection_audit`` and ``watermark_sizing_advisor``.
+    Two-pass distributed prefix max; see the audit's docstring."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("a:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    day_us = 86_400 * 1_000_000
+    arr = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        h.alias("h"),
+    ).withColumn(
+        "arr_us", F.expr(f"us + h % {LATE_JITTER_US}")
+    ).withColumn("b", F.expr(f"arr_us div {day_us}"))
+    win = (
+        Window.partitionBy("b")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = arr.withColumn("pmax_in", F.max("us").over(win))
+    bmax = arr.groupBy("b").agg(F.max("us").alias("bm"))
+    # exclusive prefix max over the day-maxima table — bounded by the day
+    # domain (the HLL-grid class, never corpus-sized)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.withColumn("pmax_prior", F.max("bm").over(wb)).select(
+        "b", "pmax_prior"
+    )
+    j = inb.join(F.broadcast(bpre), "b", "left")
+    return j.select(
+        "event_type",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.greatest(
+                F.coalesce(F.col("pmax_in"), F.lit(0)),
+                F.coalesce(F.col("pmax_prior"), F.lit(0)),
+            )
+            - F.col("us"),
+        ).alias("late_us"),
+    )
+
+
+def _injected_lateness_cte() -> str:
+    """Oracle twin of :func:`_injected_lateness` as a CTE chain ending in
+    ``l(event_type, late_us)`` — interpolated by both consumers so the
+    injected-lateness definition stays single-sourced."""
+    return f"""a AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts)
+               + ('0x' || substr(md5('a:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                 % {LATE_JITTER_US} AS arr_us
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, us,
+             max(us) OVER (ORDER BY arr_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hw
+      FROM a
+    ),
+    l AS (SELECT event_type,
+                 greatest(0, COALESCE(hw, 0) - us) AS late_us
+          FROM p)"""
+
+
+@register(
+    "late_arrival_injection_audit",
+    oracle=f"""
+    WITH {_injected_lateness_cte()}
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS share_late_micro,
+           CAST(sum(CASE WHEN late_us > {LATE_WM_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_10min,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM l GROUP BY event_type
+    """,
+)
+def late_arrival_injection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data WHAT-IF audit — the watermark-sensitivity number the
+    streaming operators couldn't demonstrate on this fixture (its events
+    arrive in perfect time order, so every lateness/watermark surface was
+    vacuous — r6 verdict, What's missing #5). The injection pattern fixes
+    it: a deterministic synthetic ARRIVAL time — event time plus a
+    bounded pseudo-random displacement (md5('a:' || event_id) % 30 min),
+    identical in both engines — models real network/partition reordering
+    (a FULL random permutation was measured first and rejected: on a
+    30-day fixture it saturates — ~100% late, 100% dropped — and says
+    nothing). For each event the audit computes lateness against the
+    running event-time high-watermark (max event time of previously
+    ARRIVED events, exclusive). Per event_type: how many events arrive
+    late at all, the late share, how many a 10-minute watermark would
+    DROP under this reordering, and the worst lateness (bounded by ~2x
+    the displacement bound BY CONSTRUCTION — a checkable sanity line) —
+    the numbers that size a real pipeline's watermark delay against its
+    observed reordering.
+
+    Scale shape: a global prefix-max is inherently sequential, so the
+    engine runs the TWO-PASS distributed form (the quality_curriculum
+    rank pattern): arrival times range-bucket by UTC day (order-aligned
+    across buckets, bounded by the day domain), pass 1 is a per-bucket
+    running max under one keyed window, pass 2 broadcasts the day-maxima
+    table's exclusive prefix maxima back — the corpus never crosses one
+    reducer (the oracle states the spec as the single global window).
+    Everything integer micros; greatest(0, ...) clamps and
+    COALESCE(hw, 0) absorbs each stream-front row (epoch micros are
+    positive, so hw=0 means 'nothing prior' and can never fabricate
+    lateness)."""
+    late = _injected_lateness(spark, sf_dir)
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.expr(
+            "CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("share_late_micro"),
+        F.sum(F.when(F.col("late_us") > LATE_WM_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_10min"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )
+
+
+# targets for the sizing advisor: allowed drop share on the micro grid
+WM_TARGETS_MICRO = (10_000, 1_000, 100)  # 1%, 0.1%, 0.01%
+
+
+@register(
+    "watermark_sizing_advisor",
+    oracle=f"""
+    WITH {{lcte}},
+    c AS (SELECT (late_us + 999999) // 1000000 AS csec FROM l),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    hist AS (SELECT csec, CAST(count(*) AS BIGINT) AS cnt
+             FROM c GROUP BY csec),
+    cand AS (SELECT csec AS d FROM hist UNION SELECT 0 AS d),
+    suf AS (
+      SELECT cand.d,
+             CAST(COALESCE(sum(h.cnt), 0) AS BIGINT) AS n_dropped
+      FROM cand LEFT JOIN hist h ON h.csec > cand.d
+      GROUP BY cand.d
+    ),
+    t AS (SELECT unnest([{", ".join(str(t) for t in WM_TARGETS_MICRO)}])
+            AS target_micro),
+    ok AS (
+      SELECT t.target_micro, s.d, s.n_dropped,
+             row_number() OVER (PARTITION BY t.target_micro
+                                ORDER BY s.d) AS rn
+      FROM t, n, suf s
+      WHERE s.n_dropped * 1000000 <= CAST(t.target_micro AS BIGINT) * n.n
+    )
+    SELECT CAST(ok.target_micro AS BIGINT) AS target_micro,
+           n.n AS n_events,
+           ok.d AS delay_sec,
+           ok.n_dropped,
+           ok.n_dropped * 1000000 // n.n AS achieved_micro
+    FROM ok, n WHERE ok.rn = 1
+    """.format(lcte=_injected_lateness_cte()),
+)
+def watermark_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SIZING — the decision the late-arrival audit's numbers
+    exist to drive, closed into an operator: for each allowed drop share
+    (1%, 0.1%, 0.01%), the MINIMAL watermark delay (whole seconds) that
+    keeps the dropped-event share at or under it, given the injected
+    reordering's lateness distribution. This is the knob a pipeline
+    operator actually sets (`withWatermark("ts", "<delay>")`) — the audit
+    says how bad reordering is, the advisor says what to configure.
+
+    Exact integer logic, identical in both engines: lateness ceils onto
+    the second grid ((late_us + 999999) div 1e6 — late_us > D·1e6 iff
+    ceil-seconds > D, so the grid loses nothing), the lateness histogram
+    is bounded by the injection's displacement bound BY CONSTRUCTION
+    (< 2·30 min ⇒ ≤ ~3600 distinct cells — the value-domain-bounded
+    histogram contract quantile_histogram_rollup documents), the
+    suffix-count per candidate delay is a bounded hist×hist aggregate,
+    and the per-target minimal delay is the first row of a bounded
+    ranking. The cleared-denominator feasibility test
+    (n_dropped·1e6 ≤ target·n) avoids division entirely. Scale shape: ONE
+    corpus-sized pass (the shared two-pass lateness prefix max inherited
+    from :func:`_injected_lateness`); everything after the ≤3600-row
+    histogram is bounded work."""
+    late = _injected_lateness(spark, sf_dir)
+    c = late.select(F.expr("(late_us + 999999) div 1000000").alias("csec"))
+    n = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hist = c.groupBy("csec").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cand = hist.select(F.col("csec").alias("d")).union(
+        hist.sparkSession.range(1).select(F.lit(0).cast("long").alias("d"))
+    ).distinct()
+    suf = (
+        cand.join(hist, hist["csec"] > cand["d"], "left")
+        .groupBy("d")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_dropped")
+        )
+    )
+    targets = late.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(t).cast("long") for t in WM_TARGETS_MICRO]
+            )
+        ).alias("target_micro")
+    )
+    wr = Window.partitionBy("target_micro").orderBy("d")
+    ok = (
+        targets.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(suf))
+        .filter(F.expr("n_dropped * 1000000 <= target_micro * n"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    return ok.select(
+        "target_micro",
+        F.col("n").alias("n_events"),
+        F.col("d").alias("delay_sec"),
+        "n_dropped",
+        F.expr("n_dropped * 1000000 div n").alias("achieved_micro"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # closed-form OLS volume trend (exact-moment linear regression per group)
 # ---------------------------------------------------------------------------
 

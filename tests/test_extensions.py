@@ -358,3 +358,39 @@ def test_ann_staleness_audit_shows_retrain_gain(spark, sf_dir):
     assert (
         rows["retrained"].recall_micro > rows["frozen"].recall_micro
     ), "injected drift must make retraining measurably worth it"
+
+
+def test_late_arrival_injection_is_informative_and_bounded(spark, sf_dir):
+    """The bounded-jitter reordering must produce a NON-SATURATED lateness
+    distribution (the full-permutation variant measured ~100% late/dropped
+    and was rejected): some but not all events late, dropped count
+    strictly below late count, and every lateness under 2x the injected
+    displacement bound — the by-construction sanity line."""
+    from postgres_cdc_example_spark.queries.windows import LATE_JITTER_US
+
+    rows = q.queries()["late_arrival_injection_audit"](spark, sf_dir).collect()
+    assert rows
+    n = sum(r.n_events for r in rows)
+    late = sum(r.n_late for r in rows)
+    dropped = sum(r.n_dropped_10min for r in rows)
+    assert 0 < late < n, "bounded jitter must leave both late and on-time events"
+    assert 0 < dropped < late, "10-min watermark must drop some, not all, lates"
+    assert all(r.max_late_us < 2 * LATE_JITTER_US for r in rows)
+
+
+def test_watermark_sizing_advisor_is_feasible_and_monotone(spark, sf_dir):
+    """Each recommended delay must actually meet its target
+    (achieved <= target), be MINIMAL on the second grid in spirit
+    (achieved at delay-1s would exceed the target is implied by the
+    rank-1 selection; here we pin feasibility + monotonicity), and
+    tighter targets must never get shorter delays."""
+    rows = sorted(
+        q.queries()["watermark_sizing_advisor"](spark, sf_dir).collect(),
+        key=lambda r: -r.target_micro,
+    )
+    assert [r.target_micro for r in rows] == [10_000, 1_000, 100]
+    for r in rows:
+        assert r.achieved_micro <= r.target_micro
+        assert r.n_dropped * 1_000_000 <= r.target_micro * r.n_events
+    delays = [r.delay_sec for r in rows]
+    assert delays == sorted(delays), "tighter target => longer (or equal) delay"

@@ -459,6 +459,7 @@ _BNLJ_ALLOWED = {
     "ann_pq_recall_audit",  # broadcast query sample x corpus, != condition (exact audit side)
     "ann_staleness_audit",  # broadcast query sample x corpus, != condition (per-slice exact side)
     "rank_sketch_bottomk",  # 1-row corpus aggregate x 2-row literal target table
+    "watermark_sizing_advisor",  # bounded lateness-histogram grid joins (<=3600 cells by construction)
     "ann_truncated_recall_audit",  # broadcast query sample x corpus, != condition (both audit sides share one scan)
     "orders_benford_audit",  # 1-row total broadcast into the 9-digit table
     "orders_rfm_segments",  # 1-row customer-count broadcast closing the quintile scores
@@ -830,6 +831,17 @@ def test_rank_sketch_merge_is_takeordered_not_global_sort(spark, sf_dir):
     final = explain_str(df)
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_late_arrival_prefix_max_is_bucket_keyed(spark, sf_dir):
+    """The running high-watermark must come from the two-pass form: the
+    corpus-sized window partitions by the arrival-day bucket (shuffle on
+    b), never one global corpus sort; the only unpartitioned window runs
+    over the bounded day-maxima table."""
+    plan = plan_of(spark, sf_dir, "late_arrival_injection_audit")
+    assert "hashpartitioning(b#" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_join_cardinality_top_keys_avoid_global_sort_exchange(spark, sf_dir):
