@@ -83,6 +83,9 @@ QUERIES = [
     "dedup_sorted_neighborhood",
     "contrastive_negatives_plan",
     "dedup_graph_shape_audit",
+    # round-7 (embeddings-based; the events-based late/rank queries would
+    # measure nothing against the symlinked events table)
+    "ann_staleness_audit",
 ]
 
 

@@ -51,6 +51,7 @@ INVARIANCE_QUERIES = [
     "range_partition_plan",  # collected histogram walk -> literal assignment
     "semantic_decontam_audit",  # micro-grid cosine BEFORE per-vector max
     "rank_sketch_bottomk",  # hash bottom-k sample + literal-estimate audit
+    "late_arrival_injection_audit",  # two-pass prefix max over injected arrival order
 ]
 
 
