@@ -1,0 +1,144 @@
+"""Multi-format ingest/egress with DECLARED schemas and dead-letter routing.
+
+The reference's only ingest is Postgres over pgx (`replicator/main.go`,
+`pubsub/main.go`); a training-data pipeline additionally receives drops as
+CSV, JSON-lines, ORC, and parquet. This module is that surface, with the
+two contracts that matter at 100 TB:
+
+1. **Schemas are DECLARED, never inferred.** `inferSchema`/sampling runs an
+   extra pass over the input (a full scan for CSV) and can silently flip a
+   column's type between drops when the sampled rows change — at 100 TB
+   that is both a doubled ingest bill and a correctness hazard. Every
+   reader here takes an explicit StructType/DDL string.
+2. **Malformed rows dead-letter, never crash and never vanish.** The
+   text formats read in PERMISSIVE mode with an explicit corrupt-record
+   column; `read_with_rejects` splits the input into (good, rejects) so a
+   bad row costs one quarantine record instead of a failed 100 TB job —
+   the same skip-and-log discipline as the CDC decoder
+   (`sources/changelog.py`, reference parity T7) and the streaming gates'
+   dead-letter verdicts.
+
+Columnar formats (parquet/ORC) carry their schema in the file footer, so
+the declared schema acts as a CONTRACT CHECK there (Spark errors on
+incompatible types instead of inferring something new).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+# formats whose readers accept the malformed-row options
+_TEXT_FORMATS = {"csv", "json"}
+_FORMATS = {"csv", "json", "orc", "parquet"}
+
+# CSV needs explicit quoting/escaping/multiline to round-trip free text
+# (document bodies contain commas, quotes and newlines); these defaults
+# make write_table(read_table(...)) lossless for string payloads.
+_CSV_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "multiLine": "true",
+    "lineSep": "\n",
+    # the CSV reader/writer trim unquoted whitespace by default — lossy
+    # for text payloads with significant padding
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
+def _schema_of(schema: T.StructType | str) -> T.StructType:
+    if isinstance(schema, T.StructType):
+        return schema
+    return T.StructType.fromDDL(schema)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read ``path`` as ``fmt`` under a DECLARED schema (good rows only —
+    malformed text-format rows are dropped here; use
+    :func:`read_with_rejects` when they must be quarantined instead).
+
+    Scale shape: one scan, no inference pass; parquet/ORC get column
+    pruning + predicate pushdown from the declared columns as usual."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
+    reader = spark.read.format(fmt).schema(_schema_of(schema))
+    if fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            reader = reader.option(k, v)
+    if fmt in _TEXT_FORMATS:
+        # DROPMALFORMED would also skip bad rows but hides the count;
+        # PERMISSIVE + post-filter keeps the contract explicit.
+        reader = reader.option("mode", "PERMISSIVE")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_with_rejects(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str,
+    options: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, rejects) for a text-format read: good rows carry the declared
+    columns; rejects carry the raw malformed line for quarantine/replay —
+    the ingest twin of the CDC decoder's dead-letter split. Only
+    meaningful for csv/json (columnar formats have no malformed rows —
+    files are either readable or the job should fail loudly)."""
+    if fmt not in _TEXT_FORMATS:
+        raise ValueError(f"rejects split only applies to {sorted(_TEXT_FORMATS)}")
+    base = _schema_of(schema)
+    if CORRUPT_COL in base.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    with_corrupt = T.StructType(
+        list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    opts = dict(options or {})
+    opts["columnNameOfCorruptRecord"] = CORRUPT_COL
+    df = read_table(spark, path, fmt, with_corrupt, opts)
+    # Spark populates CORRUPT_COL for rows that fail to parse under the
+    # declared schema. The rejects projection must reference at least one
+    # data column besides the corrupt one (Spark disallows corrupt-only
+    # scans of raw text files: QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
+    # parsed remnants are triage gold anyway: a type-mismatch row shows
+    # exactly which fields DID parse.
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    rejects = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line"),
+        *[F.col(f.name) for f in base.fields],
+    )
+    return good, rejects
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write ``df`` as ``fmt`` with the same lossless CSV dialect the
+    reader declares (quote-escaped, so free text with commas/quotes/
+    newlines round-trips)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            if k != "multiLine":  # reader-only option
+                writer = writer.option(k, v)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)

@@ -1,0 +1,109 @@
+"""Multi-format ingest/egress: declared-schema reads, lossless round-trips
+for free text (commas/quotes/newlines), and malformed-row dead-lettering —
+the T7 skip-and-log discipline applied to file ingest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_cdc_example_spark.sources.formats import (
+    read_table,
+    read_with_rejects,
+    write_table,
+)
+from postgres_cdc_example_spark.sources.tables import load_table
+
+DOCS_DDL = "doc_id long, text string, lang string, source string"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_roundtrip_is_lossless_per_format(spark, sf_dir, tmp_path, fmt):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / fmt)
+    write_table(docs, out, fmt)
+    back = read_table(spark, out, fmt, DOCS_DDL)
+    assert _canon(back) == _canon(docs), f"{fmt} round-trip must be lossless"
+
+
+def test_csv_roundtrip_survives_hostile_text(spark, tmp_path):
+    """The CSV dialect must round-trip commas, double quotes, embedded
+    newlines, leading/trailing spaces, and empty strings — the payloads
+    that break naive CSV ingest."""
+    rows = [
+        (1, 'plain words', "en", "s1"),
+        (2, 'comma, inside', "en", "s1"),
+        (3, 'she said "quoted"', "de", "s2"),
+        (4, 'line one\nline two\nline three', "fr", "s2"),
+        (5, '  padded  ', "es", "s3"),
+        (6, 'mix: "q", comma,\nnewline', "en", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_DDL)
+    out = str(tmp_path / "hostile")
+    write_table(docs, out, "csv")
+    back = read_table(spark, out, "csv", DOCS_DDL)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_malformed_rows_dead_letter_not_crash(spark, tmp_path, fmt):
+    """A bad line must land in the rejects frame with its raw content —
+    never kill the read, never silently vanish."""
+    out = str(tmp_path / "raw")
+    os.makedirs(out)
+    if fmt == "json":
+        lines = [
+            '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}',
+            'this is not json at all',
+            '{"doc_id": "NOT_A_NUMBER", "text": "bad type", "lang": "en", "source": "s"}',
+            '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s"}',
+        ]
+        n_good, n_bad = 2, 2
+    else:
+        lines = [
+            "doc_id,text,lang,source",
+            '1,ok,en,s',
+            'NOT_A_NUMBER,bad id,en,s',
+            '2,also ok,de,s',
+        ]
+        n_good, n_bad = 2, 1
+    with open(os.path.join(out, "part-0.txt"), "w") as f:
+        f.write("\n".join(lines))
+    good, rejects = read_with_rejects(spark, out, fmt, DOCS_DDL)
+    got = good.collect()
+    assert len(got) == n_good
+    assert {r.doc_id for r in got} == {1, 2}
+    bad = rejects.collect()
+    assert len(bad) == n_bad
+    assert all(r.raw_line for r in bad), "rejects must carry the raw line"
+
+
+def test_declared_schema_means_no_inference_scan(spark, sf_dir, tmp_path):
+    """The reader must work without any inference option and must respect
+    the declared types (doc_id arrives long, not string) — and refuse a
+    schema that collides with the corrupt-record column."""
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "csv")
+    write_table(docs, out, "csv")
+    back = read_table(spark, out, "csv", DOCS_DDL)
+    assert dict(back.dtypes)["doc_id"] == "bigint"
+    with pytest.raises(ValueError):
+        read_with_rejects(
+            spark, out, "csv", DOCS_DDL + ", _corrupt_record string"
+        )
+    with pytest.raises(ValueError):
+        read_table(spark, out, "avro", DOCS_DDL)
+    with pytest.raises(ValueError):
+        read_with_rejects(spark, out, "parquet", DOCS_DDL)
