@@ -2799,6 +2799,147 @@ def value_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two-sided alpha=0.05 normal critical value, squared and cleared to the
+# rational 38416/10000 (1.96^2 = 3.8416 exactly) — no sqrt, no libm
+MW_C2_NUM = 38416
+MW_C2_DEN = 10000
+
+
+@register(
+    "value_location_mannwhitney",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT m,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM e GROUP BY m
+    ),
+    w AS (
+      SELECT m, ca, cb,
+             COALESCE(sum(cb) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb_lt
+      FROM g
+    ),
+    n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+          FROM g),
+    u AS (SELECT CAST(sum(CAST(ca AS HUGEINT) * (2 * cumb_lt + cb))
+                      AS BIGINT) AS u2 FROM w),
+    t AS (SELECT CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                          - (ca + cb)) AS BIGINT) AS tie3 FROM g)
+    SELECT n.na, n.nb, u.u2 AS u2_a, t.tie3,
+           CAST(floor(CAST(u.u2 - CAST(n.na AS HUGEINT) * n.nb AS DOUBLE)
+                      / CAST(CAST(n.na AS HUGEINT) * n.nb AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS rank_biserial_micro,
+           CAST(CASE WHEN
+                  3 * {MW_C2_DEN}
+                    * (CAST(u.u2 AS HUGEINT) - CAST(n.na AS HUGEINT) * n.nb)
+                    * (CAST(u.u2 AS HUGEINT) - CAST(n.na AS HUGEINT) * n.nb)
+                    * (n.na + n.nb) * (n.na + n.nb - 1)
+                  > CAST({MW_C2_NUM} AS HUGEINT) * n.na * n.nb
+                    * (CAST(n.na + n.nb AS HUGEINT) * (n.na + n.nb)
+                         * (n.na + n.nb)
+                       - (n.na + n.nb) - t.tie3)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_same_location
+    FROM n, u, t
+    """,
+)
+def value_location_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample MANN-WHITNEY U (Wilcoxon rank-sum) between the purchase
+    and view value distributions — the LOCATION-shift complement to
+    ``value_distribution_ks`` (KS asks "same distribution?", U asks "does
+    one cohort stochastically dominate?" and sizes the effect). Exact and
+    transcendental-free end to end, the chi²/KS/Spearman recipe: U is
+    computed on the DOUBLED grid (u2 = Σ_m ca(m)·(2·cumB(<m) + cb(m)) —
+    midrank tie handling becomes pure integers), the tie-corrected
+    normal-approximation decision is the classical |z| > 1.96 in SQUARED,
+    cleared-denominator form — 3·10⁴·(u2−na·nb)²·N·(N−1) vs
+    38416·na·nb·(N³−N−ΣT) with T = Σ(t³−t) over pooled tie groups — so no
+    sqrt or libm call ever runs (1.96² = 3.8416 is exactly the rational
+    38416/10⁴), and the rank-biserial effect size r = u2/(na·nb) − 1 uses
+    the sign-safe one-IEEE-division micro rounding (``div``/``//``
+    diverge on negatives; a single double division of exact <2⁵³ ints +
+    floor(x·1e6+0.5) is bit-identical in both engines regardless of
+    sign — the ``event_volume_trend`` recipe). Magnitude note: the
+    cleared-form products stay inside DECIMAL(38,0)/HUGEINT up to ~3·10⁵
+    rows per cohort; beyond that, pre-aggregate or divide through by N
+    once — documented, not silent (the int64-micro-product lesson).
+    Scale shape: one map-side-combined aggregate on the bounded milli
+    value domain, one cumulative window over those bounded rows, three
+    1-row scalars — identical cost class to the KS test beside it."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    g = e.groupBy("m").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wlt = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wlt), F.lit(0)).alias("cumb_lt"),
+    )
+    n = g.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    u = w.agg(
+        F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * (2 * cumb_lt + cb)"))
+        .cast("long")
+        .alias("u2")
+    )
+    t = g.agg(
+        F.sum(
+            F.expr(
+                "CAST(ca + cb AS DECIMAL(38,0)) * (ca + cb) * (ca + cb)"
+                " - (ca + cb)"
+            )
+        )
+        .cast("long")
+        .alias("tie3")
+    )
+    return (
+        n.crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "na",
+            "nb",
+            F.col("u2").alias("u2_a"),
+            "tie3",
+            F.expr(
+                "CAST(floor(CAST(u2 - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
+                " / CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("rank_biserial_micro"),
+            F.expr(
+                "CAST(CASE WHEN"
+                f" 3 * {MW_C2_DEN}"
+                " * (CAST(u2 AS DECIMAL(38,0)) - CAST(na AS DECIMAL(38,0)) * nb)"
+                " * (CAST(u2 AS DECIMAL(38,0)) - CAST(na AS DECIMAL(38,0)) * nb)"
+                " * (na + nb) * (na + nb - 1)"
+                f" > CAST({MW_C2_NUM} AS DECIMAL(38,0)) * na * nb"
+                " * (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb)"
+                "    - (na + nb) - tie3)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_same_location"),
+        )
+    )
+
+
 value_distribution_ks.__doc__ = value_distribution_ks.__doc__.replace(
     "{C2}", str(KS_C2_MICRO)
 )

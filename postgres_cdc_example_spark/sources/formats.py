@@ -122,6 +122,47 @@ def read_with_rejects(
     return good, rejects
 
 
+def read_stream_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_table` — the file-drop ingest shape
+    (new csv/json/parquet files land in a directory; Structured Streaming
+    tails it exactly-once via the checkpoint's file log). Same declared-
+    schema contract; a streaming read REQUIRES the schema anyway, so the
+    no-inference rule costs nothing here. For dead-letter routing on a
+    stream, declare the schema WITH the corrupt column via
+    :func:`corrupt_schema` and split downstream (the filter composes with
+    any gate — see tests/test_formats.py's streaming split)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
+    reader = spark.readStream.format(fmt).schema(_schema_of(schema))
+    if fmt == "csv":
+        for k, v in _CSV_OPTS.items():
+            reader = reader.option(k, v)
+    if fmt in _TEXT_FORMATS:
+        reader = reader.option("mode", "PERMISSIVE")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def corrupt_schema(schema: T.StructType | str) -> T.StructType:
+    """The declared schema plus the corrupt-record column — what a
+    streaming text read declares when malformed lines must be routed
+    instead of dropped (pass ``columnNameOfCorruptRecord`` = CORRUPT_COL
+    in options)."""
+    base = _schema_of(schema)
+    if CORRUPT_COL in base.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    return T.StructType(
+        list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

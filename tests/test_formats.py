@@ -107,3 +107,58 @@ def test_declared_schema_means_no_inference_scan(spark, sf_dir, tmp_path):
         read_table(spark, out, "avro", DOCS_DDL)
     with pytest.raises(ValueError):
         read_with_rejects(spark, out, "parquet", DOCS_DDL)
+
+
+def test_streaming_csv_ingest_splits_rejects_and_feeds_gates(spark, tmp_path):
+    """The file-drop streaming ingest: a CSV stream read under the
+    declared+corrupt schema splits into good rows and dead-letter rows
+    INSIDE the stream (the filter composes with any downstream gate), and
+    a second dropped file is picked up exactly-once from the checkpoint's
+    file log."""
+    import os
+
+    from postgres_cdc_example_spark.sources.formats import (
+        CORRUPT_COL,
+        corrupt_schema,
+        read_stream_table,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "drop1.csv"), "w") as f:
+        f.write("doc_id,text,lang,source\n1,ok,en,s\nBAD_ID,broken,en,s\n")
+
+    stream = read_stream_table(
+        spark,
+        src,
+        "csv",
+        corrupt_schema(DOCS_DDL),
+        {"columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    good_rows: list = []
+    bad_rows: list = []
+
+    def split(bdf, _bid):
+        good_rows.extend(bdf.filter(F.col(CORRUPT_COL).isNull()).collect())
+        bad_rows.extend(bdf.filter(F.col(CORRUPT_COL).isNotNull()).collect())
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(split)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert [r.doc_id for r in good_rows] == [1]
+    assert len(bad_rows) == 1 and "BAD_ID" in bad_rows[0][CORRUPT_COL]
+
+    with open(os.path.join(src, "drop2.csv"), "w") as f:
+        f.write("doc_id,text,lang,source\n2,late drop,de,s\n")
+    drain()
+    assert sorted(r.doc_id for r in good_rows) == [1, 2], (
+        "second file ingested exactly once from the checkpointed file log"
+    )
+    assert len(bad_rows) == 1

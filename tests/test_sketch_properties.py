@@ -174,3 +174,46 @@ def test_rank_sketch_exact_when_n_at_most_k(rows):
     n = len(rows)
     for q in (50, 90):
         assert sample[(q * k + 99) // 100 - 1] == exact[(q * n + 99) // 100 - 1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 60), min_size=2, max_size=250),
+    st.lists(st.integers(0, 60), min_size=2, max_size=250),
+)
+def test_mannwhitney_cleared_form_equals_classical_decision(a, b):
+    """The cleared-denominator squared decision in
+    value_location_mannwhitney (queries/relational.py) must agree with
+    the classical tie-corrected |z| > 1.96 on ANY two integer samples —
+    including tie-heavy ones, where the all-tied degenerate case (zero
+    variance) must gracefully not-reject."""
+    import math
+
+    ca, cb = Counter(a), Counter(b)
+    vals = sorted(set(a) | set(b))
+    u2 = 0
+    cumb = 0
+    for v in vals:
+        u2 += ca.get(v, 0) * (2 * cumb + cb.get(v, 0))
+        cumb += cb.get(v, 0)
+    na, nb = len(a), len(b)
+    N = na + nb
+    T = sum(
+        (ca.get(v, 0) + cb.get(v, 0)) ** 3 - (ca.get(v, 0) + cb.get(v, 0))
+        for v in vals
+    )
+    lhs = 3 * 10000 * (u2 - na * nb) ** 2 * N * (N - 1)
+    rhs = 38416 * na * nb * (N**3 - N - T)
+    cleared = lhs > rhs
+
+    var = na * nb / 12 * ((N + 1) - T / (N * (N - 1)))
+    if var == 0:
+        assert not cleared, "zero-variance (all-tied) must not reject"
+        return
+    z = (u2 / 2 - na * nb / 2) / math.sqrt(var)
+    classical = z * z > 1.96**2
+    # exact boundary ties between float z² and the integer form are
+    # impossible for strict > on integers unless z² == c² exactly, which
+    # the integer form decides consistently; allow the knife-edge only
+    if abs(z * z - 1.96**2) > 1e-9:
+        assert cleared == classical
