@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "late_arrival_injection_audit",  # 0.91 s best-of-3 idle at sf0.1
     "watermark_sizing_advisor",  # 1.30 s best-of-3 idle at sf0.1
     "value_location_mannwhitney",  # 0.71 s best-of-3 idle at sf0.1
+    "dedup_substring_incremental",  # 1.79 s best-of-3 idle at sf0.1
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

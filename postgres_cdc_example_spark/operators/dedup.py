@@ -509,6 +509,7 @@ def exact_substring_spans(
     n: int = SUBSTR_RUN_TOKENS,
     max_df: int = MAX_RUN_DF,
     grams: DataFrame | None = None,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup (the suffix-array family, relationally): maximal
     shared token runs of >= ``n`` tokens per doc pair — the standard
@@ -533,6 +534,19 @@ def exact_substring_spans(
     ``grams`` lets callers pass a precomputed (persisted) positional-gram
     layer — the same share-the-derived-table pattern as
     ``minhash_lsh_pairs(shingles=...)``.
+
+    ``delta_min_id`` is the INCREMENTAL arm: only pairs whose doc_b (the
+    later document) has id >= the threshold are produced — the per-batch
+    shape where new arrivals are checked against the existing corpus
+    (and each other) WITHOUT re-pairing the corpus with itself. The
+    b-side inverted-index rows shrink to the delta before the join, so
+    per-batch collision work is O(delta grams + collisions); the a-side
+    gram table is what production PERSISTS between batches (the
+    ``minhash_lsh_pairs_between`` deployment note, applied to the
+    suffix-array family). df cutoffs stay computed over the UNION
+    universe, so the produced spans are EXACTLY the full run's spans
+    filtered to doc_b >= threshold — no drift between the batch and
+    incremental answers.
     """
     g = grams if grams is not None else positional_gram_rows(df, text_col, id_col, n)
     rare = g.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -542,7 +556,12 @@ def exact_substring_spans(
     a = kept.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), F.col("g").alias("ga")
     )
-    b = kept.select(
+    b_src = (
+        kept.filter(F.col(id_col) >= delta_min_id)
+        if delta_min_id is not None
+        else kept
+    )
+    b = b_src.select(
         F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), F.col("g").alias("gb")
     )
     m = a.join(

@@ -958,6 +958,40 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_incremental",
+    oracle=_SPANS_CTE
+    + """,
+    mx AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS t FROM documents)
+    SELECT s.doc_a, s.doc_b, s.a_start, s.b_start, s.run_tokens
+    FROM spans s, mx WHERE s.doc_b >= mx.t
+    """,
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup — the flagship's per-batch shape
+    (what ``minhash_lsh_pairs_between`` is to ``dedup_minhash_lsh``,
+    applied to the suffix-array family): the newest ingest slice (the top
+    10% of doc_ids — arrival order on this fixture) is checked for >=
+    20-token verbatim runs against the EXISTING corpus and within itself,
+    WITHOUT re-pairing the corpus with itself. The b-side inverted-index
+    rows shrink to the delta BEFORE the join
+    (``dedup.exact_substring_spans(delta_min_id=...)``), so per-batch
+    collision work is O(delta grams + collisions); the a-side positional
+    gram table is what production persists between batches. df cutoffs
+    stay computed over the union universe, so the result is EXACTLY the
+    full batch run's spans filtered to doc_b >= threshold — the oracle
+    states it that way, pinning zero drift between the batch and
+    incremental answers. The threshold derives from the data
+    (((max_id + 1) * 9) div 10) in both engines; the collected max id is
+    one long of driver metadata (the FFD count-gate class)."""
+    docs = load_table(spark, "documents", sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    if mx is None:  # empty corpus: no docs, no spans
+        return dedup.exact_substring_spans(docs)
+    t = ((int(mx) + 1) * 9) // 10
+    return dedup.exact_substring_spans(docs, delta_min_id=t)
+
+
+@register(
     "dedup_substring_removal",
     oracle=_SPANS_CTE
     + """,

@@ -394,3 +394,24 @@ def test_watermark_sizing_advisor_is_feasible_and_monotone(spark, sf_dir):
         assert r.n_dropped * 1_000_000 <= r.target_micro * r.n_events
     delays = [r.delay_sec for r in rows]
     assert delays == sorted(delays), "tighter target => longer (or equal) delay"
+
+
+def test_substring_incremental_equals_full_run_filtered(spark, sf_dir):
+    """The zero-drift contract: the incremental (delta-vs-corpus) spans
+    must equal the FULL batch run's spans filtered to delta doc_b — same
+    df cutoffs, same islands, nothing created or lost by the b-side
+    shrink. Non-vacuous: the delta slice must actually carry spans."""
+    docs = load_table(spark, "documents", sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = ((int(mx) + 1) * 9) // 10
+    full = {
+        tuple(r)
+        for r in dedup.exact_substring_spans(docs).collect()
+        if r.doc_b >= t
+    }
+    inc = {
+        tuple(r)
+        for r in q.queries()["dedup_substring_incremental"](spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert inc, "fixture must plant spans in the delta slice"

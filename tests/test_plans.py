@@ -85,6 +85,15 @@ def test_temperature_resample_is_broadcast_filter(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_substring_incremental_is_gram_keyed_not_cartesian(spark, sf_dir):
+    """The incremental arm keeps the inverted-index shape: grams meet on
+    equality only (never doc x doc), with the delta filter shrinking the
+    b-side before the join."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_substring_removal_joins_are_keyed(spark, sf_dir):
     """Span removal: covered-position anti-join and the audit joins are all
     keyed on (doc_id, pos) / doc_id — never doc×doc."""
