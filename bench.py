@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "watermark_sizing_advisor",  # 1.30 s best-of-3 idle at sf0.1
     "value_location_mannwhitney",  # 0.71 s best-of-3 idle at sf0.1
     "dedup_substring_incremental",  # 1.79 s best-of-3 idle at sf0.1
+    # round-8 additions
+    "multimodal_decoded_parity",  # real-codec round-trip; 1.17 s best-of-3 idle at sf0.1
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge
@@ -255,41 +257,42 @@ def main() -> None:
     # amortizes it the same way (build once, reuse per batch). Methodology
     # note: r1/r2 bench files charged this cost to the first dedup query; r3+
     # do not, so cross-round comparisons for that family need rebaselining.
-    t0 = time.perf_counter()
-    _doc_ngrams(spark, SF_DIR).count()
-    _doc_occurrences(spark, SF_DIR).count()
-    _doc_bands(spark, SF_DIR).count()  # r4+: LSH band index joins the layer
-    _doc_grams8(spark, SF_DIR).count()  # r4+: decontamination 8-gram table
     # r6+: winnowing fingerprint table (shared by the stats + pair queries)
     from postgres_cdc_example_spark.queries.llmdata import _doc_winnow_fps
 
-    _doc_winnow_fps(spark, SF_DIR).count()
-    # r4+: train the session k-means model once here (the "train once,
-    # assign in bulk" deployment shape) so ann_ivf_kmeans_topk/semantic
-    # queries measure serving, not training
-    from postgres_cdc_example_spark.queries.extensions import _trained_centroids
-
-    _trained_centroids(spark, SF_DIR)
-    # r5+: the PCA eigen fit is memoized per session the same way (train
-    # once, project in bulk) — build it here so the two projection queries
-    # measure serving, not the driver-side fit
-    from postgres_cdc_example_spark.queries.extensions import _pca_fit
-
-    _pca_fit(spark, SF_DIR)
-    # r5+: PQ codebook training, same train-once/serve-many shape
-    from postgres_cdc_example_spark.queries.extensions import _trained_pq
-
-    _trained_pq(spark, SF_DIR)
-    # r7+: the staleness audit's frozen (base-slice) and retrained
-    # codebooks, same shape
+    # r4+: k-means / r5+: PCA fit + PQ codebooks / r7+: the staleness
+    # audit's frozen + retrained codebooks — all memoized train-once/
+    # serve-many models, built here so the serving queries measure serving.
     from postgres_cdc_example_spark.queries.extensions import (
+        _pca_fit,
+        _trained_centroids,
+        _trained_pq,
         _trained_pq_retrained,
         _trained_pq_stale,
     )
 
-    _trained_pq_stale(spark, SF_DIR)
-    _trained_pq_retrained(spark, SF_DIR)
-    layer_build = round(time.perf_counter() - t0, 3)
+    # r8+: per-layer timings go to the detail artifact so a layer-induced
+    # build regression bisects from BENCH_DETAIL_last.json instead of a
+    # diagnosis session (the r7 codegen-cache hunt needed a committed
+    # script; this makes the next one free).
+    layer_builds = [
+        ("doc_ngrams", lambda: _doc_ngrams(spark, SF_DIR).count()),
+        ("doc_occurrences", lambda: _doc_occurrences(spark, SF_DIR).count()),
+        ("doc_bands", lambda: _doc_bands(spark, SF_DIR).count()),
+        ("doc_grams8", lambda: _doc_grams8(spark, SF_DIR).count()),
+        ("doc_winnow_fps", lambda: _doc_winnow_fps(spark, SF_DIR).count()),
+        ("kmeans_centroids", lambda: _trained_centroids(spark, SF_DIR)),
+        ("pca_fit", lambda: _pca_fit(spark, SF_DIR)),
+        ("pq_codebook", lambda: _trained_pq(spark, SF_DIR)),
+        ("pq_stale", lambda: _trained_pq_stale(spark, SF_DIR)),
+        ("pq_retrained", lambda: _trained_pq_retrained(spark, SF_DIR)),
+    ]
+    layer_times: dict[str, float] = {}
+    for lname, build in layer_builds:
+        t0 = time.perf_counter()
+        build()
+        layer_times[lname] = round(time.perf_counter() - t0, 3)
+    layer_build = round(sum(layer_times.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     _RUN_STATE["sf"] = float(sf)
@@ -363,6 +366,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "layer_build_sec": layer_build,
+        "layers": layer_times,
         "max_spread": round(max_spread, 2),
         "queries": per_query,
         "value": round(total, 3),

@@ -1109,6 +1109,51 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decoded_parity",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 63),
+          i -> ('0x' || substr(md5(text || ':' || CAST(i // 16 AS VARCHAR)),
+                               (i % 16) * 2 + 1, 2))::BIGINT) AS luma,
+        list_transform(generate_series(0, 7),
+          s -> ((('0x' || substr(md5(text || ':w'), s * 4 + 1, 2))::BIGINT
+                 + 256 * ('0x' || substr(md5(text || ':w'), s * 4 + 3, 2))::BIGINT
+                 + 32768) % 65536) - 32768) AS samples
+      FROM documents),
+    t AS (SELECT doc_id, luma, samples,
+                 CAST(list_sum(luma) AS BIGINT) AS tot FROM l)
+    SELECT doc_id,
+      CAST(list_sum(list_transform(generate_series(1, 32),
+        j -> CASE WHEN luma[j + 32] * 64 > tot THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+        AS BIGINT) AS phash_hi,
+      CAST(list_sum(list_transform(generate_series(1, 32),
+        j -> CASE WHEN luma[j] * 64 > tot THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+        AS BIGINT) AS phash_lo,
+      CAST(list_sum(samples) AS BIGINT) AS wav_sum,
+      TRUE AS png_ok,
+      TRUE AS wav_ok
+    FROM t
+    """,
+)
+def multimodal_decoded_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode executes HERE, oracle-pinned: per document, derive
+    a known 8×8 pixel grid + 8-sample PCM signal from md5 bytes, encode with
+    the real stdlib writers, decode through the REAL decode path (zlib
+    inflate + the five PNG filter reconstructions; wave/struct PCM), and
+    emit the aHash of the DECODED pixels, the DECODED sample sum, and
+    round-trip booleans. DuckDB recomputes hash+sum from the md5 derivation
+    directly and asserts the booleans TRUE literally (the
+    ``event_reach_approx_error`` pattern) — a filter bug, byte-order slip,
+    or sign error in either codec half flips a value and fails the driver
+    hash. No shuffle: one Arrow mapInPandas stage fused over the scan
+    (embarrassingly parallel at any corpus size)."""
+    return multimodal.decoded_parity(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+
+
 def _simhash_oracle() -> str:
     sums = []
     for b in range(dedup.SIMHASH_BITS):
