@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "dedup_substring_incremental",  # 1.79 s best-of-3 idle at sf0.1
     # round-8 additions
     "multimodal_decoded_parity",  # real-codec round-trip; 1.17 s best-of-3 idle at sf0.1
+    "value_location_kruskalwallis",  # 0.91 s best-of-3 idle at sf0.1
+    "dedup_winnowing_incremental",  # 1.15 s best-of-3 idle at sf0.1
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

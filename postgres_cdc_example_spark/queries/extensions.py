@@ -171,7 +171,15 @@ def _injected_docs_sql() -> str:
     Interpolating it as ``WITH docs_inj AS (...)`` lets the registered
     detector SQL run over the injected corpus by passing ``src='docs_inj'``
     to the oracle builders (CTE shadows compose, definitions stay single-
-    sourced)."""
+    sourced). The marker blocks are interpolated into single-quoted SQL
+    literals, so they must stay quote-free — asserted here, because a
+    natural French/Spanish marker with an apostrophe (" l'") would
+    silently break the oracle."""
+    for _lg in list(_INJ_PREPEND.values()) + [_INJ_APPEND_LANG]:
+        assert "'" not in _inj_block(_lg), (
+            f"LANG_MARKERS[{_lg!r}] contains a single quote; escape it "
+            "(replace \"'\" with \"''\") before interpolating into SQL"
+        )
     pre_txt = " ".join(
         f"WHEN doc_id % {_INJ_MOD} = {slot} THEN '{_inj_block(lg)} ' || text"
         for slot, lg in _INJ_PREPEND.items()
@@ -572,10 +580,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against that table's candidate volume. The target threshold 0.5
     should read ≈ 1.0 recall in deciles 5+ (16 hashes, 4×4 bands put the
     S-curve midpoint at ~0.55 with steep slope) and decay below — the
-    audit makes the theory checkable per corpus. Cost: the exact pair set
-    only exists within the df ≤ 64 cutoff, so the join stays bounded; at
-    100 TB the audit runs on a fixed document sample the same way
-    ``ann_recall_audit`` bounds its brute-force side."""
+    audit makes the theory checkable per corpus. PRODUCTION CONTRACT: the
+    exact side (inverted-index true-Jaccard pairs at ≥ 0.2) is
+    corpus-proportional BY DESIGN — it is the measurement being audited —
+    so at scale this query runs on a SAMPLED STRATUM, never the full
+    corpus: fix a deterministic document sample (hash-bucket doc_id, e.g.
+    ``pmod(hash(doc_id), 1000) = 0``), compute exact pairs within the
+    sample, and evaluate candidate recall on those pairs only — exactly
+    how ``ann_recall_audit``/``ann_pq_recall_audit`` bound their
+    brute-force sides to a fixed query sample. Recall per decile is a
+    ratio, so the stratum estimate is unbiased; the df ≤ 64 cutoff keeps
+    even the fixture-scale full run join-bounded (this registered form is
+    the tuning-audit shape for fixture scale, not the 100 TB shape)."""
     sh = _doc_ngrams(spark, sf_dir)
     truth = dedup.ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.2, shingles=sh

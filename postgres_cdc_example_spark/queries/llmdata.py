@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.memo import memo_get
 from postgres_cdc_example_spark.operators import bloom, dedup, hints, sampling
-from postgres_cdc_example_spark.queries import register
+from postgres_cdc_example_spark.queries import REGISTRY, register
 from postgres_cdc_example_spark.sources.tables import load_table
 
 _TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')"
@@ -3876,6 +3876,65 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
     KW=WIN_K + WIN_W - 1, MIN=WIN_PAIR_MIN_SHARED, MAXDF=WIN_PAIR_MAX_DF
 )
+
+
+@register(
+    "dedup_winnowing_incremental",
+    # the oracle INTERPOLATES the registered full-pairs SQL (the
+    # corpus_dedup_summary composition pattern): "incremental == full run
+    # filtered to the delta" is stated by construction, drift-proof
+    oracle=f"""
+    WITH full_pairs AS (
+      {REGISTRY["dedup_winnowing_pairs"].oracle}
+    ),
+    mx AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS t FROM documents)
+    SELECT p.doc_a, p.doc_b, p.n_shared
+    FROM full_pairs p, mx WHERE p.doc_b >= mx.t
+    """,
+)
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL winnowing near-dup — the per-batch arm completing the
+    incremental trio (MinHash: ``minhash_lsh_pairs_between``; substring:
+    ``dedup_substring_incremental``; winnowing: this). The newest ingest
+    slice (top 10% of doc_ids — arrival order on this fixture) is paired
+    against the EXISTING corpus and within itself WITHOUT re-pairing
+    corpus×corpus: the b-side of the fingerprint join shrinks to the delta
+    BEFORE the join, so per-batch work is O(delta fingerprints +
+    collisions). The persisted ``_doc_winnow_fps`` layer is exactly what
+    production holds between batches (fingerprint the delta, append, join
+    delta-vs-all). The df cutoff stays computed over the UNION universe
+    (corpus + delta), so the result is EXACTLY the full batch run filtered
+    to doc_b >= threshold — the oracle states it that way (it interpolates
+    the registered full-pairs SQL), pinning zero drift between the batch
+    and incremental answers by construction, not hope. The threshold
+    derives from the data (((max_id + 1) * 9) div 10) identically in both
+    engines; the collected max id is one long of driver metadata (the FFD
+    count-gate class). Winnowing's covenant carries over: a delta doc
+    sharing a >= {WIN_K + WIN_W - 1}-word run with ANY corpus doc MUST
+    surface here — the incremental pass loses nothing vs the full one."""
+    docs = load_table(spark, "documents", sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = 0 if mx is None else ((int(mx) + 1) * 9) // 10
+    fp = (
+        _doc_winnow_fps(spark, sf_dir)
+        .select("doc_id", F.explode("fps").alias("f"))
+        .select("doc_id", F.expr("f div 1048576").alias("h"))
+        .distinct()
+    )
+    # df over the union universe — identical cutoff to the full batch run
+    hdf = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    a = fp.join(hdf, "h").filter(F.col("df") <= WIN_PAIR_MAX_DF).select(
+        "h", F.col("doc_id").alias("doc_a")
+    )
+    # the incremental shrink: only delta docs enter the b side of the join
+    b = fp.filter(F.col("doc_id") >= t).select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_PAIR_MIN_SHARED)
+    )
 
 
 # ---------------------------------------------------------------------------

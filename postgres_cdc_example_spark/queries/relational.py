@@ -2834,9 +2834,10 @@ MW_C2_DEN = 10000
     t AS (SELECT CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
                           - (ca + cb)) AS BIGINT) AS tie3 FROM g)
     SELECT n.na, n.nb, u.u2 AS u2_a, t.tie3,
-           CAST(floor(CAST(u.u2 - CAST(n.na AS HUGEINT) * n.nb AS DOUBLE)
+           CAST(CASE WHEN n.na = 0 OR n.nb = 0 THEN NULL ELSE
+                floor(CAST(u.u2 - CAST(n.na AS HUGEINT) * n.nb AS DOUBLE)
                       / CAST(CAST(n.na AS HUGEINT) * n.nb AS DOUBLE)
-                      * 1000000 + 0.5) AS BIGINT) AS rank_biserial_micro,
+                      * 1000000 + 0.5) END AS BIGINT) AS rank_biserial_micro,
            CAST(CASE WHEN
                   3 * {MW_C2_DEN}
                     * (CAST(u.u2 AS HUGEINT) - CAST(n.na AS HUGEINT) * n.nb)
@@ -2920,10 +2921,15 @@ def value_location_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nb",
             F.col("u2").alias("u2_a"),
             "tie3",
+            # empty-cohort guard: Spark's double x/0 yields NULL while
+            # DuckDB's IEEE division yields ±inf — make the degenerate
+            # case (no purchases or no views) an explicit NULL in BOTH
+            # engines instead of letting them diverge
             F.expr(
-                "CAST(floor(CAST(u2 - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
+                "CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE"
+                " floor(CAST(u2 - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
                 " / CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
-                " * 1000000 + 0.5) AS BIGINT)"
+                " * 1000000 + 0.5) END AS BIGINT)"
             ).alias("rank_biserial_micro"),
             F.expr(
                 "CAST(CASE WHEN"
@@ -2943,3 +2949,183 @@ def value_location_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 value_distribution_ks.__doc__ = value_distribution_ks.__doc__.replace(
     "{C2}", str(KS_C2_MICRO)
 )
+
+
+# chi-squared 0.95 quantiles for df = 1..10, micro-scaled (floor(q*1e6+0.5))
+# — precomputed literals the way 1.96² = 38416/10⁴ is handled, so the
+# k-sample decision never calls a transcendental at runtime. df > 10 would
+# need the table extended (loud: the CASE yields NULL and the row's
+# reject column goes NULL, which hash-mismatches — never a silent wrong 0).
+KW_CHI2_MICRO = {
+    1: 3841459,
+    2: 5991465,
+    3: 7814728,
+    4: 9487729,
+    5: 11070498,
+    6: 12591587,
+    7: 14067140,
+    8: 15507313,
+    9: 16918978,
+    10: 18307038,
+}
+
+
+def _kw_chi2_case(df_expr: str) -> str:
+    """CASE mapping degrees-of-freedom → micro-scaled χ²₀.₉₅ literal —
+    identical text in the Spark expression and the DuckDB oracle."""
+    whens = " ".join(f"WHEN {df} THEN {q}" for df, q in KW_CHI2_MICRO.items())
+    return f"CASE {df_expr} {whens} END"
+
+
+@register(
+    "value_location_kruskalwallis",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, m, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, m
+    ),
+    mt AS (
+      SELECT m, CAST(sum(c) AS BIGINT) AS cm FROM g GROUP BY m
+    ),
+    mw AS (
+      SELECT m, cm,
+             2 * COALESCE(sum(cm) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cm + 1 AS d2
+      FROM mt
+    ),
+    s AS (
+      SELECT g.event_type,
+             CAST(sum(CAST(g.c AS HUGEINT) * mw.d2) AS HUGEINT) AS s2,
+             CAST(sum(g.c) AS BIGINT) AS ni
+      FROM g JOIN mw ON g.m = mw.m
+      GROUP BY g.event_type
+    ),
+    a AS (
+      SELECT CAST(sum((s2 * s2 * 1000000) // ni) AS HUGEINT) AS a_micro,
+             CAST(sum(ni) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(sum(CAST(cm AS HUGEINT) * cm * cm - cm) AS HUGEINT) AS tie3
+      FROM mt
+    ),
+    f AS (
+      SELECT k, n, CAST(tie3 AS BIGINT) AS tie3,
+             3 * a_micro - 3 * CAST(n AS HUGEINT)
+               * (n + 1) * (n + 1) * 1000000 AS h2_num,
+             CAST(n AS HUGEINT) * n * n - n - tie3 AS denom
+      FROM a, t
+    )
+    SELECT k AS n_groups, n AS n_total, tie3,
+           CAST(CASE WHEN denom = 0 THEN 0
+                ELSE (GREATEST(h2_num, 0) * (n - 1)) // denom
+                END AS BIGINT) AS h_corr_micro,
+           CAST(CASE WHEN k <= 1 OR denom = 0 THEN 0
+                WHEN h2_num * (n - 1)
+                     > CAST(({_kw_chi2_case("k - 1")}) AS HUGEINT) * denom
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_same_location
+    FROM f
+    """,
+)
+def value_location_kruskalwallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-sample KRUSKAL-WALLIS H across ALL event types at once — the
+    k-group completion of the transcendental-free location toolkit
+    (Mann-Whitney compares exactly two). Same exactness recipe: doubled-grid
+    midranks (d2(m) = 2·cum<(m) + c(m) + 1 is always integer, so per-group
+    doubled rank sums S_i = Σ c_i·d2 are exact), per-group terms
+    (S_i²·10⁶) div n_i summed to A_micro (integer, order-free — never a
+    float sum whose association order could differ between engines), and
+    since 4·R_i²/n_i = S_i²/n_i the classical H = 12/(N(N+1))·ΣR_i²/n_i
+    − 3(N+1) clears to h2_num = 3·A_micro − 3·N(N+1)²·10⁶ over
+    10⁶·N(N+1). The tie-corrected decision divides H by
+    1 − ΣT/(N³−N) and compares against the χ²₀.₉₅(k−1) quantile — a
+    precomputed micro literal per df (the 1.96²-literal pattern) — in
+    cleared form: h2_num·(N−1) > Q_micro·(N³−N−T), after N(N+1) cancels
+    from both sides (that cancellation is what keeps the products inside
+    DECIMAL(38,0)/HUGEINT: ≤ ~8·10³⁶ even at 4·10⁷ events). All-tied
+    degenerate input (denominator 0) reports H=0 / no-reject, guarded
+    identically in both engines, and the only floor-divisions run on
+    non-negative operands so Spark ``div`` ≡ DuckDB ``//``. Scale shape:
+    one map-side-combined (type, m) aggregate, one bounded-grid window,
+    a k-row group table, two 1-row scalar broadcasts — the value grid is
+    the bounded milli domain, so no stage is corpus-proportional on the
+    driver. Hypothesis-proof: tests/test_sketch_properties.py equates the
+    cleared form with the classical tie-corrected statistic, including the
+    all-tied case."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    g = e.groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("c"))
+    mt = g.groupBy("m").agg(F.sum("c").cast("long").alias("cm"))
+    wlt = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    mw = mt.select(
+        "m",
+        "cm",
+        (
+            F.lit(2) * F.coalesce(F.sum("cm").over(wlt), F.lit(0))
+            + F.col("cm")
+            + F.lit(1)
+        ).alias("d2"),
+    )
+    s = (
+        g.join(mw, "m")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * d2")).alias("s2"),
+            F.sum("c").cast("long").alias("ni"),
+        )
+    )
+    # Spark `div` returns LONG, and the per-group term S_i²·10⁶/n_i can
+    # exceed int64 (~2·10²⁰ already at sf0.1) — so floor-divide in DECIMAL:
+    # subtract the exact modulus first, then the division is exact (the
+    # quotient is an integer well inside DECIMAL(38,6)'s 32 integer digits,
+    # so BigDecimal's HALF_UP rounding never engages). DuckDB side uses
+    # HUGEINT `//` — identical values on the non-negative operands.
+    term = (
+        "CAST((CAST(s2 AS DECIMAL(38,0)) * s2 * 1000000"
+        " - (CAST(s2 AS DECIMAL(38,0)) * s2 * 1000000) % ni) / ni"
+        " AS DECIMAL(38,0))"
+    )
+    a = s.agg(
+        F.sum(F.expr(term)).alias("a_micro"),
+        F.sum("ni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    t = mt.agg(
+        F.sum(F.expr("CAST(cm AS DECIMAL(38,0)) * cm * cm - cm"))
+        .cast("long")
+        .alias("tie3")
+    )
+    f = a.crossJoin(F.broadcast(t)).select(
+        "k",
+        "n",
+        "tie3",
+        F.expr(
+            "3 * CAST(a_micro AS DECIMAL(38,0))"
+            " - 3 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1) * 1000000"
+        ).alias("h2_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * n * n - n - tie3").alias("denom"),
+    )
+    return f.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        "tie3",
+        F.expr(
+            "CAST(CASE WHEN denom = 0 THEN 0"
+            " ELSE GREATEST(h2_num, CAST(0 AS DECIMAL(38,0))) * (n - 1) div denom"
+            " END AS BIGINT)"
+        ).alias("h_corr_micro"),
+        F.expr(
+            "CAST(CASE WHEN k <= 1 OR denom = 0 THEN 0"
+            " WHEN h2_num * (n - 1)"
+            f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * denom"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_same_location"),
+    )

@@ -64,15 +64,37 @@ def read_table(
     schema: T.StructType | str,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Read ``path`` as ``fmt`` under a DECLARED schema (good rows only —
-    malformed text-format rows are dropped here; use
-    :func:`read_with_rejects` when they must be quarantined instead).
+    """Read ``path`` as ``fmt`` under a DECLARED schema, good rows only:
+    malformed text-format rows are actually DROPPED here (an internal
+    corrupt-record column is appended, matched rows filtered out, column
+    removed), because bare PERMISSIVE mode does NOT drop them — Spark
+    null-fills the declared columns, so without the filter a bad line
+    silently enters the "good" frame as an all-null record, the exact
+    corruption this module exists to prevent. Use
+    :func:`read_with_rejects` when bad rows must be quarantined instead
+    of dropped.
 
     Scale shape: one scan, no inference pass; parquet/ORC get column
     pruning + predicate pushdown from the declared columns as usual."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
-    reader = spark.read.format(fmt).schema(_schema_of(schema))
+    base = _schema_of(schema)
+    opts = dict(options or {})
+    # When the caller already routes corrupt records (read_with_rejects, or
+    # an explicit columnNameOfCorruptRecord), hand the frame back whole —
+    # the caller owns the split. Otherwise drop-and-hide internally.
+    internal_drop = (
+        fmt in _TEXT_FORMATS
+        and CORRUPT_COL not in base.fieldNames()
+        and "columnNameOfCorruptRecord" not in opts
+    )
+    read_schema = base
+    if internal_drop:
+        read_schema = T.StructType(
+            list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+        opts["columnNameOfCorruptRecord"] = CORRUPT_COL
+    reader = spark.read.format(fmt).schema(read_schema)
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
             reader = reader.option(k, v)
@@ -80,9 +102,12 @@ def read_table(
         # DROPMALFORMED would also skip bad rows but hides the count;
         # PERMISSIVE + post-filter keeps the contract explicit.
         reader = reader.option("mode", "PERMISSIVE")
-    for k, v in (options or {}).items():
+    for k, v in opts.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    if internal_drop:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
 
 
 def read_with_rejects(
@@ -133,21 +158,40 @@ def read_stream_table(
     (new csv/json/parquet files land in a directory; Structured Streaming
     tails it exactly-once via the checkpoint's file log). Same declared-
     schema contract; a streaming read REQUIRES the schema anyway, so the
-    no-inference rule costs nothing here. For dead-letter routing on a
-    stream, declare the schema WITH the corrupt column via
-    :func:`corrupt_schema` and split downstream (the filter composes with
-    any gate — see tests/test_formats.py's streaming split)."""
+    no-inference rule costs nothing here. Same good-rows-only contract as
+    :func:`read_table`: malformed lines are filtered via an internal
+    corrupt-record column (bare PERMISSIVE would null-fill them in). For
+    dead-letter routing on a stream, declare the schema WITH the corrupt
+    column via :func:`corrupt_schema` and split downstream (the filter
+    composes with any gate — see tests/test_formats.py's streaming
+    split)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
-    reader = spark.readStream.format(fmt).schema(_schema_of(schema))
+    base = _schema_of(schema)
+    opts = dict(options or {})
+    internal_drop = (
+        fmt in _TEXT_FORMATS
+        and CORRUPT_COL not in base.fieldNames()
+        and "columnNameOfCorruptRecord" not in opts
+    )
+    read_schema = base
+    if internal_drop:
+        read_schema = T.StructType(
+            list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+        opts["columnNameOfCorruptRecord"] = CORRUPT_COL
+    reader = spark.readStream.format(fmt).schema(read_schema)
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
             reader = reader.option(k, v)
     if fmt in _TEXT_FORMATS:
         reader = reader.option("mode", "PERMISSIVE")
-    for k, v in (options or {}).items():
+    for k, v in opts.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    if internal_drop:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
 
 
 def corrupt_schema(schema: T.StructType | str) -> T.StructType:

@@ -136,6 +136,45 @@ def windowed_counts(
     )
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native ``F.session_window`` + watermark in append mode — the
+    streaming twin of the batch ``event_session_window`` query (same gap,
+    same aggregate, same output columns), and the one event-time window
+    shape that MERGES state (two open sessions fuse when a bridging event
+    arrives). Late data beyond the watermark is dropped BEFORE the
+    stateful aggregation; a session is emitted once the watermark passes
+    its end (last event + gap). On the injected out-of-order arrival
+    stream (``queries/windows._injected_lateness``'s bounded-jitter
+    reordering) this is non-vacuous: a watermark at least as large as the
+    jitter bound reproduces the batch islands oracle exactly across
+    restarts, and a tighter one drops a subset of the events the
+    ``watermark_sizing_advisor`` model counts for delay = gap + watermark
+    — never more, for two compounding reasons probed empirically: the
+    drop rule fires on the session END (ts + gap, not raw ts), and the
+    late filter uses the previous-batch-committed watermark (in-run it
+    lags one extra batch; a restart applies the committed value
+    immediately), both of which trail the advisor's continuous per-event
+    high-watermark (pinned in tests/test_stateful_streaming.py)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --- dedup-at-ingest (content-hash keyed state) --------------------------------
 
 CONTENT_DEDUP_OUTPUT_SCHEMA = "doc_id long, content_hash string"
@@ -227,7 +266,12 @@ FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, ts timestamp_ntz"
 # per-user funnel state: first-completion ns timestamps, -1 = not reached,
 # plus the per-user event-time high-watermark — (max ts, its event_id),
 # the SAME (ts, event_id) lexicographic order the batch funnel sorts by —
-# that makes cross-batch ordering violations OBSERVABLE instead of silent
+# that makes cross-batch ordering violations OBSERVABLE instead of silent.
+# STATE-SCHEMA MIGRATION: this grew 4 -> 5 longs when hw_eid was added; a
+# checkpoint written under the old 4-long layout cannot be resumed (Spark
+# would misread the tuple) — upgrading a deployed funnel_stream means a
+# NEW checkpointLocation (state rebuilds from the source), the same
+# discard-on-upgrade rule as every state-schema change in this module.
 FUNNEL_STATE_SCHEMA = (
     "t1_ns long, t2_ns long, t3_ns long, hw_ns long, hw_eid long"
 )

@@ -424,3 +424,24 @@ def test_substring_incremental_equals_full_run_filtered(spark, sf_dir):
     }
     assert inc == full
     assert inc, "fixture must plant spans in the delta slice"
+
+
+def test_winnowing_incremental_equals_full_run_filtered(spark, sf_dir):
+    """Zero-drift contract for the winnowing per-batch arm: the incremental
+    (delta-b-side) pairs must equal the FULL pair run filtered to delta
+    doc_b — df cutoffs over the union universe, so the b-side shrink
+    creates and loses nothing. Non-vacuous: the delta must carry pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t = ((int(mx) + 1) * 9) // 10
+    full = {
+        tuple(r)
+        for r in q.queries()["dedup_winnowing_pairs"](spark, sf_dir).collect()
+        if r.doc_b >= t
+    }
+    inc = {
+        tuple(r)
+        for r in q.queries()["dedup_winnowing_incremental"](spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert inc, "fixture must plant winnowing pairs in the delta slice"

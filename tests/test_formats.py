@@ -162,3 +162,39 @@ def test_streaming_csv_ingest_splits_rejects_and_feeds_gates(spark, tmp_path):
         "second file ingested exactly once from the checkpointed file log"
     )
     assert len(bad_rows) == 1
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_read_table_drops_malformed_instead_of_nullfilling(spark, tmp_path, fmt):
+    """read_table's good-rows-only contract: a malformed line must be
+    DROPPED, not kept as a null-filled record (bare PERMISSIVE mode would
+    null-fill — the silent-corruption path this pins shut)."""
+    out = str(tmp_path / "raw")
+    os.makedirs(out)
+    if fmt == "json":
+        lines = [
+            '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}',
+            "garbage line",
+            '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s"}',
+        ]
+    else:
+        lines = [
+            "doc_id,text,lang,source",
+            "1,ok,en,s",
+            "NOT_A_NUMBER,bad id,en,s",
+            "2,also ok,de,s",
+        ]
+    with open(os.path.join(out, "part-0.txt"), "w") as f:
+        f.write("\n".join(lines))
+    got = read_table(spark, out, fmt, DOCS_DDL).collect()
+    assert len(got) == 2
+    assert {r.doc_id for r in got} == {1, 2}
+    assert all(r.doc_id is not None for r in got), "no null-filled ghosts"
+    # and the returned frame carries exactly the declared columns — the
+    # internal corrupt column must not leak
+    assert [f.name for f in read_table(spark, out, fmt, DOCS_DDL).schema.fields] == [
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+    ]

@@ -470,6 +470,7 @@ _BNLJ_ALLOWED = {
     "rank_sketch_bottomk",  # 1-row corpus aggregate x 2-row literal target table
     "watermark_sizing_advisor",  # bounded lateness-histogram grid joins (<=3600 cells by construction)
     "value_location_mannwhitney",  # three 1-row scalar aggregates (n/U/tie) merged via broadcast
+    "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "ann_truncated_recall_audit",  # broadcast query sample x corpus, != condition (both audit sides share one scan)
     "orders_benford_audit",  # 1-row total broadcast into the 9-digit table
     "orders_rfm_segments",  # 1-row customer-count broadcast closing the quintile scores

@@ -217,3 +217,67 @@ def test_mannwhitney_cleared_form_equals_classical_decision(a, b):
     # the integer form decides consistently; allow the knife-edge only
     if abs(z * z - 1.96**2) > 1e-9:
         assert cleared == classical
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 40), min_size=2, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_kruskalwallis_cleared_form_equals_classical(groups):
+    """The cleared-denominator k-sample decision in
+    value_location_kruskalwallis (queries/relational.py) must agree with
+    the classical tie-corrected H > chi2_0.95(k-1) on ANY integer samples —
+    including tie-heavy ones and the all-tied degenerate case (zero
+    denominator), which must gracefully report H=0 / no-reject."""
+    from fractions import Fraction
+
+    from postgres_cdc_example_spark.queries.relational import KW_CHI2_MICRO
+
+    k = len(groups)
+    counters = [Counter(g) for g in groups]
+    total = Counter()
+    for c in counters:
+        total.update(c)
+    vals = sorted(total)
+    N = sum(total.values())
+
+    # integer pipeline exactly as registered: doubled midranks d2, per-group
+    # doubled rank sums S_i, A_micro via truncating div, cleared comparison
+    d2 = {}
+    cum = 0
+    for v in vals:
+        d2[v] = 2 * cum + total[v] + 1
+        cum += total[v]
+    s = [sum(c[v] * d2[v] for v in c) for c in counters]
+    ni = [sum(c.values()) for c in counters]
+    a_micro = sum((si * si * 10**6) // n for si, n in zip(s, ni))
+    h2_num = 3 * a_micro - 3 * N * (N + 1) * (N + 1) * 10**6
+    tie3 = sum(t**3 - t for t in total.values())
+    denom = N**3 - N - tie3
+    if denom == 0:
+        h_corr_micro = 0
+        cleared = False
+    else:
+        h_corr_micro = (max(h2_num, 0) * (N - 1)) // denom
+        cleared = k > 1 and h2_num * (N - 1) > KW_CHI2_MICRO[k - 1] * denom
+
+    # classical tie-corrected H from exact rationals (midrank = d2/2)
+    if denom == 0 or k <= 1:
+        assert not cleared
+        assert h_corr_micro == 0
+        return
+    A = sum(Fraction(si * si, 4 * n) for si, n in zip(s, ni))  # sum R_i^2/n_i
+    H = Fraction(12, N * (N + 1)) * A - 3 * (N + 1)
+    Hc = H / (1 - Fraction(tie3, N**3 - N))
+    q = Fraction(KW_CHI2_MICRO[k - 1], 10**6)
+    # the registered form floors A*1e6 per group (<= 1 micro each), so only
+    # a knife-edge within that slack may legitimately disagree
+    slack = Fraction(3 * k * (N - 1), denom) * Fraction(1, 10**6)
+    if abs(Hc - q) > slack:
+        assert cleared == (Hc > q)
+    # value check: h_corr_micro within the same truncation slack of exact Hc
+    assert abs(Fraction(h_corr_micro, 10**6) - max(Hc, 0)) <= slack + Fraction(1, 10**6)

@@ -1031,3 +1031,162 @@ def test_rank_sample_stream_matches_batch_and_merges(spark, sf_dir, tmp_path):
         for r in REGISTRY["rank_sketch_bottomk"].fn(spark, sf_dir).collect()
     }
     assert ests == batch, "merged per-day samples must reproduce the batch sketch"
+
+
+def _arrival_ordered_rows(spark, sf_dir):
+    """Events sorted by the INJECTED arrival order (the bounded-jitter
+    reordering from queries/windows._injected_lateness — same md5 recipe),
+    as plain tuples in the events schema plus (arr_us, us) for simulation."""
+    from postgres_cdc_example_spark.queries.windows import LATE_JITTER_US
+
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("a:"), F.col("event_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_arr = ev.withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn("arr_us", F.col("us") + h % LATE_JITTER_US)
+    rows = sorted(with_arr.collect(), key=lambda r: (r.arr_us, r.event_id))
+    cols = ev.columns
+    return ev.schema, cols, [
+        (tuple(r[c] for c in cols), r.us, r.arr_us) for r in rows
+    ]
+
+
+def _replay_session_stream(
+    spark, schema, cols, ordered, tmp_path, watermark, n_chunks=10,
+    gap="6 hours", chunks_per_run=5,
+):
+    """Replay `ordered` events in arrival order as n_chunks single-file
+    micro-batches (maxFilesPerTrigger=1), restarting the query every
+    `chunks_per_run` chunks (each _drain is a fresh query resuming the
+    checkpoint — the restart commits the watermark, which matters: Spark's
+    late-row filter lags the in-run watermark by one batch, but a restart
+    applies the committed watermark immediately). Two flush events at the
+    end advance the watermark past everything so every real session
+    closes. Returns emitted rows (flush user excluded)."""
+    from postgres_cdc_example_spark.streaming.stateful import session_window_stream
+
+    import datetime as dt
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    n = len(ordered)
+
+    def write_chunk(lo, hi):
+        spark.createDataFrame(
+            [t for t, _, _ in ordered[lo:hi]], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def flush_row(i):
+        far = dt.datetime(2025, 6, 1) + dt.timedelta(days=60 * i)
+        base = dict(zip(cols, ordered[0][0]))
+        base.update(event_id=10**9 + i, ts=far, user_id=-1, value=0.0)
+        return tuple(base[c] for c in cols)
+
+    emitted: list = []
+    stream = None
+    for k in range(n_chunks):
+        write_chunk(k * n // n_chunks, (k + 1) * n // n_chunks)
+        if stream is None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+        if (k + 1) % chunks_per_run == 0 or k == n_chunks - 1:
+            _drain(
+                session_window_stream(stream, gap=gap, watermark=watermark),
+                ckpt,
+                emitted,
+            )
+    spark.createDataFrame([flush_row(1)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(session_window_stream(stream, gap=gap, watermark=watermark), ckpt, emitted)
+    # second flush advances the watermark past flush 1, closing all real
+    # sessions (watermark updates between micro-batches, not within)
+    spark.createDataFrame([flush_row(2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(session_window_stream(stream, gap=gap, watermark=watermark), ckpt, emitted)
+    return [r for r in emitted if r.user_id != -1]
+
+
+def test_session_window_stream_matches_batch_on_injected_arrival(
+    spark, sf_dir, tmp_path
+):
+    """Native session_window + watermark over the INJECTED out-of-order
+    arrival stream (the de-vacuized late-data surface): with a watermark
+    delay at least the jitter bound (2 h > 2×30 min), nothing drops and the
+    emitted sessions across a mid-stream restart must equal the batch
+    islands oracle (event_session_window) EXACTLY — session merging under
+    out-of-order delivery is what's being proven."""
+    from postgres_cdc_example_spark.queries.windows import event_session_window
+
+    schema, cols, ordered = _arrival_ordered_rows(spark, sf_dir)
+    got = {
+        (r.user_id, r.window_start, r.window_end, r.n_events, round(r.total_value, 4))
+        for r in _replay_session_stream(
+            spark, schema, cols, ordered, tmp_path, watermark="2 hours",
+            n_chunks=10, chunks_per_run=5,
+        )
+    }
+    want = {
+        (r.user_id, r.window_start, r.window_end, r.n_events, round(r.total_value, 4))
+        for r in event_session_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_session_window_stream_tight_watermark_drops_within_advisor_model(
+    spark, sf_dir, tmp_path
+):
+    """Dropped-late accounting under a TIGHT configuration (1-minute gap,
+    10-second watermark): the stream must drop SOME events (non-vacuous on
+    the injected reordering) but never more than the
+    watermark_sizing_advisor model counts for the equivalent delay. Spark
+    drops a session-window row when its window END (ts + gap) falls below
+    the watermark (verified empirically), so the per-event drop condition
+    is lateness > gap + delay against the RESTART-COMMITTED high-watermark
+    (one restart per chunk: Spark's in-run late filter lags a batch, but a
+    restarted query applies the committed watermark immediately — probed
+    empirically). That committed watermark lags the advisor's continuous
+    per-event high-watermark, so the stream's drop set is a subset of the
+    advisor's suffix count at delay = gap + watermark. The exact expected
+    count is also simulated per run boundary and must match (the one
+    dropped event on this fixture sits 240 s from the boundary — no
+    ms-rounding knife edge)."""
+    from postgres_cdc_example_spark.queries.windows import _injected_lateness
+
+    schema, cols, ordered = _arrival_ordered_rows(spark, sf_dir)
+    n_chunks, gap_us, delay_us = 10, 60_000_000, 10_000_000
+    emitted = _replay_session_stream(
+        spark, schema, cols, ordered, tmp_path, watermark="10 seconds",
+        n_chunks=n_chunks, gap="1 minute", chunks_per_run=1,
+    )
+    n = len(ordered)
+    kept = sum(r.n_events for r in emitted)
+    dropped_stream = n - kept
+
+    model_dropped = (
+        _injected_lateness(spark, sf_dir)
+        .filter(F.col("late_us") > gap_us + delay_us)
+        .count()
+    )
+    assert 0 < dropped_stream <= model_dropped
+
+    # exact per-run-boundary simulation: one chunk per run, so the filter
+    # watermark for chunk k is the committed max event time of chunks < k
+    # minus the delay; drop rule is session END below it (us + gap < wm)
+    wm = None
+    sim = 0
+    for k in range(n_chunks):
+        chunk = ordered[k * n // n_chunks : (k + 1) * n // n_chunks]
+        if wm is not None:
+            sim += sum(1 for _, us, _ in chunk if us + gap_us < wm)
+        wm = max(wm or 0, max(us for _, us, _ in chunk) - delay_us)
+    assert dropped_stream == sim
