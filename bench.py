@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "multimodal_decoded_parity",  # real-codec round-trip; 1.17 s best-of-3 idle at sf0.1
     "value_location_kruskalwallis",  # 0.91 s best-of-3 idle at sf0.1
     "dedup_winnowing_incremental",  # 1.15 s best-of-3 idle at sf0.1
+    "text_kneser_ney_nll",  # 1.58 s best-of-3 idle at sf0.1
+    "length_quality_kendall",  # 1.71 s best-of-3 idle at sf0.1
+    "cdc_schema_drift_audit",  # 2.40 s best-of-3 idle at sf0.1 (JSON wire round-trip)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

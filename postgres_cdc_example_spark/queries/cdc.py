@@ -464,3 +464,117 @@ def cdc_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 cdc_gap_detection.__doc__ = cdc_gap_detection.__doc__.replace(
     "{MOD}", str(GAP_DROP_MOD)
 )
+
+
+# schema-drift injection: deterministic doc-keyed modular rules, the
+# injection-audit pattern (PII -> language -> late-arrival -> this)
+DRIFT_ADD_MOD = 37  # event_id % 37 == 0 -> wire carries an extra 'email' column
+DRIFT_DROP_MOD = 41  # event_id % 41 == 0 -> wire omits the declared 'score'
+
+
+def _drifted_wire_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json-v2-shaped JSON lines derived from `events` with INJECTED
+    schema drift: every {ADD}-th event's columns list gains an undeclared
+    'email' entry, every {DROP}-th omits the declared 'score' — built with
+    to_json so the audit exercises the REAL wire decode
+    (sources/changelog.decode_change_lines), not a pre-parsed frame."""
+    ev = load_table(spark, "events", sf_dir)
+    col = (
+        lambda name, typ, val: F.struct(  # noqa: E731
+            F.lit(name).alias("name"), F.lit(typ).alias("type"), val.alias("value")
+        )
+    )
+    base = F.array(
+        col("id", "integer", (F.col("event_id") % 120).cast("string")),
+        col("name", "character varying(100)", F.col("event_type")),
+        col("uid", "uuid", F.md5(F.col("event_id").cast("string"))),
+        col("score", "integer", (F.col("event_id") % 97).cast("string")),
+        col(
+            "created_at",
+            "timestamp without time zone",
+            F.col("ts").cast("string"),
+        ),
+    )
+    # drop 'score' entries by name, then append the drifted 'email' entry
+    cols = F.filter(
+        base,
+        lambda c: ~(
+            (c["name"] == "score") & (F.col("event_id") % DRIFT_DROP_MOD == 0)
+        ),
+    )
+    cols = F.when(
+        F.col("event_id") % DRIFT_ADD_MOD == 0,
+        F.concat(
+            cols,
+            F.array(col("email", "text", F.concat(F.col("event_id").cast("string"), F.lit("@example.com")))),
+        ),
+    ).otherwise(cols)
+    line = F.to_json(
+        F.struct(
+            F.col("event_id").alias("seq"),
+            F.expr(_ACTION).alias("action"),
+            F.lit("public").alias("schema"),
+            F.lit("person").alias("table"),
+            cols.alias("columns"),
+        )
+    )
+    return ev.select(line.alias("value"))
+
+
+@register(
+    "cdc_schema_drift_audit",
+    oracle=f"""
+    WITH ch AS (
+      SELECT event_id AS seq,
+             CASE WHEN event_id % {DRIFT_ADD_MOD} = 0 THEN 'email' ELSE '' END
+               AS unknown_cols,
+             CASE WHEN event_id % {DRIFT_DROP_MOD} = 0 THEN 'score' ELSE '' END
+               AS missing_cols
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT unknown_cols, missing_cols,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(seq) AS BIGINT) AS first_seq,
+           CAST(max(seq) AS BIGINT) AS last_seq
+    FROM ch WHERE unknown_cols <> '' OR missing_cols <> ''
+    GROUP BY unknown_cols, missing_cols
+    """,
+)
+def cdc_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT audit over the real wire decode — the CDC failure mode
+    the reference cannot even see (replicator/main.go:198-201 pivots the
+    columns list into a map and reads only declared names, so an upstream
+    ALTER TABLE silently drops data forever). Deterministic injection (the
+    late-arrival/language pattern): wal2json-shaped JSON lines are BUILT
+    with to_json from `events` — every {ADD}-th event gains an undeclared
+    'email' column, every {DROP}-th omits the declared 'score' — then
+    decoded through the genuine from_json wire path
+    (sources/changelog.decode_change_lines) and diffed against the declared
+    schema by sources/changelog.schema_drift_audit. One row per drift
+    signature with count and first/last WAL position (what bounds the
+    backfill window after the schema is updated). The oracle recomputes the
+    signatures from the same modular rules WITHOUT parsing JSON — so a
+    decode bug (entry lost, name mangled, filter misapplied) breaks the
+    hash. D-action events carry only the identity image and are excluded
+    on both sides (event_type = 'error' plays D). Scale shape: one scan,
+    JSON encode+decode fused into it, one aggregate on the tiny signature
+    key."""
+    from postgres_cdc_example_spark.sources.changelog import (
+        PERSON_COLUMNS,
+        decode_change_lines,
+        schema_drift_audit,
+    )
+
+    lines = _drifted_wire_lines(spark, sf_dir)
+    decoded = decode_change_lines(lines)
+    return schema_drift_audit(
+        decoded, "person", ["id", *PERSON_COLUMNS.keys()]
+    )
+
+
+cdc_schema_drift_audit.__doc__ = cdc_schema_drift_audit.__doc__.replace(
+    "{ADD}", str(DRIFT_ADD_MOD)
+).replace("{DROP}", str(DRIFT_DROP_MOD))
+_drifted_wire_lines.__doc__ = _drifted_wire_lines.__doc__.replace(
+    "{ADD}", str(DRIFT_ADD_MOD)
+).replace("{DROP}", str(DRIFT_DROP_MOD))

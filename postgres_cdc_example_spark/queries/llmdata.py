@@ -295,6 +295,121 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_kneser_ney_nll",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    {_BG_SQL},
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    cp AS (SELECT split_part(b, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS cpre
+           FROM bg GROUP BY 1),
+    n1 AS (SELECT split_part(b, ' ', 1) AS w1,
+                  CAST(count(DISTINCT b) AS BIGINT) AS n1f
+           FROM bg GROUP BY 1),
+    ne AS (SELECT split_part(b, ' ', 2) AS w2,
+                  CAST(count(DISTINCT b) AS BIGINT) AS nend
+           FROM bg GROUP BY 1),
+    nt AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS ntypes FROM bg),
+    lp AS (
+      SELECT cb.b,
+             CAST(floor(ln(CAST(4 * cp.cpre * nt.ntypes AS DOUBLE)
+                           / ((4 * cb.c - 3) * nt.ntypes
+                              + 3 * n1.n1f * ne.nend))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM cb
+      JOIN cp ON split_part(cb.b, ' ', 1) = cp.w1
+      JOIN n1 ON split_part(cb.b, ' ', 1) = n1.w1
+      JOIN ne ON split_part(cb.b, ' ', 2) = ne.w2, nt
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS kn_nll_micro_sum,
+           CAST(floor(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_kn_nll_micro
+    FROM bg JOIN lp ON bg.b = lp.b
+    GROUP BY bg.doc_id
+    """,
+)
+def text_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring — the step past add-one on
+    the n-gram-LM filter ladder (``text_unigram_nll`` → ``text_bigram_nll``
+    → this): absolute discounting with the continuation-probability
+    back-off that makes KN the standard n-gram smoother.
+
+        p(w2|w1) = (c(w1w2) − d)/c(w1·) + λ(w1)·p_cont(w2)
+        λ(w1) = d·N1+(w1·)/c(w1·)      p_cont(w2) = N1+(·w2)/N1+(··)
+
+    With d = 3/4 EXACTLY and every bigram scored being corpus-observed
+    (the LM trains on the corpus it scores, so c ≥ 1 and the max(·,0)
+    never clips), the probability is one exact rational:
+    [(4c−3)·T + 3·N1+(w1·)·N1+(·w2)] / (4·c(w1·)·T), T = total distinct
+    bigram types. The ONLY float op is the single per-row ln of that
+    rational (micro-rounded BEFORE the per-doc sum — the tfidf/bigram-NLL
+    policy). Catches the word-salad profile add-one misses: a doc whose
+    every transition is rare-but-seen scores near add-one's ceiling, while
+    KN's continuation term separates 'rare because novel context' from
+    'rare because nonsense'. Plan shape: four map-side-combined counts off
+    ONE bigram explode, a 1-row type-count broadcast, and one doc_id
+    aggregation — all joins on bigram/word keys, nothing corpus² anywhere.
+    Magnitude note: 4·c(w1·)·T stays under 2⁵³ (double-exact) through
+    ~10⁸ bigram types; beyond that compute the log as ln(4·cpre) +
+    ln(T) − ln(denominator) — documented, not silent."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = (
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, tk[i] AS w2,"
+                    " concat(tk[i-1], ' ', tk[i]) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2", "p.b")
+    )
+    cb = bg.groupBy("w1", "w2", "b").agg(F.count(F.lit(1)).alias("c"))
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cpre"))
+    n1 = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    ne = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("nend"))
+    nt = cb.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    lp = (
+        cb.join(cp, "w1")
+        .join(n1, "w1")
+        .join(ne, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            F.expr(
+                "CAST(floor(ln(CAST(4 * cpre * ntypes AS DOUBLE)"
+                " / ((4 * c - 3) * ntypes + 3 * n1f * nend))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    return (
+        bg.select("doc_id", "b")
+        .join(lp, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("kn_nll_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "kn_nll_micro_sum",
+            F.floor(
+                F.col("kn_nll_micro_sum").cast("double") / F.col("n_bigrams")
+            )
+            .cast("long")
+            .alias("mean_kn_nll_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # tf-idf keyword extraction
 # ---------------------------------------------------------------------------
@@ -4683,4 +4798,163 @@ def length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("spearman_micro"),
+    )
+
+
+# Kendall tau-b quality bucket width: the percent grid (micro div 10⁴),
+# fixed domain 0..100 — bounds the dense dominance grid at any corpus size
+KT_QB = 10_000
+
+
+@register(
+    "length_quality_kendall",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES},
+    s AS (SELECT n_tokens AS t, quality_micro // {KT_QB} AS qb FROM qscored),
+    cell AS (SELECT t, qb, CAST(count(*) AS BIGINT) AS nc FROM s GROUP BY t, qb),
+    tg AS (SELECT DISTINCT t FROM cell),
+    grid AS (
+      SELECT tg.t, g.qb, COALESCE(cell.nc, 0) AS nc
+      FROM tg CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS qb) g
+      LEFT JOIN cell ON cell.t = tg.t AND cell.qb = g.qb
+    ),
+    cl AS (
+      SELECT t, qb, nc,
+             COALESCE(sum(nc) OVER (PARTITION BY qb ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ct_lt
+      FROM grid
+    ),
+    dom AS (
+      SELECT t, qb, nc,
+             COALESCE(sum(ct_lt) OVER (PARTITION BY t ORDER BY qb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_ll,
+             sum(ct_lt) OVER (PARTITION BY t)
+               - sum(ct_lt) OVER (PARTITION BY t ORDER BY qb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_lg
+      FROM cl
+    ),
+    cd AS (
+      SELECT CAST(sum(CAST(nc AS HUGEINT) * s_ll) AS BIGINT) AS c_pairs,
+             CAST(sum(CAST(nc AS HUGEINT) * s_lg) AS BIGINT) AS d_pairs
+      FROM dom
+    ),
+    ht AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM s GROUP BY t),
+    hq AS (SELECT CAST(count(*) AS BIGINT) AS cq FROM s GROUP BY qb),
+    ties AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+             (SELECT CAST(sum(ct * (ct - 1) // 2) AS BIGINT) FROM ht) AS tie_t,
+             (SELECT CAST(sum(cq * (cq - 1) // 2) AS BIGINT) FROM hq) AS tie_q
+    )
+    SELECT ties.n AS n_docs, cd.c_pairs, cd.d_pairs, ties.tie_t AS tie_t_pairs,
+           ties.tie_q AS tie_q_pairs,
+           CAST(CASE WHEN (CAST(ties.n AS HUGEINT) * (ties.n - 1) // 2 - ties.tie_t) = 0
+                       OR (CAST(ties.n AS HUGEINT) * (ties.n - 1) // 2 - ties.tie_q) = 0
+                THEN NULL ELSE
+                floor(CAST(cd.c_pairs - cd.d_pairs AS DOUBLE)
+                      / sqrt(CAST(CAST(ties.n AS HUGEINT) * (ties.n - 1) // 2
+                                  - ties.tie_t AS DOUBLE)
+                             * CAST(CAST(ties.n AS HUGEINT) * (ties.n - 1) // 2
+                                    - ties.tie_q AS DOUBLE))
+                      * 1000000 + 0.5) END AS BIGINT) AS tau_b_micro
+    FROM cd, ties
+    """,
+)
+def length_quality_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL tau-b between document length and the quality score on the
+    percent grid — Spearman's robust sibling (pairwise concordance instead
+    of rank moments; less sensitive to a heavy monotone tail, the number a
+    curation report quotes beside spearman_micro). Exact by construction:
+    quality buckets onto the FIXED percent grid (micro div 10⁴, domain
+    0..100 forever), so the dense (length × percent) dominance grid is
+    bounded by VALUE DOMAINS, never the corpus; concordant pairs count via
+    two cumulative windows over that grid (per-quality running count over
+    length, then per-length prefix over quality — the classic 2D prefix
+    sum, each window over grid rows only), discordant via the complement
+    suffix, and tie pairs from the two 1D histograms. tau-b =
+    (C−D)/√((P−T_t)(P−T_q)) closes as IEEE double ops on exact integers
+    (the Spearman recipe; degenerate all-tied margins yield NULL
+    identically in both engines). The statistic is DEFINED on the bucketed
+    quality — stated, not approximated: concordance against a 10⁻² quality
+    step is the resolution a curation threshold actually uses. Scale
+    shape: one zero-shuffle scoring scan, one (t, qb)-keyed count, a
+    bounded ≤ |length-domain|·101 grid (the HLL-grid BNLJ class), windows
+    over grid rows, one moment row. Magnitude note: C, D ≤ n²/2 stay
+    double-exact (< 2⁵³) through ~10⁸ docs; beyond that emit C−D and the
+    two denominators and close the ratio downstream — documented, not
+    silent."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = _quality_scored(docs).select(
+        F.col("n_tokens").alias("t"),
+        F.expr(f"quality_micro div {KT_QB}").alias("qb"),
+    )
+    cell = s.groupBy("t", "qb").agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    tg = cell.select("t").distinct()
+    qg = s.sparkSession.range(0, 101).select(F.col("id").alias("qb"))
+    grid = (
+        tg.crossJoin(F.broadcast(qg))
+        .join(cell, ["t", "qb"], "left")
+        .select("t", "qb", F.coalesce(F.col("nc"), F.lit(0)).alias("nc"))
+    )
+    w_t = (
+        Window.partitionBy("qb")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cl = grid.select(
+        "t", "qb", "nc", F.coalesce(F.sum("nc").over(w_t), F.lit(0)).alias("ct_lt")
+    )
+    w_q_lt = (
+        Window.partitionBy("t")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_q_le = (
+        Window.partitionBy("t")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("t")
+    dom = cl.select(
+        "nc",
+        F.coalesce(F.sum("ct_lt").over(w_q_lt), F.lit(0)).alias("s_ll"),
+        (F.sum("ct_lt").over(w_all) - F.sum("ct_lt").over(w_q_le)).alias("s_lg"),
+    )
+    cd = dom.agg(
+        F.sum(F.expr("CAST(nc AS DECIMAL(38,0)) * s_ll")).cast("long").alias("c_pairs"),
+        F.sum(F.expr("CAST(nc AS DECIMAL(38,0)) * s_lg")).cast("long").alias("d_pairs"),
+    )
+    ht = s.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    hq = s.groupBy("qb").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    ties = (
+        s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                ht.agg(
+                    F.sum(F.expr("ct * (ct - 1) div 2")).cast("long").alias("tie_t")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hq.agg(
+                    F.sum(F.expr("cq * (cq - 1) div 2")).cast("long").alias("tie_q")
+                )
+            )
+        )
+    )
+    return cd.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_docs"),
+        "c_pairs",
+        "d_pairs",
+        F.col("tie_t").alias("tie_t_pairs"),
+        F.col("tie_q").alias("tie_q_pairs"),
+        F.expr(
+            "CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_t) = 0"
+            " OR (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_q) = 0"
+            " THEN NULL ELSE"
+            " floor(CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_t AS DOUBLE)"
+            "        * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_q AS DOUBLE))"
+            " * 1000000 + 0.5) END AS BIGINT)"
+        ).alias("tau_b_micro"),
     )

@@ -118,6 +118,57 @@ def flatten_person_changes(decoded: DataFrame, table: str = "person") -> DataFra
     return flatten_changes(decoded, table, PERSON_COLUMNS)
 
 
+def schema_drift_audit(
+    decoded: DataFrame, table: str, declared: list[str]
+) -> DataFrame:
+    """SCHEMA-DRIFT detector over the decoded change stream: because the
+    wire format carries columns as (name, type, value) ENTRY LISTS, an
+    upstream ``ALTER TABLE ADD COLUMN`` (or a dropped column) does not
+    break :func:`decode_change_lines` — it silently adds/removes entries,
+    and :func:`flatten_changes`'s declared projection silently ignores
+    them. Silent is the failure mode: replication keeps running while new
+    data quietly vanishes. This audit makes drift OBSERVABLE (the T7
+    dead-letter discipline applied to schemas): per columns-bearing event
+    (I/U — D carries only the identity image), the wire column-name set is
+    diffed against the declared set, and drifted events aggregate into one
+    row per drift signature (unknown columns seen, declared columns
+    absent) with a count and first/last WAL position — exactly what an
+    operator needs to time-bound a backfill after adding the column to the
+    declared schema. Pure set arithmetic on the already-decoded struct:
+    zero extra scans, one map-side-combined aggregate on the (tiny) drift
+    signature key."""
+    # Generate barrier: projection collapse would re-inline the from_json
+    # behind `change` into EVERY subfield reference below (seq, table,
+    # action, columns ×2) — measured 1.4 s → 5 s at sf0.1 from re-parsing
+    # the JSON per reference. The 1-element explode materializes the
+    # struct once per row (the bpe_merge_steps janino-barrier pattern).
+    decoded = decoded.select(
+        F.explode(F.array(F.struct(F.col("change")))).alias("r")
+    ).select(F.col("r.change").alias("change"))
+    names = F.expr("transform(change.columns, c -> c.name)")
+    declared_arr = F.array(*[F.lit(c) for c in declared])
+    return (
+        decoded.filter(F.col("change.table") == table)
+        .filter(F.col("change.action") != "D")
+        .select(
+            F.col("change.seq").alias("seq"),
+            F.array_join(F.array_sort(F.array_except(names, declared_arr)), ",").alias(
+                "unknown_cols"
+            ),
+            F.array_join(F.array_sort(F.array_except(declared_arr, names)), ",").alias(
+                "missing_cols"
+            ),
+        )
+        .filter((F.col("unknown_cols") != "") | (F.col("missing_cols") != ""))
+        .groupBy("unknown_cols", "missing_cols")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("seq").cast("long").alias("first_seq"),
+            F.max("seq").cast("long").alias("last_seq"),
+        )
+    )
+
+
 def person_change_json(
     seq: int,
     action: str,

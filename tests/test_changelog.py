@@ -93,3 +93,40 @@ def test_route_changes_multi_table_isolation(spark):
     ]
     assert set(routed) == {"person", "audit"}  # unreplicated table ignored
     assert person[0].score == 10 and isinstance(person[0].score, int)
+
+
+def test_schema_drift_flags_unknown_and_missing_but_flatten_survives(spark):
+    """An upstream ALTER TABLE must be OBSERVABLE (drift audit rows) while
+    the declared projection keeps working: unknown wire columns are
+    ignored, absent declared columns arrive NULL — never a crash, never a
+    silent type flip."""
+    from postgres_cdc_example_spark.sources.changelog import (
+        PERSON_COLUMNS,
+        schema_drift_audit,
+    )
+
+    lines = [
+        # clean event
+        person_change_json(1, "I", row={"id": 1, "name": "a", "uid": "u", "score": 5, "created_at": "2024-01-01 00:00:00"}),
+        # drifted: extra undeclared column
+        person_change_json(2, "U", row={"id": 1, "name": "b", "uid": "u", "score": 6, "created_at": "2024-01-01 00:00:00", "email": "x@y"}),
+        # drifted: declared 'score' missing from the wire
+        person_change_json(3, "U", row={"id": 1, "name": "c", "uid": "u", "created_at": "2024-01-01 00:00:00"}),
+        # D events carry only identity — never counted as drift
+        person_change_json(4, "D", identity={"id": 1}),
+    ]
+    decoded = decode_change_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    drift = {
+        (r.unknown_cols, r.missing_cols): (r.n_events, r.first_seq, r.last_seq)
+        for r in schema_drift_audit(
+            decoded, "person", ["id", *PERSON_COLUMNS.keys()]
+        ).collect()
+    }
+    assert drift == {("email", ""): (1, 2, 2), ("", "score"): (1, 3, 3)}
+
+    flat = {r.seq: r for r in flatten_person_changes(decoded).collect()}
+    assert flat[2].name == "b"  # unknown column ignored, declared ones intact
+    assert flat[3].score is None  # missing declared column arrives NULL
+    assert flat[3].name == "c"
