@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "text_kneser_ney_nll",  # 1.58 s best-of-3 idle at sf0.1
     "length_quality_kendall",  # 1.71 s best-of-3 idle at sf0.1
     "cdc_schema_drift_audit",  # 2.40 s best-of-3 idle at sf0.1 (JSON wire round-trip)
+    "k_anonymity_audit",  # 0.42 s best-of-3 idle at sf0.1
+    "orders_column_profile",  # 0.92 s best-of-3 idle at sf0.1
+    "event_volume_cusum",  # 0.91 s best-of-3 idle at sf0.1
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

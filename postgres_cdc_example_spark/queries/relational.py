@@ -950,6 +950,209 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON_MIN = 5  # groups smaller than this are re-identification risks
+L_DIV_MIN = 2  # QI groups whose sensitive attribute has < this diversity leak it
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kilo,
+             CAST(count(*) AS BIGINT) AS k_size,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation, bal_kilo, k_size, l_diversity,
+           CAST(CASE WHEN k_size < {K_ANON_MIN} THEN 1 ELSE 0 END AS BIGINT)
+             AS below_k,
+           CAST(CASE WHEN l_diversity < {L_DIV_MIN} THEN 1 ELSE 0 END AS BIGINT)
+             AS below_l
+    FROM g WHERE k_size < {K_ANON_MIN} OR l_diversity < {L_DIV_MIN}
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY / L-DIVERSITY audit — the re-identification-risk half of
+    the privacy surface (``pii_redaction_audit`` finds direct identifiers;
+    this finds QUASI-identifier combinations that single people out after
+    the direct ones are gone). Quasi-identifier = (nation, account-balance
+    kilo-bucket); sensitive attribute = market segment. A QI group smaller
+    than k = {{K}} is a linkage-attack risk (an adversary with the public
+    QI pins the row set to < {{K}} candidates); a group whose sensitive
+    attribute takes < {{L}} distinct values leaks it to EVERY member even
+    at k ≥ {{K}} (homogeneity attack — the reason k-anonymity alone is not
+    enough). Emits the risky groups with both statistics; the remediation
+    ladder is generalization (widen the balance bucket, roll nation up to
+    region) until the audit returns zero rows — each rung is this same
+    query with a coarser QI, so the audit IS the tuning loop. Scale shape:
+    one map-side-combined aggregate on the bounded QI space (|nations| ×
+    |balance buckets|); count(DISTINCT) over the 5-value segment domain
+    rewrites to a bounded expand — nothing corpus-proportional leaves the
+    mappers. Everything integer; floor() explicit so Spark and DuckDB
+    agree on the negative-balance bucket."""
+    c = load_table(spark, "customer", sf_dir)
+    g = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kilo"),
+            "c_mktsegment",
+        )
+        .groupBy("nation", "bal_kilo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_diversity"),
+        )
+    )
+    return g.filter(
+        (F.col("k_size") < K_ANON_MIN) | (F.col("l_diversity") < L_DIV_MIN)
+    ).select(
+        "nation",
+        "bal_kilo",
+        "k_size",
+        "l_diversity",
+        F.when(F.col("k_size") < K_ANON_MIN, 1).otherwise(0).cast("long").alias(
+            "below_k"
+        ),
+        F.when(F.col("l_diversity") < L_DIV_MIN, 1).otherwise(0).cast("long").alias(
+            "below_l"
+        ),
+    )
+
+
+k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.replace(
+    "{K}", str(K_ANON_MIN)
+).replace("{L}", str(L_DIV_MIN))
+
+
+# columns profiled by orders_column_profile: string/int/date only — double
+# columns are EXCLUDED by policy (double→string formatting differs between
+# engines; profile numeric distributions with the quantile/moment queries)
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+
+@register(
+    "orders_column_profile",
+    oracle=f"""
+    WITH pairs AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS colname, CAST({c} AS VARCHAR) AS val FROM orders"
+          for c in PROFILE_COLS
+      )}
+    ),
+    hist AS (
+      SELECT colname, val, CAST(count(*) AS BIGINT) AS c
+      FROM pairs WHERE val IS NOT NULL GROUP BY colname, val
+    ),
+    tot AS (
+      SELECT colname,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM pairs GROUP BY colname
+    ),
+    ent AS (
+      SELECT h.colname,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(floor(CAST(h.c AS DOUBLE) * ln(CAST(t.n_rows - t.n_nulls AS DOUBLE) / h.c)
+                            / (t.n_rows - t.n_nulls) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS entropy_micro
+      FROM hist h JOIN tot t ON h.colname = t.colname
+      GROUP BY h.colname
+    ),
+    top AS (
+      SELECT colname, val AS top_value, c AS top_freq
+      FROM (SELECT *, row_number() OVER (PARTITION BY colname
+                                         ORDER BY c DESC, val) AS rn FROM hist)
+      WHERE rn = 1
+    )
+    SELECT t.colname, t.n_rows, t.n_nulls, e.n_distinct,
+           top.top_value, top.top_freq, e.entropy_micro
+    FROM tot t JOIN ent e ON t.colname = e.colname
+    JOIN top ON top.colname = t.colname
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER — the data-quality surface every ingest pipeline
+    runs before training on a new drop (what Deequ/Great-Expectations
+    compute): per column, row/null counts, distinct cardinality, the modal
+    value with its frequency, and the Shannon entropy of the value
+    distribution (the one-number summary that separates 'constant column'
+    from 'uniform id' — entropy 0 vs ln(n)). One unpivot (explode of a
+    per-row struct array — column count × rows, still one scan), one
+    map-side-combined (column, value) histogram, then per-column
+    aggregates over histogram rows only. Entropy follows the house
+    transcendental policy: each histogram row's c·ln(n/c)/n term is
+    micro-rounded BEFORE the per-column sum (both engines run the same
+    double op on the same exact integers). Top-value ties break to the
+    lexicographically smallest value — deterministic in both engines.
+    Double-typed columns are excluded by policy: double→string casts
+    format differently across engines, and numeric distributions belong
+    to the quantile/moment queries anyway. Scale: the histogram is the
+    only corpus-proportional stage and it combines map-side; everything
+    after is bounded by distinct values per column."""
+    o = load_table(spark, "orders", sf_dir)
+    pairs = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("colname"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.colname", "p.val")
+    hist = (
+        pairs.filter(F.col("val").isNotNull())
+        .groupBy("colname", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = pairs.groupBy("colname").agg(
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    ent = (
+        hist.join(F.broadcast(tot), "colname")
+        .select(
+            "colname",
+            F.expr(
+                "CAST(floor(CAST(c AS DOUBLE)"
+                " * ln(CAST(n_rows - n_nulls AS DOUBLE) / c)"
+                " / (n_rows - n_nulls) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+        .groupBy("colname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("term_micro").cast("long").alias("entropy_micro"),
+        )
+    )
+    w = Window.partitionBy("colname").orderBy(F.col("c").desc(), "val")
+    top = (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("colname", F.col("val").alias("top_value"), F.col("c").alias("top_freq"))
+    )
+    return (
+        tot.join(ent, "colname")
+        .join(top, "colname")
+        .select(
+            "colname",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "top_value",
+            "top_freq",
+            "entropy_micro",
+        )
+    )
+
+
 BASKET_CAP = 64  # max items per basket entering the pair expansion
 BASKET_MINSUP = 2  # pair support floor (count of co-occurring baskets)
 

@@ -1589,6 +1589,143 @@ def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_volume_cusum",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events
+    ),
+    mn AS (SELECT min(day) AS d0 FROM base),
+    daily AS (
+      SELECT b.event_type,
+             CAST(date_diff('day', mn.d0, b.day) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM base b, mn GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(y) AS BIGINT) AS t
+      FROM daily GROUP BY event_type
+    ),
+    pre AS (
+      SELECT daily.event_type, x,
+             sum(y) OVER (PARTITION BY daily.event_type ORDER BY x) AS prefix,
+             row_number() OVER (PARTITION BY daily.event_type ORDER BY x) AS k,
+             tot.d, tot.t
+      FROM daily JOIN tot ON daily.event_type = tot.event_type
+    ),
+    c AS (
+      SELECT event_type, x, d, t,
+             CAST(prefix * d - k * t AS BIGINT) AS cusum
+      FROM pre
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type ORDER BY cusum DESC, x) AS rmax,
+        row_number() OVER (PARTITION BY event_type ORDER BY cusum ASC, x) AS rmin,
+        row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, x)
+          AS rabs
+      FROM c
+    )
+    SELECT event_type, max(d) AS n_days, max(t) AS total_events,
+           CAST(max(CASE WHEN rmax = 1 THEN cusum END) AS BIGINT) AS cusum_max,
+           CAST(max(CASE WHEN rmax = 1 THEN x END) AS BIGINT) AS cusum_max_day,
+           CAST(max(CASE WHEN rmin = 1 THEN cusum END) AS BIGINT) AS cusum_min,
+           CAST(max(CASE WHEN rmin = 1 THEN x END) AS BIGINT) AS cusum_min_day,
+           CAST(max(CASE WHEN rabs = 1 THEN x END) AS BIGINT) AS changepoint_day
+    FROM r GROUP BY event_type
+    """,
+)
+def event_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type — the level-shift
+    companion to ``event_volume_trend``'s slope (OLS answers "is it
+    drifting?", CUSUM answers "WHEN did it change?"): the classic
+    statistic C_k = Σ_{i≤k}(y_i − ȳ) peaks at the day the series' mean
+    level shifts, and argmax |C_k| is the standard change-point estimate.
+    Exactness: the mean never materializes — C_k clears to
+    prefix_k·D − k·T (all BIGINT; D days, T total), so the entire
+    statistic is integer arithmetic with NO division anywhere, and the
+    argmax/argmin/arg-abs-max tie-breaks are explicit (smaller day wins)
+    so both engines select identical rows. Defined over the OBSERVED
+    daily series (this fixture has events every day; a gapped series
+    would first densify through the ``event_hourly_gapfill`` grid).
+    Scale shape: one (type, day) rollup — the only corpus-sized stage,
+    map-side combined — then windows over the bounded day domain
+    (≤ 31 rows per type) and a per-type closing aggregate; the prefix
+    sums never see raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select("event_type", F.col("ts").cast("date").alias("day"))
+    d0 = base.agg(F.min("day").alias("d0"))
+    daily = (
+        base.crossJoin(F.broadcast(d0))
+        .select("event_type", F.datediff("day", "d0").cast("long").alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("y").cast("long").alias("t"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("x")
+    pre = (
+        daily.join(tot, "event_type")
+        .select(
+            "event_type",
+            "x",
+            "d",
+            "t",
+            F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "prefix"
+            ),
+            F.row_number().over(wo).alias("k"),
+        )
+    )
+    c = pre.select(
+        "event_type",
+        "x",
+        "d",
+        "t",
+        (F.col("prefix") * F.col("d") - F.col("k") * F.col("t"))
+        .cast("long")
+        .alias("cusum"),
+    )
+    r = c.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.col("cusum").desc(), "x"))
+        .alias("rmax"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.col("cusum").asc(), "x"))
+        .alias("rmin"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("cusum")).desc(), "x"
+            )
+        )
+        .alias("rabs"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("d").alias("n_days"),
+        F.max("t").alias("total_events"),
+        F.max(F.when(F.col("rmax") == 1, F.col("cusum"))).cast("long").alias(
+            "cusum_max"
+        ),
+        F.max(F.when(F.col("rmax") == 1, F.col("x"))).cast("long").alias(
+            "cusum_max_day"
+        ),
+        F.max(F.when(F.col("rmin") == 1, F.col("cusum"))).cast("long").alias(
+            "cusum_min"
+        ),
+        F.max(F.when(F.col("rmin") == 1, F.col("x"))).cast("long").alias(
+            "cusum_min_day"
+        ),
+        F.max(F.when(F.col("rabs") == 1, F.col("x"))).cast("long").alias(
+            "changepoint_day"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup method dashboard (one row per family, composed from the registry)
 # ---------------------------------------------------------------------------

@@ -68,7 +68,11 @@ def get_spark(
         # 1.33 s and dedup_substring_removal 4.52 -> 2.94 s in the full
         # bench shape, whole-list total 124 -> 116 s; a 1 GiB JVM
         # ReservedCodeCacheSize changed nothing, exonerating the JIT).
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # r8: the benched list grew 138 -> 147 and the common-query sum
+        # inflated ~6% in the interleaved shape again -> 20000 (same
+        # mechanism, same fix; entries are class references, the bound is
+        # cheap).
+        .config("spark.sql.codegen.cache.maxEntries", "20000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -91,6 +91,15 @@ NOTES = {
     "value_distribution_ks": "One map-side-combined aggregate on the bounded milli-value domain; the CDF supremum windows over those bounded rows; the significance decision is squared-form integer arithmetic — no sqrt ever runs.",
     "length_quality_spearman": "Zero-shuffle scoring scan + two value-domain-bounded midrank histograms (windows over histogram rows only) + one moment aggregate; the closing Pearson-on-ranks runs as correctly-rounded IEEE ops on exact integers.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
+    "value_location_kruskalwallis": "K-sample location test: one map-side-combined (type, milli-grid) aggregate, a bounded-grid window for doubled midranks, a k-row group table, two 1-row scalar broadcasts — the decision is cleared-denominator DECIMAL(38,0) arithmetic vs a chi2-quantile literal; no transcendental anywhere.",
+    "length_quality_kendall": "Kendall tau-b: zero-shuffle scoring scan, one (length, quality-percent) keyed count, a dense value-domain-bounded grid (<= |lengths| x 101, the HLL-grid class), 2D prefix sums as two windows over grid rows, then a moment row — concordance counting without any pair join.",
+    "text_kneser_ney_nll": "KN-smoothed scoring: four map-side-combined counts off ONE bigram explode, 1-row type-count broadcast, per-bigram probability as an exact rational with a single per-row ln micro-rounded BEFORE the per-doc sum; all joins bigram/word-keyed.",
+    "multimodal_decoded_parity": "Real-codec round-trip: ONE Arrow mapInPandas stage fused over the pruned (doc_id, text) scan — encode, stdlib decode (zlib inflate + PNG filter reconstruction, wave PCM), aHash and round-trip booleans all inside it; no shuffle at all.",
+    "cdc_schema_drift_audit": "Wire-decode drift audit: to_json/from_json fused into one scan with a Generate barrier so the JSON parses ONCE per row (projection collapse would re-inline it per subfield — measured 2x); one map-side-combined aggregate on the tiny drift-signature key.",
+    "dedup_winnowing_incremental": "Per-batch winnowing: the persisted fingerprint layer explodes once; df cutoff computed over the UNION universe; the b side filters to the delta BEFORE the h-keyed equi-join, so per-batch cost is O(delta fingerprints + collisions), corpus x corpus never re-pairs.",
+    "k_anonymity_audit": "Re-identification audit: ONE map-side-combined aggregate on the bounded QI space (nations x balance buckets); count(DISTINCT) expands over the 5-value segment domain; the risky-group filter runs on grouped rows only.",
+    "orders_column_profile": "Column profiler: one unpivot explode (columns x rows, single scan), one map-side-combined (column, value) histogram, per-column aggregates over histogram rows; entropy terms micro-round per histogram row before the sum; top value via one bounded window.",
+    "event_volume_cusum": "CUSUM change-point: one (type, day) rollup (map-side combined) feeds windows over the bounded day domain (<=31 rows/type); the statistic clears to prefix*D - k*T so NO division exists in the plan and every tie-break is explicit.",
 }
 
 

@@ -130,3 +130,46 @@ def test_schema_drift_flags_unknown_and_missing_but_flatten_survives(spark):
     assert flat[2].name == "b"  # unknown column ignored, declared ones intact
     assert flat[3].score is None  # missing declared column arrives NULL
     assert flat[3].name == "c"
+
+
+def test_schema_drift_audit_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """decode_change_lines + schema_drift_audit run identically on a
+    stream: the complete-mode streaming audit over the drifted wire lines
+    must equal the batch audit row-for-row (same from_json path, same set
+    diff — the drift detector deploys on the live CDC feed unchanged)."""
+    from postgres_cdc_example_spark.queries.cdc import _drifted_wire_lines
+    from postgres_cdc_example_spark.sources.changelog import (
+        PERSON_COLUMNS,
+        schema_drift_audit,
+    )
+
+    declared = ["id", *PERSON_COLUMNS.keys()]
+    lines = _drifted_wire_lines(spark, sf_dir)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    lines.coalesce(2).write.text(src)
+
+    stream = spark.readStream.schema("value string").text(src)
+    final: list = []
+
+    def keep_last(bdf, _bid):
+        final.clear()
+        final.extend(bdf.collect())
+
+    q = (
+        schema_drift_audit(decode_change_lines(stream), "person", declared)
+        .writeStream.foreachBatch(keep_last)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = sorted(
+        tuple(r)
+        for r in schema_drift_audit(
+            decode_change_lines(lines), "person", declared
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in final) == want
+    assert want, "fixture must produce drift signatures"

@@ -506,6 +506,7 @@ _BNLJ_ALLOWED = {
     "contrastive_negatives_plan",  # 64-row hash-reservoir pool broadcast x corpus, != condition
     "cdc_gap_detection",  # 1-row injected-loss scalar broadcast into the summary row
     "event_volume_trend",  # 1-row min-day scalar broadcast into the daily rollup
+    "event_volume_cusum",  # same 1-row min-day scalar broadcast shape
     "join_order_advisor",  # three 1-row cardinality scalars merged via broadcast
     "user_activity_gini",  # four 1-row scalars off the bounded count histogram
     "order_priority_chi2",  # 1-row N + chi2-total scalars broadcast into the cell table
