@@ -292,9 +292,56 @@ def test_gram_oracles_survive_empty_docs(spark, sf_dir, tmp_path):
         "lsh_band_bucket_stats",
         "lsh_recall_audit",
         "mixture_epoch_plan",
+        # round-8 additions over the same degenerate fixture: single-token
+        # docs carry no bigrams (KN), zero-token docs are excluded from the
+        # quality grid (kendall), empty text still md5-derives pixels
+        # (decoded parity), and the winnowing delta slice absorbs the
+        # empties
+        "text_kneser_ney_nll",
+        "length_quality_kendall",
+        "multimodal_decoded_parity",
+        "dedup_winnowing_incremental",
     ]:
         q = REGISTRY[name]
         compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+
+
+def test_location_tests_survive_single_event_type(spark, sf_dir, tmp_path):
+    """Degenerate cohort shapes for the location tests: an events table
+    with ONE event type (k = 1 for Kruskal-Wallis; an empty 'view' cohort
+    for Mann-Whitney) must produce the documented degenerate outputs
+    IDENTICALLY in both engines — KW reports no-reject (k <= 1 guard), MW's
+    rank-biserial is NULL in both (the empty-cohort guard; Spark's NULL
+    division vs DuckDB's IEEE inf was the r8 ADVICE divergence), and CUSUM
+    still locates its change-point on the surviving series."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_onetype"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    stage = str(tmp_path / "ev_stage")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), mini / "events.parquet")
+
+    for name in (
+        "value_location_kruskalwallis",
+        "value_location_mannwhitney",
+        "event_volume_cusum",
+    ):
+        q = REGISTRY[name]
+        compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    kw = REGISTRY["value_location_kruskalwallis"].fn(spark, str(mini)).first()
+    assert kw.n_groups == 1 and kw.reject_same_location == 0
+    mw = REGISTRY["value_location_mannwhitney"].fn(spark, str(mini)).first()
+    assert mw.nb == 0 and mw.rank_biserial_micro is None
+    assert mw.reject_same_location == 0
 
 
 def test_bpe_equal_symbol_chains_match_oracle(spark, sf_dir, tmp_path):
