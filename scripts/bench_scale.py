@@ -86,6 +86,12 @@ QUERIES = [
     # round-7 (embeddings-based; the events-based late/rank queries would
     # measure nothing against the symlinked events table)
     "ann_staleness_audit",
+    # round-8 (documents-based; the events/orders-keyed KW/CUSUM/drift/
+    # k-anonymity/profile queries would measure nothing here)
+    "text_kneser_ney_nll",
+    "length_quality_kendall",
+    "multimodal_decoded_parity",
+    "dedup_winnowing_incremental",
 ]
 
 
