@@ -210,3 +210,45 @@ def test_average_hash_decoded_dataframe(spark):
         for r in multimodal.average_hash_decoded(df).collect()
     }
     assert got == {1: multimodal._ahash(luma_a), 2: multimodal._ahash(luma_b)}
+
+
+# --- Hypothesis properties: the codec pair round-trips ARBITRARY content ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.data())
+def test_png_gray8_roundtrip_property(w, h, data):
+    """encode_png_gray8 -> decode_png is the identity for ANY gray-8 image
+    up to 12x12 — pixel values, dims and mode all survive."""
+    luma = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+    )
+    dec = multimodal.decode_png(multimodal.encode_png_gray8(w, h, luma))
+    assert dec.size == (w, h) and dec.mode == "L"
+    assert [p[0] for p in dec.pixels] == luma
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_pcm16_roundtrip_property(samples, rate):
+    """encode_wav_pcm16 -> decode_wav is the identity for ANY int16 signal,
+    including the domain extremes."""
+    got, got_rate = multimodal.decode_wav(
+        multimodal.encode_wav_pcm16(samples, rate)
+    )
+    assert (got, got_rate) == (samples, rate)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(8, 24), st.integers(8, 24), st.integers(0, 255))
+def test_resize_constant_image_stays_constant(w, h, v):
+    """Area-average resample of a constant image is the same constant at
+    8x8 — no off-by-one box can leak a neighboring value that isn't there."""
+    out = multimodal._resize_luma_area([v] * (w * h), w, h, 8, 8)
+    assert out == [v] * 64

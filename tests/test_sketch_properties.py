@@ -281,3 +281,55 @@ def test_kruskalwallis_cleared_form_equals_classical(groups):
         assert cleared == (Hc > q)
     # value check: h_corr_micro within the same truncation slack of exact Hc
     assert abs(Fraction(h_corr_micro, 10**6) - max(Hc, 0)) <= slack + Fraction(1, 10**6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 30)),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_kendall_dominance_grid_equals_bruteforce(points):
+    """The dense-grid 2D-prefix-sum concordance counting in
+    length_quality_kendall (queries/llmdata.py) must equal brute-force
+    pair enumeration on ANY point set — including tie-heavy grids where
+    most mass sits on few cells."""
+    from collections import Counter
+
+    cell = Counter(points)
+    ts = sorted({t for t, _ in points})
+    qmax = 30
+
+    # grid algorithm exactly as registered: per-q running count over t
+    # (ct_lt), then per-t prefix over q (s_ll) / suffix (s_lg)
+    ct_lt = {}
+    run = {q: 0 for q in range(qmax + 1)}
+    for t in ts:
+        for q in range(qmax + 1):
+            ct_lt[(t, q)] = run[q]
+        for q in range(qmax + 1):
+            run[q] += cell.get((t, q), 0)
+    C = D = 0
+    for t in ts:
+        pre = 0
+        tot = sum(ct_lt[(t, q)] for q in range(qmax + 1))
+        cum = 0
+        for q in range(qmax + 1):
+            s_ll = pre
+            cum += ct_lt[(t, q)]
+            s_lg = tot - cum
+            n = cell.get((t, q), 0)
+            C += n * s_ll
+            D += n * s_lg
+            pre += ct_lt[(t, q)]
+    bC = bD = 0
+    for i in range(len(points)):
+        for j in range(i + 1, len(points)):
+            d = (points[i][0] - points[j][0]) * (points[i][1] - points[j][1])
+            if d > 0:
+                bC += 1
+            elif d < 0:
+                bD += 1
+    assert (C, D) == (bC, bD)
