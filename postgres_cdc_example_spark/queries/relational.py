@@ -1687,6 +1687,113 @@ orders_zorder_layout.__doc__ = orders_zorder_layout.__doc__.format(
 )
 
 
+def _register_zorder_overlap() -> None:
+    """Registered via a closure so the oracle can interpolate the
+    just-registered layout SQL (the corpus_dedup_summary composition
+    pattern, applied within one module)."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    @register(
+        "zorder_overlap_depth",
+        oracle=f"""
+        WITH files AS (
+          {REGISTRY["orders_zorder_layout"].oracle}
+        ),
+        ev AS (
+          SELECT layout, 'cust' AS dim, cust_min AS pos, 1 AS delta FROM files
+          UNION ALL
+          SELECT layout, 'cust', cust_max + 1, -1 FROM files
+          UNION ALL
+          SELECT layout, 'day', day_min, 1 FROM files
+          UNION ALL
+          SELECT layout, 'day', day_max + 1, -1 FROM files
+        ),
+        d AS (
+          SELECT layout, dim, pos, CAST(sum(delta) AS BIGINT) AS dlt
+          FROM ev GROUP BY layout, dim, pos
+        ),
+        dep AS (
+          SELECT layout, dim,
+                 sum(dlt) OVER (PARTITION BY layout, dim ORDER BY pos) AS depth
+          FROM d
+        ),
+        nf AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+               FROM files GROUP BY layout)
+        SELECT dep.layout, dep.dim, nf.n_files,
+               CAST(max(depth) AS BIGINT) AS max_overlap_depth
+        FROM dep JOIN nf ON dep.layout = nf.layout
+        GROUP BY dep.layout, dep.dim, nf.n_files
+        """,
+    )
+    def zorder_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OVERLAP DEPTH of the layout's file key-ranges — the compaction
+        trigger metric (Iceberg/LSM read amplification): for each layout ×
+        dimension, the maximum number of files whose [min, max] key ranges
+        cover any single point, i.e. how many files a point lookup on that
+        key MUST read even with perfect footer-stat skipping. The natural
+        (insertion-order) layout scores n_files-deep on the customer
+        dimension — every file spans the whole customer range, skipping
+        prunes nothing — while Z-order stays shallow on BOTH dimensions:
+        together with ``orders_zorder_layout``'s bbox_area this is the
+        before/after pair a re-clustering decision reads. Classic
+        interval-sweep, distributed: files → ±1 boundary events, net delta
+        per position (so coincident open/close events are order-unambiguous),
+        one running-sum window over ≤ 2·n_files bounded rows per (layout,
+        dim), max. The oracle interpolates the REGISTERED layout SQL, so
+        the two audits can never drift apart. All integer; windows over
+        file-stat rows only — the corpus is touched exactly once, by the
+        layout query this composes."""
+        from postgres_cdc_example_spark.queries import REGISTRY as _R
+
+        files = _R["orders_zorder_layout"].fn(spark, sf_dir)
+        ev = files.select(
+            "layout",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("cust").alias("dim"),
+                        F.col("cust_min").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.lit("cust").alias("dim"),
+                        (F.col("cust_max") + 1).alias("pos"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.lit("day").alias("dim"),
+                        F.col("day_min").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.lit("day").alias("dim"),
+                        (F.col("day_max") + 1).alias("pos"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("layout", "e.dim", "e.pos", "e.delta")
+        d = ev.groupBy("layout", "dim", "pos").agg(
+            F.sum("delta").cast("long").alias("dlt")
+        )
+        w = Window.partitionBy("layout", "dim").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        dep = d.select("layout", "dim", F.sum("dlt").over(w).alias("depth"))
+        nf = files.groupBy("layout").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files")
+        )
+        return (
+            dep.groupBy("layout", "dim")
+            .agg(F.max("depth").cast("long").alias("max_overlap_depth"))
+            .join(F.broadcast(nf), "layout")
+            .select("layout", "dim", "n_files", "max_overlap_depth")
+        )
+
+
+_register_zorder_overlap()
+
+
 # ---------------------------------------------------------------------------
 # join-skew audit: heavy-hitter keys + salt-factor recommendation
 # ---------------------------------------------------------------------------

@@ -499,6 +499,7 @@ _BNLJ_ALLOWED = {
     "hybrid_recall_audit",  # same broadcast query sample x corpus exact ground-truth side
     "join_skew_audit",  # 1-row (total, n_keys) broadcast into the heavy-hitter table
     "orders_zorder_layout",  # 1-row (okmax, zmax) broadcast into file assignment
+    "zorder_overlap_depth",  # composes the layout query -> inherits its 1-row maxima broadcast
     "heavy_hitters_misra_gries",  # 1-row t_m/bound/missed broadcasts into <=K survivors
     "audience_overlap_kmv",  # bounded 30-day grid non-equi join; sketches are <=64 rows/day
     "join_cardinality_estimate",  # two 1-row scalar aggregates merged via broadcast
