@@ -3288,6 +3288,160 @@ def _kw_chi2_case(df_expr: str) -> str:
 
 
 @register(
+    "value_location_friedman",
+    oracle=f"""
+    WITH ut AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+    cu AS (
+      SELECT user_id FROM ut, kk GROUP BY user_id, kk.k
+      HAVING count(*) = kk.k
+    ),
+    r AS (
+      SELECT ut.user_id, ut.event_type, ut.v,
+             CAST(count(*) OVER (PARTITION BY ut.user_id) AS BIGINT) AS k,
+             2 * CAST(COALESCE(count(*) OVER (
+                    PARTITION BY ut.user_id ORDER BY ut.v
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT)
+               + CAST(count(*) OVER (PARTITION BY ut.user_id, ut.v)
+                      AS BIGINT) + 1 AS d
+      FROM ut JOIN cu ON ut.user_id = cu.user_id
+    ),
+    tj AS (
+      SELECT event_type, CAST(sum(d) AS BIGINT) AS r2j,
+             CAST(count(*) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k
+      FROM r GROUP BY event_type
+    ),
+    num AS (
+      SELECT CAST(sum((r2j - n * (k + 1)) * (r2j - n * (k + 1)))
+                  AS HUGEINT) * (max(k) - 1) AS nm,
+             CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k
+      FROM tj
+    ),
+    den AS (
+      SELECT CAST(sum((d - (k + 1)) * (d - (k + 1))) AS HUGEINT) AS dn FROM r
+    )
+    SELECT num.n AS n_blocks, num.k AS n_treatments,
+           CAST(den.dn AS BIGINT) AS rank_ss,
+           CAST(CASE WHEN den.dn = 0 THEN 0
+                ELSE (num.nm * 1000000) // den.dn END AS BIGINT)
+             AS friedman_q_micro,
+           CAST(CASE WHEN den.dn = 0 OR num.k <= 1 THEN 0
+                WHEN num.nm * 1000000
+                     > CAST(({_kw_chi2_case("num.k - 1")}) AS HUGEINT) * den.dn
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_same_location
+    FROM num, den
+    """,
+)
+def value_location_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN test — the REPEATED-MEASURES member of the location
+    toolkit: Kruskal-Wallis asks "do the event types differ?" pooling all
+    users; Friedman BLOCKS by user (each user is their own control),
+    ranking the k per-type totals WITHIN each user, which removes
+    between-user spend variation entirely — the right test when users
+    differ wildly in scale but the per-user type ordering is the claim.
+    This fixture is a complete block design (every user does every type),
+    and the query restricts to complete blocks identically in both engines
+    (HAVING count = k) so a future incomplete fixture degrades loudly (rows
+    drop) rather than biasing ranks. Exactness is the doubled-midrank
+    recipe taken all the way: within-user doubled midranks d = 2·cum< +
+    tiecount + 1 are integers (per-user windows over k ≤ handful rows),
+    the doubled mean rank is exactly k+1, and the tie-general Friedman
+    statistic Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / Σ_ij(r_ij − (k+1)/2)²
+    clears COMPLETELY on doubled ranks to integer N = (k−1)·Σ(R2_j −
+    n(k+1))² over integer D = Σ(d − (k+1))² — no grid rounding, no
+    division, the decision is N·10⁶ > Q_micro·D against the shared
+    χ²₀.₉₅(k−1) literal table (``KW_CHI2_MICRO``), and the reported
+    statistic is the exact floor of Q in micros. The per-(user, type)
+    response is the exact milli-grid value SUM (integer — a double mean
+    would rank nondeterministically under ties). All-tied degenerate (D =
+    0): report 0 / no-reject identically. Scale shape: one (user, type)
+    map-side-combined aggregate, per-user windows over k rows (one
+    user-keyed shuffle), a k-row type table, two 1-row scalars. The
+    complete-block filter broadcasts the user list only if small — here it
+    rides the same user-keyed shuffle as the ranking window."""
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    cu = (
+        ut.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("c") == F.col("k"))
+        .select("user_id")
+    )
+    wu = Window.partitionBy("user_id")
+    wlt = (
+        Window.partitionBy("user_id")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wtie = Window.partitionBy("user_id", "v")
+    r = ut.join(cu, "user_id").select(
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(wu).cast("long").alias("k"),
+        (
+            F.lit(2) * F.coalesce(F.count(F.lit(1)).over(wlt), F.lit(0))
+            + F.count(F.lit(1)).over(wtie)
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    tj = r.groupBy("event_type").agg(
+        F.sum("d").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+    )
+    num = tj.agg(
+        (
+            F.sum(
+                F.expr(
+                    "CAST(r2j - n * (k + 1) AS DECIMAL(38,0))"
+                    " * (r2j - n * (k + 1))"
+                )
+            )
+            * (F.max("k") - 1)
+        ).alias("nm"),
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+    )
+    den = r.agg(
+        F.sum(
+            F.expr("CAST(d - (k + 1) AS DECIMAL(38,0)) * (d - (k + 1))")
+        ).alias("dn")
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.col("dn").cast("long").alias("rank_ss"),
+        F.expr(
+            "CAST(CASE WHEN dn = 0 THEN 0"
+            " ELSE (CAST(nm AS DECIMAL(38,0)) * 1000000"
+            " - (CAST(nm AS DECIMAL(38,0)) * 1000000) % dn) / dn"
+            " END AS BIGINT)"
+        ).alias("friedman_q_micro"),
+        F.expr(
+            "CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0"
+            " WHEN CAST(nm AS DECIMAL(38,0)) * 1000000"
+            f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * dn"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_same_location"),
+    )
+
+
+
+
+@register(
     "value_location_kruskalwallis",
     oracle=f"""
     WITH e AS (

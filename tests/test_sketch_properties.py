@@ -333,3 +333,53 @@ def test_kendall_dominance_grid_equals_bruteforce(points):
             elif d < 0:
                 bD += 1
     assert (C, D) == (bC, bD)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(2, 6),
+    st.lists(
+        st.lists(st.integers(0, 8), min_size=6, max_size=6),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_friedman_cleared_form_equals_classical(k, blocks):
+    """The doubled-rank cleared Friedman in value_location_friedman
+    (queries/relational.py) must equal the classical tie-general statistic
+    Q = (k-1)·Σ_j(R_j − n(k+1)/2)² / Σ_ij(r_ij − (k+1)/2)² EXACTLY (as
+    rationals — the cleared form has no rounding at all), including
+    tie-heavy and all-tied blocks."""
+    from fractions import Fraction
+
+    from postgres_cdc_example_spark.queries.relational import KW_CHI2_MICRO
+
+    rows = [b[:k] for b in blocks]  # n blocks × k treatments
+    n = len(rows)
+    # doubled midranks per block: d = 2*cum_lt + tiecount + 1
+    d = []
+    for b in rows:
+        db = []
+        for v in b:
+            lt = sum(1 for x in b if x < v)
+            ties = sum(1 for x in b if x == v)
+            db.append(2 * lt + ties + 1)
+        d.append(db)
+    r2j = [sum(d[i][j] for i in range(n)) for j in range(k)]
+    N = (k - 1) * sum((r2 - n * (k + 1)) ** 2 for r2 in r2j)
+    D = sum((dij - (k + 1)) ** 2 for row in d for dij in row)
+    # classical from exact rationals (midrank = d/2, mean rank (k+1)/2)
+    if D == 0:
+        assert N == 0  # all-tied: every rank is the mean
+        return
+    Rj = [Fraction(r2, 2) for r2 in r2j]
+    mean = Fraction(n * (k + 1), 2)
+    qnum = (k - 1) * sum((R - mean) ** 2 for R in Rj)
+    qden = sum(
+        (Fraction(dij, 2) - Fraction(k + 1, 2)) ** 2 for row in d for dij in row
+    )
+    assert Fraction(N, D) == qnum / qden
+    # the registered decision (N·1e6 > Q_micro·D) equals the rational
+    # comparison Q > Q_micro/1e6 exactly — integers on both sides
+    q_lit = KW_CHI2_MICRO[k - 1]
+    assert (N * 10**6 > q_lit * D) == (Fraction(N, D) > Fraction(q_lit, 10**6))
