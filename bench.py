@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "event_volume_cusum",  # 0.91 s best-of-3 idle at sf0.1
     "zorder_overlap_depth",  # 1.22 s best-of-3 idle at sf0.1 (composes the layout scan)
     "value_location_friedman",  # 0.65 s best-of-3 idle at sf0.1
+    "value_cochran_q",  # 0.95 s best-of-3 idle at sf0.1
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

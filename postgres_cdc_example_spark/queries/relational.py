@@ -3439,6 +3439,144 @@ def value_location_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COCHRAN_MILLI = 150_000  # binary outcome: per-(user, type) max value > 150
+
+
+@register(
+    "value_cochran_q",
+    oracle=f"""
+    WITH ut AS (
+      SELECT user_id, event_type,
+             CASE WHEN max(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                  > {COCHRAN_MILLI} THEN 1 ELSE 0 END AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+    cu AS (
+      SELECT user_id FROM ut, kk GROUP BY user_id, kk.k
+      HAVING count(*) = kk.k
+    ),
+    b AS (SELECT ut.* FROM ut JOIN cu ON ut.user_id = cu.user_id),
+    cj AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS c FROM b GROUP BY 1),
+    ri AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM b GROUP BY 1),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM ri) AS n_blocks,
+             (SELECT k FROM kk) AS k,
+             (SELECT CAST(sum(c) AS BIGINT) FROM cj) AS nn,
+             (SELECT CAST(sum(r) AS BIGINT) FROM ri) AS sr,
+             (SELECT CAST(sum(r * r) AS BIGINT) FROM ri) AS sr2
+    ),
+    f AS (
+      SELECT tot.n_blocks, tot.k, tot.nn,
+             (SELECT CAST(sum((tot.k * c - tot.nn) * (tot.k * c - tot.nn))
+                          AS HUGEINT) FROM cj) * (tot.k - 1) AS nm,
+             CAST(tot.k AS HUGEINT) * (tot.k * tot.sr - tot.sr2) AS dn
+      FROM tot
+    )
+    SELECT n_blocks, k AS n_treatments, nn AS n_successes,
+           CAST(CASE WHEN dn = 0 THEN 0
+                ELSE (nm * 1000000) // dn END AS BIGINT) AS cochran_q_micro,
+           CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0
+                WHEN nm * 1000000
+                     > CAST(({_kw_chi2_case("k - 1")}) AS HUGEINT) * dn
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_same_rate
+    FROM f
+    """,
+)
+def value_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q — the BINARY-outcome member of the blocked-test family
+    (Friedman ranks continuous responses; Q tests whether a success RATE
+    differs across the k treatments when each block is its own control):
+    per (user, type) the outcome is "did this user's max value for this
+    type exceed {COCHRAN_MILLI} milli" (≈47% success rate on this fixture
+    — a genuinely varying binary), blocks restricted to complete ones
+    identically in both engines. Fully-integer cleared form (the Friedman
+    pattern): with column totals C_j, row totals R_i, N = ΣC_j,
+    Q = (k−1)·Σ(k·C_j − N)² / (k·(k·ΣR_i − ΣR_i²)) — numerator and
+    denominator are exact integers, the reported statistic is the exact
+    floor of Q in micros (subtract-mod division), and the decision
+    N_q·10⁶ > Q_micro·D runs against the shared χ²₀.₉₅(k−1) literal table
+    (``KW_CHI2_MICRO``). All-zero/all-one blocks contribute nothing to
+    the denominator by construction (k·R − R² = 0) — the textbook
+    behavior, no special-casing needed; a fully degenerate corpus
+    (denominator 0) reports 0 / no-reject identically in both engines.
+    The binary threshold compares on the milli grid so no float ever
+    decides an outcome. Scale shape: one (user, type) map-side-combined
+    aggregate, two keyed rollups (k-row and user-row), 1-row scalars —
+    the user-row rollup combines map-side so nothing corpus-proportional
+    crosses one reducer."""
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.when(
+            F.max(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+            > COCHRAN_MILLI,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("x")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    cu = (
+        ut.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("c") == F.col("k"))
+        .select("user_id")
+    )
+    b = ut.join(cu, "user_id")
+    cj = b.groupBy("event_type").agg(F.sum("x").cast("long").alias("c"))
+    ri = b.groupBy("user_id").agg(F.sum("x").cast("long").alias("r"))
+    rtot = ri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.expr("r * r")).cast("long").alias("sr2"),
+    )
+    ctot = cj.agg(F.sum("c").cast("long").alias("nn"))
+    f = (
+        cj.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(ctot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(k * c - nn AS DECIMAL(38,0)) * (k * c - nn)"
+                )
+            ).alias("ss"),
+            F.max("k").cast("long").alias("k"),
+            F.max("nn").cast("long").alias("nn"),
+        )
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "n_blocks",
+            "k",
+            "nn",
+            F.expr("CAST(ss AS DECIMAL(38,0)) * (k - 1)").alias("nm"),
+            F.expr(
+                "CAST(k AS DECIMAL(38,0)) * (k * sr - sr2)"
+            ).alias("dn"),
+        )
+    )
+    return f.select(
+        "n_blocks",
+        F.col("k").alias("n_treatments"),
+        F.col("nn").alias("n_successes"),
+        F.expr(
+            "CAST(CASE WHEN dn = 0 THEN 0"
+            " ELSE (nm * 1000000 - (nm * 1000000) % dn) / dn"
+            " END AS BIGINT)"
+        ).alias("cochran_q_micro"),
+        F.expr(
+            "CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0"
+            " WHEN nm * 1000000"
+            f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * dn"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_same_rate"),
+    )
+
+
+value_cochran_q.__doc__ = value_cochran_q.__doc__.replace(
+    "{COCHRAN_MILLI}", str(COCHRAN_MILLI)
+)
 
 
 @register(

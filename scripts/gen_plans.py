@@ -102,6 +102,7 @@ NOTES = {
     "event_volume_cusum": "CUSUM change-point: one (type, day) rollup (map-side combined) feeds windows over the bounded day domain (<=31 rows/type); the statistic clears to prefix*D - k*T so NO division exists in the plan and every tie-break is explicit.",
     "zorder_overlap_depth": "Read-amplification audit composed ON TOP of the layout query: files -> +-1 boundary events, net delta per position (coincident open/close order-unambiguous), one running-sum window over <=2*n_files bounded rows per (layout, dim) — the corpus is scanned exactly once, by the layout stage underneath.",
     "value_location_friedman": "Blocked repeated-measures test: one (user, type) map-side aggregate, per-user windows over k<=handful rows (ONE user-keyed shuffle shared by the complete-block filter and the ranking), a k-row type table, two 1-row scalars; the tie-general statistic clears COMPLETELY to integers on doubled ranks — no rounding anywhere in the plan.",
+    "value_cochran_q": "Blocked binary-rate test: one (user, type) map-side aggregate with the milli-grid threshold deciding the outcome inside codegen, two keyed rollups (k-row columns, user-row rows, both map-side combined), 1-row scalars; numerator and denominator are exact integers.",
 }
 
 

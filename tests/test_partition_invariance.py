@@ -54,6 +54,7 @@ INVARIANCE_QUERIES = [
     "late_arrival_injection_audit",  # two-pass prefix max over injected arrival order
     "value_location_kruskalwallis",  # doubled-grid midranks + decimal floor-div terms
     "value_location_friedman",  # per-block doubled midranks, fully-integer cleared Q
+    "value_cochran_q",  # milli-grid binary outcomes, fully-integer cleared Q
     "length_quality_kendall",  # dense-grid 2D prefix sums + tie scalars
     "text_kneser_ney_nll",  # exact-rational KN smoothing, per-row ln micro-round
     "multimodal_decoded_parity",  # stdlib codec round-trip per doc (no shuffle at all)

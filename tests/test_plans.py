@@ -472,6 +472,7 @@ _BNLJ_ALLOWED = {
     "value_location_mannwhitney",  # three 1-row scalar aggregates (n/U/tie) merged via broadcast
     "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "value_location_friedman",  # 1-row k-count + rank-SS scalar broadcasts
+    "value_cochran_q",  # 1-row k/N/row-moment scalar broadcasts
     "length_quality_kendall",  # bounded length-domain x 101 quality-percent grid + 1-row tie scalars
     "text_kneser_ney_nll",  # 1-row bigram-type-count broadcast into the per-bigram scores
     "ann_truncated_recall_audit",  # broadcast query sample x corpus, != condition (both audit sides share one scan)

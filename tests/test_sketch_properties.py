@@ -383,3 +383,46 @@ def test_friedman_cleared_form_equals_classical(k, blocks):
     # comparison Q > Q_micro/1e6 exactly — integers on both sides
     q_lit = KW_CHI2_MICRO[k - 1]
     assert (N * 10**6 > q_lit * D) == (Fraction(N, D) > Fraction(q_lit, 10**6))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(2, 6),
+    st.lists(
+        st.lists(st.integers(0, 1), min_size=6, max_size=6),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_cochran_q_cleared_form_equals_classical(k, blocks):
+    """The fully-integer cleared Cochran's Q in value_cochran_q
+    (queries/relational.py) must equal the classical rational
+    Q = k(k-1)·Σ(C_j − N/k)² / (k·ΣR_i − ΣR_i²) EXACTLY, including
+    all-zero / all-one blocks (which contribute nothing to the
+    denominator) and the fully degenerate zero-denominator corpus."""
+    from fractions import Fraction
+
+    from postgres_cdc_example_spark.queries.relational import KW_CHI2_MICRO
+
+    rows = [b[:k] for b in blocks]
+    n = len(rows)
+    C = [sum(r[j] for r in rows) for j in range(k)]
+    R = [sum(r) for r in rows]
+    N = sum(C)
+    nm = (k - 1) * sum((k * c - N) ** 2 for c in C)
+    dn = k * (k * sum(R) - sum(r * r for r in R))
+    if dn == 0:
+        # every block all-0 or all-1: column totals are all equal, so the
+        # numerator must vanish too (0/0 -> report 0, no-reject)
+        assert nm == 0
+        return
+    classical = (
+        Fraction(k * (k - 1))
+        * sum((Fraction(c) - Fraction(N, k)) ** 2 for c in C)
+        / (k * sum(R) - sum(r * r for r in R))
+    )
+    assert Fraction(nm, dn) == classical
+    q_lit = KW_CHI2_MICRO[k - 1]
+    assert (nm * 10**6 > q_lit * dn) == (
+        Fraction(nm, dn) > Fraction(q_lit, 10**6)
+    )
