@@ -70,8 +70,10 @@ def get_spark(
         # ReservedCodeCacheSize changed nothing, exonerating the JIT).
         # r8: the benched list grew 138 -> 147 and the common-query sum
         # inflated ~6% in the interleaved shape again -> 20000 (same
-        # mechanism, same fix; entries are class references, the bound is
-        # cheap).
+        # mechanism, same fix, validated by a back-to-back A/B at the
+        # 147-query list: 130.5 s @ 10000 vs 126.0 s @ 20000). A later
+        # 40000 probe measured NO improvement (ambient machine-load drift,
+        # not eviction), so the bound stays at the evidence-backed 20000.
         .config("spark.sql.codegen.cache.maxEntries", "20000")
     )
     for k, v in (extra_conf or {}).items():
