@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.sources.formats import (
+    read_stream_table,
     read_table,
     read_with_rejects,
     write_table,
@@ -198,3 +199,26 @@ def test_read_table_drops_malformed_instead_of_nullfilling(spark, tmp_path, fmt)
         "lang",
         "source",
     ]
+
+
+def test_read_stream_table_drops_malformed_rows(spark, tmp_path):
+    """Streaming twin of the good-rows-only contract: a malformed CSV line
+    in a file drop must be dropped by read_stream_table (not null-filled
+    into the stream), with only the declared columns downstream."""
+    src = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "d0.csv"), "w") as f:
+        f.write("doc_id,text,lang,source\n1,ok,en,s\nNOT_A_NUMBER,bad,en,s\n2,ok2,de,s\n")
+    stream = read_stream_table(spark, src, "csv", DOCS_DDL)
+    assert [f.name for f in stream.schema.fields] == ["doc_id", "text", "lang", "source"]
+    got: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _=None: got.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.doc_id for r in got} == {1, 2}
+    assert all(r.doc_id is not None for r in got)
