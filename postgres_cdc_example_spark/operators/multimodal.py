@@ -169,7 +169,11 @@ def decode_png(payload: bytes) -> DecodedImage:
             break
     if not (seen_ihdr and seen_iend and idat):
         raise ValueError("PNG missing IHDR/IDAT/IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the documented single exception type for arbitrary payloads
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     nch = _PNG_CHANNELS[ctype]
     stride = width * nch
     if len(raw) != (stride + 1) * height:
@@ -181,6 +185,13 @@ def decode_png(payload: bytes) -> DecodedImage:
         cur = bytearray(raw[row_start + 1 : row_start + 1 + stride])
         _png_unfilter(raw[row_start], cur, prev, nch)
         if ctype == 3:
+            # a missing PLTE (len 0) or an index past it would IndexError —
+            # malformed input must surface as the documented ValueError
+            if width and max(cur[:width]) >= len(palette):
+                raise ValueError(
+                    "PNG palette index out of range"
+                    + (" (missing PLTE)" if not palette else "")
+                )
             pixels.extend(palette[cur[x]] for x in range(width))
         else:
             pixels.extend(

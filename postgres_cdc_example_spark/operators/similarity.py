@@ -719,30 +719,73 @@ def train_pq_base(base: DataFrame) -> list[list[list[int]]]:
     a code that loses all members keeps its previous codeword. ``base``
     carries (vec_id, sv0..sv{M-1}) — raw subvectors for plain PQ,
     coarse-residual subvectors for IVF-PQ."""
-    base = base.localCheckpoint(eager=False)
-    init_rows = base.orderBy("vec_id").limit(PQ_K).collect()
-    if not init_rows:  # empty corpus: no codebook (callers return empty)
-        return []
-    cb = [
-        [[int(r[f"sv{s}"][d]) for d in range(PQ_D)] for r in init_rows]
-        for s in range(PQ_M)
-    ]
+    return train_pq_multi({"_": base})["_"]
+
+
+def train_pq_multi(
+    bases: dict[str, DataFrame], checkpointed: bool = False
+) -> dict[str, list[list[list[int]]]]:
+    """Train SEVERAL independent PQ codebooks in fused Spark jobs — the
+    bench-prebuild governor for the staleness-audit family, where three
+    trainings (full / frozen-base-slice / drifted-retrained) ran three
+    separate Lloyd chains over the same embeddings scan (10.8 s of the
+    21.2 s r8 layer build). Each chain's SEMANTICS are untouched: its init
+    is the PQ_K lowest-vec_id rows of ITS OWN base, and each iteration's
+    per-(subspace, code) sums group by a chain tag, so no row of one chain
+    ever influences another's centroids — the fusion only shares the job
+    round-trips and (via ``checkpointed=True``, when the caller already
+    localCheckpointed a common parent) the input scan. Chains whose base
+    is empty yield ``[]`` exactly like ``train_pq_base`` did."""
+    prepared = {
+        tag: (b if checkpointed else b.localCheckpoint(eager=False))
+        for tag, b in bases.items()
+    }
+    cbs: dict[str, list[list[list[int]]]] = {}
+    for tag, b in prepared.items():
+        init_rows = b.orderBy("vec_id").limit(PQ_K).collect()
+        # empty corpus: no codebook (callers return empty)
+        cbs[tag] = (
+            [
+                [
+                    [int(r[f"sv{s}"][d]) for d in range(PQ_D)]
+                    for r in init_rows
+                ]
+                for s in range(PQ_M)
+            ]
+            if init_rows
+            else []
+        )
+    live = [t for t in prepared if cbs[t]]
     for _ in range(PQ_ITERS):
         aggs = []
-        for s in range(PQ_M):
-            code = pq_code_col(cb, f"sv{s}", s)
-            aggs.append(
-                base.select(
-                    F.lit(s).alias("s"),
-                    code.alias("code"),
-                    F.col(f"sv{s}").alias("sv"),
+        for tag in live:
+            # all M argmin assignments in ONE row pass (explode of per-
+            # subspace structs), not an M-way union that re-scans the base
+            # M times per chain per iteration
+            rows = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            pq_code_col(cbs[tag], f"sv{s}", s).alias("code"),
+                            F.col(f"sv{s}").alias("sv"),
+                        )
+                        for s in range(PQ_M)
+                    ]
                 )
             )
+            aggs.append(
+                prepared[tag]
+                .select(F.lit(tag).alias("tag"), rows.alias("r"))
+                .select("tag", "r.s", "r.code", "r.sv")
+            )
+        if not aggs:
+            break
         allsub = aggs[0]
         for a in aggs[1:]:
             allsub = allsub.unionByName(a)
         sums = (
-            allsub.groupBy("s", "code")
+            allsub.groupBy("tag", "s", "code")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
@@ -752,15 +795,19 @@ def train_pq_base(base: DataFrame) -> list[list[list[int]]]:
             )
             .collect()
         )
-        newcb = [[list(cw) for cw in cb[s]] for s in range(PQ_M)]
+        newcbs = {
+            tag: [[list(cw) for cw in cbs[tag][s]] for s in range(PQ_M)]
+            for tag in live
+        }
         for r in sums:
-            s, k, n = int(r["s"]), int(r["code"]), int(r["n"])
+            tag, s, k, n = r["tag"], int(r["s"]), int(r["code"]), int(r["n"])
             if n > 0:
-                newcb[s][k] = [
+                newcbs[tag][s][k] = [
                     _tdiv_int(int(r[f"s{d}"]), n) for d in range(PQ_D)
                 ]
-        cb = newcb
-    return cb
+        for tag in live:
+            cbs[tag] = newcbs[tag]
+    return cbs
 
 
 def pq_encode(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:

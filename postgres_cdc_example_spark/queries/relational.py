@@ -3263,9 +3263,15 @@ value_distribution_ks.__doc__ = value_distribution_ks.__doc__.replace(
 
 # chi-squared 0.95 quantiles for df = 1..10, micro-scaled (floor(q*1e6+0.5))
 # — precomputed literals the way 1.96² = 38416/10⁴ is handled, so the
-# k-sample decision never calls a transcendental at runtime. df > 10 would
-# need the table extended (loud: the CASE yields NULL and the row's
-# reject column goes NULL, which hash-mismatches — never a silent wrong 0).
+# k-sample decision never calls a transcendental at runtime. df > 10 needs
+# the table extended; every consumer places an EXPLICIT `WHEN df > 10 THEN
+# NULL` guard AHEAD of the quantile comparison, because without it the
+# CASE's NULL quantile propagates through `x > NULL` as NULL, the WHEN
+# does not match, and the outer CASE falls through to ELSE 0 — a SILENT
+# no-reject in both engines (verified in DuckDB and Spark alike; their
+# three-valued logic is identical so the oracle comparison would pass on
+# the wrong answer). With the guard, df > 10 reports an honest NULL
+# ("undecidable with this table") in both engines instead.
 KW_CHI2_MICRO = {
     1: 3841459,
     2: 5991465,
@@ -3331,6 +3337,7 @@ def _kw_chi2_case(df_expr: str) -> str:
                 ELSE (num.nm * 1000000) // den.dn END AS BIGINT)
              AS friedman_q_micro,
            CAST(CASE WHEN den.dn = 0 OR num.k <= 1 THEN 0
+                WHEN num.k - 1 > 10 THEN NULL
                 WHEN num.nm * 1000000
                      > CAST(({_kw_chi2_case("num.k - 1")}) AS HUGEINT) * den.dn
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_same_location
@@ -3432,6 +3439,7 @@ def value_location_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("friedman_q_micro"),
         F.expr(
             "CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0"
+            " WHEN k - 1 > 10 THEN NULL"
             " WHEN CAST(nm AS DECIMAL(38,0)) * 1000000"
             f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * dn"
             " THEN 1 ELSE 0 END AS BIGINT)"
@@ -3477,6 +3485,7 @@ COCHRAN_MILLI = 150_000  # binary outcome: per-(user, type) max value > 150
            CAST(CASE WHEN dn = 0 THEN 0
                 ELSE (nm * 1000000) // dn END AS BIGINT) AS cochran_q_micro,
            CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0
+                WHEN k - 1 > 10 THEN NULL
                 WHEN nm * 1000000
                      > CAST(({_kw_chi2_case("k - 1")}) AS HUGEINT) * dn
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_same_rate
@@ -3567,6 +3576,7 @@ def value_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cochran_q_micro"),
         F.expr(
             "CAST(CASE WHEN dn = 0 OR k <= 1 THEN 0"
+            " WHEN k - 1 > 10 THEN NULL"
             " WHEN nm * 1000000"
             f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * dn"
             " THEN 1 ELSE 0 END AS BIGINT)"
@@ -3629,6 +3639,7 @@ value_cochran_q.__doc__ = value_cochran_q.__doc__.replace(
                 ELSE (GREATEST(h2_num, 0) * (n - 1)) // denom
                 END AS BIGINT) AS h_corr_micro,
            CAST(CASE WHEN k <= 1 OR denom = 0 THEN 0
+                WHEN k - 1 > 10 THEN NULL
                 WHEN h2_num * (n - 1)
                      > CAST(({_kw_chi2_case("k - 1")}) AS HUGEINT) * denom
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_same_location
@@ -3726,6 +3737,7 @@ def value_location_kruskalwallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_corr_micro"),
         F.expr(
             "CAST(CASE WHEN k <= 1 OR denom = 0 THEN 0"
+            " WHEN k - 1 > 10 THEN NULL"
             " WHEN h2_num * (n - 1)"
             f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * denom"
             " THEN 1 ELSE 0 END AS BIGINT)"

@@ -57,6 +57,37 @@ def _schema_of(schema: T.StructType | str) -> T.StructType:
     return T.StructType.fromDDL(schema)
 
 
+def _full_parse_guard(base: T.StructType) -> F.Column:
+    """An always-true predicate that REFERENCES every declared column.
+
+    Why it exists: the text parsers only parse the columns the query
+    references (CSV column pruning; JSON required-schema projection), and
+    malformed-row detection only covers PARSED columns — so under
+    DROPMALFORMED, ``read_table(...).select('lang').count()`` would keep a
+    row whose corruption lives in the unreferenced ``doc_id`` field. This
+    guard forces the full declared schema into the parser's required
+    schema under ANY downstream projection, so "malformed" always means
+    "malformed in any declared column". It also gives corrupt-record
+    splits a data-column reference, keeping ``count()``/``isEmpty()``
+    clear of Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
+
+    The predicate must be OPAQUE to Catalyst: ``xxhash64(...).isNotNull()``
+    folds to literal true (xxhash64 is non-nullable, NullPropagation
+    rewrites IsNotNull(non-nullable) → true) and the column references
+    fold away with it — measured: the malformed-in-unreferenced-column
+    row came back on ``count()``. ``xxhash64(...) % 1 == 0`` is always
+    true at runtime (any long mod 1 is 0) but no simplification rule
+    removes it, so the references survive into the scan's ReadSchema.
+    Map columns are wrapped in ``map_entries`` (hash rejects raw maps)."""
+    refs = []
+    for f in base.fields:
+        if isinstance(f.dataType, T.MapType):
+            refs.append(F.map_entries(F.col(f.name)))
+        else:
+            refs.append(F.col(f.name))
+    return F.xxhash64(*refs) % F.lit(1) == F.lit(0)
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -65,14 +96,20 @@ def read_table(
     options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read ``path`` as ``fmt`` under a DECLARED schema, good rows only:
-    malformed text-format rows are actually DROPPED here (an internal
-    corrupt-record column is appended, matched rows filtered out, column
-    removed), because bare PERMISSIVE mode does NOT drop them — Spark
-    null-fills the declared columns, so without the filter a bad line
-    silently enters the "good" frame as an all-null record, the exact
-    corruption this module exists to prevent. Use
-    :func:`read_with_rejects` when bad rows must be quarantined instead
-    of dropped.
+    malformed text-format rows are actually DROPPED (``DROPMALFORMED``),
+    because bare PERMISSIVE mode does NOT drop them — Spark null-fills the
+    declared columns, so without the drop a bad line silently enters the
+    "good" frame as an all-null record, the exact corruption this module
+    exists to prevent. Use :func:`read_with_rejects` when bad rows must
+    be quarantined instead of dropped.
+
+    Why DROPMALFORMED and not PERMISSIVE + corrupt-column post-filter: a
+    post-filter's ONLY column reference can be the corrupt column itself —
+    column pruning then reduces the raw scan to just that column and Spark
+    raises UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN on basic
+    actions like ``count()``/``isEmpty()``. DROPMALFORMED is
+    observationally identical for the caller (the corrupt column was
+    hidden anyway) and keeps every action legal.
 
     Scale shape: one scan, no inference pass; parquet/ORC get column
     pruning + predicate pushdown from the declared columns as usual."""
@@ -80,33 +117,24 @@ def read_table(
         raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
     base = _schema_of(schema)
     opts = dict(options or {})
-    # When the caller already routes corrupt records (read_with_rejects, or
-    # an explicit columnNameOfCorruptRecord), hand the frame back whole —
-    # the caller owns the split. Otherwise drop-and-hide internally.
-    internal_drop = (
-        fmt in _TEXT_FORMATS
-        and CORRUPT_COL not in base.fieldNames()
-        and "columnNameOfCorruptRecord" not in opts
+    # When the caller routes corrupt records themselves (read_with_rejects,
+    # or an explicit columnNameOfCorruptRecord / corrupt column in the
+    # schema), read PERMISSIVE and hand the frame back whole — the caller
+    # owns the split. Otherwise drop malformed rows at the reader.
+    caller_routes = (
+        CORRUPT_COL in base.fieldNames() or "columnNameOfCorruptRecord" in opts
     )
-    read_schema = base
-    if internal_drop:
-        read_schema = T.StructType(
-            list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-        )
-        opts["columnNameOfCorruptRecord"] = CORRUPT_COL
-    reader = spark.read.format(fmt).schema(read_schema)
+    reader = spark.read.format(fmt).schema(base)
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
             reader = reader.option(k, v)
     if fmt in _TEXT_FORMATS:
-        # DROPMALFORMED would also skip bad rows but hides the count;
-        # PERMISSIVE + post-filter keeps the contract explicit.
-        reader = reader.option("mode", "PERMISSIVE")
+        reader = reader.option("mode", "PERMISSIVE" if caller_routes else "DROPMALFORMED")
     for k, v in opts.items():
         reader = reader.option(k, v)
     df = reader.load(path)
-    if internal_drop:
-        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    if fmt in _TEXT_FORMATS and not caller_routes:
+        df = df.filter(_full_parse_guard(base))
     return df
 
 
@@ -133,12 +161,15 @@ def read_with_rejects(
     opts = dict(options or {})
     opts["columnNameOfCorruptRecord"] = CORRUPT_COL
     df = read_table(spark, path, fmt, with_corrupt, opts)
+    # The guard keeps both branches legal under ANY downstream projection:
+    # without it, column pruning on e.g. good.count() reduces the scan's
+    # references to the corrupt column alone and Spark raises
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN; it also forces the full declared
+    # schema into the parser so "corrupt" covers every declared column.
+    df = df.filter(_full_parse_guard(base))
     # Spark populates CORRUPT_COL for rows that fail to parse under the
-    # declared schema. The rejects projection must reference at least one
-    # data column besides the corrupt one (Spark disallows corrupt-only
-    # scans of raw text files: QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
-    # parsed remnants are triage gold anyway: a type-mismatch row shows
-    # exactly which fields DID parse.
+    # declared schema; the parsed remnants on a reject are triage gold —
+    # a type-mismatch row shows exactly which fields DID parse.
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejects = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line"),
@@ -159,8 +190,10 @@ def read_stream_table(
     tails it exactly-once via the checkpoint's file log). Same declared-
     schema contract; a streaming read REQUIRES the schema anyway, so the
     no-inference rule costs nothing here. Same good-rows-only contract as
-    :func:`read_table`: malformed lines are filtered via an internal
-    corrupt-record column (bare PERMISSIVE would null-fill them in). For
+    :func:`read_table`: malformed lines are dropped at the reader
+    (``DROPMALFORMED`` — bare PERMISSIVE would null-fill them in, and
+    PERMISSIVE + corrupt-column post-filter trips
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN on corrupt-only-pruned actions). For
     dead-letter routing on a stream, declare the schema WITH the corrupt
     column via :func:`corrupt_schema` and split downstream (the filter
     composes with any gate — see tests/test_formats.py's streaming
@@ -169,28 +202,20 @@ def read_stream_table(
         raise ValueError(f"unsupported format: {fmt!r} (one of {sorted(_FORMATS)})")
     base = _schema_of(schema)
     opts = dict(options or {})
-    internal_drop = (
-        fmt in _TEXT_FORMATS
-        and CORRUPT_COL not in base.fieldNames()
-        and "columnNameOfCorruptRecord" not in opts
+    caller_routes = (
+        CORRUPT_COL in base.fieldNames() or "columnNameOfCorruptRecord" in opts
     )
-    read_schema = base
-    if internal_drop:
-        read_schema = T.StructType(
-            list(base.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-        )
-        opts["columnNameOfCorruptRecord"] = CORRUPT_COL
-    reader = spark.readStream.format(fmt).schema(read_schema)
+    reader = spark.readStream.format(fmt).schema(base)
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
             reader = reader.option(k, v)
     if fmt in _TEXT_FORMATS:
-        reader = reader.option("mode", "PERMISSIVE")
+        reader = reader.option("mode", "PERMISSIVE" if caller_routes else "DROPMALFORMED")
     for k, v in opts.items():
         reader = reader.option(k, v)
     df = reader.load(path)
-    if internal_drop:
-        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    if fmt in _TEXT_FORMATS and not caller_routes:
+        df = df.filter(_full_parse_guard(base))
     return df
 
 

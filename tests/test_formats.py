@@ -201,6 +201,47 @@ def test_read_table_drops_malformed_instead_of_nullfilling(spark, tmp_path, fmt)
     ]
 
 
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_ingested_frames_support_all_actions(spark, tmp_path, fmt):
+    """Regression pin for two parser-pruning hazards on ingested frames:
+
+    1. ``count()``/``isEmpty()`` must work — the old PERMISSIVE +
+       corrupt-column post-filter made them raise
+       QUERY_ONLY_CORRUPT_RECORD_COLUMN once pruning reduced the scan's
+       references to the corrupt column alone.
+    2. A PRUNED projection must still see good rows only — the text
+       parsers detect malformedness over PARSED columns, so without the
+       full-parse guard ``select('lang').count()`` silently re-admits a
+       row whose corruption lives in the unreferenced doc_id field.
+    """
+    out = str(tmp_path / "raw")
+    os.makedirs(out)
+    if fmt == "json":
+        lines = [
+            '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}',
+            "garbage line",
+            '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s"}',
+        ]
+    else:
+        lines = [
+            "doc_id,text,lang,source",
+            "1,ok,en,s",
+            "NOT_A_NUMBER,bad id,en,s",
+            "2,also ok,de,s",
+        ]
+    with open(os.path.join(out, "part-0.txt"), "w") as f:
+        f.write("\n".join(lines))
+    df = read_table(spark, out, fmt, DOCS_DDL)
+    assert df.count() == 2
+    assert df.isEmpty() is False
+    assert df.select("lang").count() == 2, "pruned projection re-admitted a bad row"
+    assert df.groupBy("lang").count().count() == 2
+    good, rejects = read_with_rejects(spark, out, fmt, DOCS_DDL)
+    assert good.count() == 2 and rejects.count() == 1
+    assert good.select("lang").count() == 2
+    assert good.isEmpty() is False and rejects.isEmpty() is False
+
+
 def test_read_stream_table_drops_malformed_rows(spark, tmp_path):
     """Streaming twin of the good-rows-only contract: a malformed CSV line
     in a file drop must be dropped by read_stream_table (not null-filled

@@ -175,6 +175,44 @@ def test_png_malformed_raises_valueerror():
         multimodal.decode_png(multimodal.PNG_SIGNATURE + b"\x00\x00")
 
 
+def test_png_malformed_single_exception_contract():
+    """decode_png documents ONE exception type for arbitrary payloads —
+    the paths that used to escape it (IndexError on palette misuse,
+    zlib.error on a corrupt IDAT) must surface as ValueError too."""
+    ihdr_p = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    idx = bytes([0, 0, 1, 0, 2, 0])
+    # palette index past PLTE (only 2 entries, index 2 used)
+    short_plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    png_oob = (
+        multimodal.PNG_SIGNATURE
+        + ihdr_p
+        + short_plte
+        + _png_chunk(b"IDAT", zlib.compress(idx))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_png(png_oob)
+    # missing PLTE entirely
+    png_noplte = (
+        multimodal.PNG_SIGNATURE
+        + ihdr_p
+        + _png_chunk(b"IDAT", zlib.compress(idx))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        multimodal.decode_png(png_noplte)
+    # corrupt IDAT stream (not valid zlib)
+    ihdr_g = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    png_zlib = (
+        multimodal.PNG_SIGNATURE
+        + ihdr_g
+        + _png_chunk(b"IDAT", b"\xff\xfe\xfd\xfc not zlib")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        multimodal.decode_png(png_zlib)
+
+
 def test_decoded_ahash_matches_bit_rule_on_8x8():
     luma = [(i * 37) % 256 for i in range(64)]
     enc = multimodal.encode_png_gray8(8, 8, luma)

@@ -12,6 +12,8 @@ queries/windows.quantile_histogram_rollup)."""
 
 from __future__ import annotations
 
+import datetime
+import os
 from collections import Counter
 
 from hypothesis import given, settings
@@ -426,3 +428,65 @@ def test_cochran_q_cleared_form_equals_classical(k, blocks):
     assert (nm * 10**6 > q_lit * dn) == (
         Fraction(nm, dn) > Fraction(q_lit, 10**6)
     )
+
+
+def test_chi2_table_overflow_reports_null_not_silent_zero(spark, tmp_path):
+    """df > 10 exceeds the KW_CHI2_MICRO literal table. Without an explicit
+    guard, the quantile CASE yields NULL, `x > NULL` is NULL, the WHEN
+    does not match, and the CASE falls to ELSE 0 — a SILENT no-reject in
+    BOTH engines (their three-valued logic agrees, so the oracle compare
+    passes on the wrong answer). The guard must surface an honest NULL in
+    both engines on a 12-event-type corpus."""
+    import duckdb as _duckdb
+
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    rows = []
+    eid = 0
+    for u in range(8):
+        for t in range(12):  # 12 types -> df = 11 > 10
+            for j in range(3):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, 1, 0, 0, eid % 60),
+                        u,
+                        f"type_{t:02d}",
+                        # straddle COCHRAN_MILLI (value 150): some (user,
+                        # type) maxima above, some below, so Cochran's
+                        # denominator is nonzero and the df guard decides
+                        # x = 1 iff the (u,t) max residue exceeds 75, which
+                        # mixes 0s and 1s across blocks (the three j-residues
+                        # are spaced 29 apart mod 97, so maxima range 58..96)
+                        float((u * 7 + t * 13 + j * 29) % 97) * 2.0,
+                        "{}",
+                    )
+                )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf_df11")
+    os.makedirs(d)
+    ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{os.path.join(d, 'events.parquet', '*.parquet')}')"
+    )
+    for name, col in [
+        ("value_location_kruskalwallis", "reject_same_location"),
+        ("value_location_friedman", "reject_same_location"),
+        ("value_cochran_q", "reject_same_rate"),
+    ]:
+        q = REGISTRY[name]
+        srow = q.fn(spark, d).collect()[0]
+        assert srow[col] is None, f"{name}: Spark must report NULL for df=11"
+        orow = con.execute(q.oracle).fetchone()
+        ocols = [desc[0] for desc in con.description]
+        assert orow[ocols.index(col)] is None, (
+            f"{name}: oracle must report NULL for df=11"
+        )
