@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "zorder_overlap_depth",  # 1.22 s best-of-3 idle at sf0.1 (composes the layout scan)
     "value_location_friedman",  # 0.65 s best-of-3 idle at sf0.1
     "value_cochran_q",  # 0.95 s best-of-3 idle at sf0.1
+    "dedup_snm_multipass",  # 3.61 s best-of-3 idle at sf0.1 (two full SNM passes by design)
+    "pipeline_end_to_end",  # 3.12 s best-of-3 idle at sf0.1 (chains 4 member queries)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

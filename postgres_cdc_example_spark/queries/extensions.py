@@ -5139,8 +5139,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches 25/25 of the exact-Jaccard >= 0.5 pairs that LSH needs 16
     hashes and 4 band joins to find), and its blind spot (edits in the
     first words break adjacency) is exactly why production systems run
-    multi-pass SNM with rotated keys — one pass is registered here, the
-    rotation being the same query with a different SNM key. Scale shape:
+    multi-pass SNM with rotated keys — registered as
+    ``dedup_snm_multipass`` (this pass + a rotated-key pass +
+    union-dedup). Scale shape:
     the global rank uses the two-pass distributed form proven by
     ``quality_curriculum`` (per-bucket row_number on a PREFIX bucket —
     a monotone coarsening of the sort key — plus broadcast cumulative
@@ -5206,6 +5207,183 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_sorted_neighborhood.__doc__ = dedup_sorted_neighborhood.__doc__.replace(
     "{W}", str(SNM_WINDOW)
 )
+
+
+SNM_ROTATE_TOKENS = 3  # pass-2 key drops the first 3 tokens (rotated key)
+
+
+def _snm_pairs(d: DataFrame) -> DataFrame:
+    """Neighbor pairs (x, y) of one SNM pass over ``d`` = (doc_id, sk):
+    the two-pass distributed rank (per-prefix-bucket row_number + broadcast
+    cumulative offsets — the corpus never crosses one reducer), then the
+    W-way rank-explode equi-join. Factored from the single-pass query so
+    the multi-pass variant runs the IDENTICAL shape per key."""
+    d = d.withColumn("qb", F.substring(F.col("sk"), 1, SNM_BUCKET_LEN))
+    wb = Window.partitionBy("qb").orderBy("sk", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(wb))
+    counts = d.groupBy("qb").agg(F.count(F.lit(1)).alias("n_b"))
+    wo = Window.orderBy("qb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "qb", (F.sum("n_b").over(wo) - F.col("n_b")).alias("offset")
+    )
+    r = ranked.join(F.broadcast(offsets), "qb").select(
+        "doc_id", (F.col("offset") + F.col("rk")).cast("long").alias("rn")
+    )
+    a = r.select(
+        F.col("doc_id").alias("x"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in range(1, SNM_WINDOW + 1)])
+        ).alias("rn"),
+    )
+    return a.join(r.withColumnRenamed("doc_id", "y"), "rn").select("x", "y")
+
+
+@register(
+    "dedup_snm_multipass",
+    oracle=f"""
+    WITH tk0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
+      FROM tk0 WHERE len(tk) >= 1
+    ),
+    d1 AS (SELECT doc_id, substr(lower(trim(text)), 1, {SNM_KEY_LEN}) AS sk
+           FROM documents),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM d1),
+    p1 AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM r1 a JOIN r1 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+    ),
+    d2 AS (SELECT doc_id,
+                  substr(array_to_string(tk[{SNM_ROTATE_TOKENS + 1}:], ' '),
+                         1, {SNM_KEY_LEN}) AS sk
+           FROM tk0),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM d2),
+    p2 AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM r2 a JOIN r2 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+    ),
+    u AS (
+      SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+             CAST(max(f1) AS BIGINT) AS in_pass1,
+             CAST(max(f2) AS BIGINT) AS in_pass2
+      FROM (SELECT x, y, 1 AS f1, 0 AS f2 FROM p1
+            UNION ALL
+            SELECT x, y, 0 AS f1, 1 AS f2 FROM p2)
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT u.doc_a, u.doc_b, u.in_pass1, u.in_pass2,
+             CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
+             CAST(len(sa.ss) AS BIGINT) AS na,
+             CAST(len(sb.ss) AS BIGINT) AS nb
+      FROM u JOIN sh sa ON sa.doc_id = u.doc_a
+             JOIN sh sb ON sb.doc_id = u.doc_b
+    )
+    SELECT doc_a, doc_b, in_pass1, in_pass2,
+           inter * 1000000 // (na + nb - inter) AS jac_micro
+    FROM v WHERE inter * 2 >= (na + nb - inter)
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood — the production form the single-pass
+    docstring promises: pass 1 sorts on the normalized-text prefix (catches
+    truncation/suffix-edit dups), pass 2 on a ROTATED key that drops the
+    first {ROT} tokens (catches dups whose FIRST words were edited — pass
+    1's structural blind spot, planted and pinned in
+    tests/test_extensions.py). Pairs from both passes union, canonicalize
+    to (least, greatest) — the two passes can discover the same pair in
+    opposite sort orientations — and dedup with per-pass provenance flags
+    (in_pass1/in_pass2: which blocking key found it), then verify ONCE per
+    unique pair on the shared shingle layer (exact Jaccard >= 0.5, micro
+    floor-div). Scale shape: each pass is the identical two-pass
+    distributed rank + {W}-way rank-explode equi-join of the single-pass
+    query (``_snm_pairs``) — no global single-reducer window, no non-equi
+    range join — and verification cost is paid per UNIQUE pair, not per
+    (pass, pair). The oracle states the spec as the union of the two
+    global BETWEEN-join passes."""
+    docs = load_table(spark, "documents", sf_dir)
+    d1 = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, SNM_KEY_LEN).alias("sk"),
+    )
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    d2 = docs.select(
+        "doc_id",
+        F.substring(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    word_tokens(F.col("text")),
+                    SNM_ROTATE_TOKENS + 1,
+                    1_000_000,
+                ),
+            ),
+            1,
+            SNM_KEY_LEN,
+        ).alias("sk"),
+    )
+    u = (
+        _snm_pairs(d1)
+        .select("x", "y", F.lit(1).alias("f1"), F.lit(0).alias("f2"))
+        .unionByName(
+            _snm_pairs(d2).select(
+                "x", "y", F.lit(0).alias("f1"), F.lit(1).alias("f2")
+            )
+        )
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "f1",
+            "f2",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("f1").cast("long").alias("in_pass1"),
+            F.max("f2").cast("long").alias("in_pass2"),
+        )
+    )
+    sh = _doc_ngrams(spark, sf_dir)
+    # two consumers (a-side and b-side of the verification join) — the
+    # checkpoint stops the per-doc collect_list from running twice
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("g").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    v = (
+        u.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "in_pass1",
+            "in_pass2",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+    )
+    return v.filter(
+        F.col("inter") * 2 >= F.col("na") + F.col("nb") - F.col("inter")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "in_pass1",
+        "in_pass2",
+        F.expr("inter * 1000000 div (na + nb - inter)").alias("jac_micro"),
+    )
+
+
+dedup_snm_multipass.__doc__ = dedup_snm_multipass.__doc__.replace(
+    "{W}", str(SNM_WINDOW)
+).replace("{ROT}", str(SNM_ROTATE_TOKENS))
 
 
 # ---------------------------------------------------------------------------

@@ -1813,3 +1813,217 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.union(cnt(name[6:], REGISTRY[name].fn(spark, sf_dir)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation capstone (every stage chained, composed from the registry)
+# ---------------------------------------------------------------------------
+
+PIPE_QUALITY_GATE = 0.5  # survivors need quality >= this (text_quality scale)
+PIPE_PACK_TOKENS = 2048  # pack budget, same as pack_documents
+
+
+def _pipeline_oracle() -> str:
+    """Compose the capstone oracle as a CTE chain of the REGISTERED member
+    oracles (the ``corpus_dedup_summary`` pattern taken across stage
+    boundaries): exact-dedup keepers -> near-dup cluster keepers ->
+    decontamination -> quality gate -> per-source mixture accounting ->
+    pack assembly. Interpolating ``REGISTRY[...].oracle`` makes cross-stage
+    drift impossible by construction — if a member's keeper rule changes,
+    this oracle changes with it."""
+    from postgres_cdc_example_spark.queries import (  # noqa: F401
+        extensions as _ext,
+        llmdata as _llm,
+    )
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x != '')"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    ex AS (SELECT keeper_id AS doc_id FROM ({REGISTRY["dedup_exact"].oracle})),
+    cl AS (SELECT doc_id, component FROM ({REGISTRY["dedup_clusters"].oracle})),
+    contam AS (SELECT doc_id FROM ({REGISTRY["benchmark_contamination"].oracle})),
+    qual AS (SELECT doc_id, quality FROM ({REGISTRY["text_quality"].oracle})),
+    s1 AS (SELECT t.* FROM toks t JOIN ex ON ex.doc_id = t.doc_id),
+    s2 AS (
+      SELECT s1.* FROM s1 LEFT JOIN cl ON cl.doc_id = s1.doc_id
+      WHERE cl.doc_id IS NULL OR cl.component = s1.doc_id
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2
+      WHERE s2.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    s4 AS (
+      SELECT s3.* FROM s3 JOIN qual q ON q.doc_id = s3.doc_id
+      WHERE q.quality >= {PIPE_QUALITY_GATE}
+    ),
+    pk AS (
+      SELECT bucket,
+             CAST(floor((cum - n_toks) / {PIPE_PACK_TOKENS}) AS BIGINT) AS pack_id,
+             n_toks
+      FROM (
+        SELECT doc_id, n_toks,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+               sum(n_toks) OVER (
+                 PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM s4)
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_no, 'ingest' AS stage, 'docs' AS unit,
+           CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM toks
+    UNION ALL
+    SELECT 1, 'exact_dedup', 'docs', CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'near_dedup', 'docs', CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'decontam', 'docs', CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'quality_gate', 'docs', CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT 5, 'mixture', source, CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s4 GROUP BY source
+    UNION ALL
+    SELECT 6, 'packing', 'packs',
+           CAST(count(DISTINCT (bucket, pack_id)) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM pk
+    """
+
+
+@register("pipeline_end_to_end", oracle=_pipeline_oracle())
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation capstone: every stage a pretraining data run
+    chains — exact dedup (keep min doc_id per normalized-content hash) ->
+    near-dup clusters (keep the component keeper) -> decontamination
+    (drop docs sharing any 8-gram with the held-out split) -> quality gate
+    (composite score >= {GATE}) -> per-source mixture accounting ->
+    fixed-budget pack assembly — emitting the per-stage survivor/token
+    table a production run prints. This is the INTEGRATION check the
+    isolated stage queries cannot give: a change in any stage's keeper
+    rule shifts every later row (the mixture weights silently re-weight,
+    the pack count moves), and both engine and oracle COMPOSE the
+    registered member definitions (engine calls the member fns over the
+    session's shared shingle/band/gram layers; oracle interpolates their
+    registered SQL), so the capstone can never drift from the stages.
+    Scale shape: each member runs ONCE — the chain is flattened into a
+    single flag-annotated doc frame (keyed left joins on doc_id turn each
+    stage's verdict into a boolean), localCheckpointed so the seven
+    output rows are conditional aggregates over one cached narrow table
+    instead of seven re-derivations of the member chain (measured 4.5 s →
+    the member floor at sf0.1). Stage semantics note: the filters are
+    computed over the FULL corpus (the members' published contracts) and
+    applied sequentially, the standard production shape — exact and
+    near-dup keepers both keep the lowest doc_id, so the composition is
+    coherent by construction."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    ex = (
+        REGISTRY["dedup_exact"]
+        .fn(spark, sf_dir)
+        .select(F.col("keeper_id").alias("doc_id"), F.lit(1).alias("exk"))
+    )
+    cl = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select("doc_id", "component")
+    contam = (
+        REGISTRY["benchmark_contamination"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.lit(1).alias("ct"))
+    )
+    qual = REGISTRY["text_quality"].fn(spark, sf_dir).select("doc_id", "quality")
+    flags = (
+        toks.join(ex, "doc_id", "left")
+        .join(cl, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.col("exk").isNotNull().alias("k1"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("k2"),
+            F.col("ct").isNull().alias("k3"),
+            (F.col("quality") >= PIPE_QUALITY_GATE).alias("k4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s1 = flags.filter("k1")
+    s2 = s1.filter("k2")
+    s3 = s2.filter("k3")
+    s4 = s3.filter("k4")
+
+    def stage_row(no: int, stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.lit("docs").alias("unit"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+
+    mixture = s4.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    ).select(
+        F.lit(5).cast("long").alias("stage_no"),
+        F.lit("mixture").alias("stage"),
+        F.col("source").alias("unit"),
+        "n_units",
+        "total_tokens",
+    )
+    wpk = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = s4.select(
+        "doc_id",
+        "n_toks",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+    ).select(
+        "bucket",
+        "n_toks",
+        F.floor(
+            (F.sum("n_toks").over(wpk) - F.col("n_toks")) / F.lit(PIPE_PACK_TOKENS)
+        ).alias("pack_id"),
+    )
+    packing = pk.agg(
+        F.lit(6).cast("long").alias("stage_no"),
+        F.lit("packing").alias("stage"),
+        F.lit("packs").alias("unit"),
+        F.countDistinct("bucket", "pack_id").cast("long").alias("n_units"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    return (
+        stage_row(0, "ingest", flags)
+        .unionByName(stage_row(1, "exact_dedup", s1))
+        .unionByName(stage_row(2, "near_dedup", s2))
+        .unionByName(stage_row(3, "decontam", s3))
+        .unionByName(stage_row(4, "quality_gate", s4))
+        .unionByName(mixture)
+        .unionByName(packing)
+    )
+
+
+pipeline_end_to_end.__doc__ = pipeline_end_to_end.__doc__.replace(
+    "{GATE}", str(PIPE_QUALITY_GATE)
+)

@@ -169,6 +169,59 @@ def schema_drift_audit(
     )
 
 
+def with_drift_signature(
+    decoded: DataFrame, table: str, declared: list[str]
+) -> DataFrame:
+    """Every input row plus its drift signature (``unknown_cols``,
+    ``missing_cols`` — ``''``/``''`` for clean rows): the per-row half of
+    :func:`schema_drift_audit`, factored row-preserving so it composes
+    with STREAMING frames (the batch audit aggregates; a stream routes).
+    Rows the audit exempts — other tables, D-actions (identity-only wire
+    image), undecodable lines (``change`` null → ``split_corrupt``'s
+    dead-letter, not drift) — get the clean signature by definition.
+    Same Generate barrier as the audit (every ``change.*`` reference
+    would otherwise re-parse the JSON), same set arithmetic, so stream
+    and batch signatures agree symbol-for-symbol."""
+    cols = [c for c in decoded.columns if c != "change"]
+    decoded = decoded.select(
+        F.explode(F.array(F.struct(*cols, F.col("change")))).alias("r")
+    ).select(*[F.col(f"r.{c}").alias(c) for c in cols], F.col("r.change").alias("change"))
+    names = F.expr("transform(change.columns, c -> c.name)")
+    declared_arr = F.array(*[F.lit(c) for c in declared])
+    audited = (
+        F.col("change").isNotNull()
+        & (F.col("change.table") == table)
+        & (F.col("change.action") != F.lit("D"))
+    )
+    sig = lambda a, b: F.when(  # noqa: E731
+        audited, F.array_join(F.array_sort(F.array_except(a, b)), ",")
+    ).otherwise(F.lit(""))
+    return decoded.select(
+        *cols,
+        "change",
+        sig(names, declared_arr).alias("unknown_cols"),
+        sig(declared_arr, names).alias("missing_cols"),
+    )
+
+
+def drift_split(
+    decoded: DataFrame, table: str, declared: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, drifted): the T7 good-rows-only contract applied to SCHEMAS
+    at ingest — rows whose wire column set diverges from the declared
+    schema route to the drift dead-letter frame (carrying their signature
+    for triage/backfill bounds) instead of flowing on with silently
+    dropped or missing fields. Plain filters over
+    :func:`with_drift_signature`, so it composes with batch and streaming
+    frames alike; the batch :func:`schema_drift_audit` and the streaming
+    ``schema_drift_stream`` aggregate the same signatures."""
+    sig = with_drift_signature(decoded, table, declared)
+    clean_pred = (F.col("unknown_cols") == "") & (F.col("missing_cols") == "")
+    clean = sig.filter(clean_pred).drop("unknown_cols", "missing_cols")
+    drifted = sig.filter(~clean_pred)
+    return clean, drifted
+
+
 def person_change_json(
     seq: int,
     action: str,

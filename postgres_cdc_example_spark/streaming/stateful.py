@@ -740,6 +740,79 @@ def manifest_stream(docs: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+# --- streaming schema-drift gate (CDC wire decode at ingest) -------------------
+
+DRIFT_OUTPUT_SCHEMA = (
+    "unknown_cols string, missing_cols string, n_events long, "
+    "first_seq long, last_seq long"
+)
+DRIFT_STATE_SCHEMA = "n long, first_seq long, last_seq long"
+
+
+def _drift_group(key, pdfs, state: GroupState):
+    """Fold a batch of drifted events into the per-signature state
+    (count, min seq, max seq). Count/min/max are commutative+associative,
+    so any batch slicing or restart point lands on the same totals — the
+    stream ≡ batch property the restart test pins."""
+    unknown, missing = key
+    batch = pd.concat(list(pdfs))
+    n = int(len(batch))
+    fs = int(batch["seq"].min())
+    ls = int(batch["seq"].max())
+    if state.exists:
+        pn, pf, pl = state.get
+        n += int(pn)
+        fs = min(fs, int(pf))
+        ls = max(ls, int(pl))
+    state.update((n, fs, ls))
+    yield pd.DataFrame(
+        {
+            "unknown_cols": [unknown],
+            "missing_cols": [missing],
+            "n_events": [n],
+            "first_seq": [fs],
+            "last_seq": [ls],
+        }
+    )
+
+
+def schema_drift_stream(
+    lines: DataFrame, table: str, declared: list[str]
+) -> DataFrame:
+    """Streaming twin of ``sources.changelog.schema_drift_audit``:
+    production catches schema drift AT INGEST, not in a nightly batch
+    audit. The REAL wire decode path (``decode_change_lines`` →
+    ``with_drift_signature``) runs inside the micro-batch; drifted events
+    accumulate per-signature running totals (count, first/last WAL
+    position — the operator's backfill bounds) in keyed state across
+    batches AND restarts. Pair with ``changelog.drift_split`` in the same
+    ``foreachBatch`` to route the drifted rows themselves to the
+    dead-letter frame (T7's good-rows-only contract) while this stream
+    maintains the observable totals. Scale shape: the signature is a
+    per-row JVM projection (one Generate barrier, set arithmetic in
+    codegen) and the Arrow hop carries three narrow columns of DRIFTED
+    rows only — state is O(distinct signatures), the smallest possible
+    footprint."""
+    from postgres_cdc_example_spark.sources.changelog import (
+        decode_change_lines,
+        with_drift_signature,
+    )
+
+    sig = with_drift_signature(decode_change_lines(lines), table, declared)
+    drifted = sig.filter(
+        (F.col("unknown_cols") != "") | (F.col("missing_cols") != "")
+    ).select(
+        "unknown_cols", "missing_cols", F.col("change.seq").alias("seq")
+    )
+    return drifted.groupBy("unknown_cols", "missing_cols").applyInPandasWithState(
+        _drift_group,
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- streaming event-rate anomaly (trailing-24-observed-hours z-score) --------
 
 ANOM_OUTPUT_SCHEMA = (

@@ -15,7 +15,12 @@ Ideal ≈ 10× (linear in rows) or below (fixed overheads amortize);
 a factor well above 10× flags super-linear work. Results are recorded in
 SCALING.md.
 
-Usage: python scripts/bench_scale.py [replicas]
+Usage: python scripts/bench_scale.py [replicas] [comma-separated-query-subset]
+
+The optional subset (e.g. ``50 tfidf_cosine_pairs,dedup_containment_pairs``)
+runs the 50x validation of the measured superlinear growers without paying
+for the whole list at that scale; each replica count builds its own corpus
+directory, so 10x and 50x results coexist.
 """
 
 from __future__ import annotations
@@ -27,7 +32,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
-SCALE_DIR = "/tmp/spark_graft_scale10"
+
+
+def scale_dir(replicas: int) -> str:
+    return f"/tmp/spark_graft_scale{replicas}"
 
 QUERIES = [
     "dedup_minhash_lsh",
@@ -92,12 +100,16 @@ QUERIES = [
     "length_quality_kendall",
     "multimodal_decoded_parity",
     "dedup_winnowing_incremental",
+    # round-9 (documents-based)
+    "dedup_snm_multipass",
+    "pipeline_end_to_end",
 ]
 
 
 def build_scale_corpus(spark, replicas: int) -> None:
     from pyspark.sql import functions as F
 
+    SCALE_DIR = scale_dir(replicas)
     if os.path.exists(os.path.join(SCALE_DIR, "_SUCCESS_MARKER")):
         return
     os.makedirs(SCALE_DIR, exist_ok=True)
@@ -156,6 +168,7 @@ def build_scale_corpus(spark, replicas: int) -> None:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    subset = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     from postgres_cdc_example_spark import queries as q
     from postgres_cdc_example_spark.queries.extensions import (
         _doc_bands,
@@ -172,6 +185,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
 
+    SCALE_DIR = scale_dir(replicas)
+    queries = [n for n in QUERIES if subset is None or n in subset]
     print(f"# building {replicas}x corpus in {SCALE_DIR}", file=sys.stderr)
     build_scale_corpus(spark, replicas)
 
@@ -198,7 +213,7 @@ def main() -> None:
         layer = time.perf_counter() - t0
         results[("_layer_build", tag)] = layer
         print(f"# layer build {tag}: {layer:.1f}s", file=sys.stderr)
-        for name in QUERIES:
+        for name in queries:
             ts = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -208,7 +223,7 @@ def main() -> None:
             print(f"# {name} {tag}: {min(ts):.2f}s", file=sys.stderr)
 
     print(f"{'query':34s} {'1x':>8s} {replicas:>6d}x  factor")
-    for name in ["_layer_build"] + QUERIES:
+    for name in ["_layer_build"] + queries:
         a, b = results[(name, "1x")], results[(name, f"{replicas}x")]
         print(f"{name:34s} {a:8.2f} {b:7.2f}  {b / a:5.1f}x")
 

@@ -445,3 +445,77 @@ def test_winnowing_incremental_equals_full_run_filtered(spark, sf_dir):
     }
     assert inc == full
     assert inc, "fixture must plant winnowing pairs in the delta slice"
+
+
+def test_snm_multipass_rotated_key_catches_first_word_edit(spark, tmp_path):
+    """The planted blind-spot pair: two documents identical except for the
+    FIRST word, with >SNM_WINDOW unrelated docs sorting lexicographically
+    between them. Pass 1 (prefix key) must MISS the pair (adjacency broken
+    at char 1); pass 2 (rotated key dropping the first 3 tokens) must
+    CATCH it (the rotated keys are identical, so the two docs rank
+    adjacent). The multipass union reports it with in_pass1=0, in_pass2=1,
+    and both engines agree on the full result (oracle parity on the same
+    planted corpus)."""
+    import os
+
+    import duckdb as _duckdb
+
+    tail = (
+        "shared trailing content stretches across many words so the"
+        " three gram jaccard overlap stays comfortably above one half"
+        " for the planted duplicate pair"
+    )
+    rows = [
+        (1, f"aardvark {tail}", "en", "s", 0),
+        (2, f"zebra {tail}", "en", "s", 0),
+    ]
+    # 12 fillers whose prefix keys sort strictly between 'aardvark' and
+    # 'zebra' (first letters b..y), each with a unique low-overlap tail —
+    # more than SNM_WINDOW of them, so pass 1 cannot bridge the pair
+    for i in range(12):
+        first = chr(ord("b") + i * 2)  # b d f h j l n p r t v x
+        rows.append(
+            (
+                10 + i,
+                f"{first}unique filler document number {i} carrying its own"
+                f" distinct words {first}{i} nothing shared with others",
+                "en",
+                "s",
+                0,
+            )
+        )
+    rows = [(d, t, lg, so, len(t)) for d, t, lg, so, _ in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "snm")
+    os.makedirs(d)
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): (r.in_pass1, r.in_pass2)
+        for r in q.queries()["dedup_snm_multipass"](spark, d).collect()
+    }
+    assert (1, 2) in got, "rotated-key pass must catch the first-word edit"
+    assert got[(1, 2)] == (0, 1), "pass 1 must miss it; pass 2 must catch it"
+    # single-pass SNM on the same corpus confirms the blind spot directly
+    single = {
+        (r.doc_a, r.doc_b)
+        for r in q.queries()["dedup_sorted_neighborhood"](spark, d).collect()
+    }
+    assert (1, 2) not in single and (2, 1) not in single
+
+    # both engines agree on the planted corpus (same compare as the driver)
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from tests.oracle_utils import normalize_result
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet', '*.parquet')}')"
+    )
+    sdf = q.queries()["dedup_snm_multipass"](spark, d)
+    res = con.sql(REGISTRY["dedup_snm_multipass"].oracle)
+    s = normalize_result(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    o = normalize_result(list(res.columns), [tuple(r) for r in res.fetchall()])
+    assert s == o

@@ -59,6 +59,8 @@ INVARIANCE_QUERIES = [
     "text_kneser_ney_nll",  # exact-rational KN smoothing, per-row ln micro-round
     "multimodal_decoded_parity",  # stdlib codec round-trip per doc (no shuffle at all)
     "cdc_schema_drift_audit",  # to_json/from_json wire round-trip + set diff
+    "dedup_snm_multipass",  # two distributed ranks + union-dedup + pass flags
+    "pipeline_end_to_end",  # 4-member flag chain + packing window off one checkpoint
 ]
 
 

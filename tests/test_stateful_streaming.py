@@ -1190,3 +1190,83 @@ def test_session_window_stream_tight_watermark_drops_within_advisor_model(
             sim += sum(1 for _, us, _ in chunk if us + gap_us < wm)
         wm = max(wm or 0, max(us for _, us, _ in chunk) - delay_us)
     assert dropped_stream == sim
+
+
+def test_schema_drift_stream_matches_batch_audit_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """The streaming schema-drift GATE (r8 verdict #4): the real wire
+    decode runs inside the micro-batch, per-signature totals accumulate in
+    keyed state, and a RESTART between chunks must not lose or double-count
+    anything — final signature totals equal the batch audit's on the same
+    injected lines. Also pins drift_split's good-rows-only contract: the
+    drifted rows routed to the dead-letter frame are exactly the events
+    the audit counts."""
+    import os
+
+    from postgres_cdc_example_spark.queries.cdc import _drifted_wire_lines
+    from postgres_cdc_example_spark.sources.changelog import (
+        PERSON_COLUMNS,
+        decode_change_lines,
+        drift_split,
+        schema_drift_audit,
+    )
+    from postgres_cdc_example_spark.streaming.stateful import schema_drift_stream
+
+    declared = ["id", *PERSON_COLUMNS.keys()]
+    lines = _drifted_wire_lines(spark, sf_dir)
+    vals = [r.value for r in lines.collect()]
+    assert len(vals) > 10
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    emitted: list = []
+
+    def drain():
+        stream = spark.readStream.schema("value string").text(src)
+        q = (
+            schema_drift_stream(stream, "person", declared)
+            .writeStream.foreachBatch(lambda bdf, _b: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = len(vals) // 2
+    with open(os.path.join(src, "chunk1.txt"), "w") as f:
+        f.write("\n".join(vals[:half]))
+    drain()
+    n_first = len(emitted)
+    assert n_first, "first chunk must already carry drift signatures"
+    with open(os.path.join(src, "chunk2.txt"), "w") as f:
+        f.write("\n".join(vals[half:]))
+    drain()  # fresh query, same checkpoint: state restored from the store
+
+    # last emission per signature is the running total after all chunks
+    final: dict = {}
+    for r in emitted:
+        final[(r.unknown_cols, r.missing_cols)] = (
+            r.n_events,
+            r.first_seq,
+            r.last_seq,
+        )
+    want = {
+        (r.unknown_cols, r.missing_cols): (r.n_events, r.first_seq, r.last_seq)
+        for r in schema_drift_audit(
+            decode_change_lines(lines), "person", declared
+        ).collect()
+    }
+    assert final == want
+    assert want, "fixture must produce drift signatures"
+
+    # dead-letter routing: drifted rows = exactly the audited event count
+    clean, drifted = drift_split(decode_change_lines(lines), "person", declared)
+    n_drifted = drifted.count()
+    assert n_drifted == sum(n for n, _f, _l in want.values())
+    assert clean.count() + n_drifted == len(vals)
+    # and the clean frame really is drift-free under the same audit
+    assert (
+        schema_drift_audit(clean, "person", declared).count() == 0
+    )
