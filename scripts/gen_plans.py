@@ -92,6 +92,8 @@ NOTES = {
     "length_quality_spearman": "Zero-shuffle scoring scan + two value-domain-bounded midrank histograms (windows over histogram rows only) + one moment aggregate; the closing Pearson-on-ranks runs as correctly-rounded IEEE ops on exact integers.",
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
     "value_location_kruskalwallis": "K-sample location test: one map-side-combined (type, milli-grid) aggregate, a bounded-grid window for doubled midranks, a k-row group table, two 1-row scalar broadcasts — the decision is cleared-denominator DECIMAL(38,0) arithmetic vs a chi2-quantile literal; no transcendental anywhere.",
+    "dedup_snm_multipass": "Two independent distributed ranks (prefix-bucket row_number + broadcast offsets per pass), each feeding the 8-way rank-explode equi-join; union canonicalizes to (least, greatest) and the per-pass flags aggregate on the pair key; verification joins the checkpointed per-doc shingle arrays ONCE per unique pair — no range join, no global sort, no re-verification per pass.",
+    "pipeline_end_to_end": "Every member (exact keepers, cluster keepers, contamination set, quality scores) computed ONCE and joined by doc_id into a single flag-annotated narrow frame (localCheckpointed); the seven output rows are conditional aggregates and one bounded packing window over that cache — the capstone never recomputes a stage.",
     "length_quality_kendall": "Kendall tau-b: zero-shuffle scoring scan, one (length, quality-percent) keyed count, a dense value-domain-bounded grid (<= |lengths| x 101, the HLL-grid class), 2D prefix sums as two windows over grid rows, then a moment row — concordance counting without any pair join.",
     "text_kneser_ney_nll": "KN-smoothed scoring: four map-side-combined counts off ONE bigram explode, 1-row type-count broadcast, per-bigram probability as an exact rational with a single per-row ln micro-rounded BEFORE the per-doc sum; all joins bigram/word-keyed.",
     "multimodal_decoded_parity": "Real-codec round-trip: ONE Arrow mapInPandas stage fused over the pruned (doc_id, text) scan — encode, stdlib decode (zlib inflate + PNG filter reconstruction, wave PCM), aHash and round-trip booleans all inside it; no shuffle at all.",
