@@ -545,6 +545,7 @@ def semantic_dedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    a_min_id: int | None = None,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup shape): assign every
     vector to its nearest trained centroid, then compare pairs ONLY within a
@@ -564,11 +565,19 @@ def semantic_dedup_flags(
     keyed on ``cluster_id`` — never a cartesian product. At 100 TB the
     centroid count grows with the corpus (k ≈ N / target-cluster-size, the
     SemDeDup deployment rule), so per-cluster candidate sets stay bounded
-    and the join cost is Σ|cluster|², not N²."""
+    and the join cost is Σ|cluster|², not N².
+
+    ``a_min_id`` is the INCREMENTAL arm: only vectors with id >= it are
+    tested (the per-batch delta), each against every lower-id corpus
+    member of its cluster — the a side shrinks to the delta BEFORE the
+    join, so per-batch cost is O(delta × cluster density), and because
+    the drop rule only ever looks at lower ids, the incremental result
+    is by construction the full run filtered to the delta."""
     base = _normed(df, id_col, vec_col).select(
         F.col(id_col), "v", "nrm", assign_to_literal_centroids(cent_rows)
     )
-    a = base.select(
+    a_base = base if a_min_id is None else base.filter(F.col(id_col) >= a_min_id)
+    a = a_base.select(
         F.col(id_col).alias("vec_a"),
         "cluster_id",
         F.col("v").alias("va"),
@@ -595,7 +604,7 @@ def semantic_dedup_flags(
         .agg(F.min("vec_b").alias("dup_of"), F.max("cos_r").alias("dup_cos"))
     )
     return (
-        base.select(F.col(id_col), "cluster_id")
+        a_base.select(F.col(id_col), "cluster_id")
         .join(drops, F.col(id_col) == drops["vec_a"], "left")
         .select(
             F.col(id_col),

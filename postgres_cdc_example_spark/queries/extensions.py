@@ -1676,6 +1676,44 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_incremental",
+    # the oracle INTERPOLATES the registered full-run SQL (the incremental-
+    # trio composition pattern): "incremental == full run filtered to the
+    # delta" is stated by construction, drift-proof
+    oracle=f"""
+    WITH full_run AS (
+      {_semantic_dedup_oracle()}
+    ),
+    mx AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS t FROM embeddings)
+    SELECT f.vec_id, f.cluster_id, f.is_kept, f.dup_of, f.dup_cos
+    FROM full_run f, mx WHERE f.vec_id >= mx.t
+    """,
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the EMBEDDING arm completing the
+    incremental quartet (MinHash / exact-substring / winnowing / this):
+    the newest ingest slice (top 10% of vec_ids — arrival order on this
+    fixture) is assigned to the SESSION-TRAINED centroids (the model
+    production holds between batches — retraining cadence is priced
+    separately by ``ann_staleness_audit``) and each delta vector is
+    tested against every LOWER-id corpus member of its cluster. The
+    a side shrinks to the delta BEFORE the cluster-keyed join, so
+    per-batch cost is O(delta × cluster density) — corpus×corpus pairs
+    never enumerate — and because the SemDeDup drop rule only ever looks
+    at lower ids, the incremental answer is EXACTLY the full run
+    filtered to the delta; the oracle states that identity by
+    interpolating the registered full-run SQL. The threshold derives
+    from the data (((max_id + 1) * 9) div 10) identically in both
+    engines; the collected max id is one long of driver metadata."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    t = ((int(mx) + 1) * 9) // 10
+    return similarity.semantic_dedup_flags(
+        emb, cent_rows=_trained_centroids(spark, sf_dir), a_min_id=t
+    )
+
+
 def _recall_audit_oracle() -> str:
     """Recall audit oracle: brute-force truth CTEs and the multi-probe
     sign-LSH CTEs composed under distinct names, joined on (q_id, nbr_id)."""

@@ -4958,3 +4958,160 @@ def length_quality_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) END AS BIGINT)"
         ).alias("tau_b_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity partition + fixed-window chunk plan (round 9)
+# ---------------------------------------------------------------------------
+
+PPL_RANGE_BUCKET = 65_536  # monotone NLL coarsening for the two-pass rank
+
+
+@register(
+    "perplexity_bucket_plan",
+    oracle=f"""
+    WITH nll AS ({REGISTRY["text_unigram_nll"].oracle}),
+    r AS (
+      SELECT d.lang, nll.n_tokens, nll.mean_nll_micro,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY nll.mean_nll_micro, nll.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM nll JOIN documents d ON d.doc_id = nll.doc_id
+    ),
+    b AS (SELECT lang, (rn - 1) * 3 // n AS b3, n_tokens, mean_nll_micro FROM r)
+    SELECT lang,
+           CASE b3 WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(mean_nll_micro) AS BIGINT) AS min_nll_micro,
+           CAST(max(mean_nll_micro) AS BIGINT) AS max_nll_micro
+    FROM b GROUP BY lang, b3
+    """,
+)
+def perplexity_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PERPLEXITY PARTITION: per language, rank documents by
+    their LM score (``text_unigram_nll``'s mean NLL — perplexity is
+    monotone in it, so the split is identical) and cut each language into
+    equal-population head/middle/tail terciles — the standard
+    quality-stratification a web-scale curation run performs before
+    choosing how much of each stratum to keep. The engine composes the
+    REGISTERED scorer (sharing its occurrence layer) and computes the
+    per-language rank with the two-pass distributed shape proven by
+    ``quality_curriculum`` — per-(lang, NLL-range-bucket) row_number plus
+    broadcast cumulative offsets, a monotone coarsening of the sort key,
+    so no language's documents cross one reducer — while the oracle
+    states the spec as the plain per-lang global row_number. Tercile
+    arithmetic is pure integers ((rank−1)·3 div n — Spark ``div`` ≡
+    DuckDB ``//`` on the non-negative operands). Output: per (lang,
+    bucket) population, token mass, and the NLL range — the table that
+    tells you what 'head quality' costs in tokens per language."""
+    nll = REGISTRY["text_unigram_nll"].fn(spark, sf_dir)
+    lang = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    t = nll.join(lang, "doc_id").withColumn(
+        "qb", F.floor(F.col("mean_nll_micro") / F.lit(PPL_RANGE_BUCKET))
+    )
+    wb = Window.partitionBy("lang", "qb").orderBy("mean_nll_micro", "doc_id")
+    ranked = t.withColumn("rk", F.row_number().over(wb))
+    counts = t.groupBy("lang", "qb").agg(F.count(F.lit(1)).alias("n_b"))
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "lang", "qb", (F.sum("n_b").over(wo) - F.col("n_b")).alias("offset")
+    )
+    nlang = counts.groupBy("lang").agg(F.sum("n_b").cast("long").alias("n"))
+    return (
+        ranked.join(F.broadcast(offsets), ["lang", "qb"])
+        .join(F.broadcast(nlang), "lang")
+        .select(
+            "lang",
+            F.expr("(offset + rk - 1) * 3 div n").alias("b3"),
+            "n_tokens",
+            "mean_nll_micro",
+        )
+        .groupBy("lang", "b3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("mean_nll_micro").cast("long").alias("min_nll_micro"),
+            F.max("mean_nll_micro").cast("long").alias("max_nll_micro"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CASE b3 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'"
+                " ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            "total_tokens",
+            "min_nll_micro",
+            "max_nll_micro",
+        )
+    )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_STRIDE = 48  # window start stride (64-48 = 16 tokens of overlap)
+
+
+@register(
+    "doc_chunk_plan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(0, (len(tk) - 1) // {CHUNK_STRIDE})) AS i
+      FROM t WHERE len(tk) >= 1
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(tk[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               tk[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window TOKEN CHUNKING with overlap — the context-window prep
+    step every pretraining/RAG pipeline runs (documents → {W}-token
+    windows starting every {S} tokens, so consecutive chunks share
+    {W}-{S} tokens of context): per chunk, its index, token count (short
+    tail windows keep their natural length — the downstream packer's
+    concern, as in ``pack_documents``), and the md5 of the
+    space-rejoined window (the chunk-level dedup/provenance key — chunk
+    hashes are what a RAG index or a chunk-level near-dup pass consumes).
+    Zero-token documents yield no chunks (the ``ngram_rows`` convention).
+    Scale shape: ONE scan, one Generate (sequence explode) — no shuffle
+    anywhere; output volume is the intrinsic ~n/{S} chunks per doc, and
+    the slice/hash run inside codegen on both engines with identical
+    string semantics (whitespace tokens, single-space rejoin)."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    t = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    c = t.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.expr(f"sequence(CAST(0 AS BIGINT), (size(tk) - 1) div {CHUNK_STRIDE})")
+        ).alias("i"),
+    )
+    chunk = f"slice(tk, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+    return c.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        F.expr(f"CAST(size({chunk}) AS BIGINT)").alias("n_chunk_tokens"),
+        F.expr(f"md5(concat_ws(' ', {chunk}))").alias("chunk_md5"),
+    )
+
+
+doc_chunk_plan.__doc__ = doc_chunk_plan.__doc__.replace(
+    "{W}", str(CHUNK_TOKENS)
+).replace("{S}", str(CHUNK_STRIDE))

@@ -103,6 +103,9 @@ QUERIES = [
     # round-9 (documents-based)
     "dedup_snm_multipass",
     "pipeline_end_to_end",
+    "semantic_dedup_incremental",
+    "perplexity_bucket_plan",
+    "doc_chunk_plan",
 ]
 
 

@@ -61,6 +61,8 @@ INVARIANCE_QUERIES = [
     "cdc_schema_drift_audit",  # to_json/from_json wire round-trip + set diff
     "dedup_snm_multipass",  # two distributed ranks + union-dedup + pass flags
     "pipeline_end_to_end",  # 4-member flag chain + packing window off one checkpoint
+    "semantic_dedup_incremental",  # cluster-keyed delta join, round-6 cosine grid
+    "doc_chunk_plan",  # sequence explode + slice/md5 (no shuffle at all)
 ]
 
 
