@@ -196,7 +196,7 @@ BENCH_QUERIES = [
     "dedup_snm_multipass",  # 3.61 s best-of-3 idle at sf0.1 (two full SNM passes by design)
     "pipeline_end_to_end",  # 3.12 s best-of-3 idle at sf0.1 (chains 4 member queries)
     "semantic_dedup_incremental",  # 1.96 s best-of-3 idle at sf0.1 (delta x cluster join)
-    "perplexity_bucket_plan",  # 1.55 s best-of-3 idle at sf0.1 (per-lang two-pass rank)
+    "perplexity_bucket_plan",  # 1.16 s best-of-3 idle at sf0.1 (per-lang two-pass rank)
     "doc_chunk_plan",  # 0.48 s best-of-3 idle at sf0.1 (one scan + sequence explode)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at

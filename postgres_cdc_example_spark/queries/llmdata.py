@@ -5008,8 +5008,13 @@ def perplexity_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells you what 'head quality' costs in tokens per language."""
     nll = REGISTRY["text_unigram_nll"].fn(spark, sf_dir)
     lang = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    t = nll.join(lang, "doc_id").withColumn(
-        "qb", F.floor(F.col("mean_nll_micro") / F.lit(PPL_RANGE_BUCKET))
+    # three consumers (ranked, offsets, nlang) — the checkpoint stops the
+    # whole unigram scorer (with its audited 1-row-total broadcast) from
+    # running three times (the dedup_graph_shape_audit lesson)
+    t = (
+        nll.join(lang, "doc_id")
+        .withColumn("qb", F.floor(F.col("mean_nll_micro") / F.lit(PPL_RANGE_BUCKET)))
+        .localCheckpoint(eager=False)
     )
     wb = Window.partitionBy("lang", "qb").orderBy("mean_nll_micro", "doc_id")
     ranked = t.withColumn("rk", F.row_number().over(wb))
