@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "semantic_dedup_incremental",  # 1.96 s best-of-3 idle at sf0.1 (delta x cluster join)
     "perplexity_bucket_plan",  # 1.16 s best-of-3 idle at sf0.1 (per-lang two-pass rank)
     "doc_chunk_plan",  # 0.48 s best-of-3 idle at sf0.1 (one scan + sequence explode)
+    "golden_record_survivorship",  # 1.85 s best-of-3 idle at sf0.1 (composes dedup_clusters)
+    "length_mad_gate",  # 1.09 s best-of-3 idle at sf0.1 (histogram order statistics)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

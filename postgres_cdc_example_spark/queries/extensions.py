@@ -663,6 +663,96 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(sizes, "component").select("doc_id", "component", "n_docs")
 
 
+def _golden_record_oracle() -> str:
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    return f"""
+    WITH cl AS ({REGISTRY["dedup_clusters"].oracle}),
+    m AS (
+      SELECT cl.doc_id, cl.component, d.lang, d.source, d.n_chars
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+    ),
+    lm AS (
+      SELECT component, lang AS lang_golden FROM (
+        SELECT component, lang,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, lang) AS r
+        FROM m GROUP BY component, lang) WHERE r = 1
+    ),
+    sm AS (
+      SELECT component, source AS source_golden FROM (
+        SELECT component, source,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, source) AS r
+        FROM m GROUP BY component, source) WHERE r = 1
+    ),
+    agg AS (
+      SELECT component, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n_chars) AS BIGINT) AS n_chars_max
+      FROM m GROUP BY component
+    )
+    SELECT agg.component, agg.keeper_id, agg.n_docs,
+           lm.lang_golden, sm.source_golden, agg.n_chars_max
+    FROM agg JOIN lm ON lm.component = agg.component
+             JOIN sm ON sm.component = agg.component
+    """
+
+
+@register("golden_record_survivorship", oracle=_golden_record_oracle())
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship — the master-data-management step after
+    clustering: per near-dup cluster, build the merged record a
+    deduplicated catalog actually ships, with per-field survivorship
+    rules instead of blindly taking the keeper's row. Rules here: keeper
+    id = lowest doc_id (the cluster convention), lang/source = the
+    cluster's MODAL value (most frequent, ties to the lexicographically
+    smallest — deterministic in both engines), n_chars = cluster max
+    (the longest variant's length — truncation dups survive as their
+    fullest form). 22/23 fixture clusters carry field variation, so the
+    modal rules genuinely arbitrate. Both sides COMPOSE the registered
+    ``dedup_clusters`` definition (oracle interpolates its SQL; engine
+    calls the member fn and localCheckpoints the cluster-joined frame —
+    four consumers would otherwise re-run the LSH chain four times).
+    Scale shape: everything downstream of the member runs on CLUSTER
+    rows only (pairs that survived verification), keyed aggregates +
+    per-component windows over handfuls of rows."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    cl = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    m = cl.join(d, "doc_id").localCheckpoint(eager=False)
+
+    def modal(field: str, alias: str) -> DataFrame:
+        cnt = m.groupBy("component", field).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("component").orderBy(F.col("c").desc(), F.col(field))
+        return (
+            cnt.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("component", F.col(field).alias(alias))
+        )
+
+    agg = m.groupBy("component").agg(
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("n_chars_max"),
+    )
+    return (
+        agg.join(modal("lang", "lang_golden"), "component")
+        .join(modal("source", "source_golden"), "component")
+        .select(
+            "component",
+            "keeper_id",
+            "n_docs",
+            "lang_golden",
+            "source_golden",
+            "n_chars_max",
+        )
+    )
+
+
 def _incremental_minhash_oracle() -> str:
     mins = ", ".join(
         f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min')"

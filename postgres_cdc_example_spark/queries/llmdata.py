@@ -5120,3 +5120,154 @@ def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_chunk_plan.__doc__ = doc_chunk_plan.__doc__.replace(
     "{W}", str(CHUNK_TOKENS)
 ).replace("{S}", str(CHUNK_STRIDE))
+
+
+MAD_K = 3  # flag docs with |len - median| > MAD_K * MAD (the robust z-gate)
+
+
+@register(
+    "length_mad_gate",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    cw AS (
+      SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+      FROM h
+    ),
+    mlo AS (SELECT cw.source, min(v) AS vlo FROM cw JOIN t ON t.source = cw.source
+            WHERE cum >= (n + 1) // 2 GROUP BY 1),
+    mhi AS (SELECT cw.source, min(v) AS vhi FROM cw JOIN t ON t.source = cw.source
+            WHERE cum >= (n + 2) // 2 GROUP BY 1),
+    m2 AS (SELECT mlo.source, vlo + vhi AS med2
+           FROM mlo JOIN mhi ON mhi.source = mlo.source),
+    dh AS (
+      SELECT h.source, abs(2 * h.v - m2.med2) AS d2, CAST(sum(c) AS BIGINT) AS c
+      FROM h JOIN m2 ON m2.source = h.source GROUP BY 1, 2
+    ),
+    dw AS (
+      SELECT source, d2, c,
+             sum(c) OVER (PARTITION BY source ORDER BY d2) AS cum
+      FROM dh
+    ),
+    alo AS (SELECT dw.source, min(d2) AS dlo FROM dw JOIN t ON t.source = dw.source
+            WHERE cum >= (n + 1) // 2 GROUP BY 1),
+    ahi AS (SELECT dw.source, min(d2) AS dhi FROM dw JOIN t ON t.source = dw.source
+            WHERE cum >= (n + 2) // 2 GROUP BY 1),
+    mad AS (SELECT alo.source, dlo + dhi AS mad4
+            FROM alo JOIN ahi ON ahi.source = alo.source)
+    SELECT t.source, t.n AS n_docs,
+           CAST(m2.med2 AS BIGINT) AS med2_chars,
+           CAST(mad.mad4 AS BIGINT) AS mad4_chars,
+           CAST(sum(CASE WHEN 2 * abs(2 * h.v - m2.med2) > {MAD_K} * mad.mad4
+                    THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(abs(2 * h.v - m2.med2)) AS BIGINT) AS max_dev2
+    FROM h JOIN m2 ON m2.source = h.source
+           JOIN mad ON mad.source = h.source
+           JOIN t ON t.source = h.source
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def length_mad_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST length-outlier gate per source — median + MAD instead of
+    mean + sigma, the screen that survives the heavy-tailed length
+    distributions real crawls have (one 10 MB page would drag a
+    mean/sigma gate's threshold; the median doesn't move). EXACT integer
+    arithmetic end to end via doubled order statistics: med2 = lower +
+    upper median of n_chars (always integer, no float midpoint), per-value
+    doubled deviations d2 = |2v − med2|, mad4 = doubled median of d2
+    (= 4·MAD), and the gate |v − med| > {K}·MAD clears to the integer
+    comparison 2·d2 > {K}·mad4 — no division, no float, identical in both
+    engines. Degenerate sources (>half identical lengths → MAD 0) flag
+    every deviating doc, the textbook MAD behavior, identically on both
+    sides. Scale shape: order statistics come from the per-source VALUE
+    HISTOGRAM (one map-side-combined aggregate; cumulative windows run
+    over histogram rows — the value-domain-bounded class, never a
+    per-doc global sort), then one re-aggregation of the same histogram
+    against the two broadcast-size scalars per source."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = h.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    wv = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cw = h.select("source", "v", "c", F.sum("c").over(wv).alias("cum")).join(
+        F.broadcast(t), "source"
+    )
+    mlo = (
+        cw.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("v").alias("vlo"))
+    )
+    mhi = (
+        cw.filter(F.expr("cum >= (n + 2) div 2"))
+        .groupBy("source")
+        .agg(F.min("v").alias("vhi"))
+    )
+    m2 = mlo.join(mhi, "source").select(
+        "source", (F.col("vlo") + F.col("vhi")).alias("med2")
+    )
+    dh = (
+        h.join(F.broadcast(m2), "source")
+        .groupBy("source", F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("d2"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wd = (
+        Window.partitionBy("source")
+        .orderBy("d2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dw = dh.select("source", "d2", "c", F.sum("c").over(wd).alias("cum")).join(
+        F.broadcast(t), "source"
+    )
+    alo = (
+        dw.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("d2").alias("dlo"))
+    )
+    ahi = (
+        dw.filter(F.expr("cum >= (n + 2) div 2"))
+        .groupBy("source")
+        .agg(F.min("d2").alias("dhi"))
+    )
+    mad = alo.join(ahi, "source").select(
+        "source", (F.col("dlo") + F.col("dhi")).alias("mad4")
+    )
+    return (
+        h.join(F.broadcast(m2), "source")
+        .join(F.broadcast(mad), "source")
+        .join(F.broadcast(t), "source")
+        .groupBy("source", "n", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+                    > F.lit(MAD_K) * F.col("mad4"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max(F.abs(F.lit(2) * F.col("v") - F.col("med2")))
+            .cast("long")
+            .alias("max_dev2"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("med2").cast("long").alias("med2_chars"),
+            F.col("mad4").cast("long").alias("mad4_chars"),
+            "n_outliers",
+            "max_dev2",
+        )
+    )
+
+
+length_mad_gate.__doc__ = length_mad_gate.__doc__.replace("{K}", str(MAD_K))

@@ -106,6 +106,8 @@ QUERIES = [
     "semantic_dedup_incremental",
     "perplexity_bucket_plan",
     "doc_chunk_plan",
+    "golden_record_survivorship",
+    "length_mad_gate",
 ]
 
 

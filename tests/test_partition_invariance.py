@@ -63,6 +63,7 @@ INVARIANCE_QUERIES = [
     "pipeline_end_to_end",  # 4-member flag chain + packing window off one checkpoint
     "semantic_dedup_incremental",  # cluster-keyed delta join, round-6 cosine grid
     "doc_chunk_plan",  # sequence explode + slice/md5 (no shuffle at all)
+    "length_mad_gate",  # doubled order statistics off per-source histograms
 ]
 
 
