@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "doc_chunk_plan",  # 0.48 s best-of-3 idle at sf0.1 (one scan + sequence explode)
     "golden_record_survivorship",  # 1.85 s best-of-3 idle at sf0.1 (composes dedup_clusters)
     "length_mad_gate",  # 1.09 s best-of-3 idle at sf0.1 (histogram order statistics)
+    "dedup_edit_distance_verify",  # 2.06 s best-of-3 idle at sf0.1 (SNM block + bounded DP)
+    "cube_priority_status_volume",  # 0.25 s best-of-3 idle at sf0.1 (Expand x4, one agg)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

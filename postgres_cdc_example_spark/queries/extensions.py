@@ -5514,6 +5514,69 @@ dedup_snm_multipass.__doc__ = dedup_snm_multipass.__doc__.replace(
 ).replace("{ROT}", str(SNM_ROTATE_TOKENS))
 
 
+LEV_MAX = 16  # edit-distance acceptance bound on the 64-char prefixes
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, substr(lower(trim(text)), 1, {SNM_KEY_LEN}) AS sk
+               FROM documents),
+    r AS (SELECT doc_id, sk, row_number() OVER (ORDER BY sk, doc_id) AS rn
+          FROM d),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sk AS sa, b.sk AS sb
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS edit_dist
+    FROM p WHERE levenshtein(sa, sb) <= {LEV_MAX}
+    """,
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification — the record-linkage verifier the
+    set-based family can't express: shingle Jaccard scores token
+    OVERLAP, Levenshtein scores the EDIT SCRIPT, so transposed words,
+    in-word typos, and single-char corruptions that shatter 3-gram
+    shingles still verify here. Candidates come from the SNM sorted
+    window (the same blocking the merge/purge literature pairs with
+    edit-distance verification); a pair survives at distance <=
+    {LEV}/{KL} chars on the normalized prefix. Engine runs
+    ``F.levenshtein`` (JVM codegen, char-level DP) over the two-pass
+    distributed rank's neighbor pairs; the oracle restates blocking as
+    the global BETWEEN join and uses DuckDB's ``levenshtein``. Parity
+    caveat, verified before registration: DuckDB's distance is
+    BYTE-level, Spark's CHAR-level — identical on this all-ASCII fixture
+    (asserted: 0 non-ASCII docs at every SF; same precedent as
+    ``multimodal_frame_sample``'s byte/char coincidence), and the
+    docstring records the divergence so a future non-ASCII fixture is a
+    known loud re-work, not a mystery. Scale shape: the O(len²) DP runs
+    on {KL}-char PREFIXES (bounded per-pair cost) over O(n·window)
+    blocked pairs — never all pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, SNM_KEY_LEN).alias("sk"),
+    )
+    pairs = _snm_pairs(d)
+    sa = d.select(F.col("doc_id").alias("x"), F.col("sk").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("y"), F.col("sk").alias("sb"))
+    return (
+        pairs.join(sa, "x")
+        .join(sb, "y")
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.levenshtein("sa", "sb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX)
+    )
+
+
+dedup_edit_distance_verify.__doc__ = dedup_edit_distance_verify.__doc__.replace(
+    "{LEV}", str(LEV_MAX)
+).replace("{KL}", str(SNM_KEY_LEN))
+
+
 # ---------------------------------------------------------------------------
 # duplicate-graph shape audit (triangles / transitivity per component)
 # ---------------------------------------------------------------------------

@@ -55,7 +55,8 @@ from postgres_cdc_example_spark.sources.tables import load_table
 def rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals region→nation→grand-total in ONE aggregate:
     ``rollup`` expands each row into its 3 grouping sets (Expand operator),
-    then a single hash agg with partial combine — never three scans."""
+    then a single hash agg with partial combine — never three scans.
+    (`cube_priority_status_volume` is the all-combinations sibling.)"""
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -3444,6 +3445,48 @@ def value_location_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > CAST(({_kw_chi2_case('k - 1')}) AS DECIMAL(38,0)) * dn"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_same_location"),
+    )
+
+
+@register(
+    "cube_priority_status_volume",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — the all-combinations sibling of
+    ``rollup_region_revenue`` completing the grouping-set family: one
+    aggregate produces every (priority, status) cell PLUS both one-way
+    margins and the grand total (4 grouping sets per row via the Expand
+    operator), the cross-tab an ops dashboard reads without four scans.
+    Money stays exact (half-up integer cents before the SUM — the repo's
+    cents convention — so subtotal rows equal the sum of their children
+    EXACTLY, the invariant float subtotals quietly break). Scale shape:
+    Expand ×4 feeds ONE hash aggregate with map-side partials; grouping
+    keys are low-cardinality so the expanded aggregate stays tiny."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
     )
 
 

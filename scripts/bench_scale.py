@@ -108,6 +108,7 @@ QUERIES = [
     "doc_chunk_plan",
     "golden_record_survivorship",
     "length_mad_gate",
+    "dedup_edit_distance_verify",
 ]
 
 

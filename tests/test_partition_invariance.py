@@ -64,6 +64,10 @@ INVARIANCE_QUERIES = [
     "semantic_dedup_incremental",  # cluster-keyed delta join, round-6 cosine grid
     "doc_chunk_plan",  # sequence explode + slice/md5 (no shuffle at all)
     "length_mad_gate",  # doubled order statistics off per-source histograms
+    "dedup_edit_distance_verify",  # distributed-rank blocking + char-DP verify
+    # cube/rollup stay out: grouping-set NULL markers are unsortable in this
+    # harness's tuple canon; their exactness is the integer-cents policy and
+    # the oracle hash already compares them order-insensitively
 ]
 
 
