@@ -94,6 +94,13 @@ NOTES = {
     "value_location_kruskalwallis": "K-sample location test: one map-side-combined (type, milli-grid) aggregate, a bounded-grid window for doubled midranks, a k-row group table, two 1-row scalar broadcasts — the decision is cleared-denominator DECIMAL(38,0) arithmetic vs a chi2-quantile literal; no transcendental anywhere.",
     "dedup_snm_multipass": "Two independent distributed ranks (prefix-bucket row_number + broadcast offsets per pass), each feeding the 8-way rank-explode equi-join; union canonicalizes to (least, greatest) and the per-pass flags aggregate on the pair key; verification joins the checkpointed per-doc shingle arrays ONCE per unique pair — no range join, no global sort, no re-verification per pass.",
     "pipeline_end_to_end": "Every member (exact keepers, cluster keepers, contamination set, quality scores) computed ONCE and joined by doc_id into a single flag-annotated narrow frame (localCheckpointed); the seven output rows are conditional aggregates and one bounded packing window over that cache — the capstone never recomputes a stage.",
+    "semantic_dedup_incremental": "Delta-only a side (vec_id >= threshold filter BEFORE the join) against the full corpus b side, equi-joined on cluster_id from the literal trained centroids - per-batch cost O(delta x cluster density), never corpus x corpus.",
+    "perplexity_bucket_plan": "The unigram scorer runs once behind a lazy localCheckpoint; per-lang ranks use the two-pass distributed shape (per-(lang, NLL-bucket) row_number + broadcast offsets); tercile arithmetic is integer div - no per-doc global sort.",
+    "doc_chunk_plan": "One scan, one Generate (sequence explode), slice+md5 inside codegen - zero shuffle; output volume is the intrinsic ~n/stride chunks per doc.",
+    "golden_record_survivorship": "Everything downstream of the composed dedup_clusters runs on CLUSTER rows only (localCheckpointed once for four consumers): keyed aggregates + per-component row_number windows over handfuls of rows.",
+    "length_mad_gate": "Order statistics from per-source VALUE histograms: one map-side-combined (source, n_chars) aggregate, cumulative windows over histogram rows (value-domain-bounded), then one re-aggregation against broadcast med2/mad4 scalars - never a per-doc sort.",
+    "dedup_edit_distance_verify": "SNM blocking (two-pass distributed rank + 8-way rank-explode equi-join) feeding a bounded char-DP: levenshtein on 64-char prefixes is O(64^2) per blocked pair, total O(n x window).",
+    "cube_priority_status_volume": "Expand x4 (the grouping sets) into ONE hash aggregate with map-side partials on low-cardinality keys; cents are exact integers so every margin equals the sum of its children.",
     "length_quality_kendall": "Kendall tau-b: zero-shuffle scoring scan, one (length, quality-percent) keyed count, a dense value-domain-bounded grid (<= |lengths| x 101, the HLL-grid class), 2D prefix sums as two windows over grid rows, then a moment row — concordance counting without any pair join.",
     "text_kneser_ney_nll": "KN-smoothed scoring: four map-side-combined counts off ONE bigram explode, 1-row type-count broadcast, per-bigram probability as an exact rational with a single per-row ln micro-rounded BEFORE the per-doc sum; all joins bigram/word-keyed.",
     "multimodal_decoded_parity": "Real-codec round-trip: ONE Arrow mapInPandas stage fused over the pruned (doc_id, text) scan — encode, stdlib decode (zlib inflate + PNG filter reconstruction, wave PCM), aHash and round-trip booleans all inside it; no shuffle at all.",
