@@ -202,6 +202,19 @@ BENCH_QUERIES = [
     "length_mad_gate",  # 1.09 s best-of-3 idle at sf0.1 (histogram order statistics)
     "dedup_edit_distance_verify",  # 2.06 s best-of-3 idle at sf0.1 (SNM block + bounded DP)
     "cube_priority_status_volume",  # 0.25 s best-of-3 idle at sf0.1 (Expand x4, one agg)
+    # round-9 continuation additions (timed best-of-3 idle at sf0.1):
+    "theilsen_daily_trend",  # 0.47 s (bounded daily-grid pair enumeration)
+    "mann_kendall_trend",  # 0.47 s (same pair grid + tie scalars)
+    "volume_ljung_box",  # 0.57 s (hash lag join on the bounded grid)
+    "volume_runs_test",  # 0.37 s (two bounded-grid windows)
+    "priority_status_cramers_v",  # 0.41 s (bounded cell table + scalars)
+    "token_good_turing",  # 0.29 s (count-of-counts off the shared occ layer)
+    "source_lexical_diversity",  # 0.29 s (one (source, tok) aggregate)
+    "orders_fd_audit",  # 0.68 s (four determinant-keyed aggregates)
+    "orders_key_candidates",  # 0.39 s (four DISTINCT arms + row-count scalar)
+    "event_dow_seasonality",  # 0.24 s (daily aggregate + 7-row rollup)
+    "event_ewma_anomaly",  # 0.28 s (10-lag window on the bounded grid)
+    "dedup_minhash_oph",  # 0.58 s (1 hash/shingle off the shared ngram layer)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

@@ -5760,3 +5760,277 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 div n_actual").alias("cell_share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# one-permutation-hashing (OPH) minhash — the 1-hash-per-shingle scale path
+# ---------------------------------------------------------------------------
+
+OPH_BUCKETS = 16  # one hex nibble of the single hash
+OPH_MIN_MATCH = 8  # >= 8/16 agreeing buckets ~ Jaccard 0.5 candidates
+
+
+@register(
+    "dedup_minhash_oph",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ss
+      FROM toks WHERE len(tk) >= 1
+    ),
+    shr AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    oph AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1 AS bucket,
+             min(md5(s)) AS mh
+      FROM shr GROUP BY doc_id, bucket
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS matches
+      FROM oph a JOIN oph b
+        ON a.bucket = b.bucket AND a.mh = b.mh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {OPH_MIN_MATCH}
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, matches,
+             len(list_intersect(sa.ss, sb.ss)) AS common,
+             len(sa.ss) AS size_a, len(sb.ss) AS size_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, matches, common, size_a, size_b,
+           CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common)
+                      * 1000000.0) AS BIGINT) AS jac_micro
+    FROM verified
+    WHERE CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common)
+                     * 1000000.0) AS BIGINT) >= 500000
+    """,
+)
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PERMUTATION-HASHING minhash — the hash-budget scale path beside
+    `dedup_minhash_lsh`: classic minhash evaluates NUM_HASHES=16 salted
+    md5s per shingle occurrence; OPH (Li-Owen-Zhang 2012) evaluates ONE
+    md5 and partitions hash space into {OPH_BUCKETS} buckets by the first
+    hex nibble, keeping the min per (doc, bucket). At 100 TB the shingle
+    explode dominates the dedup bill and OPH cuts its hash arithmetic
+    16× — the difference between one pass and a re-shard. Candidate
+    discovery joins on (bucket, min) equality — per-bucket agreement is a
+    Bernoulli(J) trial exactly like a classic minhash row, so ≥
+    {OPH_MIN_MATCH}/{OPH_BUCKETS} matches targets J ≈ 0.5 candidates
+    (empty-bucket densification is deliberately NOT applied: docs here
+    carry ≥ dozens of shingles, so empty buckets are rare; the
+    exact-Jaccard verification stage makes the estimate's small bias
+    harmless — candidates are never reported unverified). Verification
+    recomputes EXACT Jaccard on the shared shingle layer and keeps
+    ≥ 0.5 — the same contract as every other dedup family member, so
+    downstream clustering composes unchanged. Scale shape: one shingle
+    explode (shared persisted layer), ONE md5 per shingle row, a
+    (doc, bucket)-keyed min-aggregate (≤ {OPH_BUCKETS} rows/doc), an
+    equi-join on (bucket, min-hash) that only meets true collisions, and
+    keyed verification joins. No all-pairs stage anywhere."""
+    sh = _doc_ngrams(spark, sf_dir).withColumnRenamed("g", "s")
+    h = sh.select("doc_id", F.md5("s").alias("h"))
+    oph = (
+        h.select(
+            "doc_id",
+            F.expr(
+                "CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1"
+                " AS INT)"
+            ).alias("bucket"),
+            "h",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.min("h").alias("mh"))
+    )
+    a = oph.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bucket").alias("ba"),
+        F.col("mh").alias("ma"),
+    )
+    b = oph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bucket").alias("bb"),
+        F.col("mh").alias("mb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("ma") == F.col("mb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+        .filter(F.col("matches") >= OPH_MIN_MATCH)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    gb = sh.select(F.col("doc_id").alias("gb_doc"), F.col("s").alias("sb"))
+    common = (
+        cand.join(ga, "doc_a")
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb_doc")) & (F.col("sa") == F.col("sb")),
+        )
+        .groupBy("doc_a", "doc_b", "matches")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    jac = (
+        "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            "common",
+            "size_a",
+            "size_b",
+            F.expr(jac).alias("jac_micro"),
+        )
+        .filter(F.col("jac_micro") >= 500000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — uncertainty quantification without data replication
+# ---------------------------------------------------------------------------
+
+BOOT_REPS = 16
+# Poisson(1) CDF on the micro grid: P(X<=k) for k = 0..5 (precomputed
+# literals — floor(cdf*1e6+0.5); the runtime never calls exp)
+BOOT_CDF_MICRO = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _boot_weight_case(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(BOOT_CDF_MICRO)
+    )
+    return f"CASE {whens} ELSE {len(BOOT_CDF_MICRO)} END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    reps AS (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS b),
+    w AS (
+      SELECT reps.b, o.cents,
+             {_boot_weight_case(
+                 "CAST(('0x' || substr(md5(CAST(o.k AS VARCHAR) || ':' || "
+                 "CAST(reps.b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+             )} AS wt
+      FROM o CROSS JOIN reps
+    ),
+    per AS (
+      SELECT b AS replicate, CAST(sum(wt) AS BIGINT) AS n_eff,
+             CAST(sum(wt * cents) AS BIGINT) AS sum_cents,
+             CAST(CASE WHEN sum(wt) = 0 THEN 0
+                  ELSE (CAST(sum(wt * cents) AS HUGEINT) * 1000) // sum(wt)
+                  END AS BIGINT) AS mean_cents_milli
+      FROM w GROUP BY b
+    ),
+    summ AS (
+      SELECT CAST(({BOOT_REPS} * sum(CAST(mean_cents_milli AS HUGEINT)
+                                     * mean_cents_milli)
+                   - sum(CAST(mean_cents_milli AS HUGEINT))
+                     * sum(CAST(mean_cents_milli AS HUGEINT)))
+                  // ({BOOT_REPS} * {BOOT_REPS - 1}) AS BIGINT)
+               AS boot_var_milli2
+      FROM per
+    ),
+    orig AS (
+      SELECT CAST((CAST(sum(cents) AS HUGEINT) * 1000) // count(*)
+                  AS BIGINT) AS orig_mean_cents_milli
+      FROM o
+    )
+    SELECT per.replicate, per.n_eff, per.sum_cents, per.mean_cents_milli,
+           summ.boot_var_milli2, orig.orig_mean_cents_milli
+    FROM per, summ, orig
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP standard error for the mean order value — the
+    scale-out answer to "what is the confidence interval on this corpus
+    statistic": classic bootstrap resamples N rows WITH replacement
+    {BOOT_REPS}× (impossible at 100 TB — it needs a global sample index);
+    the Poisson bootstrap replaces each replicate's multinomial with
+    per-row INDEPENDENT Poisson(1) weights, so all {BOOT_REPS} replicates
+    compute in ONE scan as weighted aggregates — no data replication, no
+    coordination, embarrassingly parallel (the Chamandy et al. / Google
+    'Estimating Uncertainty for Massive Data Streams' construction).
+    Determinism: the Poisson draw inverts the precomputed CDF literal
+    table against a uniform hash u = md5(key:replicate) mod 10⁶ — same
+    idiom as `sample_hash_10pct`, reproducible across engines, runs, and
+    partitionings; the runtime never calls exp() or a RNG. Replicate
+    means are milli-quantized integers; the bootstrap variance of those
+    means is the exact integer (B·Σm² - (Σm)²) // (B·(B-1)) — all
+    non-negative operands (Cauchy-Schwarz makes the numerator ≥ 0), so
+    Spark ``div`` ≡ DuckDB ``//``. Scale shape: one scan × {BOOT_REPS}
+    lightweight weight projections (the CROSS JOIN with the replicate
+    grid is the audited bounded-literal-grid BNLJ), one map-side-combined
+    per-replicate aggregate, 1-row summary broadcasts."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("b"))
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    w = o.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", F.expr(_boot_weight_case(u)).alias("wt")
+    )
+    per = w.groupBy(F.col("b").alias("replicate")).agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.sum(F.expr("wt * cents")).cast("long").alias("sum_cents"),
+        F.expr(
+            "CAST(CASE WHEN sum(wt) = 0 THEN 0"
+            " ELSE (CAST(sum(wt * cents) AS DECIMAL(38,0)) * 1000)"
+            " div sum(wt) END AS BIGINT)"
+        ).alias("mean_cents_milli"),
+    )
+    summ = per.agg(
+        F.expr(
+            f"CAST(({BOOT_REPS} * sum(CAST(mean_cents_milli AS DECIMAL(38,0))"
+            " * mean_cents_milli)"
+            " - sum(CAST(mean_cents_milli AS DECIMAL(38,0)))"
+            " * sum(CAST(mean_cents_milli AS DECIMAL(38,0))))"
+            f" div ({BOOT_REPS} * {BOOT_REPS - 1}) AS BIGINT)"
+        ).alias("boot_var_milli2")
+    )
+    orig = o.agg(
+        F.expr(
+            "CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 1000) div count(*)"
+            " AS BIGINT)"
+        ).alias("orig_mean_cents_milli")
+    )
+    return (
+        per.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(orig))
+        .select(
+            "replicate",
+            "n_eff",
+            "sum_cents",
+            "mean_cents_milli",
+            "boot_var_milli2",
+            "orig_mean_cents_milli",
+        )
+    )

@@ -5271,3 +5271,435 @@ def length_mad_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 length_mad_gate.__doc__ = length_mad_gate.__doc__.replace("{K}", str(MAD_K))
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing count-of-counts smoothing + per-source lexical diversity
+# ---------------------------------------------------------------------------
+
+GT_MAX_R = 10  # Good-Turing only adjusts low counts; bounded output rows
+
+
+@register(
+    "token_good_turing",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+    coc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS nr
+            FROM cnt GROUP BY c),
+    tot AS (SELECT CAST(sum(CAST(r AS HUGEINT) * nr) AS BIGINT) AS n_tokens,
+                   CAST(sum(nr) AS BIGINT) AS vocab
+            FROM coc),
+    n1 AS (SELECT COALESCE(CAST(sum(nr) AS BIGINT), 0) AS n1
+           FROM coc WHERE r = 1),
+    low AS (SELECT r, nr FROM
+              (SELECT r, nr, row_number() OVER (ORDER BY r) AS rk FROM coc)
+            WHERE rk <= {GT_MAX_R})
+    SELECT a.r, a.nr,
+           b.nr AS nr_next,
+           CAST(CASE WHEN b.nr IS NULL THEN NULL
+                ELSE ((a.r + 1) * b.nr * 1000000) // a.nr END AS BIGINT)
+             AS r_star_micro,
+           tot.n_tokens, tot.vocab,
+           CAST((n1.n1 * 1000000) // tot.n_tokens AS BIGINT) AS p0_micro
+    FROM low a LEFT JOIN coc b ON b.r = a.r + 1, tot, n1
+    """,
+)
+def token_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING count-of-counts smoothing over the corpus unigram
+    distribution — the estimator behind Katz backoff and the standard
+    answer to "how much probability mass belongs to tokens we have NOT
+    seen" (p0 = N₁/N, the missing-mass estimate a tokenizer-coverage
+    monitor alerts on when a new data drop spikes it). The adjusted count
+    r* = (r+1)·N_(r+1)/N_r is reported on the micro grid for the
+    {GT_MAX_R} SMALLEST observed counts r (row_number on the bounded
+    count-of-counts table — Good-Turing only ever adjusts the low-count
+    end, and rank-of-r stays non-vacuous on dense synthetic vocabularies
+    where a fixed r ≤ 10 cutoff selects nothing), with an honest NULL
+    where N_(r+1) = 0 (undefined, never a silent 0 — the same reporting
+    contract as the chi²-table guard). Exactness: the
+    count-of-counts table is integers end-to-end; r*·10⁶ = (r+1)·N_(r+1)·
+    10⁶ // N_r floor-divides non-negative operands only (Spark ``div`` ≡
+    DuckDB ``//``). Scale shape: one map-side-combined token count (the
+    shared persisted occurrence layer), one tiny count-of-counts aggregate
+    (|distinct r| rows), a self-equi-join on r+1 on that bounded table,
+    two 1-row scalar broadcasts. Nothing past the first aggregate is
+    corpus-proportional."""
+    occ = _doc_occurrences(spark, sf_dir)
+    cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    coc = cnt.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("nr")
+    )
+    tot = coc.agg(
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("vocab"),
+    )
+    n1 = coc.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("n1")
+    )
+    a = (
+        coc.select(
+            "r", "nr", F.row_number().over(Window.orderBy("r")).alias("rk")
+        )
+        .filter(F.col("rk") <= GT_MAX_R)
+        .select("r", "nr")
+    )
+    b = coc.select(F.col("r").alias("r_next"), F.col("nr").alias("nr_next"))
+    return (
+        a.join(F.broadcast(b), F.col("r_next") == F.col("r") + 1, "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "nr",
+            "nr_next",
+            F.expr(
+                "CAST(CASE WHEN nr_next IS NULL THEN NULL"
+                " ELSE ((r + 1) * nr_next * 1000000) div nr END AS BIGINT)"
+            ).alias("r_star_micro"),
+            "n_tokens",
+            "vocab",
+            F.expr("CAST((n1 * 1000000) div n_tokens AS BIGINT)").alias(
+                "p0_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "source_lexical_diversity",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    os AS (SELECT d.source, o.tok
+           FROM occ o JOIN documents d ON o.doc_id = d.doc_id),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM os GROUP BY source, tok),
+    agg AS (SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS rep2
+            FROM cnt GROUP BY source)
+    SELECT source, n_tokens, vocab,
+           CAST((vocab * 1000000) // n_tokens AS BIGINT) AS ttr_micro,
+           CAST(CASE WHEN n_tokens <= 1 THEN 0
+                ELSE (rep2 * 1000000)
+                     // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                END AS BIGINT) AS simpson_micro
+    FROM agg
+    """,
+)
+def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LEXICAL DIVERSITY: type-token ratio and SIMPSON
+    concentration Σc(c-1)/(N(N-1)) — the repeat-probability that separates
+    'templated/boilerplate source' (high concentration, low TTR) from
+    'diverse prose' BEFORE any dedup runs; mixture planners weigh sources
+    by exactly this kind of signal (complements `source_fertility_stats`
+    and `vocab_zipf_slope`, which are corpus-global). Both ratios are
+    cleared-denominator integer floors on the micro grid — Σc(c-1) is the
+    unnormalized 2nd factorial moment, exact in HUGEINT/DECIMAL(38,0) (at
+    10¹² tokens/source the product is ~10²⁴ — inside 38 digits), and all
+    floor-divisions have non-negative operands (Spark ``div`` ≡ DuckDB
+    ``//``). Scale shape: the doc_id→source join broadcasts the document
+    dimension's 2 needed columns (or shuffles keyed at 100 TB — either
+    way keyed), then ONE map-side-combined (source, tok) count and a
+    |sources|-bounded rollup. No window, no pair join."""
+    occ = _doc_occurrences(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    cnt = (
+        occ.join(docs, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("rep2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.expr("CAST((vocab * 1000000) div n_tokens AS BIGINT)").alias(
+            "ttr_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_tokens <= 1 THEN 0"
+            " ELSE (CAST(rep2 AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " END AS BIGINT)"
+        ).alias("simpson_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source drift + PMI collocations + Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_js",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    cs AS (
+      SELECT s.source, o.tok, CAST(count(*) AS BIGINT) AS c_s
+      FROM occ o JOIN src s ON o.doc_id = s.doc_id
+      GROUP BY s.source, o.tok
+    ),
+    ts AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s
+           FROM cs GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM cs GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct),
+    terms AS (
+      SELECT cs.source, cs.c_s,
+             ct.c - cs.c_s AS c_r, tot.t - ts.t_s AS t_r, ts.t_s,
+             CAST(floor(ln((2.0 * cs.c_s * (tot.t - ts.t_s))
+                           / (CAST(cs.c_s AS DOUBLE) * (tot.t - ts.t_s)
+                              + CAST(ct.c - cs.c_s AS DOUBLE) * ts.t_s))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro,
+             CAST(CASE WHEN ct.c - cs.c_s = 0 THEN 0
+                  ELSE floor(ln((2.0 * (ct.c - cs.c_s) * ts.t_s)
+                                / (CAST(cs.c_s AS DOUBLE) * (tot.t - ts.t_s)
+                                   + CAST(ct.c - cs.c_s AS DOUBLE) * ts.t_s))
+                             * 1000000 + 0.5) END AS BIGINT) AS lq_micro
+      FROM cs JOIN ct ON cs.tok = ct.tok
+              JOIN ts ON cs.source = ts.source, tot
+    ),
+    qonly AS (
+      SELECT ts.source, ct.c AS c_r, tot.t - ts.t_s AS t_r, ts.t_s,
+             CAST(floor(ln(2.0) * 1000000 + 0.5) AS BIGINT) AS lq_micro
+      FROM ts CROSS JOIN tot JOIN ct ON true
+      LEFT JOIN cs ON cs.source = ts.source AND cs.tok = ct.tok
+      WHERE cs.tok IS NULL
+    )
+    SELECT j.source, ts.t_s AS n_tokens,
+           CAST(j.p_part + j.q_part + COALESCE(q.q_extra, 0) AS BIGINT)
+             AS js_micro
+    FROM (
+      SELECT source,
+             CAST(CASE WHEN sum(CAST(c_s AS HUGEINT) * lp_micro) >= 0
+                  THEN sum(CAST(c_s AS HUGEINT) * lp_micro) // (2 * max(t_s))
+                  ELSE -((-sum(CAST(c_s AS HUGEINT) * lp_micro))
+                         // (2 * max(t_s))) END AS BIGINT) AS p_part,
+             CAST(CASE WHEN sum(CAST(c_r AS HUGEINT) * lq_micro) >= 0
+                  THEN sum(CAST(c_r AS HUGEINT) * lq_micro) // (2 * max(t_r))
+                  ELSE -((-sum(CAST(c_r AS HUGEINT) * lq_micro))
+                         // (2 * max(t_r))) END AS BIGINT) AS q_part
+      FROM terms GROUP BY source
+    ) j
+    LEFT JOIN (
+      SELECT source,
+             CAST(sum(CAST(c_r AS HUGEINT) * lq_micro) // (2 * max(t_r))
+                  AS BIGINT) AS q_extra
+      FROM qonly GROUP BY source
+    ) q ON q.source = j.source
+    JOIN ts ON ts.source = j.source
+    """,
+)
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence between each source's unigram distribution
+    and the REST of the corpus — the bounded, symmetric drift metric
+    (`source_token_kl` diverges to ∞ when a token exists only in one side;
+    JS is capped at ln 2, so a dashboard can threshold it). Decomposition:
+    JS = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)) with p = source, q = rest;
+    the ln argument reduces to the INTEGER ratio 2·c_s·t_r /
+    (c_s·t_r + c_r·t_s), so both engines take the same double log of the
+    same exact integers, micro-round per token (the `source_token_kl`
+    policy: round BEFORE the weighted sum), and the weighted sums are
+    HUGEINT integer aggregates divided once per source at the end in
+    the TRUNCATION-SYMMETRIC form (the per-arm sums CAN be negative —
+    the q-side KL splits across the seen and unseen arms — and DuckDB
+    `//` floors while Spark `div` truncates; negating to non-negative
+    operands first makes both engines truncate identically).
+    Tokens the source never saw still contribute to the q-side: for them
+    2q/(p+q) = 2 exactly, so the whole q-only mass contributes at the
+    single literal ln(2) — computed as a separate anti-join arm, weighted
+    by the token's rest-count (no per-token log needed). Scale shape: one
+    doc_id-keyed join, one (source, tok) map-side-combined count, the
+    tok-keyed margin join, and the anti-join arm on the (sources ×
+    distinct-token) grid — at 100 TB the vocab-bounded tables dominate,
+    never the corpus. A source equal to the whole corpus (t_r = 0) is
+    excluded by its own weights (c_r = 0 everywhere ⇒ zero q-mass) —
+    guarded by the c_r = 0 CASE."""
+    occ = _doc_occurrences(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    cs = (
+        occ.join(src, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_s"))
+    )
+    ts = cs.groupBy("source").agg(F.sum("c_s").cast("long").alias("t_s"))
+    ct = cs.groupBy("tok").agg(F.sum("c_s").cast("long").alias("c"))
+    tot = ct.agg(F.sum("c").cast("long").alias("t"))
+    terms = (
+        cs.join(ct, "tok")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_s",
+            (F.col("c") - F.col("c_s")).alias("c_r"),
+            (F.col("t") - F.col("t_s")).alias("t_r"),
+            "t_s",
+            F.expr(
+                "CAST(floor(ln((2.0 * c_s * (t - t_s))"
+                " / (CAST(c_s AS DOUBLE) * (t - t_s)"
+                " + CAST(c - c_s AS DOUBLE) * t_s))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("lp_micro"),
+            F.expr(
+                "CAST(CASE WHEN c - c_s = 0 THEN 0"
+                " ELSE floor(ln((2.0 * (c - c_s) * t_s)"
+                " / (CAST(c_s AS DOUBLE) * (t - t_s)"
+                " + CAST(c - c_s AS DOUBLE) * t_s))"
+                " * 1000000 + 0.5) END AS BIGINT)"
+            ).alias("lq_micro"),
+        )
+    )
+    ln2_micro = 693147  # floor(ln(2)*1e6 + 0.5), fixed literal both sides
+    qonly = (
+        ct.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cs.select("source", "tok", F.lit(1).alias("seen")),
+            ["source", "tok"],
+            "left",
+        )
+        .filter(F.col("seen").isNull())
+        .select(
+            "source",
+            F.col("c").alias("c_r"),
+            (F.col("t") - F.col("t_s")).alias("t_r"),
+            "t_s",
+            F.lit(ln2_micro).cast("long").alias("lq_micro"),
+        )
+    )
+    j = terms.groupBy("source").agg(
+        F.expr(
+            "CAST(CASE WHEN sum(CAST(c_s AS DECIMAL(38,0)) * lp_micro) >= 0"
+            " THEN sum(CAST(c_s AS DECIMAL(38,0)) * lp_micro)"
+            " div (2 * max(t_s))"
+            " ELSE -((-sum(CAST(c_s AS DECIMAL(38,0)) * lp_micro))"
+            " div (2 * max(t_s))) END AS BIGINT)"
+        ).alias("p_part"),
+        F.expr(
+            "CAST(CASE WHEN sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro) >= 0"
+            " THEN sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro)"
+            " div (2 * max(t_r))"
+            " ELSE -((-sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro))"
+            " div (2 * max(t_r))) END AS BIGINT)"
+        ).alias("q_part"),
+    )
+    qx = qonly.groupBy("source").agg(
+        F.expr(
+            "CAST(sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro)"
+            " div (2 * max(t_r)) AS BIGINT)"
+        ).alias("q_extra")
+    )
+    return (
+        j.join(F.broadcast(qx), "source", "left")
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            F.expr(
+                "CAST(p_part + q_part + COALESCE(q_extra, 0) AS BIGINT)"
+            ).alias("js_micro"),
+        )
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOP = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH {_BG_SQL},
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY b),
+    m1 AS (SELECT split_part(b, ' ', 1) AS w, CAST(sum(c_ab) AS BIGINT) AS c_a
+           FROM cb GROUP BY 1),
+    m2 AS (SELECT split_part(b, ' ', 2) AS w, CAST(sum(c_ab) AS BIGINT) AS c_b
+           FROM cb GROUP BY 1),
+    nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cb),
+    pmi AS (
+      SELECT cb.b AS bigram, cb.c_ab,
+             CAST(floor(ln((CAST(cb.c_ab AS DOUBLE) * nn.n)
+                           / (CAST(m1.c_a AS DOUBLE) * m2.c_b))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      FROM cb JOIN m1 ON m1.w = split_part(cb.b, ' ', 1)
+              JOIN m2 ON m2.w = split_part(cb.b, ' ', 2), nn
+      WHERE cb.c_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, pmi_micro,
+           CAST(row_number() OVER (ORDER BY pmi_micro DESC, bigram)
+                AS BIGINT) AS rank
+    FROM pmi
+    ORDER BY pmi_micro DESC, bigram
+    LIMIT {PMI_TOP}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATION extraction — the top-{PMI_TOP} word bigrams whose
+    co-occurrence most exceeds independence, ln(c_ab·N / (c_a·c_b)): the
+    classic multiword-expression detector a corpus-analysis pass runs to
+    find templated phrases and named entities before tokenizer training
+    (high-PMI phrases are merge candidates; `bpe_merge_steps` picks by raw
+    frequency, PMI picks by ASSOCIATION — the two lists disagreeing is
+    itself a signal). Margins c_a (as first word) and c_b (as second) come
+    from the bigram table itself — positional unigram marginals, the
+    convention that makes Σp(a,·) = 1 exact. The support floor c_ab ≥
+    {PMI_MIN_COUNT} kills the PMI-loves-rare-pairs pathology. The ln runs
+    on one exact integer ratio and micro-rounds per bigram (house policy);
+    ranking is deterministic with the bigram text tie-break. Scale shape:
+    one bigram explode (map-side-combined count), two vocab-bounded margin
+    aggregates, margin joins keyed on the words, and a global top-{PMI_TOP}
+    that plans as TakeOrdered (per-partition heaps — never a full sort)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.posexplode(dedup.word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("b"),
+            F.lead("tok", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select("b")
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    m1 = cb.groupBy(F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w")).agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    m2 = cb.groupBy(F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w")).agg(
+        F.sum("c_ab").cast("long").alias("c_b")
+    )
+    nn = cb.agg(F.sum("c_ab").cast("long").alias("n"))
+    pmi = (
+        cb.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(m1, F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("w"))
+        .drop("w")
+        .join(m2, F.split_part(F.col("b"), F.lit(" "), F.lit(2)) == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("b").alias("bigram"),
+            "c_ab",
+            F.expr(
+                "CAST(floor(ln((CAST(c_ab AS DOUBLE) * n)"
+                " / (CAST(c_a AS DOUBLE) * c_b)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+    top = pmi.orderBy(F.col("pmi_micro").desc(), "bigram").limit(PMI_TOP)
+    return top.select(
+        "bigram",
+        "c_ab",
+        "pmi_micro",
+        F.row_number()
+        .over(Window.orderBy(F.col("pmi_micro").desc(), "bigram"))
+        .cast("long")
+        .alias("rank"),
+    )

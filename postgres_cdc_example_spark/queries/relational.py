@@ -3786,3 +3786,843 @@ def value_location_kruskalwallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_same_location"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series trend & randomness family (daily volume grid)
+# ---------------------------------------------------------------------------
+
+# Shared shape for the four tests below: the raw events table collapses to a
+# BOUNDED daily-volume grid (one map-side-combined aggregate; |grid| = day
+# count — tens to a few thousands rows even at 100 TB), and every pairwise /
+# windowed statistic downstream runs on that bounded grid, never on the
+# corpus. The reference monitors row counts per poll cycle
+# (replicator/main.go:60-96 logs per-batch row counts); these queries are the
+# statistical layer a production monitor puts ON TOP of that counter stream:
+# "is volume trending, and is the sequence random?".
+
+_DAILY_SQL = """
+    g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1)
+"""
+
+# z²₀.₉₇₅ = 1.959964² on the micro grid — same literal as χ²₀.₉₅(1).
+Z2_MICRO = 3841459
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def _day_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered day pairs (i<j) of the bounded daily grid with real
+    calendar offsets (gaps count): num = c_j - c_i, den = j - i > 0. O(days²)
+    rows by construction — bounded pair enumeration on an aggregate, the same
+    audited-BNLJ class as the literal grids."""
+    g = _daily_counts(spark, sf_dir)
+    m = g.agg(F.min("d").alias("d0"))
+    gi = g.crossJoin(F.broadcast(m)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("i"), "c"
+    )
+    a = gi.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = gi.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    return a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
+        (F.col("cb") - F.col("ca")).alias("num"),
+        (F.col("ib") - F.col("ia")).alias("den"),
+    )
+
+
+_PAIRS_SQL = f"""
+    {_DAILY_SQL},
+    m AS (SELECT min(d) AS d0 FROM g),
+    gi AS (SELECT CAST(date_diff('day', m.d0, g.d) AS BIGINT) AS i, g.c
+           FROM g, m),
+    p AS (SELECT CAST(b.c - a.c AS BIGINT) AS num,
+                 CAST(b.i - a.i AS BIGINT) AS den
+          FROM gi a JOIN gi b ON b.i > a.i)
+"""
+
+
+@register(
+    "theilsen_daily_trend",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    s AS (SELECT num, den,
+                 row_number() OVER (
+                   ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS np
+          FROM p),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM g)
+    SELECT nd.n_days, s.np AS n_pairs, s.num AS slope_num,
+           s.den AS slope_den,
+           CAST(CASE WHEN s.num >= 0 THEN (s.num * 1000) // s.den
+                ELSE -(((-s.num) * 1000) // s.den) END AS BIGINT)
+             AS slope_milli
+    FROM s, nd WHERE s.rn = (s.np + 1) // 2
+    """,
+)
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend slope of daily event volume — the estimator a
+    volume monitor wants when a single outage day would wreck an OLS fit
+    (up to ~29% contaminated days cannot move the median slope; compare
+    `event_volume_trend`, the OLS sibling). The slope is the LOWER MEDIAN of
+    all pairwise slopes (c_j-c_i)/(j-i) over real calendar offsets, selected
+    by row_number — never percentile interpolation, so no engine-specific
+    midpoint formula. Ordering rationals: the sort key is the IEEE double
+    num/den (exact small-int operands, correctly-rounded division —
+    bit-identical in both engines) with (num, den) as the deterministic
+    tie-break; the reported slope_milli uses the truncation-symmetric
+    integer form (floor on the negated non-negative operand for num<0), so
+    Spark `div` ≡ DuckDB `//` everywhere it runs. Scale shape: corpus → one
+    map-side-combined daily aggregate (bounded grid), O(days²) bounded pair
+    enumeration (audited BNLJ — build side is the grid itself), one
+    bounded-grid window. Nothing corpus-proportional past the first
+    aggregate."""
+    p = _day_pairs(spark, sf_dir)
+    w = Window.orderBy(F.expr("CAST(num AS DOUBLE) / den"), "num", "den")
+    s = p.select(
+        "num",
+        "den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("np"),
+    )
+    nd = _daily_counts(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        s.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.col("np").alias("n_pairs"),
+            F.col("num").alias("slope_num"),
+            F.col("den").alias("slope_den"),
+            F.expr(
+                "CAST(CASE WHEN num >= 0 THEN (num * 1000) div den"
+                " ELSE -(((-num) * 1000) div den) END AS BIGINT)"
+            ).alias("slope_milli"),
+        )
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    st AS (SELECT COALESCE(CAST(sum(CASE WHEN num > 0 THEN 1
+                                         WHEN num < 0 THEN -1
+                                         ELSE 0 END) AS BIGINT), 0) AS s
+           FROM p),
+    tie AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                     AS tie_adj
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                  FROM gi GROUP BY c HAVING count(*) > 1)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gi)
+    SELECT nn.n AS n_days, st.s AS s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie_adj AS BIGINT)
+             AS var_s_x18,
+           CAST(CASE WHEN st.s > 0 THEN 1 WHEN st.s < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS trend,
+           CAST(CASE WHEN abs(st.s) <= 1
+                       OR nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie_adj <= 0
+                     THEN 0
+                WHEN CAST(abs(st.s) - 1 AS HUGEINT) * (abs(st.s) - 1)
+                     * 18000000
+                     > CAST({Z2_MICRO} AS HUGEINT)
+                       * (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie_adj)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_no_trend
+    FROM st, tie, nn
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL nonparametric trend test on daily event volume — the
+    hypothesis-test companion to `theilsen_daily_trend` (Theil-Sen gives the
+    magnitude, Mann-Kendall the significance; production monitors report
+    both). S = Σ_(i<j) sign(c_j - c_i) over the same bounded pair
+    enumeration; the tie-corrected variance 18·Var(S) = n(n-1)(2n+5) -
+    Σ_t t(t-1)(2t+5) stays integer, and the continuity-corrected two-sided
+    decision |z| > 1.959964 clears to (|S|-1)²·18·10⁶ > z²_micro·(18·VarS)
+    — no sqrt, no transcendental, HUGEINT/DECIMAL(38,0) products (S is
+    O(days²) ≈ 4.5·10⁶ at a 3000-day grid; squared ×1.8·10⁷ ≈ 3.6·10²⁰ —
+    needs the wide type, well inside 38 digits). Degenerate all-tied grids
+    (VarS ≤ 0) and |S| ≤ 1 report an honest no-reject in both engines.
+    Scale shape: identical to the Theil-Sen sibling — bounded grid, bounded
+    pairs, 1-row scalars broadcast."""
+    p = _day_pairs(spark, sf_dir)
+    st = p.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("num") > 0, 1)
+                .when(F.col("num") < 0, -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s")
+    )
+    g = _daily_counts(spark, sf_dir)
+    tie = (
+        g.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("t * (t - 1) * (2 * t + 5)")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_adj")
+        )
+    )
+    nn = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        st.crossJoin(F.broadcast(tie))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS BIGINT)"
+            ).alias("var_s_x18"),
+            F.expr(
+                "CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("trend"),
+            F.expr(
+                "CAST(CASE WHEN abs(s) <= 1"
+                " OR n * (n - 1) * (2 * n + 5) - tie_adj <= 0 THEN 0"
+                " WHEN CAST(abs(s) - 1 AS DECIMAL(38,0)) * (abs(s) - 1)"
+                " * 18000000"
+                f" > CAST({Z2_MICRO} AS DECIMAL(38,0))"
+                " * (n * (n - 1) * (2 * n + 5) - tie_adj)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_no_trend"),
+        )
+    )
+
+
+LJUNG_BOX_LAGS = 5  # fixed lag budget; decision literal is chi2_0.95(5)
+
+
+@register(
+    "volume_ljung_box",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM g),
+    dd AS (SELECT row_number() OVER (ORDER BY g.d) AS rn,
+                  CAST(tot.n * g.c - tot.s AS BIGINT) AS dv
+           FROM g, tot),
+    dsum AS (SELECT CAST(sum(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS dss
+             FROM dd),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS t(k)),
+    ck AS (SELECT l.k,
+                  CAST(sum(CAST(a.dv AS HUGEINT) * b.dv) AS HUGEINT) AS c_k
+           FROM dd a JOIN lags l ON true
+                     JOIN dd b ON b.rn = a.rn + l.k
+           GROUP BY l.k),
+    term AS (SELECT ck.k, CAST(ck.c_k AS BIGINT) AS c_k,
+                    CAST(CASE WHEN dsum.dss = 0 THEN 0
+                         ELSE (ck.c_k * ck.c_k * 1000000)
+                              // (dsum.dss * dsum.dss) END AS BIGINT)
+                      AS rk2_micro,
+                    CAST(CASE WHEN dsum.dss = 0 OR tot.n <= ck.k THEN 0
+                         ELSE (CAST(tot.n AS HUGEINT) * (tot.n + 2)
+                               * ((ck.c_k * ck.c_k * 1000000)
+                                  // (dsum.dss * dsum.dss)))
+                              // (tot.n - ck.k) END AS BIGINT) AS term_micro
+             FROM ck, dsum, tot),
+    qq AS (SELECT CAST(sum(term_micro) AS BIGINT) AS q_micro FROM term)
+    SELECT CAST(term.k AS BIGINT) AS lag, term.c_k, term.rk2_micro,
+           term.term_micro, qq.q_micro,
+           CAST(CASE WHEN qq.q_micro > {KW_CHI2_MICRO[LJUNG_BOX_LAGS]}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_white_noise
+    FROM term, qq
+    """,
+)
+def volume_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test for autocorrelation in the daily volume
+    series (lags 1..5) — "is the monitor's counter stream white noise, or
+    does today predict tomorrow?" (a pipeline whose daily volume
+    autocorrelates has batch-size coupling — retries, backlogs — worth a
+    page before it becomes lag). Exactness recipe: center by clearing the
+    mean (d_t = n·x_t - Σx, integer), autocovariances C_k = Σ d_t·d_(t+k)
+    via an equi-join on the bounded grid position (b.rn = a.rn + k — a
+    HASH join; the only nested loop is the broadcast 5-row lag grid), then
+    r_k² on the micro grid as (C_k²·10⁶) // (Σd²)² — non-negative operands
+    only, so Spark `div` ≡ DuckDB `//` (C_k itself may be negative; it is
+    reported raw but never floor-divided). Q_micro sums the per-lag terms
+    n(n+2)·r_k²_micro // (n-k) and the decision compares against the
+    precomputed χ²₀.₉₅(5) micro literal — transcendental-free end to end.
+    Per-lag rows carry their contribution (WHICH lag drives the rejection),
+    plus the shared total. Width budget: C_k² ≤ (Σd²)² ≈ 10⁴⁵ only past
+    ~10⁹ rows/day on a 3000-day grid; inside DECIMAL(38,0) for any
+    realistic daily volume — rescale counts to thousands first if a corpus
+    ever exceeds it. Scale shape: one map-side-combined daily aggregate,
+    then everything on the bounded grid."""
+    g = _daily_counts(spark, sf_dir)
+    tot = g.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dd = g.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.expr("CAST(n * c - s AS BIGINT)").alias("dv"),
+        "n",
+    )
+    dsum = dd.agg(
+        F.sum(F.expr("CAST(dv AS DECIMAL(38,0)) * dv")).alias("dss")
+    )
+    lags = spark.range(1, LJUNG_BOX_LAGS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = dd.select(F.col("rn").alias("ra"), F.col("dv").alias("dva"))
+    b = dd.select(F.col("rn").alias("rb"), F.col("dv").alias("dvb"))
+    ck = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rb") == F.col("ra") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.expr("CAST(dva AS DECIMAL(38,0)) * dvb")).alias("c_k")
+        )
+    )
+    term = (
+        ck.crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("c_k").cast("long").alias("c_k"),
+            F.expr(
+                "CAST(CASE WHEN dss = 0 THEN 0"
+                " ELSE (CAST(c_k AS DECIMAL(38,0)) * c_k * 1000000)"
+                " div (CAST(dss AS DECIMAL(38,0)) * dss) END AS BIGINT)"
+            ).alias("rk2_micro"),
+            F.expr(
+                "CAST(CASE WHEN dss = 0 OR n <= k THEN 0"
+                " ELSE (CAST(n AS DECIMAL(38,0)) * (n + 2)"
+                " * ((CAST(c_k AS DECIMAL(38,0)) * c_k * 1000000)"
+                " div (CAST(dss AS DECIMAL(38,0)) * dss)))"
+                " div (n - k) END AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    qq = term.agg(F.sum("term_micro").cast("long").alias("q_micro"))
+    return term.crossJoin(F.broadcast(qq)).select(
+        "lag",
+        "c_k",
+        "rk2_micro",
+        "term_micro",
+        "q_micro",
+        F.expr(
+            f"CAST(CASE WHEN q_micro > {KW_CHI2_MICRO[LJUNG_BOX_LAGS]}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_white_noise"),
+    )
+
+
+@register(
+    "volume_runs_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    med AS (SELECT c AS med FROM
+              (SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+                      CAST(count(*) OVER () AS BIGINT) AS n
+               FROM g)
+            WHERE rn = (n + 1) // 2),
+    b AS (SELECT g.d, CASE WHEN g.c > med.med THEN 1 ELSE 0 END AS ab
+          FROM g, med),
+    lagged AS (SELECT ab, lag(ab) OVER (ORDER BY d) AS prev FROM b),
+    r AS (SELECT CAST(sum(CASE WHEN prev IS NULL OR ab <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+                 CAST(sum(ab) AS BIGINT) AS n1,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lagged)
+    SELECT r.n AS n_days, med.med AS median_c, r.n1 AS n_above,
+           r.n - r.n1 AS n_below, r.runs,
+           CAST(CASE WHEN r.n1 = 0 OR r.n = r.n1
+                       OR 2 * r.n1 * (r.n - r.n1) <= r.n THEN 0
+                WHEN CAST(r.runs * r.n - r.n - 2 * r.n1 * (r.n - r.n1)
+                          AS HUGEINT)
+                     * (r.runs * r.n - r.n - 2 * r.n1 * (r.n - r.n1))
+                     * (r.n - 1) * 1000000
+                     > CAST({Z2_MICRO} AS HUGEINT) * 2 * r.n1 * (r.n - r.n1)
+                       * (2 * r.n1 * (r.n - r.n1) - r.n)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_random
+    FROM r, med
+    """,
+)
+def volume_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ runs test for randomness of the daily volume sequence
+    — the third leg of the monitor's stationarity kit (Ljung-Box hears
+    linear autocorrelation, Mann-Kendall hears monotone trend; the runs
+    test hears ANY above/below-median clumping, including regime flips
+    neither sibling scores). Binarization is against the LOWER MEDIAN
+    (row_number-selected with (c, d) tie-break — no interpolation), days
+    AT the median count as 'below' (documented convention, identical in
+    both engines). R = number of maximal same-side runs via one lag()
+    window on the bounded grid; the normal-approximation decision
+    (R - E[R])²/Var > z²₀.₉₇₅ clears to (Rn - n - 2n₁n₂)²·(n-1)·10⁶ >
+    z²_micro·2n₁n₂(2n₁n₂ - n) — all-integer HUGEINT/DECIMAL(38,0)
+    products, no sqrt. Degenerate one-sided grids (n₁ = 0 or n₂ = 0) and
+    tiny-variance cases (2n₁n₂ ≤ n) report an honest no-reject. Scale
+    shape: one daily aggregate, two bounded-grid windows, 1-row scalars
+    broadcast."""
+    g = _daily_counts(spark, sf_dir)
+    wm = Window.orderBy("c", "d")
+    med = (
+        g.select(
+            "c",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("c").alias("med"))
+    )
+    b = g.crossJoin(F.broadcast(med)).select(
+        "d",
+        F.when(F.col("c") > F.col("med"), 1).otherwise(0).alias("ab"),
+        "med",
+    )
+    lagged = b.select(
+        "ab",
+        F.lag("ab").over(Window.orderBy("d")).alias("prev"),
+        "med",
+    )
+    r = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("ab") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("runs"),
+        F.sum("ab").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("med").alias("med"),
+    )
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.col("med").alias("median_c"),
+        F.col("n1").alias("n_above"),
+        F.expr("n - n1").cast("long").alias("n_below"),
+        "runs",
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 OR n = n1"
+            " OR 2 * n1 * (n - n1) <= n THEN 0"
+            " WHEN CAST(runs * n - n - 2 * n1 * (n - n1) AS DECIMAL(38,0))"
+            " * (runs * n - n - 2 * n1 * (n - n1))"
+            " * (n - 1) * 1000000"
+            f" > CAST({Z2_MICRO} AS DECIMAL(38,0)) * 2 * n1 * (n - n1)"
+            " * (2 * n1 * (n - n1) - n)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_random"),
+    )
+
+
+@register(
+    "priority_status_cramers_v",
+    oracle="""
+    WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
+               FROM orders),
+    cell AS (SELECT pri, st, CAST(count(*) AS BIGINT) AS obs
+             FROM o GROUP BY pri, st),
+    r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rn FROM cell GROUP BY pri),
+    c AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cn FROM cell GROUP BY st),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    x AS (
+      SELECT CAST((CAST(cell.obs AS HUGEINT) * n.n
+                   - CAST(r.rn AS HUGEINT) * c.cn)
+                  * (CAST(cell.obs AS HUGEINT) * n.n
+                     - CAST(r.rn AS HUGEINT) * c.cn)
+                  * 1000000
+                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+               AS chi2_cell_micro
+      FROM cell JOIN r ON r.pri = cell.pri
+                JOIN c ON c.st = cell.st
+                CROSS JOIN n
+    ),
+    t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro
+          FROM x),
+    dim AS (SELECT CAST(count(DISTINCT pri) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT st) AS BIGINT) AS nc
+            FROM cell)
+    SELECT n.n AS n_total, dim.nr AS n_rows, dim.nc AS n_cols,
+           t.chi2_total_micro,
+           CAST((dim.nr - 1) * (dim.nc - 1) AS BIGINT) AS dof,
+           CAST(least(dim.nr - 1, dim.nc - 1) AS BIGINT) AS min_dim,
+           CAST(CASE WHEN least(dim.nr - 1, dim.nc - 1) = 0 THEN 0
+                ELSE t.chi2_total_micro
+                     // (n.n * least(dim.nr - 1, dim.nc - 1))
+                END AS BIGINT) AS cramers_v2_micro
+    FROM t, n, dim
+    """,
+)
+def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V effect size for the priority × status contingency — the
+    missing half of `order_priority_chi2`: at 100 TB N, chi-square rejects
+    on associations far too small to matter (significance scales with N,
+    effect size does not), so a drift monitor alerts on V, not on the
+    p-value. Reported as V² on the micro grid (V² = chi²/(N·min(r-1,c-1)))
+    to stay sqrt-free; the per-cell chi² math is the identical cleared-
+    denominator rational as the sibling query (obs·N - R·C)²/(N·R·C), all
+    HUGEINT/DECIMAL(38,0), non-negative floor-divisions only. Degenerate
+    1×k tables (min_dim = 0) report V² = 0. Scale shape: one map-side-
+    combined |cells|-bounded aggregate, margins and total on the bounded
+    cell table, 1-row output."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    cell = o.groupBy("pri", "st").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    r = cell.groupBy("pri").agg(F.sum("obs").cast("long").alias("rn"))
+    c = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("cn"))
+    n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    x = (
+        cell.join(F.broadcast(r), "pri")
+        .join(F.broadcast(c), "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST((CAST(obs AS DECIMAL(38,0)) * n"
+                " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * (CAST(obs AS DECIMAL(38,0)) * n"
+                " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+            ).alias("chi2_cell_micro")
+        )
+    )
+    t = x.agg(F.sum("chi2_cell_micro").cast("long").alias("chi2_total_micro"))
+    dim = cell.agg(
+        F.countDistinct("pri").cast("long").alias("nr"),
+        F.countDistinct("st").cast("long").alias("nc"),
+    )
+    return (
+        t.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dim))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("nr").alias("n_rows"),
+            F.col("nc").alias("n_cols"),
+            "chi2_total_micro",
+            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+            F.expr("CAST(least(nr - 1, nc - 1) AS BIGINT)").alias("min_dim"),
+            F.expr(
+                "CAST(CASE WHEN least(nr - 1, nc - 1) = 0 THEN 0"
+                " ELSE chi2_total_micro div (n * least(nr - 1, nc - 1))"
+                " END AS BIGINT)"
+            ).alias("cramers_v2_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema-constraint discovery: functional dependencies + candidate keys
+# ---------------------------------------------------------------------------
+
+# The fixed candidate set below is the AUDIT surface (declared expectations,
+# checked exactly) — production FD *mining* over all column pairs is a
+# different algorithm (TANE-style lattice search); this is the Deequ-style
+# "verify the constraints we rely on" pass that runs on every drop.
+_FD_CANDIDATES = [
+    ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+    ("o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"),
+    ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for label, det, dep in _FD_CANDIDATES:
+        arms.append(f"""
+    SELECT '{label}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_determinants,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_dependents,
+           CAST((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS violation_micro,
+           CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM (SELECT {det} AS det, CAST(count(DISTINCT {dep}) AS BIGINT) AS nd
+          FROM orders GROUP BY {det})""")
+    return " UNION ALL ".join(arms)
+
+
+@register("orders_fd_audit", oracle=_fd_oracle())
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit over a declared candidate list — the
+    constraint-verification pass (Deequ's `hasUniqueness`/FD checks) a
+    CDC consumer runs after every apply cycle: "does the PK still
+    determine every column, and which soft dependencies drifted?". The
+    reference trusts Postgres to enforce its PK (writer/main.go relies on
+    ON CONFLICT (id)); once data leaves Postgres that guarantee must be
+    re-established by audit. Per FD det→dep: count determinant values,
+    count violators (determinants mapping to >1 distinct dependent), the
+    worst fan-out, and the violation ratio on the micro grid (non-negative
+    floor-div only). Scale shape: each FD is ONE map-side-combined
+    (det, count distinct dep) aggregate — a partial-agg shuffle keyed on
+    the determinant — then a 1-row rollup; the four arms union bounded
+    1-row results. FD mining over the full column lattice would be
+    TANE-style (different query); this is the per-drop verification."""
+    o = load_table(spark, "orders", sf_dir)
+    arms = []
+    for label, det, dep in _FD_CANDIDATES:
+        per_det = o.groupBy(F.col(det).alias("det")).agg(
+            F.countDistinct(dep).cast("long").alias("nd")
+        )
+        arms.append(
+            per_det.agg(
+                F.count(F.lit(1)).cast("long").alias("n_determinants"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("nd").cast("long").alias("max_dependents"),
+            ).select(
+                F.lit(label).alias("fd"),
+                "n_determinants",
+                "n_violating",
+                "max_dependents",
+                F.expr(
+                    "CAST((n_violating * 1000000) div n_determinants"
+                    " AS BIGINT)"
+                ).alias("violation_micro"),
+                F.expr(
+                    "CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END"
+                    " AS BIGINT)"
+                ).alias("holds"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+_KEY_CANDIDATES = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_custkey+o_orderdate", ["o_custkey", "o_orderdate"]),
+    (
+        "o_custkey+o_orderdate+o_totalprice",
+        ["o_custkey", "o_orderdate", "o_totalprice"],
+    ),
+]
+
+
+def _key_oracle() -> str:
+    arms = []
+    for label, cols in _KEY_CANDIDATES:
+        collist = ", ".join(cols)
+        arms.append(f"""
+    SELECT '{label}' AS candidate,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+             - CAST(count(*) AS BIGINT) AS n_dup_rows,
+           CAST(CASE WHEN (SELECT count(*) FROM orders) = count(*)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_key
+    FROM (SELECT DISTINCT {collist} FROM orders)""")
+    return " UNION ALL ".join(arms)
+
+
+@register("orders_key_candidates", oracle=_key_oracle())
+def orders_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-KEY audit over single AND composite column sets — the
+    uniqueness side of the constraint kit (`orders_fd_audit` checks
+    determination, this checks identification; `orders_column_profile`
+    reports per-single-column distincts but cannot see composite keys).
+    The upsert operators (`cdc_apply_full`, `upsert_merge`) are only
+    correct if their merge key actually identifies rows — this is the
+    audit that catches a dropped-uniqueness regression before an upsert
+    silently folds two business rows into one. Per candidate: exact
+    distinct count vs row count, surplus rows, is_key verdict. Scale
+    shape: each candidate is one DISTINCT (map-side partial) + 1-row
+    count; the row-count scalar is computed once and broadcast-joined
+    into each bounded arm. Exact by construction — no approx_count
+    shortcut, because a key audit that can false-positive is worthless;
+    production would pre-screen with HLL (`vocab_hll_audit` pattern) and
+    exact-verify only the survivors."""
+    o = load_table(spark, "orders", sf_dir)
+    n_rows = o.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    arms = []
+    for label, cols in _KEY_CANDIDATES:
+        nd = (
+            o.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        )
+        arms.append(
+            nd.crossJoin(F.broadcast(n_rows)).select(
+                F.lit(label).alias("candidate"),
+                "n_rows",
+                "n_distinct",
+                F.expr("CAST(n_rows - n_distinct AS BIGINT)").alias(
+                    "n_dup_rows"
+                ),
+                F.expr(
+                    "CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END"
+                    " AS BIGINT)"
+                ).alias("is_key"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+@register(
+    "event_dow_seasonality",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dw AS (SELECT CAST(isodow(d) AS BIGINT) AS dow, c FROM g),
+    per AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(c) AS BIGINT) AS n_events
+            FROM dw GROUP BY dow),
+    tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS total_days,
+                   CAST(sum(n_events) AS BIGINT) AS total_events
+            FROM per)
+    SELECT per.dow, per.n_days, per.n_events,
+           CAST((CAST(per.n_events AS HUGEINT) * tot.total_days * 1000000)
+                // (CAST(per.n_days AS HUGEINT) * tot.total_events)
+                AS BIGINT) AS index_micro
+    FROM per, tot
+    """,
+)
+def event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK seasonality index of event volume — mean volume on each
+    ISO weekday relative to the overall daily mean, ×10⁶: the
+    deseasonalization table every volume-anomaly monitor needs BEFORE it
+    can alert (a Saturday dip is seasonality, not an incident — CUSUM and
+    EWMA thresholds apply to the deseasonalized series). ISO weekday
+    parity: Spark ``weekday()`` is 0=Monday, DuckDB ``isodow()`` is
+    1=Monday — the Spark side adds 1 so both emit 1..7. The index is the
+    cleared-denominator integer (events_d·total_days·10⁶) //
+    (days_d·total_events) — non-negative operands, HUGEINT/DECIMAL(38,0).
+    Scale shape: one map-side-combined daily aggregate, a 7-row rollup,
+    one 1-row total broadcast."""
+    g = _daily_counts(spark, sf_dir)
+    dw = g.select(
+        (F.expr("weekday(d)") + 1).cast("long").alias("dow"), "c"
+    )
+    per = dw.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+    tot = per.agg(
+        F.sum("n_days").cast("long").alias("total_days"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "n_events",
+        F.expr(
+            "CAST((CAST(n_events AS DECIMAL(38,0)) * total_days * 1000000)"
+            " div (CAST(n_days AS DECIMAL(38,0)) * total_events) AS BIGINT)"
+        ).alias("index_micro"),
+    )
+
+
+EWMA_WINDOW = 10  # trailing days; weights 2^(W-1-j), denominator 2^W - 1
+
+
+def _ewma_terms_sql(col: str, lag_fn: str) -> str:
+    """Σ_j 2^(W-1-j)·lag(c, j) with missing leading history contributing 0
+    — identical text for Spark and DuckDB (both spell lag() the same)."""
+    terms = " + ".join(
+        f"({1 << (EWMA_WINDOW - 1 - j)} * COALESCE({lag_fn}({col}, {j}) OVER w, 0))"
+        for j in range(EWMA_WINDOW)
+    )
+    return terms
+
+
+@register(
+    "event_ewma_anomaly",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idx AS (SELECT d, c, row_number() OVER (ORDER BY d) - 1 AS t FROM g),
+    ew AS (
+      SELECT d, c, t,
+             CAST({_ewma_terms_sql("c", "lag")} AS BIGINT) AS num,
+             CAST(CASE WHEN t >= {EWMA_WINDOW - 1}
+                  THEN {(1 << EWMA_WINDOW) - 1}
+                  ELSE {1 << EWMA_WINDOW} - (1 << ({EWMA_WINDOW - 1} - t))
+                  END AS BIGINT) AS den
+      FROM idx
+      WINDOW w AS (ORDER BY t)
+    )
+    SELECT d AS day, c AS n_events,
+           CAST((num * 1000) // den AS BIGINT) AS ewma_milli,
+           CAST(CASE WHEN c * den > 2 * num THEN 1 ELSE 0 END AS BIGINT)
+             AS spike,
+           CAST(CASE WHEN 2 * c * den < num THEN 1 ELSE 0 END AS BIGINT)
+             AS dip
+    FROM ew
+    """,
+)
+def event_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA volume-anomaly flags over the daily grid — the trailing
+    exponentially-weighted mean every on-call dashboard draws, made EXACT:
+    α = 1/2 gives weights 2^(W-1-j) (integers), so the EWMA is the rational
+    num/den with num = Σ 2^(W-1-j)·c_(t-j) over a fixed {EWMA_WINDOW}-day
+    window ({EWMA_WINDOW} explicit lag() terms — fixed-size expressions,
+    never a 2^t positional power that overflows on a long grid) and den =
+    2^W - 1, shrinking to 2^W - 2^(W-1-t) while the leading history is
+    shorter than the window (the sum of the weights ACTUALLY present,
+    2^(W-1)..2^(W-1-t) — normalizing by 2^(t+1)-1 instead would inflate
+    early-day EWMAs by 2^(W-1-t) and flag every first day a 'dip'; a
+    constant series must report ewma ≡ c from day one, which the
+    regression test pins). Spike/dip flags are the cleared integer compares
+    c·den > 2·num and 2·c·den < num (today more than doubles / less than
+    halves its trailing EWMA *including today* — a deliberately self-damped
+    convention, documented; both engines run the identical inequality).
+    The complementary CUSUM query (`event_volume_cusum`) catches small
+    persistent shifts; EWMA catches single-day spikes. Position is
+    row_number over the bounded grid — an OBSERVED-day series; gap-fill
+    first (`event_hourly_gapfill` pattern) if calendar-true lags are
+    needed. Scale shape: one map-side-combined daily aggregate, one
+    bounded-grid window with {EWMA_WINDOW} lag projections, zero joins."""
+    g = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("t")
+    idx = g.select(
+        "d", "c", (F.row_number().over(Window.orderBy("d")) - 1).alias("t")
+    )
+    num = sum(
+        (
+            F.lit(1 << (EWMA_WINDOW - 1 - j))
+            * F.coalesce(F.lag("c", j).over(w), F.lit(0))
+        )
+        for j in range(EWMA_WINDOW)
+    )
+    ew = idx.select(
+        "d",
+        "c",
+        "t",
+        num.cast("long").alias("num"),
+        F.expr(
+            f"CAST(CASE WHEN t >= {EWMA_WINDOW - 1}"
+            f" THEN {(1 << EWMA_WINDOW) - 1}"
+            f" ELSE {1 << EWMA_WINDOW}"
+            f" - shiftleft(1, {EWMA_WINDOW - 1} - t) END AS BIGINT)"
+        ).alias("den"),
+    )
+    return ew.select(
+        F.col("d").alias("day"),
+        F.col("c").alias("n_events"),
+        F.expr("CAST((num * 1000) div den AS BIGINT)").alias("ewma_milli"),
+        F.expr(
+            "CAST(CASE WHEN c * den > 2 * num THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("spike"),
+        F.expr(
+            "CAST(CASE WHEN 2 * c * den < num THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("dip"),
+    )

@@ -112,6 +112,11 @@ NOTES = {
     "zorder_overlap_depth": "Read-amplification audit composed ON TOP of the layout query: files -> +-1 boundary events, net delta per position (coincident open/close order-unambiguous), one running-sum window over <=2*n_files bounded rows per (layout, dim) — the corpus is scanned exactly once, by the layout stage underneath.",
     "value_location_friedman": "Blocked repeated-measures test: one (user, type) map-side aggregate, per-user windows over k<=handful rows (ONE user-keyed shuffle shared by the complete-block filter and the ranking), a k-row type table, two 1-row scalars; the tie-general statistic clears COMPLETELY to integers on doubled ranks — no rounding anywhere in the plan.",
     "value_cochran_q": "Blocked binary-rate test: one (user, type) map-side aggregate with the milli-grid threshold deciding the outcome inside codegen, two keyed rollups (k-row columns, user-row rows, both map-side combined), 1-row scalars; numerator and denominator are exact integers.",
+    "theilsen_daily_trend": "Robust trend slope: corpus -> bounded daily grid in ONE map-side-combined aggregate; the O(days^2) pair enumeration is an audited BNLJ whose build side IS the grid; lower-median selection by row_number on the bounded pair set — no percentile interpolation, no corpus-proportional stage past the first aggregate.",
+    "volume_ljung_box": "Portmanteau autocorrelation test: the lag join b.rn = a.rn + k extracts as an EQUI key (hash join, plan-pinned) — only the 5-row lag grid nested-loops; r_k^2 and Q live on the integer micro grid with non-negative floor-divisions only, decided against the chi-square(5) literal.",
+    "dedup_minhash_oph": "One-permutation hashing: ONE md5 per shingle row (16x less hash arithmetic than classic minhash — the scale point), (doc, nibble-bucket) min-aggregate <= 16 rows/doc, candidates meet on (bucket, min) equality, exact-Jaccard verification reuses the shared gram layer via doc-keyed joins.",
+    "orders_fd_audit": "Constraint verification: each FD arm is one determinant-keyed map-side-combined aggregate (count distinct dependent) + a 1-row rollup; the four arms union bounded rows — at 100 TB each arm is exactly one shuffle keyed on its determinant.",
+    "event_ewma_anomaly": "Exact EWMA: 10 fixed lag() projections over one bounded-grid window (never a 2^t positional power), partial-window denominator = sum of weights present; spike/dip are integer cross-multiplied compares — zero joins in the plan.",
 }
 
 

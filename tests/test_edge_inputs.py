@@ -505,3 +505,163 @@ def test_pii_redaction_residual_is_zero_and_nonvacuous(spark, sf_dir):
     assert sum(r.n_uuid for r in rows) > 0
     assert sum(r.n_digit_run for r in rows) > 0
     assert all(r.n_email + r.n_uuid + r.n_digit_run > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round 9 continuation: trend family, constraint audits, OPH
+# ---------------------------------------------------------------------------
+
+
+def _stage_single_parquet(spark_df, tmp_path, mini, table, stage_name):
+    stage = str(tmp_path / stage_name)
+    spark_df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), mini / f"{table}.parquet")
+
+
+def test_ewma_constant_series_is_exact_identity(spark, sf_dir, tmp_path):
+    """A constant daily series must report ewma ≡ c (milli = 1000·c) from
+    the FIRST day — this pins the partial-window normalization (the sum of
+    the weights actually present, 2^W - 2^(W-1-t)); the naive 2^(t+1)-1
+    denominator inflates early EWMAs 512× and flags day one a 'dip'."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_const"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    rows = [
+        (i * 5 + j, f"2024-03-{i + 1:02d} 12:00:0{j}", 7, "click", 1.0, "{}")
+        for i in range(4)
+        for j in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "ev_stage")
+    q = REGISTRY["event_ewma_anomaly"]
+    compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    out = q.fn(spark, str(mini)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.ewma_milli == 5000, (r.day, r.ewma_milli)
+        assert r.spike == 0 and r.dip == 0
+
+
+def test_trend_family_single_day_degenerates_honestly(spark, sf_dir, tmp_path):
+    """One-day grids: Theil-Sen has no pairs (EMPTY result in both engines
+    — 'no trend estimable'), Mann-Kendall reports S=0/no-reject (the
+    COALESCE keeps S an honest 0, not NULL), the runs test reports one run
+    and no-reject, Ljung-Box has no realizable lags (empty)."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_oneday"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "CAST(date_trunc('day', ts) AS DATE) = (SELECT min(CAST(date_trunc('day', ts) AS DATE)) FROM {})".format(
+            "parquet.`" + sf_dir + "/events.parquet`"
+        )
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "ev1_stage")
+    for name in (
+        "theilsen_daily_trend",
+        "mann_kendall_trend",
+        "volume_ljung_box",
+        "volume_runs_test",
+    ):
+        q = REGISTRY[name]
+        compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    assert REGISTRY["theilsen_daily_trend"].fn(spark, str(mini)).count() == 0
+    mk = REGISTRY["mann_kendall_trend"].fn(spark, str(mini)).first()
+    assert mk.s_stat == 0 and mk.reject_no_trend == 0 and mk.trend == 0
+    rt = REGISTRY["volume_runs_test"].fn(spark, str(mini)).first()
+    assert rt.runs == 1 and rt.reject_random == 0
+    assert REGISTRY["volume_ljung_box"].fn(spark, str(mini)).count() == 0
+
+
+def test_fd_audit_catches_planted_violation(spark, sf_dir, tmp_path):
+    """Plant a PK violation (same o_orderkey, different o_custkey): the FD
+    o_orderkey→o_custkey must flip to holds=0 with the violator counted,
+    and o_orderkey must drop out of the key candidates — in BOTH engines."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_fdviol"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first = orders.orderBy("o_orderkey").limit(1)
+    clash = first.select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    _stage_single_parquet(
+        orders.unionByName(clash), tmp_path, mini, "orders", "ord_stage"
+    )
+    for name in ("orders_fd_audit", "orders_key_candidates"):
+        q = REGISTRY[name]
+        compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    fd = {
+        r.fd: r for r in REGISTRY["orders_fd_audit"].fn(spark, str(mini)).collect()
+    }
+    row = fd["o_orderkey->o_custkey"]
+    assert row.holds == 0 and row.n_violating == 1 and row.max_dependents == 2
+    keys = {
+        r.candidate: r
+        for r in REGISTRY["orders_key_candidates"].fn(spark, str(mini)).collect()
+    }
+    assert keys["o_orderkey"].is_key == 0
+    assert keys["o_orderkey"].n_dup_rows == 1
+
+
+def test_oph_finds_planted_near_duplicate(spark, sf_dir, tmp_path):
+    """Plant a near-duplicate (one word substituted mid-document): OPH must
+    surface the pair with exact-verified Jaccard ≥ 0.5, matching the DuckDB
+    oracle on the same fixture — the same contract the classic minhash
+    query honors."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_ophdup"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    base = docs.orderBy("doc_id").first()
+    words = base.text.split()
+    words[len(words) // 2] = "substituted"
+    near = spark.createDataFrame(
+        [(900001, " ".join(words), base.lang, base.source, len(base.text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        docs.unionByName(near), tmp_path, mini, "documents", "doc_stage"
+    )
+    q = REGISTRY["dedup_minhash_oph"]
+    compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jac_micro for r in q.fn(spark, str(mini)).collect()
+    }
+    assert (base.doc_id, 900001) in pairs
+    assert pairs[(base.doc_id, 900001)] >= 500000

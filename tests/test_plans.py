@@ -514,6 +514,17 @@ _BNLJ_ALLOWED = {
     "user_activity_gini",  # four 1-row scalars off the bounded count histogram
     "order_priority_chi2",  # 1-row N + chi2-total scalars broadcast into the cell table
     "value_distribution_ks",  # 1-row (na, nb) scalar broadcast over the bounded value grid
+    "theilsen_daily_trend",  # bounded daily-grid O(days^2) pair enumeration + 1-row scalars
+    "mann_kendall_trend",  # same bounded daily-grid pair enumeration + 1-row tie/count scalars
+    "volume_ljung_box",  # broadcast 5-row lag grid + 1-row total/SS scalars (lag join itself is hash)
+    "volume_runs_test",  # 1-row median + count scalars broadcast over the bounded grid
+    "priority_status_cramers_v",  # 1-row N + dim scalars broadcast into the bounded cell table
+    "token_good_turing",  # two 1-row scalars broadcast into the bounded count-of-counts table
+    "orders_key_candidates",  # 1-row row-count scalar broadcast into each bounded arm
+    "event_dow_seasonality",  # 1-row total broadcast into the 7-row weekday table
+    "source_token_js",  # |sources|-row + 1-row scalars broadcast over the vocab-bounded grid
+    "text_pmi_collocations",  # 1-row bigram-total broadcast into the margin-joined table
+    "sample_poisson_bootstrap",  # broadcast 16-row replicate grid + 1-row summary scalars
 }
 
 
@@ -871,3 +882,29 @@ def test_join_cardinality_top_keys_avoid_global_sort_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ljung_box_lag_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The autocovariance join b.rn = a.rn + k must plan as an EQUI hash
+    join (Catalyst extracts `a.rn + k` as the left key) — only the 5-row
+    lag grid may nested-loop. A BNLJ on the dd x dd side would be O(days²)
+    per lag for no reason."""
+    plan = plan_of(spark, sf_dir, "volume_ljung_box")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # the nested-loop count must be bounded: lag grid + scalar broadcasts,
+    # never the dd x dd pair side (which would show a join condition on rn
+    # inside a BroadcastNestedLoopJoin)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "rb" not in line and "ra" not in line, line
+
+
+def test_trend_family_single_scan_to_bounded_grid(spark, sf_dir):
+    """Theil-Sen / Mann-Kendall collapse events to the daily grid FIRST:
+    the scan must aggregate before any pair enumeration (partial_count in
+    the first aggregate), and the pair join's build side is the bounded
+    grid itself."""
+    for name in ("theilsen_daily_trend", "mann_kendall_trend"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_count" in plan or "partial count" in plan.lower(), name
+        assert "CartesianProduct" not in plan, name

@@ -490,3 +490,120 @@ def test_chi2_table_overflow_reports_null_not_silent_zero(spark, tmp_path):
         assert orow[ocols.index(col)] is None, (
             f"{name}: oracle must report NULL for df=11"
         )
+
+
+# ---------------------------------------------------------------------------
+# round 9: trend & randomness family — cleared integer forms vs classical
+# ---------------------------------------------------------------------------
+
+Z2_MICRO = 3_841_459  # z²₀.₉₇₅ on the micro grid (= χ²₀.₉₅(1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 500), min_size=3, max_size=40))
+def test_mann_kendall_cleared_form_equals_classical(xs):
+    """The all-integer decision 18e6·(|S|-1)² > z²_micro·var18 must equal
+    the classical continuity-corrected two-sided z-test at alpha=0.05 —
+    including tie-corrected variance and the |S|<=1 degenerate."""
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    cleared = (
+        abs(s) > 1
+        and var18 > 0
+        and (abs(s) - 1) ** 2 * 18_000_000 > Z2_MICRO * var18
+    )
+    if var18 > 0 and abs(s) > 1:
+        z = (abs(s) - 1) / ((var18 / 18.0) ** 0.5)
+        classical = z * z > Z2_MICRO / 1e6
+        # the cleared form is EXACT; the float form can disagree only
+        # within float rounding of z² against the literal — equality of
+        # decisions holds because the literal itself is the micro grid
+        assert cleared == classical
+    else:
+        assert not cleared
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 200), min_size=4, max_size=60))
+def test_runs_test_cleared_form_equals_classical(xs):
+    """(Rn - n - 2·n1·n2)²·(n-1)·1e6 > z²_micro·2n1n2(2n1n2-n) must equal
+    the classical Wald-Wolfowitz normal-approximation decision with the
+    lower-median binarization convention (ties count as 'below')."""
+    n = len(xs)
+    med = sorted(xs)[(n + 1) // 2 - 1]
+    b = [1 if x > med else 0 for x in xs]
+    runs = 1 + sum(1 for i in range(1, n) if b[i] != b[i - 1])
+    n1 = sum(b)
+    n2 = n - n1
+    if n1 == 0 or n2 == 0 or 2 * n1 * n2 <= n:
+        cleared = False
+    else:
+        diff = runs * n - n - 2 * n1 * n2
+        cleared = diff * diff * (n - 1) * 1_000_000 > Z2_MICRO * 2 * n1 * n2 * (
+            2 * n1 * n2 - n
+        )
+    if n1 > 0 and n2 > 0 and 2 * n1 * n2 > n:
+        e_r = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        z2 = (runs - e_r) ** 2 / var
+        assert cleared == (z2 > Z2_MICRO / 1e6)
+    else:
+        assert not cleared
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 1000), min_size=7, max_size=50))
+def test_ljung_box_micro_grid_within_quantization(xs):
+    """Q_micro (the per-lag n(n+2)·r_k²_micro // (n-k) sum on the integer
+    micro grid) must sit within the accumulated floor-quantization of the
+    float Ljung-Box Q — per lag the floor loses < 1 micro before the
+    n(n+2)//(n-k) factor, so |Q_micro/1e6 - Q| < 5·n(n+2)/(n-5)/1e6 + 5e-6
+    is the hard bound."""
+    n = len(xs)
+    s = sum(xs)
+    d = [n * x - s for x in xs]
+    dss = sum(v * v for v in d)
+    lags = [k for k in range(1, 6) if k < n]
+    q_micro = 0
+    q_float = 0.0
+    for k in lags:
+        ck = sum(d[t] * d[t + k] for t in range(n - k))
+        if dss == 0:
+            continue
+        rk2_micro = (ck * ck * 1_000_000) // (dss * dss)
+        q_micro += (n * (n + 2) * rk2_micro) // (n - k)
+        q_float += n * (n + 2) * (ck / dss) ** 2 / (n - k)
+    bound = 5 * n * (n + 2) / max(n - 5, 1) / 1e6 + 5e-6
+    assert abs(q_micro / 1e6 - q_float) <= bound
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=2, max_size=25))
+def test_theilsen_lower_median_pair_selection(xs):
+    """row_number-selected lower median over (double slope, num, den) must
+    pick exactly the classical lower median of the pairwise slope multiset
+    (doubles of small-int ratios order rationals correctly here because
+    IEEE division is correctly rounded and distinct small rationals are
+    never merged by rounding at these magnitudes... EXCEPT when two
+    distinct rationals round to the same double — then num/den tie-break
+    keeps the order deterministic and the value chosen still equals a true
+    lower-median slope)."""
+    n = len(xs)
+    pairs = [
+        (xs[j] - xs[i], j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    ordered = sorted(pairs, key=lambda p: (p[0] / p[1], p[0], p[1]))
+    chosen = ordered[(len(ordered) + 1) // 2 - 1]
+    from fractions import Fraction
+
+    slopes = sorted(Fraction(a, b) for a, b in pairs)
+    true_lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+    assert Fraction(chosen[0], chosen[1]) == true_lower_median
