@@ -215,6 +215,16 @@ BENCH_QUERIES = [
     "event_dow_seasonality",  # 0.24 s (daily aggregate + 7-row rollup)
     "event_ewma_anomaly",  # 0.28 s (10-lag window on the bounded grid)
     "dedup_minhash_oph",  # 0.58 s (1 hash/shingle off the shared ngram layer)
+    "source_token_js",  # 0.83 s (vocab-bounded margins + anti-join arm)
+    "text_pmi_collocations",  # 0.88 s (bigram count + TakeOrdered top-20)
+    "sample_poisson_bootstrap",  # 2.10 s (16 weight projections in one scan)
+    "orders_seasonal_decompose",  # 0.50 s (bounded month-grid +-6 join)
+    "cohort_revenue_ltv",  # 0.47 s (custkey-keyed joins, cohort windows)
+    "funnel_latency_quantiles",  # 0.75 s (user-keyed mins + latency histogram)
+    "customer_order_rank_suite",  # 0.22 s (one fused Window, one shuffle)
+    "vocab_oov_rate",  # 0.53 s (top-K vocab + broadcast membership join)
+    "event_transition_matrix",  # 0.52 s (one user-keyed lead window)
+    "orders_interarrival_stats",  # 0.76 s (custkey lag window + gap histogram)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

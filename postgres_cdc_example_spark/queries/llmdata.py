@@ -5703,3 +5703,79 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+OOV_VOCAB_K = 256  # reference vocabulary size for the per-source OOV audit
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    os AS (SELECT d.source, o.tok
+           FROM occ o JOIN documents d ON o.doc_id = d.doc_id),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM os GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM
+        (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+         FROM cnt)
+      WHERE rnk <= {OOV_VOCAB_K}
+    ),
+    per AS (
+      SELECT os.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM os LEFT JOIN vocab v ON os.tok = v.tok
+      GROUP BY os.source
+    )
+    SELECT source, n_tokens, n_oov,
+           CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_micro
+    FROM per
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OUT-OF-VOCABULARY rate against the corpus top-{OOV_VOCAB_K}
+    vocabulary — the per-source granularity `vocab_coverage` (corpus-global
+    coverage curve) lacks: a source whose OOV spikes against the shared
+    vocab will tokenize into long byte-fallback sequences and silently eat
+    the token budget (`source_fertility_stats` measures that cost AFTER
+    tokenization; this predicts it BEFORE). Vocabulary selection is
+    deterministic (count desc, token tie-break, row_number — never a
+    ties-ambiguous LIMIT); membership is one LEFT join against the
+    {OOV_VOCAB_K}-row vocab (broadcast at any corpus size) and the rate is
+    an exact micro-grid integer. Scale shape: one token count (map-side
+    combined), a vocab-bounded window for the top-K, one broadcast
+    membership join, one |sources|-bounded rollup."""
+    occ = _doc_occurrences(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    os_ = occ.join(docs, "doc_id").select("source", "tok")
+    cnt = os_.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = (
+        cnt.select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "tok"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        os_.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST((n_oov * 1000000) div n_tokens AS BIGINT)").alias(
+            "oov_micro"
+        ),
+    )

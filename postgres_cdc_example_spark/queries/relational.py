@@ -4626,3 +4626,563 @@ def event_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN 2 * c * den < num THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("dip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition + cohort LTV + funnel latency quantiles
+# ---------------------------------------------------------------------------
+
+# truncation-symmetric integer division — identical decisions in Spark
+# (`div` truncates) and DuckDB (`//` floors) by never floor-dividing a
+# negative operand. OP is "div" on the Spark side, "//" in oracles.
+def _tdiv(x: str, d: str, op: str) -> str:
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN ({x}) {op} ({d})"
+        f" ELSE -((-({x})) {op} ({d})) END"
+    )
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT mon, c, row_number() OVER (ORDER BY mon) AS i,
+                   CAST(month(mon) AS BIGINT) AS moy
+            FROM m),
+    tr AS (
+      SELECT a.i, a.mon, a.moy, a.c,
+             CAST(sum(CASE WHEN b.i IN (a.i - 6, a.i + 6) THEN b.c
+                           ELSE 2 * b.c END) AS BIGINT) AS trend_x24,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM idx a JOIN idx b ON b.i BETWEEN a.i - 6 AND a.i + 6
+      GROUP BY a.i, a.mon, a.moy, a.c
+      HAVING count(*) = 13
+    ),
+    de AS (SELECT i, mon, moy, c, trend_x24,
+                  24 * c - trend_x24 AS d_x24 FROM tr),
+    se AS (
+      SELECT moy,
+             CAST({_tdiv("1000 * sum(d_x24)", "24 * count(*)", "//")}
+                  AS BIGINT) AS seasonal_milli
+      FROM de GROUP BY moy
+    )
+    SELECT de.mon AS month, de.c AS n_orders,
+           CAST({_tdiv("1000 * de.trend_x24", "24", "//")} AS BIGINT)
+             AS trend_milli,
+           se.seasonal_milli,
+           CAST({_tdiv("1000 * de.d_x24", "24", "//")}
+                - se.seasonal_milli AS BIGINT) AS residual_milli
+    FROM de JOIN se ON se.moy = de.moy
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL ADDITIVE DECOMPOSITION of the monthly order-volume series
+    — volume = trend + seasonal + residual, the first chart a capacity
+    planner draws (the weekday sibling `event_dow_seasonality` works at
+    day grain; this is the month-of-year decomposition with a proper
+    centered moving-average trend). Trend is the standard centered
+    12-month MA (half-weights on the ±6 endpoints so the window spans
+    exactly one seasonal period) kept EXACT on the ×24 integer grid:
+    trend_x24 = c(i-6) + 2·Σc(i-5..i+5) + c(i+6); months without 13 full
+    neighbours are excluded (the classical edge convention). Seasonal
+    index per month-of-year averages the detrended ×24 values across
+    years; detrended values CAN be negative, so every division uses the
+    truncation-symmetric form (negate to non-negative before the floor —
+    Spark ``div`` ≡ DuckDB ``//``). Residual = detrended − seasonal on
+    the milli grid, so trend_milli + seasonal_milli + residual_milli
+    reconstructs 1000·c up to the documented ±1-milli quantization per
+    term. Scale shape: ONE map-side-combined monthly aggregate; the ±6
+    neighbour join is a BETWEEN range join on the bounded month grid
+    (audited-BNLJ class, build side = the grid); everything else is
+    month-of-year-bounded."""
+    o = load_table(spark, "orders", sf_dir)
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mon")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    idx = m.select(
+        "mon",
+        "c",
+        F.row_number().over(Window.orderBy("mon")).alias("i"),
+        F.month("mon").cast("long").alias("moy"),
+    )
+    a = idx.select(
+        F.col("i").alias("ai"),
+        F.col("mon").alias("amon"),
+        F.col("moy").alias("amoy"),
+        F.col("c").alias("ac"),
+    )
+    b = idx.select(F.col("i").alias("bi"), F.col("c").alias("bc"))
+    tr = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bi") >= F.col("ai") - 6) & (F.col("bi") <= F.col("ai") + 6),
+        )
+        .groupBy("ai", "amon", "amoy", "ac")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("bi") == F.col("ai") - 6)
+                    | (F.col("bi") == F.col("ai") + 6),
+                    F.col("bc"),
+                ).otherwise(2 * F.col("bc"))
+            )
+            .cast("long")
+            .alias("trend_x24"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == 13)
+    )
+    de = tr.select(
+        F.col("amon").alias("mon"),
+        F.col("amoy").alias("moy"),
+        F.col("ac").alias("c"),
+        "trend_x24",
+        (24 * F.col("ac") - F.col("trend_x24")).alias("d_x24"),
+    )
+    se = de.groupBy("moy").agg(
+        F.expr(
+            "CAST("
+            + _tdiv("1000 * sum(d_x24)", "24 * count(*)", "div")
+            + " AS BIGINT)"
+        ).alias("seasonal_milli")
+    )
+    return de.join(F.broadcast(se), "moy").select(
+        F.col("mon").alias("month"),
+        F.col("c").alias("n_orders"),
+        F.expr(
+            "CAST(" + _tdiv("1000 * trend_x24", "24", "div") + " AS BIGINT)"
+        ).alias("trend_milli"),
+        "seasonal_milli",
+        F.expr(
+            "CAST(("
+            + _tdiv("1000 * d_x24", "24", "div")
+            + ") - seasonal_milli AS BIGINT)"
+        ).alias("residual_milli"),
+    )
+
+
+@register(
+    "cohort_revenue_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+           FROM fo GROUP BY cohort),
+    r AS (
+      SELECT fo.cohort,
+             CAST((year(o.o_orderdate) - year(fo.cohort)) * 12
+                  + (month(o.o_orderdate) - month(fo.cohort)) AS BIGINT)
+               AS age_months,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_months, revenue_cents,
+             CAST(sum(revenue_cents) OVER (
+               PARTITION BY cohort ORDER BY age_months) AS BIGINT)
+               AS cum_revenue_cents
+      FROM r
+    )
+    SELECT cum.cohort, cum.age_months, cs.n_customers, cum.revenue_cents,
+           cum.cum_revenue_cents,
+           CAST((cum.cum_revenue_cents * 1000) // cs.n_customers AS BIGINT)
+             AS ltv_cents_milli
+    FROM cum JOIN cs ON cs.cohort = cum.cohort
+    """,
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curves — cumulative revenue per customer by
+    acquisition cohort (first-order month) and account age in months: the
+    revenue-side completion of `retention_cohorts` (which counts RETURNING
+    users; LTV weights them by what they spend — the pair is the standard
+    growth dashboard). Month age is exact integer calendar arithmetic
+    ((Δyear)·12 + Δmonth — never months_between(), whose fractional-day
+    semantics differ between engines), revenue on the cents grid, LTV per
+    customer on the milli-cents grid (non-negative floor-div). Scale
+    shape: first-order month is one custkey-keyed min-aggregate; the fact
+    join is custkey-keyed (broadcast or shuffle by AQE stats); the
+    cumulative window partitions BY COHORT over ≤ months rows each —
+    bounded partitions, never a global sort. Output is (cohorts × ages)
+    bounded."""
+    o = load_table(spark, "orders", sf_dir)
+    fo = o.groupBy("o_custkey").agg(
+        F.min(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+        ).alias("cohort")
+    )
+    cs = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    r = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    cum = r.select(
+        "cohort",
+        "age_months",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
+    return cum.join(F.broadcast(cs), "cohort").select(
+        "cohort",
+        "age_months",
+        "n_customers",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.expr(
+            "CAST((cum_revenue_cents * 1000) div n_customers AS BIGINT)"
+        ).alias("ltv_cents_milli"),
+    )
+
+
+FUNNEL_QS = (250, 500, 750, 900)  # per-mille ranks for the latency curve
+
+
+@register(
+    "funnel_latency_quantiles",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN su ON e.user_id = su.user_id
+                    AND epoch_us(e.ts) > su.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (pu.t2 - su.t1) // 1000000 AS sec
+      FROM pu JOIN su ON su.user_id = pu.user_id
+    ),
+    h AS (SELECT sec, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY sec),
+    cumh AS (
+      SELECT sec, c, sum(c) OVER (ORDER BY sec) AS cum,
+             (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
+      FROM h
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in FUNNEL_QS)}]) AS q)
+    SELECT CAST(qs.q AS BIGINT) AS quantile_permille,
+           CAST(max(cumh.n) AS BIGINT) AS n_converted,
+           CAST(min(cumh.sec) AS BIGINT) AS latency_sec
+    FROM qs JOIN cumh
+      ON cumh.cum * 1000 >= qs.q * cumh.n
+    GROUP BY qs.q
+    """,
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT quantiles for the signup→purchase funnel — the
+    latency curve (p25/p50/p75/p90) behind "how long does conversion
+    take", the companion to `funnel_conversion`'s how-many counts.
+    Quantiles are ORDER STATISTICS selected from the latency-second
+    histogram: rank k is the smallest second whose cumulative count
+    reaches ⌈q·n/1000⌉ (the cum·1000 ≥ q·n integer compare — no
+    interpolation, no percentile_cont divergence between engines; the
+    same histogram-order-statistic pattern as `length_mad_gate`).
+    Latencies land on the second grid via integer epoch-micro division
+    (non-negative by the t2 > t1 join predicate). Scale shape: two
+    user-keyed min-aggregates and one user-keyed join (all map-side
+    combinable), then a histogram bounded by DISTINCT latency seconds —
+    value-domain-bounded, not corpus-bounded; the cumulative window and
+    the 4-rank probe join run on histogram rows only."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("us"))
+        .join(su, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    lat = pu.join(su, "user_id").select(
+        F.expr("(t2 - t1) div 1000000").alias("sec")
+    )
+    h = lat.groupBy("sec").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = h.agg(F.sum("c").cast("long").alias("n"))
+    cumh = h.crossJoin(F.broadcast(n)).select(
+        "sec",
+        "c",
+        F.sum("c").over(Window.orderBy("sec")).cast("long").alias("cum"),
+        "n",
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in FUNNEL_QS], "q long"
+    )
+    return (
+        F.broadcast(qs)
+        .join(cumh, F.col("cum") * 1000 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.min("sec").cast("long").alias("latency_sec"),
+        )
+        .select(
+            F.col("q").alias("quantile_permille"),
+            "n_converted",
+            "latency_sec",
+        )
+    )
+
+
+@register(
+    "customer_order_rank_suite",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    w AS (
+      SELECT o_custkey, o_orderkey, cents,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+             CAST(rank() OVER (PARTITION BY o_custkey
+                               ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY o_custkey
+                                 ORDER BY cents, o_orderkey) AS BIGINT)
+               AS cume_n,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                 ORDER BY cents, o_orderkey) AS BIGINT)
+               AS quartile
+      FROM o
+    )
+    SELECT o_custkey, o_orderkey, cents, n, rnk, quartile,
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE ((rnk - 1) * 1000000) // (n - 1) END AS BIGINT)
+             AS percent_rank_micro,
+           CAST((cume_n * 1000000) // n AS BIGINT) AS cume_dist_micro
+    FROM w
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def customer_order_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-FUNCTION SUITE per customer — rank, percent_rank, cume_dist,
+    ntile(4) over each customer's order values in one window pass: the
+    SQL-surface breadth a migrating analyst expects (every function here
+    is one keyed window over the same partition — Catalyst fuses them into
+    a SINGLE Window operator with one shuffle on o_custkey). percent_rank
+    and cume_dist are recomputed from rank/count on the EXACT micro grid
+    rather than taken from the engines' native double-valued functions
+    ((rank-1)/(n-1) and cume/n floor identically; the native doubles are
+    correctly-rounded too, but the integer form makes the parity contract
+    self-evident) — and the ORDER BY carries the o_orderkey tie-break so
+    ntile boundaries are total-order deterministic. The % 100 probe filter
+    bounds output rows (full output would be the orders table itself);
+    the WINDOW still computes over every order of the sampled customers.
+    Scale shape: one hash shuffle on o_custkey, per-partition sorts of
+    per-customer groups (bounded by orders-per-customer), zero joins."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    wp = Window.partitionBy("o_custkey")
+    wo = wp.orderBy("cents", "o_orderkey")
+    w = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.rank().over(wo).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cume_n"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+    )
+    return w.filter(F.col("o_custkey") % 100 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        "n",
+        "rnk",
+        "quartile",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 0"
+            " ELSE ((rnk - 1) * 1000000) div (n - 1) END AS BIGINT)"
+        ).alias("percent_rank_micro"),
+        F.expr("CAST((cume_n * 1000000) div n AS BIGINT)").alias(
+            "cume_dist_micro"
+        ),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    tr AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS nxt
+      FROM e
+    ),
+    c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+          FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    rowt AS (SELECT cur, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n, rowt.rn AS row_total,
+           CAST((c.n * 1000000) // rowt.rn AS BIGINT) AS p_micro,
+           CAST(CASE WHEN c.n = (SELECT max(c2.n) FROM c c2
+                                 WHERE c2.cur = c.cur)
+                 AND c.nxt = (SELECT min(c3.nxt) FROM c c3
+                              WHERE c3.cur = c.cur
+                                AND c3.n = (SELECT max(c4.n) FROM c c4
+                                            WHERE c4.cur = c.cur))
+                THEN 1 ELSE 0 END AS BIGINT) AS is_top_transition
+    FROM c JOIN rowt ON rowt.cur = c.cur
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX of user event sequences —
+    P(next = j | current = i) on the micro grid, with each row's most
+    likely successor flagged (count-max, event-type tie-break — total
+    order). `event_type_pagerank` ranks states by long-run centrality;
+    the raw conditional probabilities are what a product funnel analyst
+    actually reads ('after an error, 40% of next actions are another
+    error'), and what an anomaly monitor compares release-over-release
+    (a shifted row distribution = changed user behavior or a broken
+    client). Per-user ordering uses (epoch micros, event_id) — the house
+    total-order tie-break — via ONE lead() window keyed on user_id; the
+    matrix is |event types|² bounded, so margins, probabilities, and the
+    per-row argmax all run on the bounded cell table. Scale shape: one
+    user-keyed window shuffle (the sequence partitioning every
+    sequence-family query shares), one map-side-combined (cur, nxt)
+    count, bounded everything after."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tr = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy(us, "event_id")
+        ).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = tr.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rowt = c.groupBy("cur").agg(F.sum("n").cast("long").alias("rn"))
+    wmax = Window.partitionBy("cur")
+    top = c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.max("n").over(wmax).alias("nmax"),
+    ).select(
+        "cur",
+        "nxt",
+        "n",
+        F.min(F.when(F.col("n") == F.col("nmax"), F.col("nxt")))
+        .over(wmax)
+        .alias("top_nxt"),
+    )
+    return top.join(F.broadcast(rowt), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.col("rn").alias("row_total"),
+        F.expr("CAST((n * 1000000) div rn AS BIGINT)").alias("p_micro"),
+        F.expr(
+            "CAST(CASE WHEN nxt = top_nxt THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_top_transition"),
+    )
+
+
+@register(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                    lag(d) OVER (PARTITION BY o_custkey ORDER BY d),
+                    d) AS BIGINT) AS gap_days
+      FROM o
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    h AS (SELECT gap_days, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY gap_days),
+    cumh AS (
+      SELECT gap_days, c, sum(c) OVER (ORDER BY gap_days) AS cum,
+             (SELECT CAST(sum(c) AS BIGINT) FROM h) AS n
+      FROM h
+    ),
+    qs AS (SELECT unnest([250, 500, 750, 900]) AS q)
+    SELECT CAST(qs.q AS BIGINT) AS quantile_permille,
+           CAST(max(cumh.n) AS BIGINT) AS n_gaps,
+           CAST(min(cumh.gap_days) AS BIGINT) AS gap_days
+    FROM qs JOIN cumh ON cumh.cum * 1000 >= qs.q * cumh.n
+    GROUP BY qs.q
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE CADENCE quantiles — the distribution of day gaps
+    between a customer's consecutive orders (p25/p50/p75/p90 as exact
+    order statistics from the gap-day histogram, the
+    `funnel_latency_quantiles` pattern on the purchase-cadence domain):
+    the number a retention model and a reorder-reminder scheduler both
+    need, and the denominator behind 'churned = silent for 3× their p50
+    cadence'. Gap extraction is one lag() window per customer (the same
+    custkey partitioning the RFM/LTV queries shuffle on); multiple
+    same-day orders produce zero-gaps that stay IN the distribution
+    (documented: same-day reorders are real cadence signal, not noise).
+    Scale shape: one custkey-keyed window shuffle, a histogram bounded by
+    DISTINCT gap values (≤ date-range days), cumulative + 4-rank probe on
+    histogram rows only."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = o.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    h = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = h.agg(F.sum("c").cast("long").alias("n"))
+    cumh = h.crossJoin(F.broadcast(n)).select(
+        "gap_days",
+        "c",
+        F.sum("c").over(Window.orderBy("gap_days")).cast("long").alias("cum"),
+        "n",
+    )
+    qs = spark.createDataFrame([(q,) for q in (250, 500, 750, 900)], "q long")
+    return (
+        F.broadcast(qs)
+        .join(cumh, F.col("cum") * 1000 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("gap_days"),
+        )
+        .select(F.col("q").alias("quantile_permille"), "n_gaps", "gap_days")
+    )

@@ -109,6 +109,13 @@ QUERIES = [
     "golden_record_survivorship",
     "length_mad_gate",
     "dedup_edit_distance_verify",
+    # round-9 continuation (documents-based; the events/orders-keyed trend,
+    # constraint, and bootstrap queries would measure nothing here)
+    "dedup_minhash_oph",
+    "source_token_js",
+    "text_pmi_collocations",
+    "token_good_turing",
+    "source_lexical_diversity",
 ]
 
 

@@ -117,6 +117,14 @@ NOTES = {
     "dedup_minhash_oph": "One-permutation hashing: ONE md5 per shingle row (16x less hash arithmetic than classic minhash — the scale point), (doc, nibble-bucket) min-aggregate <= 16 rows/doc, candidates meet on (bucket, min) equality, exact-Jaccard verification reuses the shared gram layer via doc-keyed joins.",
     "orders_fd_audit": "Constraint verification: each FD arm is one determinant-keyed map-side-combined aggregate (count distinct dependent) + a 1-row rollup; the four arms union bounded rows — at 100 TB each arm is exactly one shuffle keyed on its determinant.",
     "event_ewma_anomaly": "Exact EWMA: 10 fixed lag() projections over one bounded-grid window (never a 2^t positional power), partial-window denominator = sum of weights present; spike/dip are integer cross-multiplied compares — zero joins in the plan.",
+    "sample_poisson_bootstrap": "Poisson bootstrap: 16 replicates in ONE scan — the replicate grid broadcasts (16-row BNLJ), weights are per-row hash-CDF projections inside codegen, one map-side-combined per-replicate aggregate, 1-row summary broadcasts. No data replication anywhere.",
+    "source_token_js": "JS drift: one doc_id-keyed join, one (source, tok) map-side count, vocab-bounded margin joins; per-token ln runs on exact integer ratios and micro-rounds BEFORE the HUGEINT weighted sums; the unseen-token arm contributes at the single ln(2) literal via an anti-join on the vocab grid.",
+    "cohort_revenue_ltv": "Cohort LTV: custkey-keyed min-aggregate for the cohort month, custkey-keyed fact join, cumulative window PARTITIONED BY COHORT (<= months rows each — bounded partitions, never a global sort), cohort-size broadcast closes the per-customer curve.",
+    "funnel_latency_quantiles": "Latency quantiles as ORDER STATISTICS: user-keyed min-aggregates, one user-keyed join, then a value-domain-bounded latency histogram; the cumulative window and the 4-rank probe join (bounded BNLJ) run on histogram rows only — no percentile interpolation, no global sort of raw latencies.",
+    "customer_order_rank_suite": "rank/percent_rank/cume_dist/ntile fused into ONE Window operator: a single hash shuffle on o_custkey, per-partition sorts bounded by orders-per-customer, zero joins; the micro-grid recomputation keeps the parity contract integer-exact.",
+    "event_transition_matrix": "Markov transitions: ONE user-keyed lead() window (the shared sequence partitioning) into a |types|^2-bounded cell table; margins, probabilities, and the per-row argmax all run on bounded rows.",
+    "orders_interarrival_stats": "Purchase cadence: one custkey-keyed lag() window, then a gap-day histogram (value-domain-bounded) with cumulative window + 4-rank probe — quantiles as order statistics, never percentile interpolation or a global sort of raw gaps.",
+    "vocab_oov_rate": "OOV audit: token counts combine map-side; the top-K vocab is a deterministic bounded window and BROADCASTS into one membership join; per-source rollup is |sources|-bounded.",
 }
 
 

@@ -65,6 +65,14 @@ INVARIANCE_QUERIES = [
     "doc_chunk_plan",  # sequence explode + slice/md5 (no shuffle at all)
     "length_mad_gate",  # doubled order statistics off per-source histograms
     "dedup_edit_distance_verify",  # distributed-rank blocking + char-DP verify
+    # round-9 continuation representatives
+    "theilsen_daily_trend",  # double-sorted rational pair median (IEEE order key)
+    "volume_ljung_box",  # integer micro autocovariances over a positional hash join
+    "source_token_js",  # two-arm micro-log sums + truncation-symmetric closing div
+    "sample_poisson_bootstrap",  # hash-CDF weights; per-replicate sums must not see order
+    "dedup_minhash_oph",  # single-hash bucket minima + equality collisions
+    "funnel_latency_quantiles",  # histogram order statistics off user-keyed mins
+    "event_transition_matrix",  # user-keyed lead window + bounded argmax ties
     # cube/rollup stay out: grouping-set NULL markers are unsortable in this
     # harness's tuple canon; their exactness is the integer-cents policy and
     # the oracle hash already compares them order-insensitively

@@ -525,6 +525,9 @@ _BNLJ_ALLOWED = {
     "source_token_js",  # |sources|-row + 1-row scalars broadcast over the vocab-bounded grid
     "text_pmi_collocations",  # 1-row bigram-total broadcast into the margin-joined table
     "sample_poisson_bootstrap",  # broadcast 16-row replicate grid + 1-row summary scalars
+    "orders_seasonal_decompose",  # bounded month-grid +-6 BETWEEN join (build side = the grid)
+    "funnel_latency_quantiles",  # 4-row rank-probe grid + 1-row total over the latency histogram
+    "orders_interarrival_stats",  # same 4-row rank-probe grid over the gap-day histogram
 }
 
 

@@ -607,3 +607,53 @@ def test_theilsen_lower_median_pair_selection(xs):
     slopes = sorted(Fraction(a, b) for a, b in pairs)
     true_lower_median = slopes[(len(slopes) + 1) // 2 - 1]
     assert Fraction(chosen[0], chosen[1]) == true_lower_median
+
+
+def test_poisson_bootstrap_cdf_literals_are_exact():
+    """The BOOT_CDF_MICRO literal table must be floor(P(X<=k)·1e6 + 0.5)
+    for X ~ Poisson(1) — recomputed here from the series so a typo'd
+    threshold (which would silently skew every replicate weight) fails
+    loudly."""
+    import math
+
+    from postgres_cdc_example_spark.queries.extensions import BOOT_CDF_MICRO
+
+    cdf = 0.0
+    for k, lit in enumerate(BOOT_CDF_MICRO):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        assert lit == math.floor(cdf * 1_000_000 + 0.5), k
+    assert all(a < b for a, b in zip(BOOT_CDF_MICRO, BOOT_CDF_MICRO[1:]))
+
+
+def test_poisson_bootstrap_weights_mean_near_one(spark, sf_dir):
+    """Hash-CDF Poisson(1) weights must average ~1 per replicate (the
+    construction's unbiasedness: E[n_eff] = N) — a broken uniform (e.g.
+    a hex-parse bug making u constant) collapses every weight to the
+    same value and fails the tolerance band."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    rows = REGISTRY["sample_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == 16
+    for r in rows:
+        assert 0.8 * n <= r.n_eff <= 1.2 * n, (r.replicate, r.n_eff, n)
+    # replicates must actually differ (independent draws)
+    assert len({r.n_eff for r in rows}) > 1
+
+
+def test_js_divergence_bounded_and_zero_on_self(spark, sf_dir):
+    """JS is bounded by ln 2 (693147 micro) and ≥ ~0 (micro-rounding can
+    dip a few micro below zero on near-identical distributions — bounded
+    by the per-token half-micro rounding, never more than vocab·1 micro
+    in magnitude)."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    rows = REGISTRY["source_token_js"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.js_micro <= 693_147 + 1, r
+        assert r.js_micro >= -1_000, r
