@@ -225,6 +225,12 @@ BENCH_QUERIES = [
     "vocab_oov_rate",  # 0.53 s (top-K vocab + broadcast membership join)
     "event_transition_matrix",  # 0.52 s (one user-keyed lead window)
     "orders_interarrival_stats",  # 0.76 s (custkey lag window + gap histogram)
+    "token_burstiness",  # 0.50 s (tok-keyed moments + TakeOrdered top-20)
+    "vocab_heaps_law",  # 0.63 s (first-occurrence buckets + 10-row OLS)
+    "shipping_latency_by_priority",  # 1.04 s (fact-fact join + day histogram)
+    "supplier_acctbal_outlier_fences",  # 0.63 s (per-nation cents histogram)
+    "dedup_transitivity_audit",  # 3.19 s (re-verifies the pair set + wedge join)
+    "user_bot_regularity",  # 0.52 s (one user-keyed window + moment aggregate)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

@@ -6034,3 +6034,115 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orig_mean_cents_milli",
         )
     )
+
+
+def _verified_pairs_sql() -> str:
+    """CTE suffix producing the verified Jaccard>=0.5 pair set (doc_a <
+    doc_b) — the same spec as `dedup_minhash_lsh`'s output, reused by the
+    graph-quality audits."""
+    jac = (
+        "CAST(floor(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)"
+        " / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b
+      WHERE {jac} >= 500000
+    )"""
+
+
+@register(
+    "dedup_transitivity_audit",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    {_verified_pairs_sql()},
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    wedges AS (
+      SELECT w1.u AS center, w1.v AS x, w2.v AS y
+      FROM und w1 JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+    ),
+    closed AS (
+      SELECT count(*) AS n_closed
+      FROM wedges JOIN pairs p ON p.doc_a = wedges.x AND p.doc_b = wedges.y
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+             (SELECT CAST(n_closed AS BIGINT) FROM closed) AS n_closed
+    )
+    SELECT n_edges, n_wedges, n_closed,
+           CAST(CASE WHEN n_wedges = 0 THEN 1000000
+                ELSE (n_closed * 1000000) // n_wedges END AS BIGINT)
+             AS transitivity_micro
+    FROM agg
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP GRAPH TRANSITIVITY audit — the global clustering
+    coefficient (closed wedges / all wedges) of the verified Jaccard ≥
+    0.5 pair graph: the health check for the connected-components
+    clustering every keeper/survivorship query builds on
+    (`dedup_clusters`, `golden_record_survivorship`). Jaccard ≥ 0.5 is
+    NOT transitive (a~b ~c can hold with a,c at 0.33), so components can
+    chain together documents that share nothing; transitivity near 10⁶
+    means components are tight cliques (safe to pick one keeper),
+    transitivity sagging means chain-merging is happening and the
+    cluster-based keeper policy needs an edit-distance or centroid
+    re-check (`dedup_edit_distance_verify` is the per-pair arm of that).
+    A wedge is an ordered neighbor pair (x < y) around a center; each
+    triangle closes exactly 3 wedges, so transitivity = n_closed /
+    n_wedges IS the standard 3·triangles/wedges. The empty-wedge
+    degenerate reports 10⁶ (vacuously transitive) in both engines.
+    Scale shape: the pair set is collision-bounded (the LSH contract);
+    the wedge join is keyed on the CENTER doc (per-node degree² — bounded
+    by near-dup cluster sizes, exactly the quantity
+    `dedup_graph_shape_audit` monitors); closure check is one keyed join
+    back to the pair set. Shares the persisted shingle/band layers."""
+    sh = _doc_ngrams(spark, sf_dir).withColumnRenamed("g", "s")
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        shingles=sh,
+        bands=_doc_bands(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    w1 = und.select(F.col("u").alias("center"), F.col("v").alias("x"))
+    w2 = und.select(F.col("u").alias("center"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "center").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+        ),
+        ["x", "y"],
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nw = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(closed))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 1000000"
+                " ELSE (n_closed * 1000000) div n_wedges END AS BIGINT)"
+            ).alias("transitivity_micro"),
+        )
+    )

@@ -5779,3 +5779,251 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_micro"
         ),
     )
+
+
+BURST_TOP = 20
+BURST_MIN_DOCS = 10  # support floor: tokens seen in >= this many docs
+
+
+@register(
+    "token_burstiness",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM occ GROUP BY doc_id, tok),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents WHERE length(trim(text)) > 0),
+    st AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum2
+      FROM dt GROUP BY tok
+    ),
+    f AS (
+      SELECT st.tok, st.n_docs, st.total,
+             CAST((nd.n * st.sum2 - CAST(st.total AS HUGEINT) * st.total)
+                  * 1000000
+                  // (CAST(nd.n AS HUGEINT) * st.total) AS BIGINT)
+               AS fano_micro
+      FROM st, nd WHERE st.n_docs >= {BURST_MIN_DOCS}
+    )
+    SELECT tok, n_docs, total, fano_micro,
+           CAST(row_number() OVER (ORDER BY fano_micro DESC, tok)
+                AS BIGINT) AS rank
+    FROM f
+    ORDER BY fano_micro DESC, tok
+    LIMIT {BURST_TOP}
+    """,
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN BURSTINESS ranking — the corpus-wide Fano factor (variance /
+    mean of per-document counts, unseen docs counted as zero) per token,
+    top-{BURST_TOP}: bursty tokens cluster in few documents (topical
+    content words, boilerplate markers, template artifacts) while
+    Fano ≈ 1 means Poisson-like background (function words). Dedup and
+    boilerplate pipelines use exactly this signal to pick shingle
+    stop-lists — a high-Fano token is a document-identity marker, a
+    low-Fano token is noise in a fingerprint. The zero-inflated moments
+    need no zero rows: over n docs, mean = T/n and E[c²] = S2/n with T, S2
+    from occurrence rows only, so Fano·10⁶ clears to (n·S2 - T²)·10⁶ //
+    (n·T) — non-negative (Cauchy-Schwarz on the zero-padded vector), all
+    HUGEINT/DECIMAL(38,0). Support floor n_docs ≥ {BURST_MIN_DOCS} kills
+    the rare-token pathology; ties break on token text. Scale shape: one
+    (doc, tok) map-side-combined count, one tok-keyed moment rollup, a
+    1-row doc-count broadcast, TakeOrdered top-{BURST_TOP}."""
+    occ = _doc_occurrences(spark, sf_dir)
+    dt = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    nd = docs.filter(F.length(F.trim(F.col("text"))) > 0).agg(
+        F.countDistinct("doc_id").cast("long").alias("n")
+    )
+    st = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum2"),
+    )
+    f = (
+        st.filter(F.col("n_docs") >= BURST_MIN_DOCS)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "n_docs",
+            "total",
+            F.expr(
+                "CAST((n * CAST(sum2 AS DECIMAL(38,0))"
+                " - CAST(total AS DECIMAL(38,0)) * total) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("fano_micro"),
+        )
+    )
+    top = f.orderBy(F.col("fano_micro").desc(), "tok").limit(BURST_TOP)
+    return top.select(
+        "tok",
+        "n_docs",
+        "total",
+        "fano_micro",
+        F.row_number()
+        .over(Window.orderBy(F.col("fano_micro").desc(), "tok"))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+HEAPS_CHECKPOINTS = 10  # vocabulary-growth curve sampled at doc-id deciles
+
+
+@register(
+    "vocab_heaps_law",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid FROM occ),
+    tokb AS (
+      SELECT CAST(((min(doc_id) - 1) * {HEAPS_CHECKPOINTS}) // mx.mid + 1
+                  AS BIGINT) AS decile
+      FROM occ, mx GROUP BY occ.tok, mx.mid
+    ),
+    vh AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_vocab
+           FROM tokb GROUP BY decile),
+    occb AS (
+      SELECT CAST(((doc_id - 1) * {HEAPS_CHECKPOINTS}) // mx.mid + 1
+                  AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS toks
+      FROM occ, mx GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, {HEAPS_CHECKPOINTS}))
+               AS decile),
+    cumul AS (
+      SELECT g.decile,
+             CAST(sum(COALESCE(vh.new_vocab, 0)) OVER (ORDER BY g.decile)
+                  AS BIGINT) AS vocab,
+             CAST(sum(COALESCE(ob.toks, 0)) OVER (ORDER BY g.decile)
+                  AS BIGINT) AS n_tokens
+      FROM grid g LEFT JOIN vh ON vh.decile = g.decile
+                  LEFT JOIN occb ob ON ob.decile = g.decile
+    ),
+    pts AS (
+      SELECT decile, n_tokens, vocab,
+             CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS x_micro,
+             CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS y_micro
+      FROM cumul WHERE n_tokens > 0 AND vocab > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x_micro) AS HUGEINT) AS sx,
+             CAST(sum(y_micro) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x_micro AS HUGEINT) * y_micro) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x_micro AS HUGEINT) * x_micro) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT pts.decile, pts.n_tokens, pts.vocab, pts.x_micro, pts.y_micro,
+           CAST(CASE WHEN fit.k * fit.sxx - fit.sx * fit.sx = 0 THEN NULL
+                WHEN (fit.k * fit.sxy - fit.sx * fit.sy) >= 0
+                THEN ((fit.k * fit.sxy - fit.sx * fit.sy) * 1000000)
+                     // (fit.k * fit.sxx - fit.sx * fit.sx)
+                ELSE -((-(fit.k * fit.sxy - fit.sx * fit.sy)) * 1000000
+                       // (fit.k * fit.sxx - fit.sx * fit.sx))
+                END AS BIGINT) AS beta_micro
+    FROM pts, fit
+    """,
+)
+def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth fit — V(N) ≈ K·N^β sampled at
+    {HEAPS_CHECKPOINTS} doc-id deciles with β from OLS on the log-log
+    points: the planning number behind "how big is the vocabulary at
+    100 TB" (β ≈ 0.4-0.6 for natural text; β drifting toward 1 flags
+    id-heavy/synthetic content whose vocab grows linearly, resizing every
+    hash structure downstream; `vocab_zipf_slope` is the frequency-side
+    dual). NO per-checkpoint rescan and NO global rank: each token
+    contributes exactly once at the decile of its FIRST document
+    ((fdoc-1)·{HEAPS_CHECKPOINTS} // max_id + 1 — integer bucketing off a
+    1-row max broadcast), token occurrences bucket the same way, and both
+    curves are cumulative sums over the {HEAPS_CHECKPOINTS}-row decile
+    grid. The ln points micro-round per checkpoint (house policy); the
+    OLS slope clears to integer cross-products with truncation-symmetric
+    division (the numerator CAN be negative on a degenerate corpus, and
+    DuckDB `//` floors where Spark `div` truncates). Doc-id deciles are
+    the natural ingest-order checkpoints when ids are assigned
+    sequentially (ours are) — a corpus with sparse ids should checkpoint
+    on ingest sequence instead. Scale shape: one (tok, min-doc)
+    aggregate, one bucketed occurrence count (both map-side combined),
+    then everything on the bounded grid."""
+    occ = _doc_occurrences(spark, sf_dir)
+    K = HEAPS_CHECKPOINTS
+    mx = occ.agg(F.max("doc_id").cast("long").alias("mid"))
+    tokb = (
+        occ.groupBy("tok")
+        .agg(F.min("doc_id").cast("long").alias("fdoc"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST(((fdoc - 1) * {K}) div mid + 1 AS BIGINT)").alias(
+                "decile"
+            )
+        )
+    )
+    vh = tokb.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    occb = (
+        occ.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST(((doc_id - 1) * {K}) div mid + 1 AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    )
+    grid = spark.range(1, K + 1).select(F.col("id").cast("long").alias("decile"))
+    wc = Window.orderBy("decile")
+    cumul = (
+        grid.join(F.broadcast(vh), "decile", "left")
+        .join(F.broadcast(occb), "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(wc)
+            .cast("long")
+            .alias("vocab"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(wc)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    pts = cumul.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        "decile",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("x_micro"),
+        F.expr(
+            "CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("y_micro"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x_micro").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_micro").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(x_micro AS DECIMAL(38,0)) * y_micro")).alias("sxy"),
+        F.sum(F.expr("CAST(x_micro AS DECIMAL(38,0)) * x_micro")).alias("sxx"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "decile",
+        "n_tokens",
+        "vocab",
+        "x_micro",
+        "y_micro",
+        F.expr(
+            "CAST(CASE WHEN k * sxx - sx * sx = 0 THEN NULL"
+            " WHEN (k * sxy - sx * sy) >= 0"
+            " THEN ((k * sxy - sx * sy) * 1000000) div (k * sxx - sx * sx)"
+            " ELSE -((-(k * sxy - sx * sy)) * 1000000"
+            " div (k * sxx - sx * sx)) END AS BIGINT)"
+        ).alias("beta_micro"),
+    )

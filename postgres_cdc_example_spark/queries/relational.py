@@ -5186,3 +5186,280 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("q").alias("quantile_permille"), "n_gaps", "gap_days")
     )
+
+
+@register(
+    "shipping_latency_by_priority",
+    oracle="""
+    WITH l AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS BIGINT)
+               AS days
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ),
+    h AS (SELECT pri, days, CAST(count(*) AS BIGINT) AS c
+          FROM l GROUP BY pri, days),
+    cumh AS (
+      SELECT pri, days, c,
+             sum(c) OVER (PARTITION BY pri ORDER BY days) AS cum,
+             sum(c) OVER (PARTITION BY pri) AS n
+      FROM h
+    ),
+    qs AS (SELECT unnest([500, 900]) AS q)
+    SELECT cumh.pri AS priority, CAST(qs.q AS BIGINT) AS quantile_permille,
+           CAST(max(cumh.n) AS BIGINT) AS n_items,
+           CAST(min(cumh.days) AS BIGINT) AS latency_days
+    FROM qs JOIN cumh ON cumh.cum * 1000 >= qs.q * cumh.n
+    GROUP BY cumh.pri, qs.q
+    """,
+)
+def shipping_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIPPING-LATENCY SLO check per order priority — p50/p90 days from
+    order date to line-item ship date, the "does URGENT actually ship
+    faster" audit (q12 counts late shipments against a fixed deadline;
+    this reads the latency DISTRIBUTION, which is what an SLO dashboard
+    tracks — a priority whose p90 crosses its target pages before the
+    fixed-deadline count moves). Per-group quantiles are order statistics
+    from a (priority, day) histogram — cum window PARTITIONED BY priority
+    over the bounded day domain, the rank probe is the integer compare
+    cum·1000 ≥ q·n; no percentile interpolation anywhere. Scale shape:
+    one orderkey-keyed join (the fact-fact join every TPC-H variant
+    shuffles on), one map-side-combined (priority, day) histogram,
+    windows + probes on histogram rows only (≤ priorities × day-range)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    h = l.groupBy("pri", "days").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("pri")
+    cumh = h.select(
+        "pri",
+        "days",
+        "c",
+        F.sum("c").over(wp.orderBy("days")).cast("long").alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(500,), (900,)], "q long")
+    return (
+        F.broadcast(qs)
+        .join(cumh, F.col("cum") * 1000 >= F.col("q") * F.col("n"))
+        .groupBy(F.col("pri").alias("priority"), "q")
+        .agg(
+            F.max("n").cast("long").alias("n_items"),
+            F.min("days").cast("long").alias("latency_days"),
+        )
+        .select(
+            "priority",
+            F.col("q").alias("quantile_permille"),
+            "n_items",
+            "latency_days",
+        )
+    )
+
+
+@register(
+    "supplier_acctbal_outlier_fences",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey AS nk,
+             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    h AS (SELECT nk, cents, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY nk, cents),
+    cumh AS (
+      SELECT nk, cents, c,
+             sum(c) OVER (PARTITION BY nk ORDER BY cents) AS cum,
+             sum(c) OVER (PARTITION BY nk) AS n
+      FROM h
+    ),
+    q1 AS (SELECT nk, CAST(min(cents) AS BIGINT) AS q1
+           FROM cumh WHERE cum * 4 >= n GROUP BY nk),
+    q3 AS (SELECT nk, CAST(min(cents) AS BIGINT) AS q3
+           FROM cumh WHERE cum * 4 >= 3 * n GROUP BY nk),
+    f AS (
+      SELECT q1.nk, q1.q1, q3.q3,
+             5 * q1.q1 - 3 * q3.q3 AS lo_x2,
+             5 * q3.q3 - 3 * q1.q1 AS hi_x2
+      FROM q1 JOIN q3 ON q1.nk = q3.nk
+    )
+    SELECT f.nk AS nationkey, CAST(max(cumh.n) AS BIGINT) AS n_suppliers,
+           f.q1 AS q1_cents, f.q3 AS q3_cents, f.lo_x2, f.hi_x2,
+           CAST(sum(CASE WHEN 2 * cumh.cents < f.lo_x2
+                         THEN cumh.c ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * cumh.cents > f.hi_x2
+                         THEN cumh.c ELSE 0 END) AS BIGINT) AS n_high
+    FROM cumh JOIN f ON f.nk = cumh.nk
+    GROUP BY f.nk, f.q1, f.q3, f.lo_x2, f.hi_x2
+    """,
+)
+def supplier_acctbal_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY IQR OUTLIER FENCES per nation on supplier account balances —
+    the robust box-plot outlier rule (outside Q1/Q3 ∓ 1.5·IQR) every
+    data-quality scanner applies to numeric columns before trusting them
+    (`orders_benford_audit` tests digit distributions; this tests the
+    value tails; `embedding_outliers` is the z-score cousin that a heavy
+    tail breaks — IQR fences don't). Quartiles are order statistics from
+    the per-nation cents histogram (cum·4 ≥ n / ≥ 3n integer probes —
+    the value-domain-bounded class, never a per-group sort of raw rows),
+    and the 1.5·IQR fences stay EXACT on the ×2 integer grid:
+    lo_x2 = 5·Q1 - 3·Q3, hi_x2 = 5·Q3 - 3·Q1 (2× both sides of the
+    comparison clears the .5 factor; balances can be negative but no
+    division exists anywhere). Outlier counts compare 2·cents against
+    the fences per histogram row. Scale shape: one map-side-combined
+    (nation, cents) histogram, per-nation windows over histogram rows,
+    a |nations|-bounded fence join."""
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").cast("long").alias("nk"),
+        F.expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    h = s.groupBy("nk", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("nk")
+    cumh = h.select(
+        "nk",
+        "cents",
+        "c",
+        F.sum("c").over(wp.orderBy("cents")).cast("long").alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("n"),
+    )
+    q1 = (
+        cumh.filter(F.col("cum") * 4 >= F.col("n"))
+        .groupBy("nk")
+        .agg(F.min("cents").cast("long").alias("q1"))
+    )
+    q3 = (
+        cumh.filter(F.col("cum") * 4 >= 3 * F.col("n"))
+        .groupBy("nk")
+        .agg(F.min("cents").cast("long").alias("q3"))
+    )
+    f = q1.join(q3, "nk").select(
+        "nk",
+        "q1",
+        "q3",
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo_x2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi_x2"),
+    )
+    return (
+        cumh.join(F.broadcast(f), "nk")
+        .groupBy(
+            F.col("nk").alias("nationkey"), "q1", "q3", "lo_x2", "hi_x2"
+        )
+        .agg(
+            F.max("n").cast("long").alias("n_suppliers"),
+            F.sum(
+                F.when(2 * F.col("cents") < F.col("lo_x2"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("cents") > F.col("hi_x2"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "nationkey",
+            "n_suppliers",
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            "lo_x2",
+            "hi_x2",
+            "n_low",
+            "n_high",
+        )
+    )
+
+
+BOT_MIN_GAPS = 5  # need >= this many inter-event gaps to score a user
+BOT_CV2_MICRO = 50_000  # CV² < 0.05 => machine-regular cadence
+
+
+@register(
+    "user_bot_regularity",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS g
+      FROM e
+    ),
+    st AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS t,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY user_id
+      HAVING count(*) >= {BOT_MIN_GAPS}
+    )
+    SELECT user_id, n_gaps,
+           CAST(t // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST(CASE WHEN t = 0 THEN 0
+                ELSE ((n_gaps * s2 - CAST(t AS HUGEINT) * t) * 1000000)
+                     // (CAST(t AS HUGEINT) * t) END AS BIGINT) AS cv2_micro,
+           CAST(CASE WHEN t = 0 THEN 1
+                WHEN ((n_gaps * s2 - CAST(t AS HUGEINT) * t) * 1000000)
+                     // (CAST(t AS HUGEINT) * t) < {BOT_CV2_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_regular
+    FROM st
+    """,
+)
+def user_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT-CADENCE detector — the squared coefficient of variation of each
+    user's inter-event gaps: humans are bursty (CV² ≈ 1 for Poisson
+    arrivals, usually higher), schedulers and scrapers are metronomes
+    (CV² → 0), so `is_regular` flags cadences tighter than CV² <
+    {BOT_CV2_MICRO}/1e6 over ≥ {BOT_MIN_GAPS} gaps — the standard
+    first-pass abuse/automation filter a data pipeline runs before
+    letting event data train anything. CV² clears to the all-integer
+    (n·Σg² - (Σg)²)·10⁶ // (Σg)² — the numerator is the scaled variance
+    (non-negative by Cauchy-Schwarz) and Σg > 0 whenever timestamps
+    advance, with the all-identical-timestamps degenerate (t = 0)
+    reported as regular in both engines. Gap extraction is one lag()
+    window on the (user, time, event_id) total order — the sequence
+    shuffle every behavioral query shares. Scale shape: one user-keyed
+    window, one user-keyed moment aggregate (map-side combined), no
+    joins; output is per-qualifying-user (corpus-proportional, like
+    every per-user/doc scoring query)."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("t"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+    )
+    return st.select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(t div n_gaps AS BIGINT)").alias("mean_gap_us"),
+        F.expr(
+            "CAST(CASE WHEN t = 0 THEN 0"
+            " ELSE ((n_gaps * CAST(s2 AS DECIMAL(38,0))"
+            " - CAST(t AS DECIMAL(38,0)) * t) * 1000000)"
+            " div (CAST(t AS DECIMAL(38,0)) * t) END AS BIGINT)"
+        ).alias("cv2_micro"),
+        F.expr(
+            "CAST(CASE WHEN t = 0 THEN 1"
+            " WHEN ((n_gaps * CAST(s2 AS DECIMAL(38,0))"
+            " - CAST(t AS DECIMAL(38,0)) * t) * 1000000)"
+            " div (CAST(t AS DECIMAL(38,0)) * t)"
+            f" < {BOT_CV2_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_regular"),
+    )

@@ -125,6 +125,11 @@ NOTES = {
     "event_transition_matrix": "Markov transitions: ONE user-keyed lead() window (the shared sequence partitioning) into a |types|^2-bounded cell table; margins, probabilities, and the per-row argmax all run on bounded rows.",
     "orders_interarrival_stats": "Purchase cadence: one custkey-keyed lag() window, then a gap-day histogram (value-domain-bounded) with cumulative window + 4-rank probe — quantiles as order statistics, never percentile interpolation or a global sort of raw gaps.",
     "vocab_oov_rate": "OOV audit: token counts combine map-side; the top-K vocab is a deterministic bounded window and BROADCASTS into one membership join; per-source rollup is |sources|-bounded.",
+    "vocab_heaps_law": "Heaps growth without rescans: one (tok, min-doc) aggregate + one bucketed occurrence count (both map-side combined), decile bucketing off a 1-row max-id broadcast, cumulative sums over the 10-row grid, OLS beta as integer cross-products.",
+    "token_burstiness": "Zero-inflated Fano factor from occurrence rows only: (doc, tok) count, tok-keyed moment rollup, 1-row doc-count broadcast, TakeOrdered top-20 — no zero-row materialization for the n_docs x vocab grid.",
+    "supplier_acctbal_outlier_fences": "Tukey fences per nation: (nation, cents) histogram with per-nation cum windows, quartile rank probes as integer compares, fences on the x2 grid joined back |nations|-bounded; raw supplier rows are scanned once.",
+    "dedup_transitivity_audit": "Clustering coefficient of the verified pair graph: wedge join keyed on the center doc (degree^2-bounded by LSH collision structure), closure via one keyed join back to pairs, three 1-row counts broadcast — shares the persisted shingle/band layers.",
+    "user_bot_regularity": "Bot cadence: one user-keyed lag window (the shared sequence shuffle) + one user-keyed moment aggregate; CV^2 and the flag are integer expressions inside codegen; no joins.",
 }
 
 

@@ -528,6 +528,10 @@ _BNLJ_ALLOWED = {
     "orders_seasonal_decompose",  # bounded month-grid +-6 BETWEEN join (build side = the grid)
     "funnel_latency_quantiles",  # 4-row rank-probe grid + 1-row total over the latency histogram
     "orders_interarrival_stats",  # same 4-row rank-probe grid over the gap-day histogram
+    "token_burstiness",  # 1-row doc-count broadcast into the tok-keyed moment table
+    "vocab_heaps_law",  # 1-row max-id + 10-row decile grid + 1-row OLS scalars
+    "shipping_latency_by_priority",  # 2-row rank-probe grid over the (priority, day) histogram
+    "dedup_transitivity_audit",  # three 1-row graph-count scalars merged via broadcast
 }
 
 

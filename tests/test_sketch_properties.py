@@ -657,3 +657,64 @@ def test_js_divergence_bounded_and_zero_on_self(spark, sf_dir):
     for r in rows:
         assert r.js_micro <= 693_147 + 1, r
         assert r.js_micro >= -1_000, r
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fano_cleared_form_equals_zero_inflated_bruteforce(docs):
+    """(n·S2 - T²)·1e6 // (n·T) computed from occurrence rows only must
+    equal the brute-force Fano factor over the zero-PADDED per-doc count
+    vector (population variance / mean) on the same micro grid."""
+    n = len(docs)
+    toks = sorted({t for d in docs for t in d})
+    for tok in toks:
+        counts = [d.count(tok) for d in docs]
+        T = sum(counts)
+        S2 = sum(c * c for c in counts)
+        if T == 0:
+            continue
+        cleared = ((n * S2 - T * T) * 1_000_000) // (n * T)
+        mean = T / n
+        var = sum((c - mean) ** 2 for c in counts) / n
+        # brute force on the micro grid: floor(var/mean * 1e6) — the two
+        # must agree because (n·S2 - T²)/(n·T) IS var/mean exactly
+        import math
+
+        brute = math.floor(var / mean * 1_000_000 + 1e-9)
+        assert abs(cleared - brute) <= 1, (tok, cleared, brute)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 100), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_heaps_decile_buckets_equal_prefix_vocab(occ):
+    """Cumulative first-occurrence decile counts must equal brute-force
+    prefix vocabulary at every decile boundary: vocab(k) = |{tok :
+    min_doc(tok) <= boundary_k}| with boundary via the same integer
+    bucketing ((doc-1)*10 // max_id + 1)."""
+    max_id = max(d for d, _ in occ)
+    first = {}
+    for d, t in occ:
+        first[t] = min(first.get(t, d), d)
+    from collections import Counter
+
+    vh = Counter(((fd - 1) * 10) // max_id + 1 for fd in first.values())
+    cum = 0
+    for k in range(1, 11):
+        cum += vh.get(k, 0)
+        boundary_docs = {d for d, _ in occ if ((d - 1) * 10) // max_id + 1 <= k}
+        brute = len(
+            {t for t, fd in first.items() if ((fd - 1) * 10) // max_id + 1 <= k}
+        )
+        assert cum == brute, (k, cum, brute, boundary_docs)
