@@ -431,7 +431,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_spread: dict[str, float] = {}
-    flagged: list[str] = []
+    ratios: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         s = samples[name]
@@ -444,16 +444,34 @@ def main() -> None:
         # was truncated mid-line once the spread map doubled the line length).
         spread = max(s) / min(s)
         per_spread[name] = round(spread, 2)
-        # noise-aware regression flag: STABLE samples (spread < 1.2 — the
-        # measurement is trustworthy) that still regressed > 1.25x vs the
-        # previous committed detail. A wide-spread query is contention, not
-        # a plan regression — it stays out of `flagged` by design.
         prev = prev_queries.get(name)
-        if prev and prev > 0 and dt / prev > 1.25 and spread < 1.2:
-            flagged.append(name)
+        if prev and prev > 0:
+            ratios[name] = dt / prev
         print(f"# {name}: {dt:.3f}s (spread {spread:.2f}x)", file=sys.stderr)
+    # noise-aware regression flag, DRIFT-NORMALIZED: the box is never equally
+    # idle run to run, so raw vs-prev ratios flag en masse under global
+    # slowdown (a contended run once flagged 19 unrelated queries at ~1.15x
+    # each). Normalize each ratio by the MEDIAN ratio across common queries
+    # (the global-drift estimate — robust to the few genuine regressions),
+    # then flag STABLE measurements (spread < 1.2, trustworthy) that still
+    # sit > 1.25x above the drift. A wide-spread query is contention, not a
+    # plan regression — it stays out of `flagged` by design.
+    drift = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+    flagged = [
+        n
+        for n, r in sorted(ratios.items())
+        if r / max(drift, 1e-9) > 1.25
+        and per_spread[n] < 1.2
+        # absolute floor: sub-quarter-second deltas are scheduler jitter on
+        # sub-second queries, never an actionable plan regression
+        and per_query[n] - prev_queries[n] > 0.25
+    ]
     if flagged:
-        print(f"# FLAGGED stable regressions vs prev detail: {flagged}", file=sys.stderr)
+        print(
+            f"# FLAGGED stable regressions vs prev detail"
+            f" (median drift {drift:.2f}x): {flagged}",
+            file=sys.stderr,
+        )
 
     max_spread = max(max(samples[n]) / min(samples[n]) for n in BENCH_QUERIES)
     # Per-query map goes to a SIDECAR file + stderr, NOT the final stdout
@@ -472,6 +490,7 @@ def main() -> None:
         "queries": per_query,
         "spreads": per_spread,
         "flagged": flagged,
+        "median_drift": round(drift, 3) if ratios else None,
         "value": round(total, 3),
     }
     if _RUN_STATE.get("layer_over_budget"):
