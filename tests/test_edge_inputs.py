@@ -665,3 +665,52 @@ def test_oph_finds_planted_near_duplicate(spark, sf_dir, tmp_path):
     }
     assert (base.doc_id, 900001) in pairs
     assert pairs[(base.doc_id, 900001)] >= 500000
+
+
+def test_trend_family_detects_planted_monotone_trend(spark, sf_dir, tmp_path):
+    """POSITIVE control for the trend family: a synthetic 20-day strictly
+    increasing volume series (day k has 2k+3 events) must make
+    Mann-Kendall reject no-trend with trend=+1, Theil-Sen report the
+    exact slope 2 (every pairwise slope IS 2 — num/den = 2(j-i)/(j-i)),
+    and the runs test reject randomness (perfect above/below-median
+    separation gives exactly 2 runs). Degenerate-input tests prove the
+    guards; this proves the POWER — a sign error in S or a mis-ordered
+    median would silently pass every no-trend fixture."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_trend"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for j in range(2 * day + 3):
+            rows.append(
+                (eid, f"2024-05-{day + 1:02d} 08:00:{j % 60:02d}", 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "evtrend_stage")
+    for name in ("theilsen_daily_trend", "mann_kendall_trend", "volume_runs_test"):
+        q = REGISTRY[name]
+        compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    ts = REGISTRY["theilsen_daily_trend"].fn(spark, str(mini)).first()
+    assert ts.slope_milli == 2000 and ts.n_days == 20 and ts.n_pairs == 190
+    mk = REGISTRY["mann_kendall_trend"].fn(spark, str(mini)).first()
+    assert mk.trend == 1 and mk.s_stat == 190 and mk.reject_no_trend == 1
+    rt = REGISTRY["volume_runs_test"].fn(spark, str(mini)).first()
+    assert rt.runs == 2 and rt.reject_random == 1
