@@ -5,6 +5,21 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Results are forced with the noop sink (full distributed computation, no
 driver collect) for row-heavy outputs, and collect() for scalar aggregates.
+
+Regression adjudication compares against TWO baselines (r9 verdict #1):
+the previous on-disk BENCH_DETAIL_last.json (within-round `flagged`) and
+the newest committed per-round snapshot BENCH_DETAIL_r{N}.json
+(`flagged_vs_round`) — a regression that creeps across a round boundary
+was structurally invisible to the within-round compare alone. Each round's
+final detail gets committed as BENCH_DETAIL_r{N}.json.
+
+`bench.py --full` (r9 verdict #3): times EVERY registered query once
+(single timed pass after sf0.001 warm-up, no retries) and writes the map
+to BENCH_FULL_last.json. This pass is EXCLUDED from the headline number —
+its purpose is round-over-round visibility for the queries outside
+BENCH_QUERIES (they were each timed once at registration but otherwise
+had no committed tracking); single samples are noisier than the headline's
+interleaved best-of-2, so treat --full deltas as leads, not verdicts.
 """
 
 from __future__ import annotations
@@ -283,6 +298,98 @@ def _sigterm_handler(signum, frame):  # pragma: no cover - timing-dependent
     os._exit(124)
 
 
+def _build_layers(spark) -> dict[str, float]:
+    """Materialize the shared persisted layers once, returning per-layer
+    build seconds (see the methodology comment in main())."""
+    from postgres_cdc_example_spark.queries.extensions import (
+        _doc_bands,
+        _doc_ngrams,
+        _pca_fit,
+        _trained_centroids,
+        _trained_pq,
+        _trained_pq_retrained,
+        _trained_pq_stale,
+    )
+    from postgres_cdc_example_spark.queries.cdc import _drifted_wire_lines
+    from postgres_cdc_example_spark.queries.llmdata import (
+        _doc_grams8,
+        _doc_occurrences,
+        _doc_winnow_fps,
+    )
+
+    layer_builds = [
+        # r10+: the drift audit's synthetic WAL segment (to_json encode over
+        # events) — consumed by cdc_schema_drift_audit and the streaming
+        # gate's batch twin; the decode itself stays inside the timed query.
+        ("drift_wire_lines", lambda: _drifted_wire_lines(spark, SF_DIR).count()),
+        ("doc_ngrams", lambda: _doc_ngrams(spark, SF_DIR).count()),
+        ("doc_occurrences", lambda: _doc_occurrences(spark, SF_DIR).count()),
+        ("doc_bands", lambda: _doc_bands(spark, SF_DIR).count()),
+        ("doc_grams8", lambda: _doc_grams8(spark, SF_DIR).count()),
+        ("doc_winnow_fps", lambda: _doc_winnow_fps(spark, SF_DIR).count()),
+        ("kmeans_centroids", lambda: _trained_centroids(spark, SF_DIR)),
+        ("pca_fit", lambda: _pca_fit(spark, SF_DIR)),
+        ("pq_trio", lambda: _trained_pq(spark, SF_DIR)),
+        ("pq_stale_memo_hit", lambda: _trained_pq_stale(spark, SF_DIR)),
+        ("pq_retrained_memo_hit", lambda: _trained_pq_retrained(spark, SF_DIR)),
+    ]
+    layer_times: dict[str, float] = {}
+    for lname, build in layer_builds:
+        t0 = time.perf_counter()
+        build()
+        layer_times[lname] = round(time.perf_counter() - t0, 3)
+    return layer_times
+
+
+def full_registry_pass() -> None:
+    """--full: one warm-up at sf0.001 + ONE timed sample per REGISTERED
+    query at SF_DIR, written to BENCH_FULL_last.json. Excluded from the
+    headline (single samples are noise-prone); provides the committed
+    round-over-round timing trail for queries outside BENCH_QUERIES."""
+    from postgres_cdc_example_spark import queries as q
+    from postgres_cdc_example_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+    names = sorted(registry)
+    for name in names:
+        try:
+            _force(registry[name](spark, "/root/testdata/sf0.001"))
+        except Exception as e:  # pragma: no cover - env-specific
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    layer_times = _build_layers(spark)
+    per: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(registry[name](spark, SF_DIR))
+        per[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per[name]:.3f}s", file=sys.stderr)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    out = {
+        "metric": "full_registry_total",
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per),
+        "layer_build_sec": round(sum(layer_times.values()), 3),
+        "n_headline": sum(1 for n in per if n in BENCH_QUERIES),
+        "value": round(sum(per.values()), 3),
+    }
+    detail = dict(out)
+    detail["layers"] = layer_times
+    detail["queries"] = per
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_last.json"
+    )
+    try:
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # pragma: no cover
+        print(f"# could not write {path}: {e}", file=sys.stderr)
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     from postgres_cdc_example_spark import queries as q
     from postgres_cdc_example_spark.session import get_spark
@@ -307,54 +414,18 @@ def main() -> None:
     # rounds (dedup_minhash_lsh +18% in r2 was cost *attribution*, not cost
     # creation). A real deployment amortizes it the same way: build once,
     # reuse per batch.
-    from postgres_cdc_example_spark.queries.extensions import _doc_bands, _doc_ngrams
-    from postgres_cdc_example_spark.queries.llmdata import _doc_grams8, _doc_occurrences
-
     # The build cost is reported as its own line item (layer_build_sec) rather
     # than charged to whichever family member runs first — a real deployment
     # amortizes it the same way (build once, reuse per batch). Methodology
     # note: r1/r2 bench files charged this cost to the first dedup query; r3+
     # do not, so cross-round comparisons for that family need rebaselining.
-    # r6+: winnowing fingerprint table (shared by the stats + pair queries)
-    from postgres_cdc_example_spark.queries.llmdata import _doc_winnow_fps
-
-    # r4+: k-means / r5+: PCA fit + PQ codebooks / r7+: the staleness
-    # audit's frozen + retrained codebooks — all memoized train-once/
-    # serve-many models, built here so the serving queries measure serving.
-    from postgres_cdc_example_spark.queries.extensions import (
-        _pca_fit,
-        _trained_centroids,
-        _trained_pq,
-        _trained_pq_retrained,
-        _trained_pq_stale,
-    )
-
     # r8+: per-layer timings go to the detail artifact so a layer-induced
     # build regression bisects from BENCH_DETAIL_last.json instead of a
-    # diagnosis session (the r7 codegen-cache hunt needed a committed
-    # script; this makes the next one free).
-    # r9+: the three PQ trainings (full / frozen / retrained) fuse into ONE
-    # shared-layer pass (extensions._ensure_pq_trio) — the r8 verdict's #1:
-    # they were 10.8 s of the 21.2 s layer build as three independent Lloyd
-    # chains. The first getter call trains the trio; the other two getters
-    # appear below only as ~0 s memo hits so the map proves the sharing.
-    layer_builds = [
-        ("doc_ngrams", lambda: _doc_ngrams(spark, SF_DIR).count()),
-        ("doc_occurrences", lambda: _doc_occurrences(spark, SF_DIR).count()),
-        ("doc_bands", lambda: _doc_bands(spark, SF_DIR).count()),
-        ("doc_grams8", lambda: _doc_grams8(spark, SF_DIR).count()),
-        ("doc_winnow_fps", lambda: _doc_winnow_fps(spark, SF_DIR).count()),
-        ("kmeans_centroids", lambda: _trained_centroids(spark, SF_DIR)),
-        ("pca_fit", lambda: _pca_fit(spark, SF_DIR)),
-        ("pq_trio", lambda: _trained_pq(spark, SF_DIR)),
-        ("pq_stale_memo_hit", lambda: _trained_pq_stale(spark, SF_DIR)),
-        ("pq_retrained_memo_hit", lambda: _trained_pq_retrained(spark, SF_DIR)),
-    ]
-    layer_times: dict[str, float] = {}
-    for lname, build in layer_builds:
-        t0 = time.perf_counter()
-        build()
-        layer_times[lname] = round(time.perf_counter() - t0, 3)
+    # diagnosis session. r9+: the three PQ trainings fuse into ONE
+    # shared-layer pass (extensions._ensure_pq_trio); the stale/retrained
+    # getters appear as ~0 s memo hits so the map proves the sharing.
+    # r10+: the layer list lives in _build_layers (shared with --full).
+    layer_times = _build_layers(spark)
     layer_build = round(sum(layer_times.values()), 3)
     if layer_build > LAYER_BUILD_BUDGET_SEC:
         # Loud governance (r8 verdict #1): the untimed prebuild grew 51% in
@@ -419,15 +490,31 @@ def main() -> None:
     # Previous committed detail (if present): lets this run adjudicate
     # noise vs real regression per query (r8 verdict #2 — a 1.27x drift
     # with only a GLOBAL spread stat could not be judged from the artifact).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_last.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL_last.json")
     prev_queries: dict[str, float] = {}
     try:
         with open(detail_path) as f:
             prev_queries = json.load(f).get("queries", {}) or {}
     except (OSError, ValueError):
         pass
+
+    # Newest committed per-round snapshot (BENCH_DETAIL_r{N}.json): the
+    # cross-round baseline (r9 verdict #1 — zorder_overlap_depth regressed
+    # 1.42x ACROSS the r8->r9 boundary at spread 1.03 and the within-round
+    # compare could not see it; only the judge's manual diff did).
+    import glob as _glob
+
+    round_files = sorted(_glob.glob(os.path.join(repo_dir, "BENCH_DETAIL_r*.json")))
+    round_queries: dict[str, float] = {}
+    round_base = None
+    if round_files:
+        round_base = os.path.basename(round_files[-1])
+        try:
+            with open(round_files[-1]) as f:
+                round_queries = json.load(f).get("queries", {}) or {}
+        except (OSError, ValueError):
+            round_queries = {}
 
     per_query: dict[str, float] = {}
     per_spread: dict[str, float] = {}
@@ -456,20 +543,58 @@ def main() -> None:
     # then flag STABLE measurements (spread < 1.2, trustworthy) that still
     # sit > 1.25x above the drift. A wide-spread query is contention, not a
     # plan regression — it stays out of `flagged` by design.
-    drift = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
-    flagged = [
-        n
-        for n, r in sorted(ratios.items())
-        if r / max(drift, 1e-9) > 1.25
-        and per_spread[n] < 1.2
-        # absolute floor: sub-quarter-second deltas are scheduler jitter on
-        # sub-second queries, never an actionable plan regression
-        and per_query[n] - prev_queries[n] > 0.25
-    ]
+    def _drift_flag(
+        ratio_map: dict[str, float], base_map: dict[str, float]
+    ) -> tuple[float, list[str]]:
+        d = sorted(ratio_map.values())[len(ratio_map) // 2] if ratio_map else 1.0
+        fl = [
+            n
+            for n, r in sorted(ratio_map.items())
+            if r / max(d, 1e-9) > 1.25
+            and per_spread[n] < 1.2
+            # absolute floor: sub-quarter-second deltas are scheduler jitter
+            # on sub-second queries, never an actionable plan regression
+            and per_query[n] - base_map[n] > 0.25
+        ]
+        return d, fl
+
+    drift, flagged = _drift_flag(ratios, prev_queries)
     if flagged:
         print(
             f"# FLAGGED stable regressions vs prev detail"
             f" (median drift {drift:.2f}x): {flagged}",
+            file=sys.stderr,
+        )
+    ratios_round = {
+        n: per_query[n] / round_queries[n]
+        for n in BENCH_QUERIES
+        if round_queries.get(n)
+    }
+    drift_round, flagged_vs_round = _drift_flag(ratios_round, round_queries)
+    if flagged_vs_round:
+        print(
+            f"# FLAGGED stable regressions vs committed round baseline"
+            f" {round_base} (median drift {drift_round:.2f}x):"
+            f" {flagged_vs_round}",
+            file=sys.stderr,
+        )
+    # Uniform-slowdown alert (r9 ADVICE): drift normalization makes a
+    # GLOBAL ~1.3x slowdown (e.g. a shared-layer change taxing everything)
+    # produce zero per-query flags — only median_drift records it, and
+    # nothing alerted on it. When the measurements themselves are stable
+    # (median per-query spread < 1.15, so it is not box contention) and the
+    # median vs-round ratio exceeds 1.15x, flag the artifact loudly.
+    spread_vals = sorted(per_spread.values())
+    spread_median = spread_vals[len(spread_vals) // 2] if spread_vals else 1.0
+    median_drift_alert = bool(
+        ratios_round and spread_median < 1.15 and drift_round > 1.15
+    )
+    if median_drift_alert:
+        print(
+            f"# MEDIAN-DRIFT ALERT: uniform slowdown {drift_round:.2f}x vs"
+            f" {round_base} on a stable run (median spread"
+            f" {spread_median:.2f}) — suspect a shared layer/session change,"
+            " not per-query noise",
             file=sys.stderr,
         )
 
@@ -491,8 +616,13 @@ def main() -> None:
         "spreads": per_spread,
         "flagged": flagged,
         "median_drift": round(drift, 3) if ratios else None,
+        "round_baseline": round_base,
+        "flagged_vs_round": flagged_vs_round,
+        "median_drift_vs_round": round(drift_round, 3) if ratios_round else None,
         "value": round(total, 3),
     }
+    if median_drift_alert:
+        detail["median_drift_alert"] = True
     if _RUN_STATE.get("layer_over_budget"):
         detail["layer_build_over_budget"] = True
     try:
@@ -511,4 +641,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv[1:]:
+        full_registry_pass()
+    else:
+        main()

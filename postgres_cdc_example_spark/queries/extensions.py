@@ -5767,7 +5767,12 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 OPH_BUCKETS = 16  # one hex nibble of the single hash
-OPH_MIN_MATCH = 8  # >= 8/16 agreeing buckets ~ Jaccard 0.5 candidates
+# Candidate rule: 2*matches >= min(occupied_a, occupied_b). For two docs
+# that both fill all 16 buckets this is the classic >= 8/16 ~ Jaccard-0.5
+# line; for short docs that occupy fewer buckets the threshold shrinks
+# with them, so an exact duplicate of a 3-shingle doc (3 occupied
+# buckets, 3 matches) is still a candidate (r9 ADVICE: the fixed 8 made
+# short-doc duplicates structurally unreachable).
 
 
 @register(
@@ -5787,13 +5792,21 @@ OPH_MIN_MATCH = 8  # >= 8/16 agreeing buckets ~ Jaccard 0.5 candidates
              min(md5(s)) AS mh
       FROM shr GROUP BY doc_id, bucket
     ),
-    cand AS (
+    occ_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+              FROM oph GROUP BY doc_id),
+    cand0 AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS matches
       FROM oph a JOIN oph b
         ON a.bucket = b.bucket AND a.mh = b.mh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) >= {OPH_MIN_MATCH}
+    ),
+    cand AS (
+      SELECT c.doc_a, c.doc_b, c.matches
+      FROM cand0 c
+      JOIN occ_n na ON na.doc_id = c.doc_a
+      JOIN occ_n ob ON ob.doc_id = c.doc_b
+      WHERE 2 * c.matches >= least(na.nb, ob.nb)
     ),
     verified AS (
       SELECT doc_a, doc_b, matches,
@@ -5820,12 +5833,17 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode dominates the dedup bill and OPH cuts its hash arithmetic
     16× — the difference between one pass and a re-shard. Candidate
     discovery joins on (bucket, min) equality — per-bucket agreement is a
-    Bernoulli(J) trial exactly like a classic minhash row, so ≥
-    {OPH_MIN_MATCH}/{OPH_BUCKETS} matches targets J ≈ 0.5 candidates
-    (empty-bucket densification is deliberately NOT applied: docs here
-    carry ≥ dozens of shingles, so empty buckets are rare; the
-    exact-Jaccard verification stage makes the estimate's small bias
-    harmless — candidates are never reported unverified). Verification
+    Bernoulli(J) trial exactly like a classic minhash row. The candidate
+    threshold is ADAPTIVE: 2·matches ≥ min(occupied_a, occupied_b),
+    i.e. half the buckets the SHORTER doc actually occupies (= the
+    classic 8/{OPH_BUCKETS} ~ J ≈ 0.5 line when both docs fill all
+    buckets). A fixed 8 made duplicates of short docs (< 8 occupied
+    buckets — few distinct shingles) structurally unreachable, a recall
+    gap vs `dedup_minhash_lsh` (r9 ADVICE); scaling by occupancy is the
+    cheap alternative to empty-bucket densification and keeps the
+    oracle's integer arithmetic exact. The exact-Jaccard verification
+    stage makes the estimator's remaining bias harmless — candidates
+    are never reported unverified. Verification
     recomputes EXACT Jaccard on the shared shingle layer and keeps
     ≥ 0.5 — the same contract as every other dedup family member, so
     downstream clustering composes unchanged. Scale shape: one shingle
@@ -5857,6 +5875,9 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("bb"),
         F.col("mh").alias("mb"),
     )
+    occ_n = oph.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
     cand = (
         a.join(
             b,
@@ -5866,7 +5887,16 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("matches"))
-        .filter(F.col("matches") >= OPH_MIN_MATCH)
+        .join(
+            occ_n.select(F.col("doc_id").alias("doc_a"), F.col("nb").alias("nb_a")),
+            "doc_a",
+        )
+        .join(
+            occ_n.select(F.col("doc_id").alias("doc_b"), F.col("nb").alias("nb_b")),
+            "doc_b",
+        )
+        .filter(F.expr("2 * matches >= least(nb_a, nb_b)"))
+        .select("doc_a", "doc_b", "matches")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))

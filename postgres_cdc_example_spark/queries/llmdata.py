@@ -5453,10 +5453,11 @@ def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT cs.source, cs.c_s,
              ct.c - cs.c_s AS c_r, tot.t - ts.t_s AS t_r, ts.t_s,
-             CAST(floor(ln((2.0 * cs.c_s * (tot.t - ts.t_s))
+             CAST(CASE WHEN tot.t - ts.t_s = 0 THEN 0
+                  ELSE floor(ln((2.0 * cs.c_s * (tot.t - ts.t_s))
                            / (CAST(cs.c_s AS DOUBLE) * (tot.t - ts.t_s)
                               + CAST(ct.c - cs.c_s AS DOUBLE) * ts.t_s))
-                        * 1000000 + 0.5) AS BIGINT) AS lp_micro,
+                        * 1000000 + 0.5) END AS BIGINT) AS lp_micro,
              CAST(CASE WHEN ct.c - cs.c_s = 0 THEN 0
                   ELSE floor(ln((2.0 * (ct.c - cs.c_s) * ts.t_s)
                                 / (CAST(cs.c_s AS DOUBLE) * (tot.t - ts.t_s)
@@ -5481,7 +5482,8 @@ def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN sum(CAST(c_s AS HUGEINT) * lp_micro) // (2 * max(t_s))
                   ELSE -((-sum(CAST(c_s AS HUGEINT) * lp_micro))
                          // (2 * max(t_s))) END AS BIGINT) AS p_part,
-             CAST(CASE WHEN sum(CAST(c_r AS HUGEINT) * lq_micro) >= 0
+             CAST(CASE WHEN max(t_r) = 0 THEN 0
+                  WHEN sum(CAST(c_r AS HUGEINT) * lq_micro) >= 0
                   THEN sum(CAST(c_r AS HUGEINT) * lq_micro) // (2 * max(t_r))
                   ELSE -((-sum(CAST(c_r AS HUGEINT) * lq_micro))
                          // (2 * max(t_r))) END AS BIGINT) AS q_part
@@ -5519,8 +5521,12 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok-keyed margin join, and the anti-join arm on the (sources ×
     distinct-token) grid — at 100 TB the vocab-bounded tables dominate,
     never the corpus. A source equal to the whole corpus (t_r = 0) is
-    excluded by its own weights (c_r = 0 everywhere ⇒ zero q-mass) —
-    guarded by the c_r = 0 CASE."""
+    fully degenerate: BOTH log arms are guarded (lq by the c_r = 0 CASE,
+    lp by the t_r = 0 CASE — without it lp's ln-argument is 0/0 = NaN and
+    the engines diverge, DuckDB erroring on CAST(NaN) while Spark casts
+    to 0), and the per-source q-side division carries a max(t_r) = 0 → 0
+    arm so a single-source corpus reports js_micro = 0 identically in
+    both engines instead of an engine-dependent NULL (r9 ADVICE)."""
     occ = _doc_occurrences(spark, sf_dir)
     src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     cs = (
@@ -5542,10 +5548,11 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t") - F.col("t_s")).alias("t_r"),
             "t_s",
             F.expr(
-                "CAST(floor(ln((2.0 * c_s * (t - t_s))"
+                "CAST(CASE WHEN t - t_s = 0 THEN 0"
+                " ELSE floor(ln((2.0 * c_s * (t - t_s))"
                 " / (CAST(c_s AS DOUBLE) * (t - t_s)"
                 " + CAST(c - c_s AS DOUBLE) * t_s))"
-                " * 1000000 + 0.5) AS BIGINT)"
+                " * 1000000 + 0.5) END AS BIGINT)"
             ).alias("lp_micro"),
             F.expr(
                 "CAST(CASE WHEN c - c_s = 0 THEN 0"
@@ -5583,7 +5590,8 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * max(t_s))) END AS BIGINT)"
         ).alias("p_part"),
         F.expr(
-            "CAST(CASE WHEN sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro) >= 0"
+            "CAST(CASE WHEN max(t_r) = 0 THEN 0"
+            " WHEN sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro) >= 0"
             " THEN sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro)"
             " div (2 * max(t_r))"
             " ELSE -((-sum(CAST(c_r AS DECIMAL(38,0)) * lq_micro))"

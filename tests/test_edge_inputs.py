@@ -714,3 +714,74 @@ def test_trend_family_detects_planted_monotone_trend(spark, sf_dir, tmp_path):
     assert mk.trend == 1 and mk.s_stat == 190 and mk.reject_no_trend == 1
     rt = REGISTRY["volume_runs_test"].fn(spark, str(mini)).first()
     assert rt.runs == 2 and rt.reject_random == 1
+
+
+def test_oph_adaptive_threshold_catches_short_doc_duplicate(
+    spark, sf_dir, tmp_path
+):
+    """r9 ADVICE regression: a doc with only 3 distinct shingles occupies
+    at most 3 of the 16 nibble buckets, so under the old fixed matches>=8
+    rule even its EXACT duplicate could never become a candidate. The
+    adaptive rule (2*matches >= min occupied) must surface the pair with
+    verified Jaccard = 1.0, and both engines must agree on the whole
+    result set for the planted fixture."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_ophshort"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    # 5 words -> 3 distinct 3-gram shingles -> <= 3 occupied buckets
+    short = "alpha beta gamma delta epsilon"
+    extra = spark.createDataFrame(
+        [
+            (900101, short, "en", "planted", len(short)),
+            (900102, short, "en", "planted", len(short)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        docs.unionByName(extra), tmp_path, mini, "documents", "ophshort_stage"
+    )
+    q = REGISTRY["dedup_minhash_oph"]
+    compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    rows = {(r.doc_a, r.doc_b): r for r in q.fn(spark, str(mini)).collect()}
+    assert (900101, 900102) in rows, "short-doc exact dup must be a candidate"
+    r = rows[(900101, 900102)]
+    assert r.jac_micro == 1_000_000 and r.common == r.size_a == r.size_b
+    # precondition that makes this a regression test: the doc occupies
+    # fewer buckets than the old fixed threshold of 8
+    assert r.matches < 8
+
+
+def test_source_token_js_single_source_degenerate_is_zero(
+    spark, sf_dir, tmp_path
+):
+    """r9 ADVICE regression: with ONE source the rest-of-corpus mass is
+    empty (t_r = 0), which used to drive lp_micro's ln-argument to
+    0/0 = NaN — DuckDB errors on CAST(NaN AS BIGINT) while Spark
+    non-ANSI-casts NaN to 0, so the engines diverged. Both arms are now
+    guarded and a single-source corpus must report js_micro = 0 in BOTH
+    engines (zero q-mass: the source IS the corpus, divergence 0)."""
+    import shutil
+
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = tmp_path / "sf_onesrc"
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(25)
+        .withColumn("source", F.lit("only_source"))
+    )
+    _stage_single_parquet(docs, tmp_path, mini, "documents", "onesrc_stage")
+    q = REGISTRY["source_token_js"]
+    compare_to_oracle(spark, str(mini), q.fn, q.oracle)
+    rows = q.fn(spark, str(mini)).collect()
+    assert len(rows) == 1 and rows[0].source == "only_source"
+    assert rows[0].js_micro == 0 and rows[0].n_tokens > 0
