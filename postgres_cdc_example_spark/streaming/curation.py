@@ -1,0 +1,345 @@
+"""Streaming curation capstone — the stream twin of the batch
+``pipeline_end_to_end`` query (queries/windows.py), composing the SAME
+registered member operators over a CDC file-drop of document change
+lines in ONE ``foreachBatch`` pipeline (r9 verdict #2).
+
+Production curation is incremental: documents arrive as wal2json-shaped
+change lines (the reference's wire format generalized past its single
+``person`` table — ``replicator/main.go:152-193`` hard-codes the table,
+``sources/changelog.flatten_changes`` does not), and every curation
+stage must run AT INGEST with cross-batch state, not as a nightly
+rescan. Stages, in order, each delegating to the registered member:
+
+1. **good-rows-only ingest** — :func:`changelog.decode_change_lines` +
+   :func:`changelog.split_corrupt`: malformed lines route to the
+   dead-letter count instead of crashing or null-filling (T7).
+2. **schema-drift gate** — :func:`changelog.drift_split`: events whose
+   wire column set diverges from the declared document schema route to
+   the drift dead-letter (count + signature kept observable) instead of
+   flowing on with silently dropped fields.
+3. **content dedup-at-ingest** — the batch ``dedup_exact`` keeper rule
+   (min doc_id per ``md5(normalized(text))``) applied incrementally:
+   within-batch keepers anti-join the cumulative seen-hash state, so
+   every later copy of known content is swallowed exactly like
+   ``content_dedup_stream`` swallows it.
+4. **near-dup candidate detection** — the batch MinHash/LSH banding
+   (:func:`operators.dedup.shingle_rows` → ``minhash_signatures`` →
+   ``minhash_bands``) over the batch's NOVEL survivors, joined against
+   the cumulative band state: a pair is discovered the moment its
+   second member arrives, the streaming twin of the batch band
+   self-join.
+5. **per-stage survivor/token totals** — the capstone's output table
+   (stage_no, stage, n_units, total_tokens), folded incrementally.
+
+Crash consistency follows the :class:`streaming.materialized_view`
+discipline — every store versions at ``batch_id + 1`` with per-store
+replay guards, and commit order runs DEPENDENTS-FIRST (totals → pairs →
+bands → seen): each store's delta derives only from stores committed
+AFTER it, so at any crash point a replayed batch recomputes its deltas
+from untouched pre-state and version checks skip the stores already
+written. The one ordering that would corrupt (a pre-state that already
+contains the batch, yielding an empty delta) is impossible by
+construction.
+
+Scale shape: state lives in versioned PARQUET tables, not executor
+memory — the ``applyInPandasWithState`` twins bound per-key state
+because the state store is memory-resident; this pipeline's
+seen-hash / band tables are materialized index tables (exactly what a
+100 TB deployment keeps beside the corpus), joined per batch with
+keyed equi-joins whose cost is O(|batch| + touched keys), never
+O(state). Driver materialization per batch is six scalar counts — the
+bounded-metadata policy every engine collect site follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from postgres_cdc_example_spark.operators.dedup import (
+    minhash_bands,
+    minhash_signatures,
+    normalized,
+    shingle_rows,
+    word_tokens,
+)
+from postgres_cdc_example_spark.sources.changelog import (
+    decode_change_lines,
+    drift_split,
+    flatten_changes,
+    split_corrupt,
+)
+from postgres_cdc_example_spark.streaming.state import VersionedStateStore
+
+# the declared document schema on the wire (doc_id is the key)
+DOC_COLUMNS = {
+    "text": "string",
+    "lang": "string",
+    "source": "string",
+    "n_chars": "long",
+}
+DOC_DECLARED = ["doc_id", *DOC_COLUMNS.keys()]
+
+SEEN_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType(), False),
+        StructField("keeper_id", LongType(), False),
+        StructField("n_toks", LongType(), False),
+    ]
+)
+BANDS_SCHEMA = StructType(
+    [
+        StructField("band_idx", LongType(), False),
+        StructField("band_key", StringType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType(), False),
+        StructField("doc_b", LongType(), False),
+    ]
+)
+TOTALS_SCHEMA = StructType(
+    [
+        StructField("stage_no", LongType(), False),
+        StructField("stage", StringType(), False),
+        StructField("n_units", LongType(), False),
+        StructField("total_tokens", LongType(), False),
+    ]
+)
+
+STAGES = (
+    (0, "wire_lines"),
+    (1, "decode_dead_letter"),
+    (2, "drift_dead_letter"),
+    (3, "schema_clean"),
+    (4, "exact_dedup"),
+    (5, "neardup_candidates"),
+)
+
+
+class StreamingCurationPipeline:
+    """document change-lines file drop → dedup/near-dup state tables +
+    continuously-maintained per-stage curation totals."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        store_root: str,
+        checkpoint_dir: str,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.totals_store = VersionedStateStore(
+            spark, store_root + "/totals", TOTALS_SCHEMA
+        )
+        self.pairs_store = VersionedStateStore(
+            spark, store_root + "/pairs", PAIRS_SCHEMA
+        )
+        self.bands_store = VersionedStateStore(
+            spark, store_root + "/bands", BANDS_SCHEMA
+        )
+        self.seen_store = VersionedStateStore(
+            spark, store_root + "/seen", SEEN_SCHEMA
+        )
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        v_next = batch_id + 1
+        # replay guard: `seen` commits LAST, so seen at v_next implies the
+        # whole batch landed — a foreachBatch redelivery is a no-op.
+        seen_v = self.seen_store.latest_version()
+        if seen_v is not None and seen_v >= v_next:
+            return
+
+        # --- stages 1+2: decode, corruption + drift dead-letters ----------
+        decoded = decode_change_lines(batch_df).persist()
+        valid, corrupt = split_corrupt(decoded)
+        clean, drifted = drift_split(valid, "documents", DOC_DECLARED)
+        docs = (
+            flatten_changes(
+                clean, "documents", DOC_COLUMNS, key="doc_id", key_type="long"
+            )
+            .select(
+                "doc_id",
+                "text",
+                "source",
+                F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+            )
+            .persist()
+        )
+        n_lines = decoded.count()
+        n_corrupt = corrupt.count()
+        n_drifted = drifted.count()
+        row = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        n_clean, tok_clean = int(row.n), int(row.t)
+
+        # --- stage 3: content dedup-at-ingest (batch keeper rule) ---------
+        hashed = docs.select(
+            "doc_id", F.md5(normalized(F.col("text"))).alias("content_hash"), "n_toks"
+        )
+        batch_keepers = (
+            hashed.groupBy("content_hash")
+            .agg(F.min("doc_id").cast("long").alias("keeper_id"))
+            .join(
+                hashed.select(
+                    F.col("doc_id").alias("keeper_id"), "n_toks"
+                ).dropDuplicates(["keeper_id"]),
+                "keeper_id",
+            )
+            .select("content_hash", "keeper_id", "n_toks")
+        )
+        seen_prev = self.seen_store.read()
+        novel = batch_keepers.join(
+            seen_prev.select("content_hash"), "content_hash", "left_anti"
+        ).persist()
+        row = novel.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        n_novel, tok_novel = int(row.n), int(row.t)
+
+        # --- stage 4: near-dup candidates over the novel survivors --------
+        novel_docs = novel.select(F.col("keeper_id").alias("doc_id")).join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+        bands_new = (
+            minhash_bands(minhash_signatures(shingle_rows(novel_docs)))
+            .select(
+                F.col("band_idx").cast("long").alias("band_idx"),
+                "band_key",
+                F.col("doc_id").cast("long").alias("doc_id"),
+            )
+            .persist()
+        )
+        bands_prev = self.bands_store.read()
+        cross = bands_new.alias("n").join(
+            bands_prev.alias("o"), ["band_idx", "band_key"]
+        ).select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        within = bands_new.alias("x").join(
+            bands_new.alias("y"), ["band_idx", "band_key"]
+        ).filter(F.col("x.doc_id") < F.col("y.doc_id")).select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        pairs_next = (
+            self.pairs_store.read()
+            .unionByName(cross)
+            .unionByName(within)
+            .distinct()
+            .persist()
+        )
+        n_pairs = pairs_next.count()
+
+        # --- stage 5: fold totals (additive stages + absolute pair count) -
+        prev = {
+            int(r.stage_no): (int(r.n_units), int(r.total_tokens))
+            for r in self.totals_store.read().collect()
+        }
+        add = {
+            0: (n_lines, 0),
+            1: (n_corrupt, 0),
+            2: (n_drifted, 0),
+            3: (n_clean, tok_clean),
+            4: (n_novel, tok_novel),
+        }
+        rows = []
+        for no, name in STAGES:
+            if no == 5:
+                rows.append((no, name, n_pairs, 0))
+            else:
+                pn, pt = prev.get(no, (0, 0))
+                an, at = add[no]
+                rows.append((no, name, pn + an, pt + at))
+        totals_next = self.spark.createDataFrame(rows, TOTALS_SCHEMA)
+
+        # --- commits, dependents-first, each guarded per store ------------
+        if (self.totals_store.latest_version() or -1) < v_next:
+            self.totals_store.commit(totals_next, version=v_next)
+        if (self.pairs_store.latest_version() or -1) < v_next:
+            self.pairs_store.commit(pairs_next, version=v_next)
+        if (self.bands_store.latest_version() or -1) < v_next:
+            self.bands_store.commit(
+                self.bands_store.read().unionByName(bands_new), version=v_next
+            )
+        self.seen_store.commit(
+            seen_prev.unionByName(novel), version=v_next
+        )
+        for df in (pairs_next, bands_new, novel, docs, decoded):
+            df.unpersist()
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        lines = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 16)
+            .load(self.source_dir)
+        )
+        writer = (
+            lines.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="2 seconds")
+        return writer.start()
+
+    def totals(self) -> DataFrame:
+        return self.totals_store.read()
+
+    def survivors(self) -> DataFrame:
+        return self.seen_store.read()
+
+    def candidate_pairs(self) -> DataFrame:
+        return self.pairs_store.read()
+
+
+def document_change_json(
+    seq: int,
+    row: dict,
+    action: str = "I",
+    extra: dict | None = None,
+    omit: tuple[str, ...] = (),
+) -> str:
+    """Serialize one wal2json-v2-shaped DOCUMENT change line (test/data-gen
+    helper, the ``person_change_json`` pattern): ``extra`` injects
+    undeclared wire columns (upstream ADD COLUMN drift), ``omit`` drops
+    declared ones (DROP COLUMN drift)."""
+    import json
+
+    type_of = {
+        "doc_id": "bigint",
+        "text": "text",
+        "lang": "character varying(8)",
+        "source": "character varying(32)",
+        "n_chars": "bigint",
+    }
+    cols = [
+        {
+            "name": k,
+            "type": type_of.get(k, "text"),
+            "value": None if v is None else str(v),
+        }
+        for k, v in {**row, **(extra or {})}.items()
+        if k not in omit
+    ]
+    return json.dumps(
+        {
+            "seq": seq,
+            "action": action,
+            "timestamp": None,
+            "schema": "public",
+            "table": "documents",
+            "columns": cols,
+        }
+    )
