@@ -518,11 +518,19 @@ def embedding_near_dup_pairs(
     This is the *exact* all-pairs variant — O(N²/2) — correct at fixture
     scale and the verification step at any scale; the discovery step at
     100 TB is ``ivf_assign`` + within-cluster pairs (same plan as
-    :func:`ivf_topk`'s candidate join) or sign-LSH bucketing."""
+    :func:`ivf_topk`'s candidate join) or sign-LSH bucketing.
+
+    The STREAMED side is explicitly repartitioned to the session's full
+    parallelism: the fixture is one parquet file → one scan partition, and
+    a BroadcastNestedLoopJoin parallelizes over STREAMED-side partitions
+    only — without the repartition every one of the N²/2 interpreted
+    cosine evaluations ran in a single task (measured 32 s at sf0.1; ~1 s
+    after — caught by the r10 full-registry timing pass). The one-time
+    shuffle moves N thin rows, nothing at pair scale."""
     base = _normed(df, id_col, vec_col)
     a = base.select(
         F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     b = base.select(
         F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
