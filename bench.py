@@ -246,6 +246,16 @@ BENCH_QUERIES = [
     "supplier_acctbal_outlier_fences",  # 0.63 s (per-nation cents histogram)
     "dedup_transitivity_audit",  # 3.19 s (re-verifies the pair set + wedge join)
     "user_bot_regularity",  # 0.52 s (one user-keyed window + moment aggregate)
+    # round-10 additions (timed best-of-3 idle at sf0.1):
+    "value_levene_brownforsythe",  # 0.87 s (bounded value-grid medians + 3-row agg)
+    "customer_churn_hazard",  # 0.89 s (custkey lag window + duration histogram)
+    "user_type_entropy",  # 0.38 s (two keyed aggregates, one ln per (user,type))
+    "orders_daily_autocorr",  # 0.56 s (bounded daily grid, rn+k hash lag join)
+    "quality_filter_funnel",  # 0.54 s (one scan, one wide agg, 6-row pivot)
+    "lm_dirichlet_ranking",  # 0.63 s (shared occ layer + broadcast 5-term join)
+    "gram_novelty_curve",  # 0.79 s (shared gram layer, min-bucket aggregate)
+    "packing_waste_curve",  # 0.70 s (one scan x 5-row literal granularity grid)
+    "dedup_minhash_calibration",  # 1.33 s (band candidates + sig/shingle joins)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

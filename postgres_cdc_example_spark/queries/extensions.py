@@ -6176,3 +6176,152 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_micro"),
         )
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_minhash_bands_ctes()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT cand.doc_a, cand.doc_b,
+             len(list_filter(generate_series(1, {dedup.NUM_HASHES}),
+                             i -> sa.sg[i] = sb.sg[i])) AS est,
+             len(list_intersect(sa.ss, sb.ss)) AS common,
+             len(sa.ss) AS size_a, len(sb.ss) AS size_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.doc_a
+      JOIN sig sb ON sb.doc_id = cand.doc_b
+    ),
+    jacs AS (
+      SELECT est,
+             CAST(floor(CAST(common AS DOUBLE)
+                        / (size_a + size_b - common) * 1000000.0)
+                  AS BIGINT) AS jac
+      FROM scored
+    )
+    SELECT CAST(est AS BIGINT) AS est_matches,
+           CAST(est * 1000000 // {dedup.NUM_HASHES} AS BIGINT)
+             AS predicted_micro,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jac) // count(*) AS BIGINT) AS mean_jac_micro,
+           CAST(min(jac) AS BIGINT) AS min_jac_micro,
+           CAST(max(jac) AS BIGINT) AS max_jac_micro
+    FROM jacs GROUP BY est
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — per signature-agreement level
+    (0..{NH} matching hashes), the exact-Jaccard distribution of the
+    band-collision candidate pairs: the table that tells you whether
+    "est = matches/{NH}" is an unbiased similarity estimate ON YOUR
+    CORPUS, and therefore whether the candidate threshold can be trusted
+    to track the ≥ 0.5 verification line. `lsh_recall_audit` scores the
+    BANDING (did collisions find the truly-similar pairs?); this scores
+    the ESTIMATOR (do agreement counts predict similarity?) — the two
+    failure modes are independent (banding can recall perfectly while a
+    skewed shingle distribution biases the per-hash agreement). Unlike
+    the pair queries, the ≥ 0.5 verification filter is deliberately NOT
+    applied: calibration needs the full curve, including the
+    low-similarity candidates the dedup queries discard. Composes the
+    SHARED layers end to end — candidates from the persisted band table,
+    agreements from the same signature construction, exact Jaccard from
+    the persisted shingle rows via keyed joins on the bounded candidate
+    set. Scale shape: band self-join on bucket keys (the family's audited
+    candidate discovery, never all-pairs), two doc-keyed joins, one
+    {NH1}-row-max aggregate."""
+    bands = _doc_bands(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig = dedup.minhash_signatures(
+        _doc_ngrams(spark, sf_dir).withColumnRenamed("g", "s")
+    )
+    agree = F.expr(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END"
+            for i in range(dedup.NUM_HASHES)
+        )
+        + " AS BIGINT)"
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(dedup.NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(dedup.NUM_HASHES)],
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("est"))
+    )
+    sh = _doc_ngrams(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("sa_g"))
+    gb = sh.select(F.col("doc_id").alias("gb_doc"), F.col("g").alias("sb_g"))
+    common = (
+        cand.join(ga, "doc_a")
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb_doc"))
+            & (F.col("sa_g") == F.col("sb_g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    jacs = (
+        est.join(common, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "est",
+            F.expr(
+                "CAST(floor(CAST(common AS DOUBLE)"
+                " / (size_a + size_b - common) * 1000000.0) AS BIGINT)"
+            ).alias("jac"),
+        )
+    )
+    return jacs.groupBy("est").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(jac) div count(*) AS BIGINT)").alias("mean_jac_micro"),
+        F.min("jac").cast("long").alias("min_jac_micro"),
+        F.max("jac").cast("long").alias("max_jac_micro"),
+    ).select(
+        F.col("est").alias("est_matches"),
+        F.expr(f"CAST(est * 1000000 div {dedup.NUM_HASHES} AS BIGINT)").alias(
+            "predicted_micro"
+        ),
+        "n_pairs",
+        "mean_jac_micro",
+        "min_jac_micro",
+        "max_jac_micro",
+    )
+
+
+dedup_minhash_calibration.__doc__ = dedup_minhash_calibration.__doc__.replace(
+    "{NH1}", str(dedup.NUM_HASHES + 1)
+).replace("{NH}", str(dedup.NUM_HASHES))

@@ -6035,3 +6035,468 @@ def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (k * sxx - sx * sx)) END AS BIGINT)"
         ).alias("beta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10: filter funnel, Dirichlet QL ranking, gram novelty, packing waste
+# ---------------------------------------------------------------------------
+
+# Gopher-style hard-filter rules in integer form (threshold comments give
+# the ratio form). Chosen so the fixture exercises the funnel: rules 1/2/3/5
+# fire on the synthetic corpus; rule 4 is the punctuation gate real crawls
+# need (the word-soup fixture has zero punctuation — an honest 0 row).
+FUNNEL_RULES = (
+    (1, "too_short", "nt < 25"),
+    (2, "too_long", "nt > 80"),
+    (3, "low_diversity", "2 * dt < nt"),  # distinct-token ratio < 0.5
+    (4, "high_punct", "25 * punct > nc"),  # punctuation ratio > 4%
+    (5, "no_stopwords", "sh = 0"),
+)
+
+
+def _funnel_flags_sql() -> str:
+    conds = ", ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS f{no}"
+        for no, _n, cond in FUNNEL_RULES
+    )
+    return f"""
+    t AS (
+      SELECT doc_id, {_TOKS} AS tk,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS punct,
+             length(text) AS nc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(tk) AS nt, len(list_distinct(tk)) AS dt, punct, nc,
+             len(list_intersect(tk, ['the','a','and','of','to','in','is','it',
+                                     'for','on'])) AS sh
+      FROM t
+    ),
+    fl AS (SELECT doc_id, nt, {conds} FROM m)
+    """
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH {_funnel_flags_sql()},
+    agg AS (
+      SELECT
+        {", ".join(
+            f"CAST(sum(f{no}) AS BIGINT) AS fail{no},"
+            f" CAST(sum(CASE WHEN f{no} = 1 AND "
+            + " + ".join(f"f{o}" for o, _n, _c in FUNNEL_RULES)
+            + f" = 1 THEN 1 ELSE 0 END) AS BIGINT) AS excl{no},"
+            f" CAST(sum(f{no} * nt) AS BIGINT) AS tok{no}"
+            for no, _n, _c in FUNNEL_RULES
+        )},
+        CAST(sum(CASE WHEN {" + ".join(f"f{o}" for o, _n, _c in FUNNEL_RULES)}
+                 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS surv,
+        CAST(sum(CASE WHEN {" + ".join(f"f{o}" for o, _n, _c in FUNNEL_RULES)}
+                 = 0 THEN nt ELSE 0 END) AS BIGINT) AS survtok
+      FROM fl
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({no} AS BIGINT) AS rule_no, '{name}' AS rule,"
+        f" fail{no} AS n_docs, excl{no} AS n_docs_exclusive,"
+        f" tok{no} AS n_tokens FROM agg"
+        for no, name, _c in FUNNEL_RULES
+    )}
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), 'survivors', surv, surv, survtok FROM agg
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-filter FUNNEL audit — the per-rule rejection table a curation
+    run prints before committing to thresholds (the Gopher/C4 rule-list
+    shape): for each named rule, how many docs fail it, how many fail
+    ONLY it (the rule's exclusive kill — the number that changes if you
+    drop the rule), and the token mass touched; plus the survivors row.
+    Exclusive counts are what `text_quality`'s blended score cannot give:
+    a weighted composite hides WHICH constraint binds. All rules are
+    integer predicates (ratio thresholds cleared to products), computed
+    in ONE scan: a single conditional aggregate produces every count as
+    one wide row, then a bounded literal pivot lays it out as rows —
+    the funnel never rescans per rule. Scale shape: one scan + one 1-row
+    aggregate + a 6-row projection; at 100 TB this is the cheapest audit
+    in the family."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = dedup.word_tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(tk).alias("nt"),
+        F.size(F.array_distinct(tk)).alias("dt"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+        ).alias("punct"),
+        F.length("text").alias("nc"),
+        F.size(
+            F.array_intersect(
+                tk,
+                F.array(
+                    *[
+                        F.lit(w)
+                        for w in (
+                            "the", "a", "and", "of", "to",
+                            "in", "is", "it", "for", "on",
+                        )
+                    ]
+                ),
+            )
+        ).alias("sh"),
+    )
+    fl = m.select(
+        "nt",
+        *[
+            F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END").alias(f"f{no}")
+            for no, _n, cond in FUNNEL_RULES
+        ],
+    )
+    fsum = " + ".join(f"f{no}" for no, _n, _c in FUNNEL_RULES)
+    aggs = []
+    for no, _name, _c in FUNNEL_RULES:
+        aggs += [
+            F.sum(f"f{no}").cast("long").alias(f"fail{no}"),
+            F.sum(
+                F.expr(f"CASE WHEN f{no} = 1 AND {fsum} = 1 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"excl{no}"),
+            F.sum(F.expr(f"f{no} * nt")).cast("long").alias(f"tok{no}"),
+        ]
+    aggs += [
+        F.sum(F.expr(f"CASE WHEN {fsum} = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("surv"),
+        F.sum(F.expr(f"CASE WHEN {fsum} = 0 THEN nt ELSE 0 END"))
+        .cast("long")
+        .alias("survtok"),
+    ]
+    one = fl.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(no).cast("long").alias("rule_no"),
+                F.lit(name).alias("rule"),
+                F.col(f"fail{no}").alias("n_docs"),
+                F.col(f"excl{no}").alias("n_docs_exclusive"),
+                F.col(f"tok{no}").alias("n_tokens"),
+            )
+            for no, name, _c in FUNNEL_RULES
+        ],
+        F.struct(
+            F.lit(0).cast("long").alias("rule_no"),
+            F.lit("survivors").alias("rule"),
+            F.col("surv").alias("n_docs"),
+            F.col("surv").alias("n_docs_exclusive"),
+            F.col("survtok").alias("n_tokens"),
+        ),
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.rule_no", "r.rule", "r.n_docs", "r.n_docs_exclusive", "r.n_tokens"
+    )
+
+
+LM_MU = 2000  # Dirichlet smoothing mass (classic web-retrieval setting)
+
+
+@register(
+    "lm_dirichlet_ranking",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM occ GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM occ GROUP BY doc_id),
+    ctot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM occ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY tok),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+    terms AS (
+      SELECT tok, cf FROM df, ndocs WHERE df * 4 <= n_docs
+      ORDER BY df DESC, tok LIMIT {BM25_N_TERMS}
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dl.dl, terms.cf,
+             CAST(floor(ln(CAST(tf.tf * ctot.ct + {LM_MU} * terms.cf
+                                AS DOUBLE)
+                           / (CAST(ctot.ct AS DOUBLE) * (dl.dl + {LM_MU})))
+                        * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM tf JOIN terms ON tf.tok = terms.tok
+              JOIN dl ON dl.doc_id = tf.doc_id, ctot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY tok
+                                   ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT tok, doc_id, tf, dl, cf, score_micro, rnk AS rank
+    FROM ranked WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def lm_dirichlet_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRICHLET-smoothed query-likelihood ranking — the language-model
+    retrieval baseline beside `bm25_doc_ranking` (the two classical
+    lexical rankers; where their top-10 lists disagree is exactly where
+    hybrid fusion earns its keep): score(t, d) =
+    ln((tf + μ·cf_t/|C|) / (dl + μ)) with μ = {MU}. Same deterministic
+    query-term selection as BM25 (top-{NT} by df among tokens in ≤ a
+    quarter of docs), same shared occurrence layer, and candidates are
+    docs CONTAINING the term (the standard inverted-index restriction —
+    zero-tf docs score strictly below any same-length doc with the term,
+    and retrieval never materializes the full doc × term grid). The ln
+    argument reduces to the exact integer ratio
+    (tf·|C| + μ·cf) / (|C|·(dl + μ)), so both engines take one double log
+    of identical integers and micro-round once per (doc, term) — the
+    `source_token_kl` policy; no other float arithmetic exists. Scale
+    shape: tf/dl/df off the shared map-side-combined layer, the
+    {NT}-term table broadcasts into the tf filter-join, one per-term
+    top-{K} window planned as TakeOrdered-per-key over the filtered
+    slice — never a global sort."""
+    occ = _doc_occurrences(spark, sf_dir)
+    tf = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    ctot = occ.agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    df_ = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    ndocs = dl.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    terms = (
+        df_.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(BM25_N_TERMS)
+        .select("tok", "cf")
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "tok",
+            "doc_id",
+            "tf",
+            "dl",
+            "cf",
+            F.expr(
+                f"CAST(floor(ln(CAST(tf * ct + {LM_MU} * cf AS DOUBLE)"
+                f" / (CAST(ct AS DOUBLE) * (dl + {LM_MU})))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("tok", "doc_id", "tf", "dl", "cf", "score_micro", "rank")
+    )
+
+
+lm_dirichlet_ranking.__doc__ = (
+    lm_dirichlet_ranking.__doc__.replace("{MU}", str(LM_MU))
+    .replace("{NT}", str(BM25_N_TERMS))
+    .replace("{K}", str(BM25_TOPK))
+)
+
+
+NOVELTY_BUCKETS = 10  # corpus-order deciles
+
+
+@register(
+    "gram_novelty_curve",
+    oracle=f"""
+    WITH {_bloom_gram_sql()},
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid FROM documents),
+    db AS (SELECT g8.doc_id, g8.g,
+                  CAST((g8.doc_id * {NOVELTY_BUCKETS}) // (mx.mid + 1) + 1
+                       AS BIGINT) AS b
+           FROM g8, mx),
+    fo AS (SELECT g, CAST(min(b) AS BIGINT) AS fb FROM db GROUP BY g),
+    newb AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS n_new
+             FROM fo GROUP BY fb),
+    occb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_occ,
+                    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+             FROM db GROUP BY b),
+    grid AS (SELECT unnest(generate_series(1, {NOVELTY_BUCKETS})) AS b)
+    SELECT grid.b AS bucket,
+           COALESCE(occb.n_occ, 0) AS n_gram_rows,
+           COALESCE(occb.n_distinct, 0) AS n_distinct_grams,
+           COALESCE(newb.n_new, 0) AS n_new_grams,
+           CAST(sum(COALESCE(newb.n_new, 0)) OVER (ORDER BY grid.b)
+                AS BIGINT) AS cum_new_grams,
+           CAST(CASE WHEN COALESCE(occb.n_distinct, 0) = 0 THEN NULL
+                ELSE (COALESCE(newb.n_new, 0) * 1000000)
+                     // occb.n_distinct END AS BIGINT) AS novelty_micro
+    FROM grid LEFT JOIN occb ON occb.b = grid.b
+              LEFT JOIN newb ON newb.b = grid.b
+    """,
+)
+def gram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-GRAM NOVELTY CURVE over corpus order — the data-valuation
+    diminishing-returns diagnostic: for each corpus decile (doc_id order,
+    the ingest order), what fraction of its distinct 8-grams was never
+    seen in any earlier decile? `vocab_heaps_law` fits vocabulary growth
+    at the TOKEN level; this measures it at the CONTENT level (8-grams
+    are the dedup family's substring currency), which is what answers
+    "is the tail of this crawl still contributing novel text, or are we
+    paying to re-ingest boilerplate?" — the curve a mixture planner reads
+    before buying more of a source. First-occurrence attribution uses the
+    min-BUCKET convention (no global first-occurrence rank, no rescan —
+    the Heaps-law recipe): one pass over the shared persisted gram layer
+    assigns each row its bucket by pure doc_id arithmetic (non-negative
+    operands, both engines truncate identically), a gram-keyed min
+    aggregate finds each gram's first bucket, and everything after lives
+    on the {B}-row grid. Scale shape: two map-side-combined aggregates
+    over the gram layer, a bounded-grid window — no joins at corpus
+    cardinality."""
+    g8 = _doc_grams8(spark, sf_dir)
+    mx = load_table(spark, "documents", sf_dir).agg(
+        F.max("doc_id").cast("long").alias("mid")
+    )
+    db = g8.crossJoin(F.broadcast(mx)).select(
+        "g",
+        F.expr(
+            f"CAST((doc_id * {NOVELTY_BUCKETS}) div (mid + 1) + 1 AS BIGINT)"
+        ).alias("b"),
+    )
+    fo = db.groupBy("g").agg(F.min("b").alias("fb"))
+    newb = fo.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    occb = db.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+    )
+    grid = spark.range(1, NOVELTY_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("b")
+    )
+    wcum = Window.orderBy("b")
+    return (
+        grid.join(F.broadcast(occb), "b", "left")
+        .join(F.broadcast(newb), "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            F.coalesce("n_occ", F.lit(0)).cast("long").alias("n_gram_rows"),
+            F.coalesce("n_distinct", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_grams"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_grams"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("cum_new_grams"),
+            F.expr(
+                "CAST(CASE WHEN COALESCE(n_distinct, 0) = 0 THEN NULL"
+                " ELSE (COALESCE(n_new, 0) * 1000000) div n_distinct"
+                " END AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+    )
+
+
+gram_novelty_curve.__doc__ = gram_novelty_curve.__doc__.replace(
+    "{B}", str(NOVELTY_BUCKETS)
+)
+
+
+PACK_SEQ_LEN = 2048  # target sequence length for the packing study
+PACK_GRANULARITIES = (1, 2, 4, 8, 16)  # boundaries per sequence
+
+
+@register(
+    "packing_waste_curve",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents
+    ),
+    grid AS (SELECT unnest(ARRAY{list(PACK_GRANULARITIES)}) AS nb),
+    x AS (
+      SELECT grid.nb, CAST({PACK_SEQ_LEN} / grid.nb AS BIGINT) AS g,
+             CAST(least(dl.nt, {PACK_SEQ_LEN}) AS BIGINT) AS kept,
+             CAST(greatest(dl.nt - {PACK_SEQ_LEN}, 0) AS BIGINT) AS trunc
+      FROM dl, grid
+    )
+    SELECT CAST(nb AS BIGINT) AS n_buckets, g AS granularity,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS kept_tokens,
+           CAST(sum(((kept + g - 1) // g) * g) AS BIGINT) AS padded_tokens,
+           CAST(sum(((kept + g - 1) // g) * g) - sum(kept) AS BIGINT)
+             AS pad_waste_tokens,
+           CAST(sum(trunc) AS BIGINT) AS truncated_tokens,
+           CAST(CASE WHEN sum(((kept + g - 1) // g) * g) = 0 THEN 0
+                ELSE ((sum(((kept + g - 1) // g) * g) - sum(kept)) * 1000000)
+                     // sum(((kept + g - 1) // g) * g) END AS BIGINT)
+             AS waste_micro
+    FROM x GROUP BY nb, g
+    """,
+)
+def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-PACKING WASTE CURVE — padding overhead as a function of
+    length-bucket granularity, the study a training-infra team runs
+    before choosing between pad-to-max and fine-grained length bucketing:
+    with {NB} boundaries per {S}-token sequence (granularity g = {S}/nb),
+    each doc pads to the next multiple of g (integer ceil:
+    (len + g − 1) div g · g) and docs beyond {S} truncate. One row per
+    granularity with kept/padded/truncated token mass and the padding
+    share in micro-units — `pack_documents_ffd` PLACES docs into bins;
+    this prices the PADDING POLICY itself, and the two together bound
+    the achievable batch efficiency. Pure integer arithmetic (ceil via
+    div on non-negative operands — identical truncation both engines).
+    Scale shape: ONE scan of doc lengths crossed with the
+    {NB_COUNT}-row literal granularity grid (the audited bounded-literal
+    BNLJ shape of `sample_poisson_bootstrap`), one map-side-combined
+    aggregate per granularity — no shuffle at doc cardinality."""
+    dl = load_table(spark, "documents", sf_dir).select(
+        F.size(dedup.word_tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    grid = spark.createDataFrame(
+        [(nb, PACK_SEQ_LEN // nb) for nb in PACK_GRANULARITIES],
+        "nb long, g long",
+    )
+    x = dl.crossJoin(F.broadcast(grid)).select(
+        "nb",
+        "g",
+        F.least(F.col("nt"), F.lit(PACK_SEQ_LEN)).alias("kept"),
+        F.greatest(F.col("nt") - PACK_SEQ_LEN, F.lit(0)).alias("trunc"),
+    )
+    return (
+        x.groupBy("nb", "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            F.sum(F.expr("((kept + g - 1) div g) * g"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.sum("trunc").cast("long").alias("truncated_tokens"),
+        )
+        .select(
+            F.col("nb").alias("n_buckets"),
+            F.col("g").alias("granularity"),
+            "n_docs",
+            "kept_tokens",
+            "padded_tokens",
+            (F.col("padded_tokens") - F.col("kept_tokens")).alias(
+                "pad_waste_tokens"
+            ),
+            "truncated_tokens",
+            F.expr(
+                "CAST(CASE WHEN padded_tokens = 0 THEN 0"
+                " ELSE ((padded_tokens - kept_tokens) * 1000000)"
+                " div padded_tokens END AS BIGINT)"
+            ).alias("waste_micro"),
+        )
+    )
+
+
+packing_waste_curve.__doc__ = (
+    packing_waste_curve.__doc__.replace("{NB_COUNT}", str(len(PACK_GRANULARITIES)))
+    .replace("{NB}", "/".join(str(x) for x in PACK_GRANULARITIES))
+    .replace("{S}", str(PACK_SEQ_LEN))
+)

@@ -5463,3 +5463,493 @@ def user_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_regular"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 statistics: spread homogeneity, churn hazard, ACF, type entropy
+# ---------------------------------------------------------------------------
+
+# F₀.₉₅(2, ∞) = χ²₀.₉₅(2)/2 = 5.991465/2, floored on the micro grid
+BF_F_CRIT_MICRO = KW_CHI2_MICRO[2] // 2
+BF_GROUPS = ("purchase", "view", "click")
+
+
+@register(
+    "value_levene_brownforsythe",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type AS g, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    h AS (SELECT g, m, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY g, m),
+    cum AS (SELECT g, m, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY m) AS cm,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM h),
+    med AS (SELECT g, min(m) AS med FROM cum WHERE 2 * cm >= n GROUP BY g),
+    z AS (SELECT e.g, 1000 * abs(e.m - med.med) AS z
+          FROM e JOIN med ON med.g = e.g),
+    st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(z) AS HUGEINT) AS s,
+                  CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+           FROM z GROUP BY g),
+    stm AS (SELECT g, n, s, q, CAST(s // n AS BIGINT) AS zbar FROM st),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(s) // sum(n) AS BIGINT) AS zbar_all,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM stm),
+    parts AS (
+      SELECT stm.g, stm.n, stm.zbar,
+             q - 2 * CAST(zbar AS HUGEINT) * s
+               + CAST(stm.n AS HUGEINT) * zbar * zbar AS ssw_g,
+             CAST(stm.n AS HUGEINT) * (zbar - tot.zbar_all)
+               * (zbar - tot.zbar_all) AS ssb_g
+      FROM stm, tot
+    ),
+    f AS (SELECT CAST(sum(ssw_g) AS HUGEINT) AS ssw,
+                 CAST(sum(ssb_g) AS HUGEINT) AS ssb
+          FROM parts)
+    SELECT tot.k, tot.nt AS n_total,
+           max(CASE WHEN parts.g = 'purchase' THEN parts.n END) AS n_purchase,
+           max(CASE WHEN parts.g = 'view' THEN parts.n END) AS n_view,
+           max(CASE WHEN parts.g = 'click' THEN parts.n END) AS n_click,
+           max(CASE WHEN parts.g = 'purchase' THEN parts.zbar END)
+             AS mad_purchase_micro,
+           max(CASE WHEN parts.g = 'view' THEN parts.zbar END)
+             AS mad_view_micro,
+           max(CASE WHEN parts.g = 'click' THEN parts.zbar END)
+             AS mad_click_micro,
+           CAST(CASE WHEN f.ssw = 0 THEN NULL
+                ELSE (f.ssb * (tot.nt - tot.k) * 1000000)
+                     // (f.ssw * (tot.k - 1)) END AS BIGINT) AS f_micro,
+           CAST(CASE WHEN f.ssw = 0 THEN 0
+                WHEN (f.ssb * (tot.nt - tot.k) * 1000000)
+                     // (f.ssw * (tot.k - 1)) > {BF_F_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_spread
+    FROM f, tot, parts
+    GROUP BY tot.k, tot.nt, f.ssw, f.ssb
+    """,
+)
+def value_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE spread-homogeneity test across the purchase / view /
+    click value distributions — the SPREAD complement to the location
+    family (`value_location_kruskalwallis` asks "same center?"; this asks
+    "same dispersion?" — unequal spread is what invalidates pooled
+    monitoring thresholds and is itself a drift signal). Levene's ANOVA on
+    absolute deviations, with the robust MEDIAN center (Brown-Forsythe
+    1974): per-group median on the bounded milli value grid (smallest m
+    with 2·cum ≥ n — the lower-median house convention of the histogram
+    order-statistic family), z = |x − med| exact integers, group means of
+    z floored ONCE onto the micro grid ((Σz·1000) div n — both engines
+    truncate the same non-negative operands), and the F statistic
+    assembled from Σz, Σz² in cleared integer form: ssw via the
+    q − 2·z̄·s + n·z̄² identity, ssb = Σ nⱼ(z̄ⱼ − z̄)², decision
+    ssb·(N−k)·10⁶ div (ssw·(k−1)) vs the F₀.₉₅(2,∞) = χ²₀.₉₅(2)/2 micro
+    literal — transcendental-free end to end. Grid note: quantizing z̄ to
+    micro before the sums of squares introduces ≤1 micro-unit per term,
+    identical in both engines — the deterministic-quantization policy
+    every stats query here follows. Width budget: q ≈ rows·z² stays in
+    DECIMAL(38,0) to ~10¹² rows at micro deviations ≤10⁹; divide the
+    micro grid through by 10³ first beyond that (documented, not silent).
+    Scale shape: one map-side-combined (group, m) histogram on the
+    bounded value domain, per-group windows over those bounded rows, one
+    keyed join back for z, one 3-row aggregate — no pair joins, no
+    windows over raw events."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(*BF_GROUPS)
+    ).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    h = e.groupBy("g", "m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("g").orderBy("m")
+    wn = Window.partitionBy("g")
+    cum = h.select(
+        "g", "m", F.sum("c").over(wc).alias("cm"), F.sum("c").over(wn).alias("n")
+    )
+    med = (
+        cum.filter(2 * F.col("cm") >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("m").alias("med"))
+    )
+    z = e.join(F.broadcast(med), "g").select(
+        "g", (F.lit(1000) * F.abs(F.col("m") - F.col("med"))).alias("z")
+    )
+    st = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("q"),
+    )
+    stm = st.select(
+        "g", "n", "s", "q", F.expr("CAST(s div n AS BIGINT)").alias("zbar")
+    )
+    tot = stm.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.expr("CAST(sum(s) div sum(n) AS BIGINT)").alias("zbar_all"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    parts = stm.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        "zbar",
+        "nt",
+        "k",
+        F.expr(
+            "q - 2 * CAST(zbar AS DECIMAL(38,0)) * s"
+            " + CAST(n AS DECIMAL(38,0)) * zbar * zbar"
+        ).alias("ssw_g"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (zbar - zbar_all) * (zbar - zbar_all)"
+        ).alias("ssb_g"),
+    )
+    fagg = parts.agg(
+        F.sum("ssw_g").alias("ssw"),
+        F.sum("ssb_g").alias("ssb"),
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+        *[
+            F.max(F.when(F.col("g") == grp, F.col("n")))
+            .cast("long")
+            .alias(f"n_{grp}")
+            for grp in BF_GROUPS
+        ],
+        *[
+            F.max(F.when(F.col("g") == grp, F.col("zbar")))
+            .cast("long")
+            .alias(f"mad_{grp}_micro")
+            for grp in BF_GROUPS
+        ],
+    )
+    return fagg.select(
+        "k",
+        F.col("nt").alias("n_total"),
+        "n_purchase",
+        "n_view",
+        "n_click",
+        "mad_purchase_micro",
+        "mad_view_micro",
+        "mad_click_micro",
+        F.expr(
+            "CAST(CASE WHEN ssw = 0 THEN NULL"
+            " ELSE (ssb * (nt - k) * 1000000) div (ssw * (k - 1))"
+            " END AS BIGINT)"
+        ).alias("f_micro"),
+        F.expr(
+            "CAST(CASE WHEN ssw = 0 THEN 0"
+            " WHEN (ssb * (nt - k) * 1000000) div (ssw * (k - 1))"
+            f" > {BF_F_CRIT_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_equal_spread"),
+    )
+
+
+CHURN_HORIZON_DAYS = 90  # report hazard rows out to this gap duration
+
+
+@register(
+    "customer_churn_hazard",
+    oracle=f"""
+    WITH o AS (SELECT o_custkey AS ck,
+                      CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                                     o_orderdate) AS BIGINT) AS d,
+                      o_orderkey AS okey
+               FROM orders),
+    mx AS (SELECT CAST(max(d) AS BIGINT) AS md FROM o),
+    gaps AS (SELECT ck, d - lag(d) OVER (PARTITION BY ck ORDER BY d, okey)
+                      AS t
+             FROM o),
+    ev AS (SELECT t, CAST(count(*) AS BIGINT) AS de
+           FROM gaps WHERE t IS NOT NULL GROUP BY t),
+    cz AS (SELECT t, CAST(count(*) AS BIGINT) AS dc
+           FROM (SELECT mx.md - max(o.d) AS t FROM o, mx GROUP BY o.ck, mx.md)
+           GROUP BY t),
+    allh AS (
+      SELECT COALESCE(e.t, c.t) AS t, COALESCE(e.de, 0) AS de,
+             COALESCE(c.dc, 0) AS dc
+      FROM ev e FULL JOIN cz c ON e.t = c.t
+    ),
+    tot AS (SELECT CAST(sum(de + dc) AS BIGINT) AS n_all FROM allh),
+    w AS (SELECT t, de,
+                 COALESCE(sum(de + dc) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_lt
+          FROM allh),
+    haz AS (SELECT t, de, tot.n_all - w.cum_lt AS n_risk,
+                   (de * 1000000) // (tot.n_all - w.cum_lt) AS h
+            FROM w, tot WHERE de > 0 AND t <= {CHURN_HORIZON_DAYS})
+    SELECT CAST(t AS BIGINT) AS gap_days, CAST(n_risk AS BIGINT) AS n_risk,
+           de AS n_events, CAST(h AS BIGINT) AS hazard_micro,
+           CAST(sum(h) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_micro
+    FROM haz
+    """,
+)
+def customer_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimate of customer REORDER timing
+    with right-censoring — the survival-analysis primitive behind every
+    churn dashboard: per customer, the gaps between consecutive orders are
+    EVENTS ("reordered after t days") and the open gap from the last order
+    to the dataset horizon is CENSORED (still at risk, outcome unknown —
+    dropping it, as naive repeat-cadence stats do, biases hazard upward).
+    Estimator choice is deliberate: Kaplan-Meier multiplies ratios
+    (Π(1−d/n) — floating products that drift under micro flooring), while
+    Nelson-Aalen SUMS them (H(t) = Σ_{{s≤t}} d(s)/n(s)) — additive, so the
+    house integer policy applies directly: per-duration hazard
+    d·10⁶ div n_risk (non-negative operands, both engines truncate
+    identically), cumulative via a window sum of the already-floored
+    terms. The risk set n(s) = #gaps (event or censored) with duration
+    ≥ s comes from one cumulative window over the combined duration
+    histogram — no per-(customer, day) expansion. Output: one row per
+    event duration ≤ {CHURN_HORIZON_DAYS} days with the at-risk count,
+    event count, per-day hazard, and H(t). Scale shape: one
+    custkey-keyed lag window over orders (the interarrival family's
+    shuffle), two bounded duration histograms (domain ≤ the calendar
+    span), windows on the bounded grid, one scalar. Magnitudes:
+    everything ≤ corpus row count — no width concerns at any scale."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    mx = o.agg(F.max("d").cast("long").alias("md"))
+    wlag = Window.partitionBy("ck").orderBy("d", "okey")
+    gaps = o.select(
+        "ck", (F.col("d") - F.lag("d").over(wlag)).alias("t")
+    ).filter(F.col("t").isNotNull())
+    ev = gaps.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("de"))
+    cz = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("ck")
+        # the open gap runs from the customer's LAST order to the horizon:
+        # md - max(d) == min(md - d)
+        .agg(F.min(F.col("md") - F.col("d")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    allh = (
+        ev.join(cz, "t", "full")
+        .select(
+            "t",
+            F.coalesce("de", F.lit(0)).alias("de"),
+            F.coalesce("dc", F.lit(0)).alias("dc"),
+        )
+    )
+    tot = allh.agg(F.sum(F.col("de") + F.col("dc")).cast("long").alias("n_all"))
+    wlt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w = allh.select(
+        "t",
+        "de",
+        F.coalesce(F.sum(F.col("de") + F.col("dc")).over(wlt), F.lit(0)).alias(
+            "cum_lt"
+        ),
+    )
+    haz = (
+        w.crossJoin(F.broadcast(tot))
+        .filter((F.col("de") > 0) & (F.col("t") <= CHURN_HORIZON_DAYS))
+        .select(
+            "t",
+            "de",
+            (F.col("n_all") - F.col("cum_lt")).alias("n_risk"),
+            F.expr("de * 1000000 div (n_all - cum_lt)").alias("h"),
+        )
+    )
+    wcum = Window.orderBy("t")
+    return haz.select(
+        F.col("t").cast("long").alias("gap_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("de").alias("n_events"),
+        F.col("h").cast("long").alias("hazard_micro"),
+        F.sum("h").over(wcum).cast("long").alias("cum_hazard_micro"),
+    )
+
+
+BOT_SINGLE_TYPE_MIN = 10  # single-type users at/above this volume are flagged
+
+
+@register(
+    "user_type_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id),
+    t AS (
+      SELECT c.user_id,
+             CAST(c.c AS HUGEINT)
+               * CAST(floor(ln(CAST(n.n AS DOUBLE) / c.c) * 1000000 + 0.5)
+                      AS BIGINT) AS wterm
+      FROM c JOIN n ON n.user_id = c.user_id
+    ),
+    e AS (SELECT user_id, CAST(sum(wterm) AS HUGEINT) AS ws FROM t
+          GROUP BY user_id)
+    SELECT n.user_id, n.n AS n_events, n.n_types,
+           CAST(e.ws // n.n AS BIGINT) AS entropy_micro,
+           CAST(CASE WHEN n.n_types = 1 AND n.n >= {BOT_SINGLE_TYPE_MIN}
+                       THEN 1
+                     WHEN n.n_types > 1
+                          AND 2 * (e.ws // n.n)
+                              < CAST(floor(ln(CAST(n.n_types AS DOUBLE))
+                                           * 1000000 + 0.5) AS BIGINT)
+                       THEN 1 ELSE 0 END AS BIGINT) AS concentration_flag
+    FROM n JOIN e ON e.user_id = n.user_id
+    """,
+)
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EVENT-TYPE ENTROPY — the behavioral-diversity audit beside
+    `user_bot_regularity` (that one asks "is the CADENCE machine-regular?";
+    this asks "is the BEHAVIOR machine-narrow?" — a scraper fires one event
+    type at volume, a human mixes views/clicks/purchases; the two flags
+    disagree exactly on rate-limited bots and single-purpose power users,
+    which is why audits run both). H = Σ (c/n)·ln(n/c), computed under the
+    house transcendental policy: one ln per (user, type) of the EXACT
+    integer ratio n/c (both engines take the same double log of the same
+    integers), micro-rounded per term BEFORE the weighted sum (the
+    `source_token_kl` rounding order), then one truncating division by n —
+    non-negative operands throughout, so Spark `div` ≡ DuckDB `//`. The
+    concentration flag is scale-relative: entropy below HALF the maximum
+    ln(n_types) achievable with the user's observed type count, or a
+    single-type user at ≥{BOT_SINGLE_TYPE_MIN} events (ln(1) = 0 makes
+    the ratio rule vacuous there — the classic degenerate arm, made
+    explicit). Scale shape: two map-side-combined keyed aggregates
+    ((user, type) then user) and one user-keyed join — no windows, no
+    pair joins; output is one row per user, the same cardinality class
+    as every per-user audit here."""
+    c = load_table(spark, "events", sf_dir).groupBy(
+        "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    t = c.join(n.select("user_id", "n"), "user_id").select(
+        "user_id",
+        F.expr(
+            "CAST(c AS DECIMAL(38,0))"
+            " * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("wterm"),
+    )
+    e = t.groupBy("user_id").agg(F.sum("wterm").alias("ws"))
+    return n.join(e, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.expr("CAST(ws div n AS BIGINT)").alias("entropy_micro"),
+        F.expr(
+            f"CAST(CASE WHEN n_types = 1 AND n >= {BOT_SINGLE_TYPE_MIN}"
+            " THEN 1"
+            " WHEN n_types > 1 AND 2 * (ws div n)"
+            " < CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("concentration_flag"),
+    )
+
+
+ACF_LAGS = 7  # daily-ACF diagnostic depth (a week of lags)
+
+
+@register(
+    "orders_daily_autocorr",
+    oracle=f"""
+    WITH g AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM g),
+    dd AS (SELECT row_number() OVER (ORDER BY g.d) AS rn,
+                  CAST(tot.n * g.c - tot.s AS BIGINT) AS dv
+           FROM g, tot),
+    dsum AS (SELECT CAST(sum(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS dss
+             FROM dd),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+             AS t(k)),
+    ck AS (SELECT l.k, CAST(sum(CAST(a.dv AS HUGEINT) * b.dv) AS HUGEINT)
+                    AS c_k
+           FROM dd a JOIN lags l ON true
+                     JOIN dd b ON b.rn = a.rn + l.k
+           GROUP BY l.k)
+    SELECT CAST(ck.k AS BIGINT) AS lag, CAST(ck.c_k AS BIGINT) AS c_k,
+           tot.n AS n_days,
+           CAST(CASE WHEN dsum.dss = 0 THEN NULL
+                ELSE floor(CAST(ck.c_k AS DOUBLE) / CAST(dsum.dss AS DOUBLE)
+                           * 1000000 + 0.5) END AS BIGINT) AS acf_micro,
+           CAST(CASE WHEN dsum.dss = 0 THEN 0
+                WHEN ck.c_k * ck.c_k * tot.n * 10000
+                     > CAST(38416 AS HUGEINT) * dsum.dss * dsum.dss
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_zero_acf
+    FROM ck, dsum, tot
+    """,
+)
+def orders_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED daily autocorrelation function of ORDER volume at lags
+    1..{LAGS} — the per-lag diagnostic the Ljung-Box portmanteau
+    (`volume_ljung_box`, events series) deliberately collapses: Q says
+    "some lag autocorrelates", the ACF says WHICH and in WHAT DIRECTION
+    (lag-7 positive = weekly cycle; lag-1 negative = batch-and-starve
+    ingestion). Same exactness recipe as its sibling: mean cleared by
+    n·x − Σx (integer deviations), autocovariance C_k via the rn+k HASH
+    equi-join on the bounded daily grid (position space, so calendar gaps
+    collapse exactly as Ljung-Box treats them), r_k = C_k/Σd² micro-
+    rounded via the sign-safe single-IEEE-division recipe (C_k is SIGNED —
+    `div`//`floor` diverge on negatives; one double division of exact
+    < 2⁵³ integers + floor(x·10⁶ + 0.5) is bit-identical in both engines,
+    the `event_volume_trend` recipe), and the Bartlett |r| > 1.96/√n
+    significance gate in squared cleared form C_k²·n·10⁴ > 38416·(Σd²)² —
+    no sqrt ever runs. Width budget: C_k ≤ Σd² ≈ days·(n·c)² ~ 10¹⁴ at
+    sf0.1, squared 10²⁸ — inside HUGEINT/DECIMAL(38,0) to ~10⁶ orders/day
+    on a 3000-day grid. Scale shape: one map-side-combined daily
+    aggregate, everything after on the bounded grid."""
+    g = load_table(spark, "orders", sf_dir).groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = g.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dd = g.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.expr("CAST(n * c - s AS BIGINT)").alias("dv"),
+    )
+    dsum = dd.agg(
+        F.sum(F.expr("CAST(dv AS DECIMAL(38,0)) * dv")).alias("dss")
+    )
+    lags = spark.range(1, ACF_LAGS + 1).select(F.col("id").cast("int").alias("k"))
+    a = dd.select(F.col("rn").alias("ra"), F.col("dv").alias("dva"))
+    b = dd.select(F.col("rn").alias("rb"), F.col("dv").alias("dvb"))
+    ck = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rb") == F.col("ra") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.expr("CAST(dva AS DECIMAL(38,0)) * dvb")).alias("c_k"))
+    )
+    return (
+        ck.crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("c_k").cast("long").alias("c_k"),
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(CASE WHEN dss = 0 THEN NULL"
+                " ELSE floor(CAST(c_k AS DOUBLE) / CAST(dss AS DOUBLE)"
+                " * 1000000 + 0.5) END AS BIGINT)"
+            ).alias("acf_micro"),
+            F.expr(
+                "CAST(CASE WHEN dss = 0 THEN 0"
+                " WHEN CAST(c_k AS DECIMAL(38,0)) * c_k * n * 10000"
+                " > CAST(38416 AS DECIMAL(38,0)) * dss * dss"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_zero_acf"),
+        )
+    )
+
+
+orders_daily_autocorr.__doc__ = orders_daily_autocorr.__doc__.replace(
+    "{LAGS}", str(ACF_LAGS)
+)

@@ -130,6 +130,15 @@ NOTES = {
     "supplier_acctbal_outlier_fences": "Tukey fences per nation: (nation, cents) histogram with per-nation cum windows, quartile rank probes as integer compares, fences on the x2 grid joined back |nations|-bounded; raw supplier rows are scanned once.",
     "dedup_transitivity_audit": "Clustering coefficient of the verified pair graph: wedge join keyed on the center doc (degree^2-bounded by LSH collision structure), closure via one keyed join back to pairs, three 1-row counts broadcast — shares the persisted shingle/band layers.",
     "user_bot_regularity": "Bot cadence: one user-keyed lag window (the shared sequence shuffle) + one user-keyed moment aggregate; CV^2 and the flag are integer expressions inside codegen; no joins.",
+    "value_levene_brownforsythe": "Brown-Forsythe spread test: (group, milli-value) histogram combines map-side on the bounded domain; medians from per-group windows over histogram rows; one keyed join back for |x-med|; F assembled from a 3-row aggregate in cleared integer form. No pair joins, no raw-row windows.",
+    "customer_churn_hazard": "Nelson-Aalen with censoring: one custkey lag window (the interarrival shuffle), two bounded duration histograms (events + censored open gaps), risk sets from one cumulative window on the bounded grid, per-day hazard as integer division. Never a (customer x day) expansion.",
+    "user_type_entropy": "Type entropy: (user, type) count then user rollup, both map-side combined; one ln per (user, type) of an exact integer ratio, micro-rounded before the weighted sum; flag is pure codegen arithmetic. Two shuffles on user_id total.",
+    "orders_daily_autocorr": "Signed ACF lags 1..7: daily aggregate (map-side combined), deviations cleared to integers, C_k via the rn+k HASH equi-join on the bounded grid crossed with the broadcast 7-row lag table, Bartlett gate in squared cleared form. Everything after the first aggregate is grid-bounded.",
+    "quality_filter_funnel": "Filter funnel: ONE scan computes every rule flag as integer predicates, ONE wide conditional aggregate yields all fail/exclusive/token counts in a single row, and a literal 6-row pivot lays out the funnel - no per-rule rescan anywhere.",
+    "lm_dirichlet_ranking": "Dirichlet QL ranking: tf/dl/cf off the shared occurrence layer; the 5-term table broadcasts into the tf filter-join so only matching postings shuffle; one per-term top-10 window over the filtered slice; the ln runs once per (doc, term) on an exact integer ratio.",
+    "gram_novelty_curve": "Novelty curve: bucket assignment is pure doc_id arithmetic off a 1-row max broadcast; first-occurrence via a gram-keyed min aggregate on the shared persisted 8-gram layer; everything downstream lives on the 10-row grid. No first-occurrence global rank, no rescan.",
+    "packing_waste_curve": "Packing waste: one scan of doc lengths crossed with the broadcast 5-row granularity grid (audited bounded-literal BNLJ), integer ceil per row inside codegen, one map-side-combined aggregate per granularity.",
+    "dedup_minhash_calibration": "Estimator calibration: candidates from the persisted band table's bucket self-join (never all-pairs), signature agreement via doc-keyed joins of the 16-hash rows, exact Jaccard from the persisted shingle layer on the bounded candidate set, final 17-row-max aggregate.",
 }
 
 

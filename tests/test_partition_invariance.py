@@ -73,6 +73,16 @@ INVARIANCE_QUERIES = [
     "dedup_minhash_oph",  # single-hash bucket minima + equality collisions
     "funnel_latency_quantiles",  # histogram order statistics off user-keyed mins
     "event_transition_matrix",  # user-keyed lead window + bounded argmax ties
+    # round-10 representatives
+    "value_levene_brownforsythe",  # histogram lower-medians + micro-floored means + cleared F
+    "customer_churn_hazard",  # lag-window gaps + duration histograms + floored hazard sums
+    "orders_daily_autocorr",  # SIGNED one-IEEE-division micro rounding of grid covariances
+    "user_type_entropy",  # per-(user,type) ln micro-round before weighted sum + div
+    "quality_filter_funnel",  # one wide conditional aggregate -> literal pivot
+    "lm_dirichlet_ranking",  # exact-integer-ratio ln + per-term window tie-break
+    "gram_novelty_curve",  # min-bucket first-occurrence attribution off the shared gram layer
+    "packing_waste_curve",  # integer ceil grid x literal granularity table
+    "dedup_minhash_calibration",  # signature-agreement counts + jaccard floor off shared layers
     # cube/rollup stay out: grouping-set NULL markers are unsortable in this
     # harness's tuple canon; their exactness is the integer-cents policy and
     # the oracle hash already compares them order-insensitively
@@ -99,7 +109,18 @@ def _clear_shared_layers():
         _WINFP_SHARE,
     )
 
-    for cache in (_NGRAM_SHARE, _OCC_SHARE, _BANDS_SHARE, _GRAM8_SHARE, _WINFP_SHARE):
+    # r10: the drift audit's memoized wire-line layer must also re-build
+    # under each config, or its persisted partitioning goes untested
+    from postgres_cdc_example_spark.queries.cdc import _WIRE_LINES_SHARE
+
+    for cache in (
+        _NGRAM_SHARE,
+        _OCC_SHARE,
+        _BANDS_SHARE,
+        _GRAM8_SHARE,
+        _WINFP_SHARE,
+        _WIRE_LINES_SHARE,
+    ):
         for df in cache.values():
             try:
                 df.unpersist()

@@ -470,6 +470,12 @@ _BNLJ_ALLOWED = {
     "rank_sketch_bottomk",  # 1-row corpus aggregate x 2-row literal target table
     "watermark_sizing_advisor",  # bounded lateness-histogram grid joins (<=3600 cells by construction)
     "value_location_mannwhitney",  # three 1-row scalar aggregates (n/U/tie) merged via broadcast
+    "value_levene_brownforsythe",  # 1-row grand-total broadcast into the 3-group stats
+    "customer_churn_hazard",  # 1-row horizon + 1-row risk-total broadcasts into the bounded duration grid
+    "orders_daily_autocorr",  # 1-row mean/denominator scalars + broadcast 7-row lag grid on the bounded daily grid
+    "lm_dirichlet_ranking",  # 1-row collection-total broadcast into the term-filtered postings
+    "gram_novelty_curve",  # 1-row max-doc-id broadcast for bucket arithmetic; grid joins are 10-row
+    "packing_waste_curve",  # broadcast 5-row literal granularity grid x length scan (the poisson-bootstrap shape)
     "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "value_location_friedman",  # 1-row k-count + rank-SS scalar broadcasts
     "value_cochran_q",  # 1-row k/N/row-moment scalar broadcasts

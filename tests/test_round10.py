@@ -1,0 +1,307 @@
+"""Round-10 operators: positive controls, planted fixtures, and invariants
+for the spread test, churn hazard, type entropy, daily ACF, filter funnel,
+Dirichlet ranking, gram novelty, packing waste, and minhash calibration."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+import postgres_cdc_example_spark.queries as q
+from postgres_cdc_example_spark.queries import REGISTRY
+from postgres_cdc_example_spark.sources.tables import load_table
+
+q.queries()  # populate REGISTRY
+
+
+def _stage_single_parquet(spark_df, tmp_path, mini, table, stage_name):
+    stage = str(tmp_path / stage_name)
+    spark_df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), mini / f"{table}.parquet")
+
+
+def _mini(sf_dir, tmp_path, name):
+    mini = tmp_path / name
+    mini.mkdir()
+    for fname in os.listdir(sf_dir):
+        shutil.copy(os.path.join(sf_dir, fname), mini / fname)
+    return mini
+
+
+def test_brownforsythe_detects_planted_unequal_spread(spark, sf_dir, tmp_path):
+    """POSITIVE control: purchase values pinned to a constant (MAD 0),
+    view/click values alternating far from their median (large MAD) must
+    reject equal spread; the all-constant fixture must not. Both engines
+    agree on the planted corpus."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_bf")
+    rows = []
+    eid = 0
+    for i in range(300):
+        rows.append((eid, "2024-03-01 10:00:00", 1, "purchase", 100.0, "{}"))
+        eid += 1
+    for i in range(300):
+        v = 50.0 if i % 2 == 0 else 450.0
+        rows.append((eid, "2024-03-01 11:00:00", 2, "view", v, "{}"))
+        eid += 1
+    for i in range(300):
+        v = 10.0 if i % 2 == 0 else 900.0
+        rows.append((eid, "2024-03-01 12:00:00", 3, "click", v, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "bf_stage")
+    e = REGISTRY["value_levene_brownforsythe"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    r = e.fn(spark, str(mini)).first()
+    assert r.reject_equal_spread == 1
+    assert r.mad_purchase_micro == 0  # constant group: zero deviation
+    assert r.mad_click_micro > r.mad_view_micro > 0
+
+
+def test_churn_hazard_hand_computed_fixture(spark, sf_dir, tmp_path):
+    """Hand-checkable Nelson-Aalen: 3 customers, horizon = day 28 —
+    A orders day 0, 10, 20 (gaps 10, 10; censored 28-20 = 8),
+    B orders day 10, 25 (gap 15; censored 3),
+    C orders day 28 only (censored 0, no event).
+    Durations: events {10:2, 15:1}; censored {0, 3, 8}.
+    Risk sets: at t=10, durations >= 10 -> {10, 10, 15} = 3;
+    at t=15 -> {15} = 1. Hazards: 2/3, 1/1."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_churn")
+    base = 10957  # 2000-01-01 in epoch days
+    rows = []
+    ok = 0
+    for ck, days in ((1, [0, 10, 20]), (2, [10, 25]), (3, [28])):
+        for d in days:
+            ok += 1
+            rows.append((ok, ck, "O", 100.0, f"day{d}", "1-URGENT"))
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_tag string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr(
+            "cast(date_add(date'2000-01-01',"
+            " cast(substr(o_tag, 4) AS INT)) AS timestamp)"
+        ).alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    _stage_single_parquet(odf, tmp_path, mini, "orders", "churn_stage")
+    e = REGISTRY["customer_churn_hazard"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.gap_days: r for r in e.fn(spark, str(mini)).collect()}
+    assert set(got) == {10, 15}
+    assert (got[10].n_risk, got[10].n_events) == (3, 2)
+    assert (got[15].n_risk, got[15].n_events) == (1, 1)
+    assert got[10].hazard_micro == 666_666
+    assert got[15].hazard_micro == 1_000_000
+    assert got[15].cum_hazard_micro == 1_666_666
+    del base
+
+
+def test_user_type_entropy_flags_and_exact_values(spark, sf_dir, tmp_path):
+    """Planted users: a single-type 50-event bot (flagged), a perfectly
+    uniform two-type user (entropy == ln 2 in micro, not flagged), and a
+    99:1 concentrated two-type user (flagged by the half-max rule)."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_ent")
+    rows = []
+    eid = 0
+    for _ in range(50):
+        rows.append((eid, "2024-03-01 10:00:00", 901, "click", 1.0, "{}"))
+        eid += 1
+    for i in range(40):
+        rows.append(
+            (eid, "2024-03-01 10:00:00", 902,
+             "click" if i % 2 == 0 else "view", 1.0, "{}")
+        )
+        eid += 1
+    for i in range(100):
+        rows.append(
+            (eid, "2024-03-01 10:00:00", 903,
+             "view" if i == 0 else "click", 1.0, "{}")
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "ent_stage")
+    e = REGISTRY["user_type_entropy"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.user_id: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[901].concentration_flag == 1 and got[901].entropy_micro == 0
+    assert got[902].concentration_flag == 0
+    assert got[902].entropy_micro == math.floor(math.log(2) * 1e6 + 0.5)
+    assert got[903].concentration_flag == 1
+    assert 0 < got[903].entropy_micro < 346574  # below half of ln 2
+
+
+def test_daily_autocorr_detects_planted_alternation(spark, sf_dir, tmp_path):
+    """POSITIVE control: a 40-day alternating volume series (5, 55, 5, 55
+    ...) must give strongly negative lag-1 ACF and positive lag-2 ACF,
+    both Bartlett-significant; odd lags negative, even lags positive."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_acf")
+    rows = []
+    ok = 0
+    for day in range(40):
+        n = 5 if day % 2 == 0 else 55
+        for j in range(n):
+            ok += 1
+            rows.append((ok, 1, "O", 10.0, day, "1-URGENT"))
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, d int, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr("cast(date_add(date'2001-01-01', d) AS timestamp)").alias(
+            "o_orderdate"
+        ),
+        "o_orderpriority",
+    )
+    _stage_single_parquet(odf, tmp_path, mini, "orders", "acf_stage")
+    e = REGISTRY["orders_daily_autocorr"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.lag: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[1].acf_micro < -900_000 and got[1].reject_zero_acf == 1
+    assert got[2].acf_micro > 900_000 and got[2].reject_zero_acf == 1
+    for k in range(1, 8):
+        assert (got[k].acf_micro < 0) == (k % 2 == 1)
+
+
+def test_filter_funnel_accounting_invariants(spark, sf_dir):
+    """Exclusive counts never exceed fail counts; survivors + union of
+    failures == corpus; the fixture actually exercises several rules."""
+    rows = {r.rule_no: r for r in
+            REGISTRY["quality_filter_funnel"].fn(spark, sf_dir).collect()}
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    for no in (1, 2, 3, 4, 5):
+        assert 0 <= rows[no].n_docs_exclusive <= rows[no].n_docs
+    # survivors + docs failing at least one rule = all docs; the union is
+    # bounded below by max fail and the sum of exclusives
+    failed_any = n_docs - rows[0].n_docs
+    assert failed_any >= max(rows[no].n_docs for no in (1, 2, 3, 4, 5))
+    assert failed_any >= sum(rows[no].n_docs_exclusive for no in (1, 2, 3, 4, 5))
+    assert sum(1 for no in (1, 2, 3, 5) if rows[no].n_docs > 0) >= 2
+
+
+def test_dirichlet_ranking_monotone_in_tf_at_equal_length(spark, sf_dir):
+    """Within a term, a doc with higher tf and the same dl must never rank
+    below one with lower tf — the estimator is monotone in tf for fixed
+    dl (checked over every comparable pair in the top-10 lists); ranks
+    are dense 1..k per term."""
+    rows = REGISTRY["lm_dirichlet_ranking"].fn(spark, sf_dir).collect()
+    assert rows
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r.tok, []).append(r)
+    for term, rs in by_term.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for a in rs:
+            for b in rs:
+                if a.dl == b.dl and a.tf > b.tf:
+                    assert a.rank < b.rank
+                    assert a.score_micro >= b.score_micro
+
+
+def test_gram_novelty_curve_conservation(spark, sf_dir):
+    """Bucket 1 is all-novel by construction; cumulative novelty is
+    monotone and its total equals the distinct gram count of the corpus;
+    per-bucket novelty never exceeds the bucket's distinct grams."""
+    from postgres_cdc_example_spark.queries.llmdata import _doc_grams8
+
+    rows = sorted(
+        REGISTRY["gram_novelty_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    nonempty = [r for r in rows if r.n_distinct_grams > 0]
+    assert nonempty[0].novelty_micro == 1_000_000
+    total_distinct = _doc_grams8(spark, sf_dir).select("g").distinct().count()
+    assert rows[-1].cum_new_grams == total_distinct
+    cums = [r.cum_new_grams for r in rows]
+    assert cums == sorted(cums)
+    for r in rows:
+        assert r.n_new_grams <= r.n_distinct_grams
+
+
+def test_packing_waste_monotone_in_granularity(spark, sf_dir):
+    """Finer buckets can only reduce padding: waste_micro is non-increasing
+    as n_buckets grows; padded >= kept always; truncation is independent
+    of granularity."""
+    rows = sorted(
+        REGISTRY["packing_waste_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.n_buckets,
+    )
+    assert [r.n_buckets for r in rows] == [1, 2, 4, 8, 16]
+    wastes = [r.waste_micro for r in rows]
+    assert wastes == sorted(wastes, reverse=True)
+    truncs = {r.truncated_tokens for r in rows}
+    assert len(truncs) == 1
+    for r in rows:
+        assert r.padded_tokens >= r.kept_tokens
+        assert r.pad_waste_tokens == r.padded_tokens - r.kept_tokens
+
+
+def test_minhash_calibration_exact_dup_lands_at_16(spark, sf_dir, tmp_path):
+    """A planted exact duplicate must appear in the est=16 bucket with
+    Jaccard exactly 1.0 folded into the stats, and every bucket's mean
+    must sit within its [min, max] envelope; the predicted_micro column
+    is est/16 exactly."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_cal")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    base = docs.orderBy("doc_id").first()
+    dup = spark.createDataFrame(
+        [(920001, base.text, base.lang, "dup", len(base.text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        docs.unionByName(dup), tmp_path, mini, "documents", "cal_stage"
+    )
+    e = REGISTRY["dedup_minhash_calibration"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    rows = {r.est_matches: r for r in e.fn(spark, str(mini)).collect()}
+    assert 16 in rows and rows[16].max_jac_micro == 1_000_000
+    for est, r in rows.items():
+        assert r.min_jac_micro <= r.mean_jac_micro <= r.max_jac_micro
+        assert r.predicted_micro == est * 1_000_000 // 16
