@@ -6325,3 +6325,70 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_minhash_calibration.__doc__ = dedup_minhash_calibration.__doc__.replace(
     "{NH1}", str(dedup.NUM_HASHES + 1)
 ).replace("{NH}", str(dedup.NUM_HASHES))
+
+
+KFOLD_K = 5  # folds for the leakage-safe split plan
+
+
+@register(
+    "split_kfold_plan",
+    oracle=f"""
+    WITH comp AS (SELECT doc_id, component FROM ({_clusters_oracle()})),
+    keyed AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS group_key,
+             CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END AS in_cluster
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_key, in_cluster,
+           CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::BIGINT
+                % {KFOLD_K} AS BIGINT) AS fold
+    FROM keyed
+    """,
+)
+def split_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE K-FOLD assignment — the cross-validation sibling of
+    `split_leakage_safe` (that one splits train/eval once; this assigns
+    {K} rotation folds): every document's fold is a deterministic hash of
+    its near-dup GROUP key (the connected-component label from the
+    registered `dedup_clusters`, its own doc_id for singletons), so all
+    members of a near-dup cluster land in the SAME fold by construction
+    and no rotation ever trains on one copy of a document while
+    validating on another — the subtle leak that inflates k-fold scores
+    on undeduplicated corpora. Composes the registered member on both
+    sides (engine calls the fn, oracle interpolates its SQL — the
+    capstone discipline), and the fold hash is the house md5-prefix
+    integer (`cdc_gap_detection`'s drop rule), identical in both
+    engines. Scale shape: the cluster table is collision-bounded (≪
+    corpus), one doc_id-keyed left join, per-row hash arithmetic — no
+    new shuffles beyond the member's own."""
+    cl = (
+        dedup.connected_components(
+            dedup.minhash_lsh_pairs(
+                load_table(spark, "documents", sf_dir),
+                shingles=_doc_ngrams(spark, sf_dir),
+                bands=_doc_bands(spark, sf_dir),
+            )
+        )
+        .select("doc_id", "component")
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    keyed = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("group_key"),
+        F.col("component").isNotNull().cast("int").cast("long").alias(
+            "in_cluster"
+        ),
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("group_key").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % KFOLD_K
+    )
+    return keyed.select(
+        "doc_id", "group_key", "in_cluster", fold.cast("long").alias("fold")
+    )
+
+
+split_kfold_plan.__doc__ = split_kfold_plan.__doc__.replace("{K}", str(KFOLD_K))

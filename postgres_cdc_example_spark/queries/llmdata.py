@@ -6500,3 +6500,95 @@ packing_waste_curve.__doc__ = (
     .replace("{NB}", "/".join(str(x) for x in PACK_GRANULARITIES))
     .replace("{S}", str(PACK_SEQ_LEN))
 )
+
+
+MATTR_WINDOW = 25  # moving-average TTR window (tokens)
+
+
+@register(
+    "text_mattr",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    m AS (
+      SELECT doc_id, len(tk) AS nt,
+             CASE WHEN len(tk) >= {MATTR_WINDOW} THEN
+               list_sum(list_transform(
+                 generate_series(1, len(tk) - {MATTR_WINDOW} + 1),
+                 i -> len(list_distinct(tk[i:i+{MATTR_WINDOW - 1}]))))
+             ELSE len(list_distinct(tk)) END AS dsum,
+             CASE WHEN len(tk) >= {MATTR_WINDOW}
+                  THEN len(tk) - {MATTR_WINDOW} + 1 ELSE 1 END AS n_windows
+      FROM t WHERE len(tk) >= 1
+    )
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(CASE WHEN nt >= {MATTR_WINDOW}
+                THEN (dsum * 1000000) // (n_windows * {MATTR_WINDOW})
+                ELSE (dsum * 1000000) // nt END AS BIGINT) AS mattr_micro,
+           CAST(CASE WHEN nt < {MATTR_WINDOW} THEN 1 ELSE 0 END AS BIGINT)
+             AS short_doc
+    FROM m
+    """,
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, Covington-McFall) per
+    document — the LENGTH-INDEPENDENT lexical-diversity score: raw TTR
+    falls mechanically with document length (Heaps' law), so comparing
+    raw TTRs across lengths ranks short docs as "diverse" for free;
+    MATTR averages the TTR of every {W}-token sliding window, making
+    scores comparable corpus-wide (the per-document complement to the
+    per-source `source_lexical_diversity`). Docs shorter than {W} tokens
+    fall back to plain TTR and carry the `short_doc` flag — an honest
+    degenerate arm, not a silent mix of incomparable scores. Exact
+    integers end to end: the window distinct-counts sum exactly in both
+    engines, and one truncating division closes each row (micro grid,
+    non-negative operands). Scale shape: ZERO shuffles — the windows
+    live inside each row's token array (per-row array arithmetic in one
+    projection), output is one row per doc; cost is O(len·{W}) per doc
+    inside the scan, the same in-row budget as the winnowing
+    fingerprint pass."""
+    tk = dedup.word_tokens(F.col("text"))
+    W = MATTR_WINDOW
+    m = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            F.size("tk").alias("nt"),
+            F.when(
+                F.size("tk") >= W,
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - F.lit(W - 1)),
+                        lambda i: F.size(
+                            F.array_distinct(F.slice(F.col("tk"), i, W))
+                        ),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .otherwise(F.size(F.array_distinct("tk")))
+            .alias("dsum"),
+            F.when(F.size("tk") >= W, F.size("tk") - F.lit(W - 1))
+            .otherwise(F.lit(1))
+            .alias("n_windows"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.expr(
+            f"CAST(CASE WHEN nt >= {W}"
+            f" THEN (dsum * 1000000) div (n_windows * {W})"
+            " ELSE (dsum * 1000000) div nt END AS BIGINT)"
+        ).alias("mattr_micro"),
+        F.expr(
+            f"CAST(CASE WHEN nt < {W} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("short_doc"),
+    )
+
+
+text_mattr.__doc__ = text_mattr.__doc__.replace("{W}", str(MATTR_WINDOW))

@@ -5953,3 +5953,95 @@ def orders_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_daily_autocorr.__doc__ = orders_daily_autocorr.__doc__.replace(
     "{LAGS}", str(ACF_LAGS)
 )
+
+
+PARETO_PERCENTS = (1, 5, 10, 20)
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle=f"""
+    WITH cr AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (SELECT ck, cents,
+                  row_number() OVER (ORDER BY cents DESC, ck) AS rn
+           FROM cr),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS t FROM cr),
+    pct AS (SELECT unnest(ARRAY{list(PARETO_PERCENTS)}) AS p)
+    SELECT CAST(pct.p AS BIGINT) AS top_percent,
+           CAST((tot.n * pct.p + 99) // 100 AS BIGINT) AS n_top_customers,
+           CAST(sum(CASE WHEN rk.rn <= (tot.n * pct.p + 99) // 100
+                    THEN rk.cents ELSE 0 END) AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN rk.rn <= (tot.n * pct.p + 99) // 100
+                    THEN rk.cents ELSE 0 END) * 1000000 // tot.t AS BIGINT)
+             AS revenue_share_micro
+    FROM rk, tot, pct
+    GROUP BY pct.p, tot.n, tot.t
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION (Pareto/Lorenz probe): the share of total
+    revenue carried by the top {P}% of customers — the whale-dependence
+    table beside `user_activity_gini` (Gini is one scalar; these are the
+    Lorenz-curve points an account team actually reads: "the top 1% is
+    X% of revenue"). Exact integer cents throughout (the house money
+    policy), top-k membership by an integer ceil rank cut
+    ((n·p + 99) div 100), shares in truncating micro-units. Scale shape:
+    one custkey-keyed cents aggregate (map-side combined), ONE
+    customer-cardinality rank window (customers ≪ orders — the same
+    bounded-rank shape as `orders_rfm_segments`; at 10⁹ customers
+    switch to the two-pass distributed rank of `quality_curriculum`,
+    noted not silent), a 1-row totals broadcast and a 4-row literal
+    percent grid."""
+    cr = load_table(spark, "orders", sf_dir).groupBy(
+        F.col("o_custkey").alias("ck")
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    rk = cr.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "ck"))
+        .alias("rn"),
+    )
+    tot = cr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    pct = spark.createDataFrame([(p,) for p in PARETO_PERCENTS], "p long")
+    return (
+        rk.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pct))
+        .groupBy("p", "n", "t")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN rn <= (n * p + 99) div 100 THEN cents ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select(
+            F.col("p").alias("top_percent"),
+            F.expr("CAST((n * p + 99) div 100 AS BIGINT)").alias(
+                "n_top_customers"
+            ),
+            "revenue_cents",
+            F.expr("CAST(revenue_cents * 1000000 div t AS BIGINT)").alias(
+                "revenue_share_micro"
+            ),
+        )
+    )
+
+
+orders_pareto_concentration.__doc__ = orders_pareto_concentration.__doc__.replace(
+    "{P}", "/".join(str(p) for p in PARETO_PERCENTS)
+)

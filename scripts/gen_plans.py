@@ -139,6 +139,9 @@ NOTES = {
     "gram_novelty_curve": "Novelty curve: bucket assignment is pure doc_id arithmetic off a 1-row max broadcast; first-occurrence via a gram-keyed min aggregate on the shared persisted 8-gram layer; everything downstream lives on the 10-row grid. No first-occurrence global rank, no rescan.",
     "packing_waste_curve": "Packing waste: one scan of doc lengths crossed with the broadcast 5-row granularity grid (audited bounded-literal BNLJ), integer ceil per row inside codegen, one map-side-combined aggregate per granularity.",
     "dedup_minhash_calibration": "Estimator calibration: candidates from the persisted band table's bucket self-join (never all-pairs), signature agreement via doc-keyed joins of the 16-hash rows, exact Jaccard from the persisted shingle layer on the bounded candidate set, final 17-row-max aggregate.",
+    "orders_pareto_concentration": "Lorenz points: custkey cents aggregate (map-side combined), ONE customer-cardinality rank window, 1-row totals + 4-row literal percent grid broadcast; conditional sums close it. At 1e9 customers swap the window for the two-pass distributed rank (documented).",
+    "split_kfold_plan": "Leakage-safe folds: the collision-bounded cluster table left-joins the doc dim on doc_id; fold is per-row md5-prefix arithmetic. No shuffles beyond the composed member's own.",
+    "text_mattr": "MATTR: sliding windows live INSIDE each row's token array (transform over sequence + slice + array_distinct) - scan -> project -> output, zero exchanges; cost O(len*W) per row inside codegen's Generate.",
 }
 
 

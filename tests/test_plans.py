@@ -476,6 +476,7 @@ _BNLJ_ALLOWED = {
     "lm_dirichlet_ranking",  # 1-row collection-total broadcast into the term-filtered postings
     "gram_novelty_curve",  # 1-row max-doc-id broadcast for bucket arithmetic; grid joins are 10-row
     "packing_waste_curve",  # broadcast 5-row literal granularity grid x length scan (the poisson-bootstrap shape)
+    "orders_pareto_concentration",  # 1-row totals + 4-row literal percent grid broadcast into the ranked customers
     "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "value_location_friedman",  # 1-row k-count + rank-SS scalar broadcasts
     "value_cochran_q",  # 1-row k/N/row-moment scalar broadcasts

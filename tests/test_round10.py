@@ -305,3 +305,72 @@ def test_minhash_calibration_exact_dup_lands_at_16(spark, sf_dir, tmp_path):
     for est, r in rows.items():
         assert r.min_jac_micro <= r.mean_jac_micro <= r.max_jac_micro
         assert r.predicted_micro == est * 1_000_000 // 16
+
+
+def test_pareto_concentration_nesting_and_bounds(spark, sf_dir):
+    """Lorenz consistency: larger top-percent slices carry more customers
+    and at least as much revenue; shares are proper fractions ordered the
+    same way; every slice's share >= its population share (revenue sorted
+    descending can never under-weight the top)."""
+    rows = sorted(
+        REGISTRY["orders_pareto_concentration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.top_percent,
+    )
+    assert [r.top_percent for r in rows] == [1, 5, 10, 20]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_top_customers <= b.n_top_customers
+        assert a.revenue_cents <= b.revenue_cents
+        assert a.revenue_share_micro <= b.revenue_share_micro
+    for r in rows:
+        assert 0 < r.revenue_share_micro <= 1_000_000
+        assert r.revenue_share_micro >= r.top_percent * 10_000 - 10_000
+
+
+def test_kfold_plan_colocates_near_dup_clusters(spark, sf_dir):
+    """Leakage safety: every member of a near-dup cluster gets the SAME
+    fold; folds cover 0..K-1; every document appears exactly once."""
+    from postgres_cdc_example_spark.queries.extensions import KFOLD_K
+
+    plan = REGISTRY["split_kfold_plan"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert len(plan) == n_docs
+    assert len({r.doc_id for r in plan}) == n_docs
+    by_group: dict = {}
+    for r in plan:
+        assert 0 <= r.fold < KFOLD_K
+        by_group.setdefault(r.group_key, set()).add(r.fold)
+    assert all(len(folds) == 1 for folds in by_group.values())
+    clustered = [r for r in plan if r.in_cluster == 1]
+    assert clustered, "fixture must carry near-dup clusters"
+    multi = [g for g, _ in by_group.items()
+             if sum(1 for r in plan if r.group_key == g) > 1]
+    assert multi, "at least one multi-member group must exist"
+
+
+def test_mattr_length_independence_and_exact_window_math(spark, sf_dir, tmp_path):
+    """A doc that repeats a W-token fully-distinct block has MATTR == 1.0
+    at every length (raw TTR would fall); a doc of one repeated token has
+    MATTR == 1/W; short docs fall back to plain TTR with the flag."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_mattr")
+    words = [f"w{i}" for i in range(25)]
+    rows = [
+        (950001, " ".join(words * 4), "en", "p", 0),  # 100 toks, windows distinct
+        (950002, " ".join(["same"] * 60), "en", "p", 0),  # degenerate
+        (950003, " ".join(words[:10]), "en", "p", 0),  # short: TTR fallback
+    ]
+    rows = [(d, t, lg, s, len(t)) for d, t, lg, s, _ in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    _stage_single_parquet(
+        base.unionByName(docs), tmp_path, mini, "documents", "mattr_stage"
+    )
+    e = REGISTRY["text_mattr"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.doc_id: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[950001].mattr_micro == 1_000_000 and got[950001].short_doc == 0
+    assert got[950002].mattr_micro == 1_000_000 // 25
+    assert got[950003].short_doc == 1 and got[950003].mattr_micro == 1_000_000
