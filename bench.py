@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "orders_pareto_concentration",  # 0.61 s (customer-bounded rank + 4-row grid)
     "split_kfold_plan",  # 1.79 s (composes the cluster member + hash folds)
     "text_mattr",  # 0.89 s (zero-shuffle per-row sliding windows)
+    "embedding_label_separation",  # 1.37 s (label-dim agg + bounded centroid grid)
+    "orders_abc_classification",  # 0.54 s (part-bounded rank/cumsum window)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

@@ -6392,3 +6392,154 @@ def split_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 split_kfold_plan.__doc__ = split_kfold_plan.__doc__.replace("{K}", str(KFOLD_K))
+
+
+@register(
+    "embedding_label_separation",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    ex AS (
+      SELECT label, i AS pos, CAST(round(v[i] * 1e9) AS BIGINT) AS nano
+      FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    sm AS (
+      SELECT label, pos, CAST(sum(nano) AS BIGINT) AS s, count(*) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label,
+             list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1e9)
+                  ORDER BY pos) AS cv,
+             CAST(max(c) AS BIGINT) AS n_vecs
+      FROM sm GROUP BY label
+    ),
+    intra AS (
+      SELECT e.label,
+             CAST(sum(CAST(floor(list_dot_product(e.v, cent.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(cent.cv, cent.cv)))
+                     * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_cos,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e JOIN cent ON cent.label = e.label
+      GROUP BY e.label
+    ),
+    inter AS (
+      SELECT a.label,
+             b.label AS other_label,
+             CAST(floor(list_dot_product(a.cv, b.cv)
+                  / (sqrt(list_dot_product(a.cv, a.cv))
+                     * sqrt(list_dot_product(b.cv, b.cv)))
+                  * 1000000 + 0.5) AS BIGINT) AS cc
+      FROM cent a JOIN cent b ON a.label != b.label
+    ),
+    nearest AS (
+      SELECT label, other_label AS nearest_other_label,
+             cc AS nearest_other_cos_micro
+      FROM (SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY cc DESC, other_label) AS rn FROM inter)
+      WHERE rn = 1
+    )
+    SELECT CAST(cent.label AS BIGINT) AS label, cent.n_vecs,
+           CAST(intra.s_cos // intra.n AS BIGINT) AS intra_mean_cos_micro,
+           CAST(nearest.nearest_other_label AS BIGINT) AS nearest_other_label,
+           nearest.nearest_other_cos_micro,
+           CAST(intra.s_cos // intra.n - nearest.nearest_other_cos_micro
+                AS BIGINT) AS separation_margin_micro
+    FROM cent JOIN intra ON intra.label = cent.label
+              JOIN nearest ON nearest.label = cent.label
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-SEPARATION audit over the embedding space — "do the class
+    labels actually cluster?": per label, the mean cosine of members to
+    their own label CENTROID (cohesion) vs the cosine to the NEAREST
+    other label centroid (the confusable neighbor), and the margin
+    between them — the fitness check a team runs before trusting
+    `quality_classifier_train`'s features or using labels for stratified
+    sampling (a negative margin says the label is not linearly separable
+    in this space, so a linear classifier on it is noise). Exactness:
+    centroids are integer nano-grid sums divided ONCE in double (the
+    `embedding_source_drift`/`kmeans_centroids` policy), cosines are
+    in-order folds floor-microed per pair — identical doubles, identical
+    integers in both engines. Scale shape: one (label × dim)-keyed
+    map-side-combined aggregate, a broadcast centroid join back for the
+    per-member cosines (one scan), and a |labels|²-bounded centroid
+    grid — never a vector-pair join."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    ex = e.select(
+        "label", F.posexplode(F.col("v")).alias("pos", "x")
+    )
+    sm = ex.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mean = (
+        F.col("s").cast("double") / (F.col("c").cast("double") * F.lit(1e9))
+    ).alias("m")
+    cent = (
+        sm.select("label", "pos", mean, "c")
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv"),
+            F.max("c").cast("long").alias("n_vecs"),
+        )
+    )
+    cos_micro = lambda a, b: F.floor(  # noqa: E731
+        similarity.dot(a, b)
+        / (F.sqrt(similarity.dot(a, a)) * F.sqrt(similarity.dot(b, b)))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    intra = (
+        e.join(F.broadcast(cent.select("label", "cv")), "label")
+        .select("label", cos_micro(F.col("v"), F.col("cv")).alias("cm"))
+        .groupBy("label")
+        .agg(
+            F.sum("cm").cast("long").alias("s_cos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a = cent.select(F.col("label"), F.col("cv"))
+    b = cent.select(
+        F.col("label").alias("other_label"), F.col("cv").alias("cv_b")
+    )
+    inter = a.join(
+        F.broadcast(b), F.col("label") != F.col("other_label")
+    ).select(
+        "label",
+        "other_label",
+        cos_micro(F.col("cv"), F.col("cv_b")).alias("cc"),
+    )
+    wn = Window.partitionBy("label").orderBy(
+        F.col("cc").desc(), "other_label"
+    )
+    nearest = (
+        inter.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("other_label").cast("long").alias("nearest_other_label"),
+            F.col("cc").alias("nearest_other_cos_micro"),
+        )
+    )
+    return (
+        cent.select(F.col("label").cast("long").alias("label"), "n_vecs")
+        .join(intra.select(F.col("label").cast("long").alias("label"), "s_cos", "n"), "label")
+        .join(nearest.select(F.col("label").cast("long").alias("label"), "nearest_other_label", "nearest_other_cos_micro"), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("CAST(s_cos div n AS BIGINT)").alias("intra_mean_cos_micro"),
+            "nearest_other_label",
+            "nearest_other_cos_micro",
+            F.expr(
+                "CAST(s_cos div n - nearest_other_cos_micro AS BIGINT)"
+            ).alias("separation_margin_micro"),
+        )
+    )

@@ -6045,3 +6045,86 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_pareto_concentration.__doc__ = orders_pareto_concentration.__doc__.replace(
     "{P}", "/".join(str(p) for p in PARETO_PERCENTS)
 )
+
+
+# ABC boundaries on the cumulative-revenue-share micro grid
+ABC_A_MICRO = 800000  # A: parts up to 80% cumulative revenue
+ABC_B_MICRO = 950000  # B: up to 95%; C: the tail
+
+
+@register(
+    "orders_abc_classification",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    rk AS (SELECT pk, cents,
+                  row_number() OVER (ORDER BY cents DESC, pk) AS rn,
+                  CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS prev_cum
+           FROM pr),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM pr)
+    SELECT rk.pk AS partkey, rk.cents AS revenue_cents,
+           CAST(rk.rn AS BIGINT) AS revenue_rank,
+           CAST(COALESCE(rk.prev_cum, 0) * 1000000 // tot.t AS BIGINT)
+             AS prev_cum_share_micro,
+           CASE WHEN COALESCE(rk.prev_cum, 0) * 1000000 // tot.t
+                     < {ABC_A_MICRO} THEN 'A'
+                WHEN COALESCE(rk.prev_cum, 0) * 1000000 // tot.t
+                     < {ABC_B_MICRO} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM rk, tot
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION of parts by revenue — the per-entity
+    assignment behind `orders_pareto_concentration`'s aggregate points:
+    rank parts by exact-cents revenue, classify A/B/C at the classic
+    80/95% cumulative-share boundaries (a part is judged by the share
+    ACCUMULATED BEFORE it, so the part that crosses a boundary still
+    belongs to the upper class — the standard convention, made explicit
+    instead of implementation-dependent). Exact integer cents and one
+    truncating micro division per row; the rank and cumulative window
+    order by (cents DESC, partkey) so ties are deterministic in both
+    engines. Scale shape: one part-keyed cents aggregate off lineitem
+    (map-side combined), ONE part-cardinality rank/cumsum window
+    (parts ≪ lineitems; past ~10⁹ parts switch to the two-pass
+    distributed rank — the `orders_pareto_concentration` note), a 1-row
+    total broadcast."""
+    pr = load_table(spark, "lineitem", sf_dir).groupBy(
+        F.col("l_partkey").alias("pk")
+    ).agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "pk")
+    rk = pr.select(
+        "pk",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prev_cum"),
+    )
+    tot = pr.agg(F.sum("cents").cast("long").alias("t"))
+    return rk.crossJoin(F.broadcast(tot)).select(
+        F.col("pk").alias("partkey"),
+        F.col("cents").alias("revenue_cents"),
+        F.col("rn").cast("long").alias("revenue_rank"),
+        F.expr("CAST(prev_cum * 1000000 div t AS BIGINT)").alias(
+            "prev_cum_share_micro"
+        ),
+        F.expr(
+            f"CASE WHEN prev_cum * 1000000 div t < {ABC_A_MICRO} THEN 'A'"
+            f" WHEN prev_cum * 1000000 div t < {ABC_B_MICRO} THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )

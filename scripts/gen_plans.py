@@ -142,6 +142,8 @@ NOTES = {
     "orders_pareto_concentration": "Lorenz points: custkey cents aggregate (map-side combined), ONE customer-cardinality rank window, 1-row totals + 4-row literal percent grid broadcast; conditional sums close it. At 1e9 customers swap the window for the two-pass distributed rank (documented).",
     "split_kfold_plan": "Leakage-safe folds: the collision-bounded cluster table left-joins the doc dim on doc_id; fold is per-row md5-prefix arithmetic. No shuffles beyond the composed member's own.",
     "text_mattr": "MATTR: sliding windows live INSIDE each row's token array (transform over sequence + slice + array_distinct) - scan -> project -> output, zero exchanges; cost O(len*W) per row inside codegen's Generate.",
+    "orders_abc_classification": "ABC classes: part-keyed cents aggregate, ONE part-cardinality rank/cumsum window, 1-row total broadcast; class is per-row integer arithmetic. Two-pass distributed rank documented for 1e9+ parts.",
+    "embedding_label_separation": "Label separation: (label x dim) nano-sum aggregate, broadcast centroid join back for member cosines (one scan), |labels|^2 centroid grid with != condition - never a vector-pair join.",
 }
 
 

@@ -477,6 +477,8 @@ _BNLJ_ALLOWED = {
     "gram_novelty_curve",  # 1-row max-doc-id broadcast for bucket arithmetic; grid joins are 10-row
     "packing_waste_curve",  # broadcast 5-row literal granularity grid x length scan (the poisson-bootstrap shape)
     "orders_pareto_concentration",  # 1-row totals + 4-row literal percent grid broadcast into the ranked customers
+    "orders_abc_classification",  # 1-row revenue-total broadcast into the part-bounded ranked frame
+    "embedding_label_separation",  # |labels|-bounded centroid grid (!= condition) + broadcast centroid join
     "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "value_location_friedman",  # 1-row k-count + rank-SS scalar broadcasts
     "value_cochran_q",  # 1-row k/N/row-moment scalar broadcasts

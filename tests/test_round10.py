@@ -374,3 +374,49 @@ def test_mattr_length_independence_and_exact_window_math(spark, sf_dir, tmp_path
     assert got[950001].mattr_micro == 1_000_000 and got[950001].short_doc == 0
     assert got[950002].mattr_micro == 1_000_000 // 25
     assert got[950003].short_doc == 1 and got[950003].mattr_micro == 1_000_000
+
+
+def test_abc_classification_boundaries_and_conservation(spark, sf_dir):
+    """Classes partition all parts; prev-cum share is monotone in rank;
+    the A boundary part (first with prev_cum >= 80%) is classed B, but
+    the part that CROSSES the boundary (prev < 80%) stays A; revenue sums
+    to the corpus total."""
+    rows = sorted(
+        REGISTRY["orders_abc_classification"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.revenue_rank,
+    )
+    assert rows and [r.revenue_rank for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    shares = [r.prev_cum_share_micro for r in rows]
+    assert shares == sorted(shares)
+    for r in rows:
+        want = (
+            "A"
+            if r.prev_cum_share_micro < 800000
+            else ("B" if r.prev_cum_share_micro < 950000 else "C")
+        )
+        assert r.abc_class == want
+    assert {r.abc_class for r in rows} == {"A", "B", "C"}
+    li = load_table(spark, "lineitem", sf_dir)
+    total = li.select(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+    ).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total
+
+
+def test_label_separation_margin_arithmetic_and_coverage(spark, sf_dir):
+    """One row per observed label; margins are exactly intra minus
+    nearest-other; nearest_other differs from the label itself; member
+    counts sum to the table size."""
+    rows = REGISTRY["embedding_label_separation"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    labels = {r.label for r in rows}
+    assert len(rows) == len(labels) >= 2
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert r.nearest_other_label in labels - {r.label}
+        assert (
+            r.separation_margin_micro
+            == r.intra_mean_cos_micro - r.nearest_other_cos_micro
+        )
