@@ -116,6 +116,14 @@ QUERIES = [
     "text_pmi_collocations",
     "token_good_turing",
     "source_lexical_diversity",
+    # round-10 (documents/embeddings-based; the orders/events-keyed spread,
+    # hazard, ACF, entropy, Pareto and ABC queries would measure nothing
+    # against the symlinked fixtures)
+    "gram_novelty_curve",
+    "text_mattr",
+    "quality_filter_funnel",
+    "lm_dirichlet_ranking",
+    "dedup_minhash_calibration",
 ]
 
 
