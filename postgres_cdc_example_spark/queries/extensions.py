@@ -2972,7 +2972,14 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projections differ, so exchange reuse does not fire). The profile
     # table is one row per user — tiny relative to events — so production
     # materializes it before self-joining; measured 5.0 s -> ~2.5 s at sf0.1.
-    sig = sig.localCheckpoint(eager=True)
+    # Repartition BEFORE the checkpoint: AQE coalesces the small user
+    # aggregate to ONE shuffle partition, and a 1-partition checkpoint
+    # serializes the downstream probe join + cosine scoring (the pair-scale
+    # work) through a single task — measured another 3.2 s -> ~1 s at
+    # sf0.1 (the dedup_embedding_cosine one-task trap, AQE-induced here).
+    sig = sig.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(PROFILE_PLANES)],
