@@ -6550,3 +6550,109 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separation_margin_micro"),
         )
     )
+
+
+DF_CUTOFF_AUDIT = 64  # the family's hot-shingle cutoff under audit
+
+
+@register(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS s
+      FROM toks WHERE len(tk) >= 1
+    ),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    b AS (
+      SELECT CAST(floor(log2(df)) AS BIGINT) AS bucket, df FROM df
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(df) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(df AS HUGEINT) * (df - 1) // 2) AS BIGINT)
+                     AS n_pairs,
+                   CAST(sum(CASE WHEN df > {DF_CUTOFF_AUDIT}
+                            THEN CAST(df AS HUGEINT) * (df - 1) // 2
+                            ELSE 0 END) AS BIGINT) AS n_pairs_cut
+            FROM df)
+    SELECT b.bucket,
+           CAST(power(2, b.bucket) AS BIGINT) AS df_lo,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(b.df) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(b.df AS HUGEINT) * (b.df - 1) // 2) AS BIGINT)
+             AS n_pairs,
+           CAST(sum(CAST(b.df AS HUGEINT) * (b.df - 1) // 2) * 1000000
+                // tot.n_pairs AS BIGINT) AS pair_share_micro,
+           CAST(tot.n_pairs_cut * 1000000 // tot.n_pairs AS BIGINT)
+             AS cutoff_saves_micro
+    FROM b, tot
+    GROUP BY b.bucket, tot.n_pairs, tot.n_pairs_cut
+    """,
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE DOCUMENT-FREQUENCY PROFILE — the audit that justifies (or
+    indicts) the dedup family's df ≤ {CUT} hot-shingle cutoff: shingles
+    bucketed by ⌊log₂ df⌋, each bucket carrying its count, row mass, and
+    — the number that matters — its share of the INVERTED-INDEX PAIR
+    VOLUME Σ df·(df−1)/2, the quantity that actually explodes on
+    boilerplate (a single df = 10⁶ shingle contributes 5·10¹¹ candidate
+    pairs). The `cutoff_saves_micro` column reports what fraction of
+    total pair volume the current cutoff removes — the direct evidence
+    for tuning it per corpus (the ngram-Jaccard / exact-substring /
+    prefix-filter members all guard with this constant). Exact integers:
+    df·(df−1)/2 is integer-exact (consecutive product), shares are
+    truncating micro divisions. Scale shape: one pass over the shared
+    shingle layer into a (shingle)-keyed map-side-combined count, then a
+    ~32-row log₂ bucket rollup and one 1-row total broadcast — the
+    cheapest possible view of the family's worst-case join cost."""
+    sh = _doc_ngrams(spark, sf_dir)
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    b = df_.select(
+        F.floor(F.log2("df")).cast("long").alias("bucket"), "df"
+    )
+    tot = df_.agg(
+        F.sum(F.expr("CAST(df AS DECIMAL(38,0)) * (df - 1) div 2"))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN df > {DF_CUTOFF_AUDIT}"
+                " THEN CAST(df AS DECIMAL(38,0)) * (df - 1) div 2"
+                " ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_pairs_cut"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(df AS DECIMAL(38,0)) * (df - 1) div 2"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(tot.select("n_pairs_cut", F.col("n_pairs").alias("tp"))))
+        .select(
+            "bucket",
+            F.expr("CAST(power(2, bucket) AS BIGINT)").alias("df_lo"),
+            "n_shingles",
+            "n_rows",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 1000000 div tp AS BIGINT)").alias(
+                "pair_share_micro"
+            ),
+            F.expr("CAST(n_pairs_cut * 1000000 div tp AS BIGINT)").alias(
+                "cutoff_saves_micro"
+            ),
+        )
+    )
+
+
+dedup_shingle_df_profile.__doc__ = dedup_shingle_df_profile.__doc__.replace(
+    "{CUT}", str(DF_CUTOFF_AUDIT)
+)

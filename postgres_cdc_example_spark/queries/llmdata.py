@@ -6592,3 +6592,69 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_mattr.__doc__ = text_mattr.__doc__.replace("{W}", str(MATTR_WINDOW))
+
+
+@register(
+    "benchmark_coverage_report",
+    oracle=f"""
+    WITH {_bloom_gram_sql()},
+    bg AS (SELECT doc_id, g FROM g8 WHERE doc_id % {BENCH_MOD} = 0),
+    cg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % {BENCH_MOD} != 0),
+    hit AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM bg LEFT JOIN cg ON cg.g = bg.g
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_grams, n_covered,
+           CAST(n_covered * 1000000 // n_grams AS BIGINT) AS coverage_micro,
+           CAST(CASE WHEN n_covered * 2 >= n_grams THEN 1 ELSE 0 END
+                AS BIGINT) AS majority_covered
+    FROM hit
+    """,
+)
+def benchmark_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-document 8-GRAM COVERAGE by the training corpus — the
+    POSITIVE complement of `benchmark_contamination`: contamination asks
+    "which CORPUS docs leak benchmark text" (and drops them); coverage
+    asks "how much of each BENCHMARK doc's content exists in the corpus
+    at all" — the eval-validity signal (a benchmark whose grams are 90%
+    covered measures memorization even after perfect decontamination,
+    and one at 0% coverage tests pure generalization). One row per
+    benchmark doc with its gram count, covered-gram count, the micro
+    coverage share, and a majority flag. Same split convention and the
+    same shared persisted gram layer as the whole decontamination
+    family. Scale shape: the benchmark slice is a doc_id filter over the
+    gram layer (tiny), the corpus distinct-gram side joins it on the
+    gram key — at 100 TB the join is inverted-index-keyed, benchmark
+    side broadcast, identical economics to the contamination sweep."""
+    grams = _doc_grams8(spark, sf_dir)
+    bg = grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+    cg = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hit = (
+        bg.join(cg, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_covered"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        "n_grams",
+        "n_covered",
+        F.expr("CAST(n_covered * 1000000 div n_grams AS BIGINT)").alias(
+            "coverage_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_covered * 2 >= n_grams THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("majority_covered"),
+    )

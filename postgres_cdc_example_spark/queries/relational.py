@@ -6128,3 +6128,98 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'C' END"
         ).alias("abc_class"),
     )
+
+
+# χ²₀.₉₅(167) for the full 7×24 grid (df = cells − 1), via Wilson–Hilferty
+# (z = 1.6448536; exact to ~0.01 at this df — documented approximation,
+# identical literal in both engines). The decision is emitted ONLY when
+# the grid is complete (n_cells = 168); a sparser grid has a different df
+# and reports NULL instead of a silently mis-calibrated verdict.
+CHI2_95_167_MICRO = 198153000
+
+
+@register(
+    "event_hour_dow_heatmap",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr
+      FROM events
+    ),
+    h AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY dow, hr),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM h),
+    chi AS (
+      SELECT CAST(sum((CAST(h.c AS HUGEINT) * tot.n_cells - tot.n)
+                      * (CAST(h.c AS HUGEINT) * tot.n_cells - tot.n)
+                      // (CAST(tot.n AS HUGEINT) * tot.n_cells))
+                  * 1000000 // max(tot.n) AS BIGINT) AS chi2_micro
+      FROM h, tot
+    )
+    SELECT h.dow, h.hr, h.c AS n_events,
+           CAST(h.c * 1000000 // tot.n AS BIGINT) AS share_micro,
+           CAST(h.c * tot.n_cells * 1000000 // tot.n AS BIGINT)
+             AS intensity_micro,
+           chi.chi2_micro,
+           CAST(CASE WHEN tot.n_cells != 168 THEN NULL
+                WHEN chi.chi2_micro > {CHI2_95_167_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
+    FROM h, tot, chi
+    """,
+)
+def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOUR × ISO-WEEKDAY activity heatmap with a uniformity decision —
+    the operational load grid (`event_dow_seasonality` collapses to 7
+    day rows; capacity planning and bot-window detection need the full
+    168-cell surface: "is Tuesday 03:00 really 4× the mean?").
+    ``intensity_micro`` is each cell's load relative to the uniform
+    expectation (10⁶ = exactly average), and the global χ² against
+    uniformity decides whether the surface is flat — computed in cleared
+    integer form ((c·k − n)² // (n·k) summed, then scaled), against the
+    Wilson–Hilferty χ²₀.₉₅(167) literal; the verdict is NULL unless the
+    grid is complete (168 cells), because a sparser grid has a different
+    df and a fixed literal would silently mis-calibrate. ISO weekday parity: Spark
+    ``weekday()`` is 0 = Monday, DuckDB ``isodow()`` is 1 = Monday — the
+    +1 shift is the `event_dow_seasonality` convention. Scale shape: one
+    map-side-combined aggregate onto ≤ 168 cells; everything after is
+    grid arithmetic plus one 1-row broadcast."""
+    e = load_table(spark, "events", sf_dir).select(
+        (F.expr("weekday(cast(date_trunc('day', ts) AS DATE))") + 1)
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    h = e.groupBy("dow", "hr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    chi = h.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(sum((CAST(c AS DECIMAL(38,0)) * n_cells - n)"
+            " * (CAST(c AS DECIMAL(38,0)) * n_cells - n)"
+            " div (CAST(n AS DECIMAL(38,0)) * n_cells))"
+            " * 1000000 div max(n) AS BIGINT)"
+        ).alias("chi2_micro")
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "dow",
+            "hr",
+            F.col("c").alias("n_events"),
+            F.expr("CAST(c * 1000000 div n AS BIGINT)").alias("share_micro"),
+            F.expr("CAST(c * n_cells * 1000000 div n AS BIGINT)").alias(
+                "intensity_micro"
+            ),
+            "chi2_micro",
+            F.expr(
+                f"CAST(CASE WHEN n_cells != 168 THEN NULL"
+                f" WHEN chi2_micro > {CHI2_95_167_MICRO}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_uniform"),
+        )
+    )

@@ -144,6 +144,9 @@ NOTES = {
     "text_mattr": "MATTR: sliding windows live INSIDE each row's token array (transform over sequence + slice + array_distinct) - scan -> project -> output, zero exchanges; cost O(len*W) per row inside codegen's Generate.",
     "orders_abc_classification": "ABC classes: part-keyed cents aggregate, ONE part-cardinality rank/cumsum window, 1-row total broadcast; class is per-row integer arithmetic. Two-pass distributed rank documented for 1e9+ parts.",
     "embedding_label_separation": "Label separation: (label x dim) nano-sum aggregate, broadcast centroid join back for member cosines (one scan), |labels|^2 centroid grid with != condition - never a vector-pair join.",
+    "benchmark_coverage_report": "Coverage: benchmark slice filters the shared gram layer (tiny side), corpus distinct grams meet it on the gram key - inverted-index economics identical to the contamination sweep, one doc-keyed rollup.",
+    "dedup_shingle_df_profile": "DF profile: one (shingle)-keyed map-side-combined count off the shared layer, ~32-row log2 bucket rollup, 1-row pair-volume broadcast. The cheapest view of the family's worst-case join cost.",
+    "event_hour_dow_heatmap": "Heatmap: one map-side-combined aggregate onto <=168 cells; chi-square and intensity are grid arithmetic plus 1-row broadcasts.",
 }
 
 

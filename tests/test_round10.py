@@ -420,3 +420,76 @@ def test_label_separation_margin_arithmetic_and_coverage(spark, sf_dir):
             r.separation_margin_micro
             == r.intra_mean_cos_micro - r.nearest_other_cos_micro
         )
+
+
+def test_benchmark_coverage_planted_full_and_zero(spark, sf_dir, tmp_path):
+    """A benchmark doc duplicated verbatim in the corpus must read 100%
+    covered; one with fully unique text must read 0% — and the engines
+    agree on the planted fixture."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_cov")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    base = docs.orderBy("doc_id").first()
+    unique = " ".join(f"zq{i}token" for i in range(20))
+    extra = spark.createDataFrame(
+        [
+            # benchmark slice members (doc_id % 20 == 0)
+            (900020, base.text, "en", "bench", len(base.text)),
+            (900040, unique, "en", "bench", len(unique)),
+            # corpus twin of the first benchmark doc
+            (900021, base.text, "en", "corpus", len(base.text)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        docs.unionByName(extra), tmp_path, mini, "documents", "cov_stage"
+    )
+    e = REGISTRY["benchmark_coverage_report"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.doc_id: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[900020].coverage_micro == 1_000_000
+    assert got[900020].majority_covered == 1
+    assert got[900040].coverage_micro == 0
+    assert got[900040].majority_covered == 0
+
+
+def test_shingle_df_profile_conservation_and_cutoff(spark, sf_dir):
+    """Bucket pair volumes sum to the corpus total (shares sum to ~1e6);
+    cutoff_saves equals the mass of buckets entirely above the cutoff
+    plus the above-cutoff part of the straddling bucket (>= the pure
+    high buckets' share); row/shingle counts are consistent."""
+    rows = sorted(
+        REGISTRY["dedup_shingle_df_profile"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    total_share = sum(r.pair_share_micro for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+    saves = {r.cutoff_saves_micro for r in rows}
+    assert len(saves) == 1  # global column, identical on every row
+    high = sum(r.pair_share_micro for r in rows if r.df_lo > 64)
+    assert saves.pop() >= high
+    for r in rows:
+        assert r.n_rows >= r.n_shingles  # df >= 1 per shingle
+        assert r.df_lo == 2 ** r.bucket
+
+
+def test_hour_dow_heatmap_grid_and_intensity(spark, sf_dir):
+    """Cells stay inside the 7x24 grid; shares sum to ~1e6; intensity
+    averages to ~1e6 across cells; the uniformity verdict is emitted
+    (non-NULL) exactly when the grid is complete."""
+    rows = REGISTRY["event_hour_dow_heatmap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hr <= 23
+    assert len({(r.dow, r.hr) for r in rows}) == len(rows) <= 168
+    assert 1_000_000 - len(rows) <= sum(r.share_micro for r in rows) <= 1_000_000
+    mean_int = sum(r.intensity_micro for r in rows) / len(rows)
+    assert abs(mean_int - 1_000_000) < 1_000
+    complete = len(rows) == 168
+    verdicts = {r.reject_uniform for r in rows}
+    if complete:
+        assert verdicts <= {0, 1} and len(verdicts) == 1
+    else:
+        assert verdicts == {None}
