@@ -6223,3 +6223,74 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reject_uniform"),
         )
     )
+
+
+@register(
+    "purchase_asof_after_error",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.value AS error_value,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           CASE WHEN p.ts IS NULL THEN NULL
+                ELSE CAST(date_diff('microsecond', e.ts, p.ts) AS BIGINT)
+           END AS recovery_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def purchase_asof_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the time-reversed twin of
+    `clicks_asof_errors`: for every error, the EARLIEST purchase at-or-
+    after it by the same user, plus the recovery latency — "did the user
+    come back and convert after hitting the error, and how long did it
+    take?" (the backward variant asks what PRECEDED the error; incident
+    impact analysis needs both directions, and most engines ship only
+    one). Same scale-safe pattern with the scan order reversed: UNION
+    both sides, ONE window per user ordered by ts DESCENDING (so
+    `last(ignorenulls)` carries the earliest later purchase backward to
+    the error row), purchases sorting before errors at equal ts to honor
+    the ASOF `<=` bound, event_id closing any remaining tie. ONE shuffle
+    on user_id and a per-partition sort — never a range-condition join
+    (the BNLJ trap both as-of queries exist to avoid). The oracle runs
+    DuckDB's native forward ASOF JOIN — an independent implementation of
+    the same semantics."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.when(is_p, F.col("ts")).alias("p_ts"),
+        F.when(is_p, F.col("value")).alias("p_value"),
+        # at equal ts a purchase must sort BEFORE the error in the DESC
+        # scan (ASOF's <= bound includes it); event_id tie-break mirrors
+        # the backward twin
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side", F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("error_value"),
+            "purchase_ts",
+            "purchase_value",
+            F.expr(
+                "CASE WHEN purchase_ts IS NULL THEN NULL"
+                " ELSE CAST(timestampdiff(MICROSECOND, ts, purchase_ts)"
+                " AS BIGINT) END"
+            ).alias("recovery_us"),
+        )
+    )

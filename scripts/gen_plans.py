@@ -147,6 +147,7 @@ NOTES = {
     "benchmark_coverage_report": "Coverage: benchmark slice filters the shared gram layer (tiny side), corpus distinct grams meet it on the gram key - inverted-index economics identical to the contamination sweep, one doc-keyed rollup.",
     "dedup_shingle_df_profile": "DF profile: one (shingle)-keyed map-side-combined count off the shared layer, ~32-row log2 bucket rollup, 1-row pair-volume broadcast. The cheapest view of the family's worst-case join cost.",
     "event_hour_dow_heatmap": "Heatmap: one map-side-combined aggregate onto <=168 cells; chi-square and intensity are grid arithmetic plus 1-row broadcasts.",
+    "purchase_asof_after_error": "Forward as-of as union + DESC window with last(ignorenulls): one exchange on user_id, per-partition sort, NO range-condition BNLJ - the mirror of clicks_asof_errors.",
 }
 
 

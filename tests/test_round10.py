@@ -493,3 +493,26 @@ def test_hour_dow_heatmap_grid_and_intensity(spark, sf_dir):
         assert verdicts <= {0, 1} and len(verdicts) == 1
     else:
         assert verdicts == {None}
+
+
+def test_forward_asof_recovery_semantics(spark, sf_dir):
+    """Every matched purchase is at-or-after its error with non-negative
+    recovery latency, and it is the EARLIEST such purchase: no other
+    purchase by the same user sits strictly between the error and the
+    match. One row per error event (left join semantics)."""
+    rows = REGISTRY["purchase_asof_after_error"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir)
+    n_errors = ev.filter("event_type = 'error'").count()
+    assert len(rows) == n_errors
+    purchases = {}
+    for r in ev.filter("event_type = 'purchase'").collect():
+        purchases.setdefault(r.user_id, []).append(r.ts)
+    matched = [r for r in rows if r.purchase_ts is not None]
+    assert matched, "fixture must produce some recoveries"
+    for r in matched:
+        assert r.purchase_ts >= r.ts and r.recovery_us >= 0
+        earlier = [
+            t for t in purchases.get(r.user_id, [])
+            if r.ts <= t < r.purchase_ts
+        ]
+        assert not earlier, "match must be the earliest at-or-after purchase"
