@@ -718,3 +718,194 @@ def test_heaps_decile_buckets_equal_prefix_vocab(occ):
             {t for t, fd in first.items() if ((fd - 1) * 10) // max_id + 1 <= k}
         )
         assert cum == brute, (k, cum, brute, boundary_docs)
+
+
+# --- round-10 statistics: cleared-form equivalence proofs ---------------------
+
+
+def _bf_pipeline(groups: list[list[int]]):
+    """Pure-Python replica of value_levene_brownforsythe's integer
+    pipeline (milli inputs): lower-median per group, z = 1000*|x - med|,
+    micro-floored group means, ssw via the q - 2*zbar*s + n*zbar^2
+    identity, ssb, and the cleared decision vs F_crit = 5991465//2."""
+    stats = []
+    for g in groups:
+        sg = sorted(g)
+        n = len(g)
+        # smallest m with 2*cum >= n (the house lower-median probe)
+        cum = 0
+        med = sg[-1]
+        for v in sg:
+            cum += 1
+            if 2 * cum >= n:
+                med = v
+                break
+        z = [1000 * abs(x - med) for x in g]
+        s, q = sum(z), sum(v * v for v in z)
+        stats.append((n, s, q, s // n))
+    nt = sum(n for n, _s, _q, _zb in stats)
+    k = len(stats)
+    zbar_all = sum(s for _n, s, _q, _zb in stats) // nt
+    ssw = sum(q - 2 * zb * s + n * zb * zb for n, s, q, zb in stats)
+    ssb = sum(n * (zb - zbar_all) ** 2 for n, _s, _q, zb in stats)
+    crit = 5991465 // 2
+    if ssw == 0:
+        return ssw, ssb, None, 0
+    f_micro = (ssb * (nt - k) * 1_000_000) // (ssw * (k - 1))
+    return ssw, ssb, f_micro, 1 if f_micro > crit else 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2000), min_size=2, max_size=60),
+        min_size=3,
+        max_size=3,
+    )
+)
+def test_brownforsythe_ssw_identity_and_decision(groups):
+    """(1) The q - 2*zbar*s + n*zbar^2 identity equals the direct
+    sum-of-squares around the SAME integer mean exactly; (2) the cleared
+    integer decision equals the Fraction-exact F > crit decision on the
+    quantized pipeline (no float ever decides)."""
+    from fractions import Fraction
+
+    ssw, ssb, f_micro, reject = _bf_pipeline(groups)
+    # direct ssw around the quantized mean, recomputed independently
+    direct = 0
+    for g in groups:
+        sg = sorted(g)
+        n, cum, med = len(g), 0, sorted(g)[-1]
+        for v in sg:
+            cum += 1
+            if 2 * cum >= n:
+                med = v
+                break
+        z = [1000 * abs(x - med) for x in g]
+        zb = sum(z) // n
+        direct += sum((v - zb) ** 2 for v in z)
+    assert ssw == direct
+    if f_micro is not None:
+        nt = sum(len(g) for g in groups)
+        k = len(groups)
+        exact = Fraction(ssb * (nt - k), ssw * (k - 1))
+        crit = Fraction(5991465 // 2, 1_000_000)
+        # floor-micro vs exact: the decision can only differ inside one
+        # micro-unit of the boundary; the cleared form IS the exact floor
+        assert f_micro == (exact.numerator * 1_000_000) // exact.denominator
+        assert reject == (1 if exact > crit else 0) or abs(
+            exact - crit
+        ) * 1_000_000 < 1
+
+
+def _nelson_aalen(events: list[int], censored: list[int], horizon: int):
+    """Pure replica of customer_churn_hazard's histogram pipeline."""
+    from collections import Counter
+
+    ev, cz = Counter(events), Counter(censored)
+    all_t = sorted(set(ev) | set(cz))
+    n_all = len(events) + len(censored)
+    out, cum, cum_lt = [], 0, 0
+    for t in all_t:
+        n_risk = n_all - cum_lt
+        if ev[t] > 0 and t <= horizon:
+            h = ev[t] * 1_000_000 // n_risk
+            cum += h
+            out.append((t, n_risk, ev[t], h, cum))
+        cum_lt += ev[t] + cz[t]
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=80),
+    st.lists(st.integers(0, 60), min_size=1, max_size=40),
+)
+def test_nelson_aalen_risk_sets_match_bruteforce(events, censored):
+    """The histogram/cumulative-window risk set equals the brute-force
+    definition n(t) = #durations >= t, and the cumulative hazard is the
+    running sum of floored per-day terms."""
+    rows = _nelson_aalen(events, censored, horizon=90)
+    durations = events + censored
+    running = 0
+    for t, n_risk, de, h, cum in rows:
+        brute = sum(1 for d in durations if d >= t)
+        assert n_risk == brute
+        assert de == sum(1 for d in events if d == t)
+        assert h == de * 1_000_000 // brute
+        running += h
+        assert cum == running
+    # hazard rows exist iff events exist within the horizon
+    assert bool(rows) == any(e <= 90 for e in events)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 500), min_size=3, max_size=120))
+def test_acf_cleared_bartlett_equals_fraction_exact(xs):
+    """orders_daily_autocorr's cleared significance gate
+    c_k^2 * n * 10^4 > 38416 * dss^2 decides EXACTLY the same as the
+    Fraction-exact |r| > 1.96/sqrt(n) test (1.96^2 = 3.8416 is the exact
+    rational 38416/10^4 — no approximation anywhere)."""
+    from fractions import Fraction
+
+    n = len(xs)
+    s = sum(xs)
+    dv = [n * x - s for x in xs]
+    dss = sum(d * d for d in dv)
+    for k in range(1, min(7, n - 1) + 1):
+        c_k = sum(dv[i] * dv[i + k] for i in range(n - k))
+        cleared = c_k * c_k * n * 10_000 > 38416 * dss * dss
+        if dss == 0:
+            assert not cleared
+            continue
+        r = Fraction(c_k, dss)
+        exact = r * r * n > Fraction(38416, 10_000)
+        assert cleared == exact
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=8)
+)
+def test_type_entropy_micro_error_bounded(counts):
+    """user_type_entropy's per-term micro rounding then weighted sum then
+    one truncating division lands within 2 micro-units of the exact
+    float entropy — the error budget the docstring claims (0.5 micro per
+    term weighted to <=0.5 total, +1 for the final floor)."""
+    import math
+
+    n = sum(counts)
+    ws = sum(
+        c * math.floor(math.log(n / c) * 1_000_000 + 0.5) for c in counts
+    )
+    got = ws // n
+    exact = sum((c / n) * math.log(n / c) for c in counts) * 1_000_000
+    assert abs(got - exact) <= 2
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=200))
+def test_mattr_bounds_and_rename_invariance(tokens):
+    """text_mattr's window sum: 1/W <= MATTR <= 1 always, and the score is
+    invariant under any injective relabeling of the vocabulary (it
+    measures structure, not identity)."""
+    W = 25
+    if len(tokens) >= W:
+        dsum = sum(
+            len(set(tokens[i : i + W])) for i in range(len(tokens) - W + 1)
+        )
+        nw = len(tokens) - W + 1
+        micro = dsum * 1_000_000 // (nw * W)
+    else:
+        micro = len(set(tokens)) * 1_000_000 // len(tokens)
+    assert 1_000_000 // W <= micro <= 1_000_000
+    relabeled = [t + 1000 for t in tokens]
+    if len(relabeled) >= W:
+        dsum2 = sum(
+            len(set(relabeled[i : i + W]))
+            for i in range(len(relabeled) - W + 1)
+        )
+        micro2 = dsum2 * 1_000_000 // ((len(relabeled) - W + 1) * W)
+    else:
+        micro2 = len(set(relabeled)) * 1_000_000 // len(relabeled)
+    assert micro == micro2
