@@ -5522,7 +5522,8 @@ BF_GROUPS = ("purchase", "view", "click")
            CAST(CASE WHEN f.ssw = 0 THEN NULL
                 ELSE (f.ssb * (tot.nt - tot.k) * 1000000)
                      // (f.ssw * (tot.k - 1)) END AS BIGINT) AS f_micro,
-           CAST(CASE WHEN f.ssw = 0 THEN 0
+           CAST(CASE WHEN tot.k != 3 THEN NULL
+                WHEN f.ssw = 0 THEN 0
                 WHEN (f.ssb * (tot.nt - tot.k) * 1000000)
                      // (f.ssw * (tot.k - 1)) > {BF_F_CRIT_MICRO}
                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_spread
@@ -5545,7 +5546,10 @@ def value_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from Σz, Σz² in cleared integer form: ssw via the
     q − 2·z̄·s + n·z̄² identity, ssb = Σ nⱼ(z̄ⱼ − z̄)², decision
     ssb·(N−k)·10⁶ div (ssw·(k−1)) vs the F₀.₉₅(2,∞) = χ²₀.₉₅(2)/2 micro
-    literal — transcendental-free end to end. Grid note: quantizing z̄ to
+    literal — transcendental-free end to end. The verdict is NULL unless
+    all three groups are present: k comes from the DATA, and the fixed
+    df-2 literal would silently mis-calibrate a two-group corpus (the
+    heatmap's honest-NULL convention). Grid note: quantizing z̄ to
     micro before the sums of squares introduces ≤1 micro-unit per term,
     identical in both engines — the deterministic-quantization policy
     every stats query here follows. Width budget: q ≈ rows·z² stays in
@@ -5635,7 +5639,8 @@ def value_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("f_micro"),
         F.expr(
-            "CAST(CASE WHEN ssw = 0 THEN 0"
+            "CAST(CASE WHEN k != 3 THEN NULL"
+            " WHEN ssw = 0 THEN 0"
             " WHEN (ssb * (nt - k) * 1000000) div (ssw * (k - 1))"
             f" > {BF_F_CRIT_MICRO}"
             " THEN 1 ELSE 0 END AS BIGINT)"

@@ -516,3 +516,37 @@ def test_forward_asof_recovery_semantics(spark, sf_dir):
             if r.ts <= t < r.purchase_ts
         ]
         assert not earlier, "match must be the earliest at-or-after purchase"
+
+
+def test_brownforsythe_missing_group_yields_null_verdict(
+    spark, sf_dir, tmp_path
+):
+    """With only two of the three groups present, k != 3 and the fixed
+    F(2, inf) literal would mis-calibrate — the verdict must be NULL (and
+    identical in both engines), not a silently wrong 0/1."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_bf2")
+    rows = []
+    for i in range(60):
+        rows.append((i, "2024-03-01 10:00:00", 1, "purchase", 100.0 + i, "{}"))
+        rows.append((1000 + i, "2024-03-01 11:00:00", 2, "view", 50.0 + 7 * i, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _stage_single_parquet(ev, tmp_path, mini, "events", "bf2_stage")
+    e = REGISTRY["value_levene_brownforsythe"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    r = e.fn(spark, str(mini)).first()
+    assert r.k == 2
+    assert r.reject_equal_spread is None
+    assert r.f_micro is not None  # the statistic itself is still reported
