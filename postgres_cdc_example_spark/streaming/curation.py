@@ -28,7 +28,10 @@ rescan. Stages, in order, each delegating to the registered member:
    the cumulative band state: a pair is discovered the moment its
    second member arrives, the streaming twin of the batch band
    self-join.
-5. **per-stage survivor/token totals** — the capstone's output table
+5. **quality gate** — the registered ``text.quality_score`` operator at
+   the batch capstone's ≥ 0.5 threshold, applied to each batch's novel
+   survivors (the batch pipeline's final stage, made incremental).
+6. **per-stage survivor/token totals** — the capstone's output table
    (stage_no, stage, n_units, total_tokens), folded incrementally.
 
 Crash consistency follows the :class:`streaming.materialized_view`
@@ -118,7 +121,10 @@ STAGES = (
     (3, "schema_clean"),
     (4, "exact_dedup"),
     (5, "neardup_candidates"),
+    (6, "quality_gate"),
 )
+
+QUALITY_GATE = 0.5  # the batch capstone's PIPE_QUALITY_GATE, same scale
 
 
 class StreamingCurationPipeline:
@@ -206,6 +212,27 @@ class StreamingCurationPipeline:
         ).collect()[0]
         n_novel, tok_novel = int(row.n), int(row.t)
 
+        # --- stage 6 input: quality gate over the novel survivors -------
+        # (the batch capstone's final stage, same registered operator and
+        # the same >= threshold; runs on this batch's novel docs only, so
+        # the cumulative totals fold incrementally like every other stage)
+        from postgres_cdc_example_spark.operators.text import quality_score
+
+        novel_text = novel.select(F.col("keeper_id").alias("doc_id")).join(
+            docs.select("doc_id", "text", "n_toks"), "doc_id"
+        )
+        qual = quality_score(novel_text).select("doc_id", "quality")
+        row = (
+            novel_text.join(qual, "doc_id")
+            .filter(F.col("quality") >= QUALITY_GATE)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+            )
+            .collect()[0]
+        )
+        n_qual, tok_qual = int(row.n), int(row.t)
+
         # --- stage 4: near-dup candidates over the novel survivors --------
         novel_docs = novel.select(F.col("keeper_id").alias("doc_id")).join(
             docs.select("doc_id", "text"), "doc_id"
@@ -251,6 +278,7 @@ class StreamingCurationPipeline:
             2: (n_drifted, 0),
             3: (n_clean, tok_clean),
             4: (n_novel, tok_novel),
+            6: (n_qual, tok_qual),
         }
         rows = []
         for no, name in STAGES:

@@ -1428,6 +1428,7 @@ def test_curation_pipeline_matches_batch_members_across_restart(
     ).collect()[0]
 
     got = {int(r.stage_no): r for r in pipe.totals().collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
     assert got[0].n_units == len(all_lines)
     assert got[1].n_units == n_corrupt == len(garbage)
     assert got[2].n_units == n_drifted
@@ -1443,6 +1444,22 @@ def test_curation_pipeline_matches_batch_members_across_restart(
     assert {
         (r.doc_a, r.doc_b) for r in pipe.candidate_pairs().collect()
     } == want_pairs
+
+    # stage 6: the registered quality gate over the keeper corpus
+    from postgres_cdc_example_spark.operators.text import quality_score
+    from postgres_cdc_example_spark.streaming.curation import QUALITY_GATE
+
+    kdocs = keepers.select("doc_id", "n_toks").join(
+        bdocs.select("doc_id", "text"), "doc_id"
+    )
+    qrow = (
+        kdocs.join(quality_score(kdocs).select("doc_id", "quality"), "doc_id")
+        .filter(F.col("quality") >= QUALITY_GATE)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("t"))
+        .collect()[0]
+    )
+    assert (got[6].n_units, got[6].total_tokens) == (int(qrow.n), int(qrow.t))
+    assert 0 < got[6].n_units <= got[4].n_units, "gate must bind, not erase"
 
     # non-vacuous: every stage actually exercised
     assert n_drifted > 0, "drift injection must dead-letter some events"
