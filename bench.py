@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "dedup_shingle_df_profile",  # 0.62 s (shingle df count + log2 bucket rollup)
     "event_hour_dow_heatmap",  # 0.48 s (one agg onto <=168 cells + grid math)
     "purchase_asof_after_error",  # 0.80 s (one user-keyed DESC window, no range join)
+    "priority_mix_monthly_drift",  # 0.73 s (month x 5 grid, cleared chi-square)
     # corpus_dedup_summary is deliberately NOT benched: it composes seven
     # already-benched pipelines into one dashboard row set (6.9 s steady at
     # sf0.1 = the sum of its members), so benching it would double-charge

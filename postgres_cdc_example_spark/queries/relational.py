@@ -6299,3 +6299,95 @@ def purchase_asof_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recovery_us"),
         )
     )
+
+
+@register(
+    "priority_mix_monthly_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderpriority AS p
+      FROM orders
+    ),
+    cell AS (SELECT mon, p, CAST(count(*) AS BIGINT) AS c
+             FROM o GROUP BY mon, p),
+    mt AS (SELECT mon, CAST(sum(c) AS BIGINT) AS n_m FROM cell GROUP BY mon),
+    pt AS (SELECT p, CAST(sum(c) AS BIGINT) AS c_p FROM cell GROUP BY p),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(DISTINCT p) AS BIGINT) AS k FROM cell),
+    terms AS (
+      SELECT mt.mon, mt.n_m,
+             CAST((CAST(COALESCE(cell.c, 0) AS HUGEINT) * tot.n
+                   - CAST(mt.n_m AS HUGEINT) * pt.c_p)
+                  * (CAST(COALESCE(cell.c, 0) AS HUGEINT) * tot.n
+                     - CAST(mt.n_m AS HUGEINT) * pt.c_p)
+                  * 1000000
+                  // (CAST(tot.n AS HUGEINT) * mt.n_m * pt.c_p)
+                  AS BIGINT) AS t_micro
+      FROM mt CROSS JOIN pt
+      LEFT JOIN cell ON cell.mon = mt.mon AND cell.p = pt.p, tot
+    )
+    SELECT terms.mon AS month, max(terms.n_m) AS n_orders,
+           CAST(sum(t_micro) AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN max(tot.k) != 5 THEN NULL
+                WHEN sum(t_micro) > {KW_CHI2_MICRO[4]} THEN 1
+                ELSE 0 END AS BIGINT) AS drift_flag
+    FROM terms, tot
+    GROUP BY terms.mon
+    """,
+)
+def priority_mix_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTHLY CATEGORICAL-MIX DRIFT: per month, the χ² goodness-of-fit of
+    that month's order-priority mix against the all-time mix — the
+    monitoring view `priority_status_cramers_v` (static association) and
+    `event_volume_cusum` (volume level) both miss: a month whose VOLUME
+    is normal but whose COMPOSITION shifted (urgent orders doubling at
+    flat totals) fires here and nowhere else. Cleared integer form:
+    (o·N − n_m·c_p)²·10⁶ // (N·n_m·c_p) summed over the 5 priorities —
+    the expected count never materializes as a float — with the zero-cell
+    arm included via the month × priority grid (a missing cell is
+    o = 0, not an absent term). The verdict compares against the
+    χ²₀.₉₅(4) literal and goes honest-NULL if the corpus doesn't carry
+    all 5 priorities (data-dependent df — the Brown-Forsythe/heatmap
+    convention). Scale shape: one map-side-combined (month, priority)
+    aggregate; everything after lives on the bounded months × 5 grid."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    cell = o.groupBy("mon", "p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mt = cell.groupBy("mon").agg(F.sum("c").cast("long").alias("n_m"))
+    pt = cell.groupBy("p").agg(F.sum("c").cast("long").alias("c_p"))
+    tot = cell.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("p").cast("long").alias("k"),
+    )
+    terms = (
+        mt.crossJoin(F.broadcast(pt))
+        .join(cell, ["mon", "p"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "mon",
+            "n_m",
+            "k",
+            F.expr(
+                "CAST((CAST(COALESCE(c, 0) AS DECIMAL(38,0)) * n"
+                " - CAST(n_m AS DECIMAL(38,0)) * c_p)"
+                " * (CAST(COALESCE(c, 0) AS DECIMAL(38,0)) * n"
+                " - CAST(n_m AS DECIMAL(38,0)) * c_p)"
+                " * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * n_m * c_p) AS BIGINT)"
+            ).alias("t_micro"),
+        )
+    )
+    return terms.groupBy("mon").agg(
+        F.max("n_m").alias("n_orders"),
+        F.sum("t_micro").cast("long").alias("chi2_micro"),
+        F.expr(
+            f"CAST(CASE WHEN max(k) != 5 THEN NULL"
+            f" WHEN sum(t_micro) > {KW_CHI2_MICRO[4]} THEN 1"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("drift_flag"),
+    ).select(
+        F.col("mon").alias("month"), "n_orders", "chi2_micro", "drift_flag"
+    )

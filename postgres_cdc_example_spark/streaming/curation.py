@@ -50,8 +50,9 @@ because the state store is memory-resident; this pipeline's
 seen-hash / band tables are materialized index tables (exactly what a
 100 TB deployment keeps beside the corpus), joined per batch with
 keyed equi-joins whose cost is O(|batch| + touched keys), never
-O(state). Driver materialization per batch is six scalar counts — the
-bounded-metadata policy every engine collect site follows.
+O(state). Driver materialization per batch is a handful of scalar counts
+(one per stage) — the bounded-metadata policy every engine collect
+site follows.
 """
 
 from __future__ import annotations

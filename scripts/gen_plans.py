@@ -148,6 +148,7 @@ NOTES = {
     "dedup_shingle_df_profile": "DF profile: one (shingle)-keyed map-side-combined count off the shared layer, ~32-row log2 bucket rollup, 1-row pair-volume broadcast. The cheapest view of the family's worst-case join cost.",
     "event_hour_dow_heatmap": "Heatmap: one map-side-combined aggregate onto <=168 cells; chi-square and intensity are grid arithmetic plus 1-row broadcasts.",
     "purchase_asof_after_error": "Forward as-of as union + DESC window with last(ignorenulls): one exchange on user_id, per-partition sort, NO range-condition BNLJ - the mirror of clicks_asof_errors.",
+    "priority_mix_monthly_drift": "Mix drift: one (month, priority) map-side-combined aggregate; the 5-row priority margin and 1-row total broadcast into the bounded month grid; chi-square terms are cleared integer arithmetic.",
 }
 
 

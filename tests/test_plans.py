@@ -480,6 +480,7 @@ _BNLJ_ALLOWED = {
     "orders_abc_classification",  # 1-row revenue-total broadcast into the part-bounded ranked frame
     "dedup_shingle_df_profile",  # 1-row pair-volume total broadcast into the ~32-row log2 bucket rollup
     "event_hour_dow_heatmap",  # 1-row total + 1-row chi2 broadcasts into the <=168-cell grid
+    "priority_mix_monthly_drift",  # broadcast 5-row priority margin + 1-row total into the bounded month grid
     "embedding_label_separation",  # |labels|-bounded centroid grid (!= condition) + broadcast centroid join
     "value_location_kruskalwallis",  # 1-row tie-sum scalar broadcast into the 1-row H aggregate
     "value_location_friedman",  # 1-row k-count + rank-SS scalar broadcasts

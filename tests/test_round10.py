@@ -550,3 +550,48 @@ def test_brownforsythe_missing_group_yields_null_verdict(
     assert r.k == 2
     assert r.reject_equal_spread is None
     assert r.f_micro is not None  # the statistic itself is still reported
+
+
+def test_priority_mix_drift_flags_planted_composition_shift(
+    spark, sf_dir, tmp_path
+):
+    """POSITIVE control: a planted month with the same VOLUME as its
+    neighbors but an all-URGENT composition must flag; stable months must
+    not; both engines agree on the planted corpus."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_mix")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rows = []
+    ok = 0
+    for m in range(6):
+        for i in range(200):
+            ok += 1
+            # month 3 is all-urgent; others cycle uniformly
+            p = "1-URGENT" if m == 3 else prios[i % 5]
+            rows.append((ok, 1 + ok % 50, "O", 100.0, m, p))
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, m int, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr("cast(add_months(date'2002-01-15', m) AS timestamp)").alias(
+            "o_orderdate"
+        ),
+        "o_orderpriority",
+    )
+    _stage_single_parquet(odf, tmp_path, mini, "orders", "mix_stage")
+    e = REGISTRY["priority_mix_monthly_drift"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = sorted(e.fn(spark, str(mini)).collect(), key=lambda r: r.month)
+    assert len(got) == 6 and all(r.n_orders == 200 for r in got)
+    flags = [r.drift_flag for r in got]
+    assert flags[3] == 1, "the planted all-urgent month must flag"
+    # the planted month inflates the GLOBAL urgent share, so neighbors
+    # drift slightly against it — but far less than the planted month
+    chis = [r.chi2_micro for r in got]
+    assert chis[3] == max(chis) and chis[3] > 5 * min(chis)
