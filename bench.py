@@ -32,6 +32,38 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _env_stamp() -> dict:
+    """Machine-load stamp written into every bench artifact (r10 verdict #1:
+    the driver's closing run diverged 7x from the committed detail on
+    unchanged code and NOTHING recorded environment state, so contention
+    could not be distinguished from regression). load1/5/15 from
+    os.getloadavg(), MemAvailable from /proc/meminfo, and the cpu count the
+    loads are judged against. A run is self-declared `load_contaminated`
+    when load1 exceeds 1.5x the cpu count at either stamp — the bench alone
+    (local[32] on 32 cpus) cannot sustain that; a co-tenant can."""
+    stamp: dict = {"ts_epoch": round(time.time(), 1)}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        stamp.update(load1=round(l1, 2), load5=round(l5, 2), load15=round(l15, 2))
+    except OSError:  # pragma: no cover
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    stamp["mem_available_kb"] = int(line.split()[1])
+                    break
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        pass
+    stamp["cpus"] = os.cpu_count()
+    return stamp
+
+
+def _load_contaminated(*stamps: dict) -> bool:
+    cpus = os.cpu_count() or 1
+    return any(s.get("load1", 0.0) > 1.5 * cpus for s in stamps)
+
 # Governance for the UNTIMED layer prebuild (r8 verdict #1: it grew 51% in
 # one round with nothing to stop the next +7 s). Budget = ~1.3x the r9
 # committed build (the PQ trio fused into one pass); exceeding it flags the
@@ -385,10 +417,21 @@ def full_registry_pass() -> None:
         except Exception as e:  # pragma: no cover - env-specific
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
     layer_times = _build_layers(spark)
+    env0 = _env_stamp()
     per: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        _force(registry[name](spark, SF_DIR))
+        # per-query guard in the TIMED loop too (r10 ADVICE low): one
+        # failing query must not abort the pass after the warm-up cost and
+        # lose every timing already collected — record it, keep going,
+        # still write the sidecar.
+        try:
+            _force(registry[name](spark, SF_DIR))
+        except Exception as e:  # pragma: no cover - env-specific
+            failures[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# TIMED PASS FAILED {name}: {failures[name]}", file=sys.stderr)
+            continue
         per[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {per[name]:.3f}s", file=sys.stderr)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -397,6 +440,7 @@ def full_registry_pass() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per),
+        "n_failures": len(failures),
         "layer_build_sec": round(sum(layer_times.values()), 3),
         "n_headline": sum(1 for n in per if n in BENCH_QUERIES),
         "value": round(sum(per.values()), 3),
@@ -404,6 +448,11 @@ def full_registry_pass() -> None:
     detail = dict(out)
     detail["layers"] = layer_times
     detail["queries"] = per
+    detail["failures"] = failures
+    detail["env_before"] = env0
+    detail["env_after"] = _env_stamp()
+    if _load_contaminated(detail["env_before"], detail["env_after"]):
+        detail["load_contaminated"] = True
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_last.json"
     )
@@ -469,6 +518,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     _RUN_STATE["sf"] = float(sf)
     _RUN_STATE["layer_build"] = layer_build
+    env_before = _env_stamp()
     # Interleaved repetitions: 3 full passes over ALL queries, taking the min
     # per query ACROSS passes. Back-to-back best-of-3 shares one contention
     # window — when the sandbox is busy for ~10 s, all three samples of one
@@ -630,6 +680,8 @@ def main() -> None:
     # r4 AND r5 artifacts mid-line once the map outgrew it ("parsed": null
     # two rounds running). The stdout line stays <300 bytes, and "value" is
     # ordered LAST so even a truncated tail-capture keeps the headline.
+    env_after = _env_stamp()
+    contaminated = _load_contaminated(env_before, env_after)
     detail = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -645,10 +697,23 @@ def main() -> None:
         "round_baseline": round_base,
         "flagged_vs_round": flagged_vs_round,
         "median_drift_vs_round": round(drift_round, 3) if ratios_round else None,
+        "env_before": env_before,
+        "env_after": env_after,
         "value": round(total, 3),
     }
     if median_drift_alert:
         detail["median_drift_alert"] = True
+    if contaminated:
+        # annotate, never suppress (r10 verdict #1): flags raised on a
+        # loaded box stay in the artifact but self-identify as suspect
+        detail["load_contaminated"] = True
+        if flagged or flagged_vs_round:
+            detail["flags_raised_under_load"] = True
+        print(
+            "# LOAD-CONTAMINATED RUN: load1 exceeded 1.5x cpus at a stamp —"
+            " treat flags/drift as suspect and re-measure isolated",
+            file=sys.stderr,
+        )
     if _RUN_STATE.get("layer_over_budget"):
         detail["layer_build_over_budget"] = True
     try:

@@ -6157,10 +6157,16 @@ CHI2_95_167_MICRO = 198153000
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
                    CAST(count(*) AS BIGINT) AS n_cells FROM h),
     chi AS (
+      -- one division by the CONSTANT denominator n*k AFTER the sum:
+      -- chi2 = sum((c*k - n)^2) / (n*k). The r10 form divided per cell
+      -- (flooring away every sub-integer contribution) and then scaled
+      -- by 1e6//n, yielding ~chi2*1e6/n — bounded below the critical
+      -- value, so reject_uniform could never fire (r10 ADVICE high).
       SELECT CAST(sum((CAST(h.c AS HUGEINT) * tot.n_cells - tot.n)
-                      * (CAST(h.c AS HUGEINT) * tot.n_cells - tot.n)
-                      // (CAST(tot.n AS HUGEINT) * tot.n_cells))
-                  * 1000000 // max(tot.n) AS BIGINT) AS chi2_micro
+                      * (CAST(h.c AS HUGEINT) * tot.n_cells - tot.n))
+                  * 1000000
+                  // (CAST(max(tot.n) AS HUGEINT) * max(tot.n_cells))
+                  AS BIGINT) AS chi2_micro
       FROM h, tot
     )
     SELECT h.dow, h.hr, h.c AS n_events,
@@ -6182,7 +6188,11 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``intensity_micro`` is each cell's load relative to the uniform
     expectation (10⁶ = exactly average), and the global χ² against
     uniformity decides whether the surface is flat — computed in cleared
-    integer form ((c·k − n)² // (n·k) summed, then scaled), against the
+    integer form (sum((c·k − n)²) · 10⁶ // (n·k): multiply BEFORE the one
+    division by the constant denominator, the `priority_mix_monthly_drift`
+    recipe — dividing per cell floors away every sub-integer term and a
+    second /n scaling made the verdict unreachable, the r10 ADVICE high),
+    against the
     Wilson–Hilferty χ²₀.₉₅(167) literal; the verdict is NULL unless the
     grid is complete (168 cells), because a sparser grid has a different
     df and a fixed literal would silently mis-calibrate. ISO weekday parity: Spark
@@ -6201,12 +6211,15 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
     )
+    # single division by the constant n*k after the sum (r10 ADVICE high:
+    # the per-cell floor + second /n scaling made the verdict unreachable)
     chi = h.crossJoin(F.broadcast(tot)).agg(
         F.expr(
             "CAST(sum((CAST(c AS DECIMAL(38,0)) * n_cells - n)"
-            " * (CAST(c AS DECIMAL(38,0)) * n_cells - n)"
-            " div (CAST(n AS DECIMAL(38,0)) * n_cells))"
-            " * 1000000 div max(n) AS BIGINT)"
+            " * (CAST(c AS DECIMAL(38,0)) * n_cells - n))"
+            " * 1000000"
+            " div (CAST(max(n) AS DECIMAL(38,0)) * max(n_cells))"
+            " AS BIGINT)"
         ).alias("chi2_micro")
     )
     return (
@@ -6239,7 +6252,19 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(date_diff('microsecond', e.ts, p.ts) AS BIGINT)
            END AS recovery_us
     FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      -- deterministic tie-break (r10 ADVICE low): DuckDB's ASOF picks an
+      -- ARBITRARY row among purchases sharing (user_id, ts); the engine's
+      -- DESC-scan last() picks the MIN event_id one. Pre-reduce the
+      -- purchase side to that row so both engines agree even when
+      -- exact-timestamp duplicate purchases appear.
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ) p
       ON e.user_id = p.user_id AND e.ts <= p.ts
     """,
 )
@@ -6258,7 +6283,10 @@ def purchase_asof_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id and a per-partition sort — never a range-condition join
     (the BNLJ trap both as-of queries exist to avoid). The oracle runs
     DuckDB's native forward ASOF JOIN — an independent implementation of
-    the same semantics."""
+    the same semantics — with its purchase side pre-reduced to one row per
+    (user_id, ts) by min event_id, because ASOF itself has no tie order
+    while the engine's DESC scan deterministically keeps min event_id
+    (r10 ADVICE: latent flakiness if exact-ts duplicate purchases appear)."""
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isin("purchase", "error")
     )

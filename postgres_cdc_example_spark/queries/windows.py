@@ -1850,6 +1850,8 @@ def _pipeline_oracle() -> str:
     cl AS (SELECT doc_id, component FROM ({REGISTRY["dedup_clusters"].oracle})),
     contam AS (SELECT doc_id FROM ({REGISTRY["benchmark_contamination"].oracle})),
     qual AS (SELECT doc_id, quality FROM ({REGISTRY["text_quality"].oracle})),
+    qa AS (SELECT doc_id FROM ({REGISTRY["source_quota_admission"].oracle})
+           WHERE admitted),
     s1 AS (SELECT t.* FROM toks t JOIN ex ON ex.doc_id = t.doc_id),
     s2 AS (
       SELECT s1.* FROM s1 LEFT JOIN cl ON cl.doc_id = s1.doc_id
@@ -1863,6 +1865,7 @@ def _pipeline_oracle() -> str:
       SELECT s3.* FROM s3 JOIN qual q ON q.doc_id = s3.doc_id
       WHERE q.quality >= {PIPE_QUALITY_GATE}
     ),
+    s5 AS (SELECT s4.* FROM s4 JOIN qa ON qa.doc_id = s4.doc_id),
     pk AS (
       SELECT bucket,
              CAST(floor((cum - n_toks) / {PIPE_PACK_TOKENS}) AS BIGINT) AS pack_id,
@@ -1874,7 +1877,7 @@ def _pipeline_oracle() -> str:
                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM s4)
+        FROM s5)
     )
     SELECT CAST(0 AS BIGINT) AS stage_no, 'ingest' AS stage, 'docs' AS unit,
            CAST(count(*) AS BIGINT) AS n_units,
@@ -1892,10 +1895,13 @@ def _pipeline_oracle() -> str:
     SELECT 4, 'quality_gate', 'docs', CAST(count(*) AS BIGINT),
            CAST(sum(n_toks) AS BIGINT) FROM s4
     UNION ALL
-    SELECT 5, 'mixture', source, CAST(count(*) AS BIGINT),
-           CAST(sum(n_toks) AS BIGINT) FROM s4 GROUP BY source
+    SELECT 5, 'quota', 'docs', CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s5
     UNION ALL
-    SELECT 6, 'packing', 'packs',
+    SELECT 6, 'mixture', source, CAST(count(*) AS BIGINT),
+           CAST(sum(n_toks) AS BIGINT) FROM s5 GROUP BY source
+    UNION ALL
+    SELECT 7, 'packing', 'packs',
            CAST(count(DISTINCT (bucket, pack_id)) AS BIGINT),
            CAST(sum(n_toks) AS BIGINT) FROM pk
     """
@@ -1907,9 +1913,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains — exact dedup (keep min doc_id per normalized-content hash) ->
     near-dup clusters (keep the component keeper) -> decontamination
     (drop docs sharing any 8-gram with the held-out split) -> quality gate
-    (composite score >= {GATE}) -> per-source mixture accounting ->
-    fixed-budget pack assembly — emitting the per-stage survivor/token
-    table a production run prints. This is the INTEGRATION check the
+    (composite score >= {GATE}) -> per-source token-quota admission (the
+    registered ``source_quota_admission`` verdict, r10 verdict #2) ->
+    per-source mixture accounting -> fixed-budget pack assembly — emitting
+    the per-stage survivor/token table a production run prints. This is the INTEGRATION check the
     isolated stage queries cannot give: a change in any stage's keeper
     rule shifts every later row (the mixture weights silently re-weight,
     the pack count moves), and both engine and oracle COMPOSE the
@@ -1918,14 +1925,18 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered SQL), so the capstone can never drift from the stages.
     Scale shape: each member runs ONCE — the chain is flattened into a
     single flag-annotated doc frame (keyed left joins on doc_id turn each
-    stage's verdict into a boolean), localCheckpointed so the seven
-    output rows are conditional aggregates over one cached narrow table
-    instead of seven re-derivations of the member chain (measured 4.5 s →
-    the member floor at sf0.1). Stage semantics note: the filters are
+    stage's verdict into a boolean), localCheckpointed so the output rows
+    are conditional aggregates over one cached narrow table instead of
+    per-stage re-derivations of the member chain (measured 4.5 s → the
+    member floor at sf0.1). Stage semantics note: the filters are
     computed over the FULL corpus (the members' published contracts) and
     applied sequentially, the standard production shape — exact and
     near-dup keepers both keep the lowest doc_id, so the composition is
-    coherent by construction."""
+    coherent by construction; the quota verdict likewise is the member's
+    full-corpus admission (an upstream quota service ruling on every doc)
+    intersected with the survivors, NOT a re-fill over survivors only —
+    the streaming capstone's incremental chain is the other semantics,
+    each pinned by its own test."""
     from postgres_cdc_example_spark.operators.dedup import word_tokens
     from postgres_cdc_example_spark.queries import REGISTRY
 
@@ -1947,11 +1958,18 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("ct"))
     )
     qual = REGISTRY["text_quality"].fn(spark, sf_dir).select("doc_id", "quality")
+    qa = (
+        REGISTRY["source_quota_admission"]
+        .fn(spark, sf_dir)
+        .filter("admitted")
+        .select("doc_id", F.lit(1).alias("qat"))
+    )
     flags = (
         toks.join(ex, "doc_id", "left")
         .join(cl, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(qual, "doc_id", "left")
+        .join(qa, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -1963,6 +1981,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k2"),
             F.col("ct").isNull().alias("k3"),
             (F.col("quality") >= PIPE_QUALITY_GATE).alias("k4"),
+            F.col("qat").isNotNull().alias("k5"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1970,6 +1989,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.filter("k2")
     s3 = s2.filter("k3")
     s4 = s3.filter("k4")
+    s5 = s4.filter("k5")
 
     def stage_row(no: int, stage: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -1980,11 +2000,11 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
 
-    mixture = s4.groupBy("source").agg(
+    mixture = s5.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     ).select(
-        F.lit(5).cast("long").alias("stage_no"),
+        F.lit(6).cast("long").alias("stage_no"),
         F.lit("mixture").alias("stage"),
         F.col("source").alias("unit"),
         "n_units",
@@ -1995,7 +2015,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pk = s4.select(
+    pk = s5.select(
         "doc_id",
         "n_toks",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
@@ -2007,7 +2027,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pack_id"),
     )
     packing = pk.agg(
-        F.lit(6).cast("long").alias("stage_no"),
+        F.lit(7).cast("long").alias("stage_no"),
         F.lit("packing").alias("stage"),
         F.lit("packs").alias("unit"),
         F.countDistinct("bucket", "pack_id").cast("long").alias("n_units"),
@@ -2019,6 +2039,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(2, "near_dedup", s2))
         .unionByName(stage_row(3, "decontam", s3))
         .unionByName(stage_row(4, "quality_gate", s4))
+        .unionByName(stage_row(5, "quota", s5))
         .unionByName(mixture)
         .unionByName(packing)
     )

@@ -28,19 +28,32 @@ rescan. Stages, in order, each delegating to the registered member:
    the cumulative band state: a pair is discovered the moment its
    second member arrives, the streaming twin of the batch band
    self-join.
-5. **quality gate** — the registered ``text.quality_score`` operator at
-   the batch capstone's ≥ 0.5 threshold, applied to each batch's novel
-   survivors (the batch pipeline's final stage, made incremental).
-6. **per-stage survivor/token totals** — the capstone's output table
+5. **decontamination gate** — the registered
+   :func:`streaming.gates.decontamination_gate` over each batch's novel
+   survivors against a FROZEN benchmark bloom bitmap (r10 verdict #2):
+   stateless broadcast codegen, the batch capstone's decontam stage made
+   incremental. A ``None`` bitmap degrades to admit-all (documented).
+6. **quality gate** — the registered ``text.quality_score`` operator at
+   the batch capstone's ≥ 0.5 threshold, applied to each batch's
+   decontaminated novel survivors.
+7. **per-source token-quota gate** — the batch
+   ``source_quota_admission`` rule (``cum_tokens <= budget`` per source
+   in doc_id order) made incremental (r10 verdict #2): cross-batch state
+   is ONE row per source (cumulative quota-input tokens), so over a
+   doc_id-ordered replay the admitted set equals the batch rule exactly
+   — the ``quota_gate_stream`` contract, carried by a versioned parquet
+   table instead of executor-memory state.
+8. **per-stage survivor/token totals** — the capstone's output table
    (stage_no, stage, n_units, total_tokens), folded incrementally.
 
 Crash consistency follows the :class:`streaming.materialized_view`
 discipline — every store versions at ``batch_id + 1`` with per-store
 replay guards, and commit order runs DEPENDENTS-FIRST (totals → pairs →
-bands → seen): each store's delta derives only from stores committed
-AFTER it, so at any crash point a replayed batch recomputes its deltas
-from untouched pre-state and version checks skip the stores already
-written. The one ordering that would corrupt (a pre-state that already
+bands → quota → seen): each store's delta derives only from stores
+committed AFTER it (the quota delta derives from quota pre-state and
+from ``novel``, which derives from the later-committed ``seen``), so at
+any crash point a replayed batch recomputes its deltas from untouched
+pre-state and version checks skip the stores already written. The one ordering that would corrupt (a pre-state that already
 contains the batch, yielding an empty delta) is impossible by
 construction.
 
@@ -114,6 +127,12 @@ TOTALS_SCHEMA = StructType(
         StructField("total_tokens", LongType(), False),
     ]
 )
+QUOTA_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("cum_tokens", LongType(), False),
+    ]
+)
 
 STAGES = (
     (0, "wire_lines"),
@@ -122,10 +141,13 @@ STAGES = (
     (3, "schema_clean"),
     (4, "exact_dedup"),
     (5, "neardup_candidates"),
-    (6, "quality_gate"),
+    (6, "decontam_gate"),
+    (7, "quality_gate"),
+    (8, "quota_admitted"),
 )
 
 QUALITY_GATE = 0.5  # the batch capstone's PIPE_QUALITY_GATE, same scale
+QUOTA_TOKENS = 1024  # the batch source_quota_admission budget, same scale
 
 
 class StreamingCurationPipeline:
@@ -138,10 +160,17 @@ class StreamingCurationPipeline:
         source_dir: str,
         store_root: str,
         checkpoint_dir: str,
+        decontam_bitmap_words: list[int] | None = None,
+        quota_tokens: int = QUOTA_TOKENS,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
+        # frozen benchmark bloom bitmap for the decontam gate; None means
+        # no benchmark shipped -> the gate admits everything (a bitmap of
+        # zero words has no set bits, so gram_hit is identically false)
+        self.decontam_bitmap_words = decontam_bitmap_words
+        self.quota_tokens = quota_tokens
         self.totals_store = VersionedStateStore(
             spark, store_root + "/totals", TOTALS_SCHEMA
         )
@@ -150,6 +179,9 @@ class StreamingCurationPipeline:
         )
         self.bands_store = VersionedStateStore(
             spark, store_root + "/bands", BANDS_SCHEMA
+        )
+        self.quota_store = VersionedStateStore(
+            spark, store_root + "/quota", QUOTA_SCHEMA
         )
         self.seen_store = VersionedStateStore(
             spark, store_root + "/seen", SEEN_SCHEMA
@@ -213,26 +245,92 @@ class StreamingCurationPipeline:
         ).collect()[0]
         n_novel, tok_novel = int(row.n), int(row.t)
 
-        # --- stage 6 input: quality gate over the novel survivors -------
-        # (the batch capstone's final stage, same registered operator and
-        # the same >= threshold; runs on this batch's novel docs only, so
-        # the cumulative totals fold incrementally like every other stage)
+        # --- stages 6-8: decontam gate -> quality gate -> quota gate ------
+        # (the batch capstone's survivor chain, each stage the registered
+        # member made incremental: per batch the chain runs over this
+        # batch's novel docs only, so cumulative totals fold additively)
         from postgres_cdc_example_spark.operators.text import quality_score
+        from postgres_cdc_example_spark.streaming.gates import (
+            decontamination_gate,
+        )
 
         novel_text = novel.select(F.col("keeper_id").alias("doc_id")).join(
-            docs.select("doc_id", "text", "n_toks"), "doc_id"
+            docs.select("doc_id", "text", "source", "n_toks"), "doc_id"
         )
-        qual = quality_score(novel_text).select("doc_id", "quality")
-        row = (
-            novel_text.join(qual, "doc_id")
-            .filter(F.col("quality") >= QUALITY_GATE)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        if self.decontam_bitmap_words is not None:
+            decon = decontamination_gate(
+                novel_text, self.decontam_bitmap_words
+            ).persist()
+        else:
+            decon = novel_text.persist()
+        row = decon.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        n_decon, tok_decon = int(row.n), int(row.t)
+
+        qual_docs = (
+            decon.join(
+                quality_score(decon).select("doc_id", "quality"), "doc_id"
             )
-            .collect()[0]
+            .filter(F.col("quality") >= QUALITY_GATE)
+            .select("doc_id", "source", "n_toks")
+            .persist()
         )
+        row = qual_docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
         n_qual, tok_qual = int(row.n), int(row.t)
+
+        # quota: global per-source cumsum == prev committed cumulative +
+        # within-batch cumsum in doc_id order; a doc is admitted iff its
+        # GLOBAL cum <= budget (the batch rule verbatim — monotone, so
+        # "stop at first overflow" and "cum <= budget" coincide). State
+        # tracks quota-INPUT tokens (all quality survivors), not admitted
+        # tokens, exactly like the batch window ranges over every row.
+        from pyspark.sql import Window
+
+        quota_prev = self.quota_store.read().withColumnRenamed(
+            "cum_tokens", "prev_cum"
+        )
+        wq = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        quota_eval = qual_docs.join(quota_prev, "source", "left").select(
+            "source",
+            "doc_id",
+            "n_toks",
+            (
+                F.coalesce(F.col("prev_cum"), F.lit(0))
+                + F.sum("n_toks").over(wq)
+            ).alias("cum_tokens"),
+        )
+        row = quota_eval.filter(
+            F.col("cum_tokens") <= self.quota_tokens
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        n_admit, tok_admit = int(row.n), int(row.t)
+        batch_src = qual_docs.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("add_toks")
+        )
+        quota_next = (
+            quota_prev.join(batch_src, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce(F.col("prev_cum"), F.lit(0))
+                    + F.coalesce(F.col("add_toks"), F.lit(0))
+                )
+                .cast("long")
+                .alias("cum_tokens"),
+            )
+            .persist()
+        )
 
         # --- stage 4: near-dup candidates over the novel survivors --------
         novel_docs = novel.select(F.col("keeper_id").alias("doc_id")).join(
@@ -279,7 +377,9 @@ class StreamingCurationPipeline:
             2: (n_drifted, 0),
             3: (n_clean, tok_clean),
             4: (n_novel, tok_novel),
-            6: (n_qual, tok_qual),
+            6: (n_decon, tok_decon),
+            7: (n_qual, tok_qual),
+            8: (n_admit, tok_admit),
         }
         rows = []
         for no, name in STAGES:
@@ -300,10 +400,13 @@ class StreamingCurationPipeline:
             self.bands_store.commit(
                 self.bands_store.read().unionByName(bands_new), version=v_next
             )
+        if (self.quota_store.latest_version() or -1) < v_next:
+            self.quota_store.commit(quota_next, version=v_next)
         self.seen_store.commit(
             seen_prev.unionByName(novel), version=v_next
         )
-        for df in (pairs_next, bands_new, novel, docs, decoded):
+        for df in (quota_next, qual_docs, decon, pairs_next, bands_new,
+                   novel, docs, decoded):
             df.unpersist()
 
     def start(self, available_now: bool = True) -> StreamingQuery:
@@ -331,6 +434,9 @@ class StreamingCurationPipeline:
 
     def candidate_pairs(self) -> DataFrame:
         return self.pairs_store.read()
+
+    def quota_state(self) -> DataFrame:
+        return self.quota_store.read()
 
 
 def document_change_json(

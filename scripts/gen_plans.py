@@ -93,7 +93,7 @@ NOTES = {
     "join_skew_audit": "Skew planning: per-key multiplicities from ONE map-side-combined aggregate, a 1-row (total, n_keys) broadcast, and TakeOrdered for the heavy-hitter top-20 — never a global sort.",
     "value_location_kruskalwallis": "K-sample location test: one map-side-combined (type, milli-grid) aggregate, a bounded-grid window for doubled midranks, a k-row group table, two 1-row scalar broadcasts — the decision is cleared-denominator DECIMAL(38,0) arithmetic vs a chi2-quantile literal; no transcendental anywhere.",
     "dedup_snm_multipass": "Two independent distributed ranks (prefix-bucket row_number + broadcast offsets per pass), each feeding the 8-way rank-explode equi-join; union canonicalizes to (least, greatest) and the per-pass flags aggregate on the pair key; verification joins the checkpointed per-doc shingle arrays ONCE per unique pair — no range join, no global sort, no re-verification per pass.",
-    "pipeline_end_to_end": "Every member (exact keepers, cluster keepers, contamination set, quality scores) computed ONCE and joined by doc_id into a single flag-annotated narrow frame (localCheckpointed); the seven output rows are conditional aggregates and one bounded packing window over that cache — the capstone never recomputes a stage.",
+    "pipeline_end_to_end": "Every member (exact keepers, cluster keepers, contamination set, quality scores, quota admissions) computed ONCE and joined by doc_id into a single flag-annotated narrow frame (localCheckpointed); the output rows are conditional aggregates and one bounded packing window over that cache — the capstone never recomputes a stage.",
     "semantic_dedup_incremental": "Delta-only a side (vec_id >= threshold filter BEFORE the join) against the full corpus b side, equi-joined on cluster_id from the literal trained centroids - per-batch cost O(delta x cluster density), never corpus x corpus.",
     "perplexity_bucket_plan": "The unigram scorer runs once behind a lazy localCheckpoint; per-lang ranks use the two-pass distributed shape (per-(lang, NLL-bucket) row_number + broadcast offsets); tercile arithmetic is integer div - no per-doc global sort.",
     "doc_chunk_plan": "One scan, one Generate (sequence explode), slice+md5 inside codegen - zero shuffle; output volume is the intrinsic ~n/stride chunks per doc.",

@@ -524,19 +524,22 @@ def test_snm_multipass_rotated_key_catches_first_word_edit(spark, tmp_path):
 def test_pipeline_end_to_end_stage_invariants(spark, sf_dir):
     """Cross-stage contract pins for the curation capstone: survivor
     counts/tokens decrease monotonically through the doc stages, the
-    mixture rows partition stage 4 exactly, and packing carries exactly
-    the stage-4 token mass (nothing dropped or double-packed). Each stage
-    must actually remove something on this fixture (non-vacuous)."""
+    mixture rows partition the quota stage exactly, and packing carries
+    exactly the quota-stage token mass (nothing dropped or double-packed).
+    Each gating stage must actually remove something on this fixture
+    (non-vacuous) — including the r11 quota stage, whose budget bites
+    every fixture source."""
     rows = q.queries()["pipeline_end_to_end"](spark, sf_dir).collect()
     docs = {r.stage_no: r for r in rows if r.unit == "docs"}
-    assert sorted(docs) == [0, 1, 2, 3, 4]
-    for k in range(1, 5):
+    assert sorted(docs) == [0, 1, 2, 3, 4, 5]
+    for k in range(1, 6):
         assert docs[k].n_units <= docs[k - 1].n_units
         assert docs[k].total_tokens <= docs[k - 1].total_tokens
-    assert docs[4].n_units < docs[0].n_units, "pipeline must prune something"
+    assert docs[5].n_units < docs[0].n_units, "pipeline must prune something"
+    assert 0 < docs[5].n_units < docs[4].n_units, "quota must bind, not erase"
     mix = [r for r in rows if r.stage == "mixture"]
-    assert sum(r.n_units for r in mix) == docs[4].n_units
-    assert sum(r.total_tokens for r in mix) == docs[4].total_tokens
+    assert sum(r.n_units for r in mix) == docs[5].n_units
+    assert sum(r.total_tokens for r in mix) == docs[5].total_tokens
     (pack,) = [r for r in rows if r.stage == "packing"]
-    assert pack.total_tokens == docs[4].total_tokens
-    assert 0 < pack.n_units <= docs[4].n_units
+    assert pack.total_tokens == docs[5].total_tokens
+    assert 0 < pack.n_units <= docs[5].n_units

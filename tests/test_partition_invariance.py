@@ -60,7 +60,7 @@ INVARIANCE_QUERIES = [
     "multimodal_decoded_parity",  # stdlib codec round-trip per doc (no shuffle at all)
     "cdc_schema_drift_audit",  # to_json/from_json wire round-trip + set diff
     "dedup_snm_multipass",  # two distributed ranks + union-dedup + pass flags
-    "pipeline_end_to_end",  # 4-member flag chain + packing window off one checkpoint
+    "pipeline_end_to_end",  # 5-member flag chain + packing window off one checkpoint
     "semantic_dedup_incremental",  # cluster-keyed delta join, round-6 cosine grid
     "doc_chunk_plan",  # sequence explode + slice/md5 (no shuffle at all)
     "length_mad_gate",  # doubled order statistics off per-source histograms

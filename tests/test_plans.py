@@ -957,7 +957,11 @@ def test_pair_scale_work_never_inherits_one_partition(spark, sf_dir):
 
     ev = ext.load_table(spark, "events", sf_dir)
     h = ev.groupBy("user_id").count()
-    # AQE really does coalesce this small aggregate to one partition —
-    # the precondition that makes the explicit repartition load-bearing
+    # Assert the PRECONDITION itself (r10 ADVICE: the old
+    # `h.repartition(par).getNumPartitions() == par` was a tautology of
+    # repartition): AQE really does coalesce this small aggregate to ONE
+    # shuffle partition, so without the explicit repartition before the
+    # checkpoint every downstream probe join serializes onto one task.
+    assert h.rdd.getNumPartitions() == 1
     assert h.repartition(par).rdd.getNumPartitions() == par
     del REGISTRY

@@ -5,6 +5,7 @@ queries/windows.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.queries.windows import event_sessionization
@@ -1275,18 +1276,20 @@ def test_schema_drift_stream_matches_batch_audit_across_restart(
 def test_curation_pipeline_matches_batch_members_across_restart(
     spark, sf_dir, tmp_path
 ):
-    """The STREAMING curation capstone (r9 verdict #2): one foreachBatch
-    pipeline chains good-rows-only ingest -> schema-drift gate -> content
-    dedup-at-ingest -> near-dup candidate detection -> per-stage totals in
-    versioned keyed state, each stage delegating to the registered member
-    fns. Restarting mid-stream (second file drop under the same
-    checkpoint + stores) must leave final totals, the survivor set, and
-    the candidate-pair set EXACTLY equal to the batch members composed
-    over the same wire lines — nothing lost, nothing double-counted, no
-    stage recomputing another stage's work."""
+    """The STREAMING curation capstone (r9 verdict #2; gates folded in for
+    r10 verdict #2): one foreachBatch pipeline chains good-rows-only
+    ingest -> schema-drift gate -> content dedup-at-ingest -> near-dup
+    candidate detection -> decontamination bloom gate -> quality gate ->
+    per-source token-quota gate -> per-stage totals in versioned keyed
+    state, each stage delegating to the registered member fns. Restarting
+    mid-stream (second file drop under the same checkpoint + stores) must
+    leave final totals, the survivor set, and the candidate-pair set
+    EXACTLY equal to the batch members composed over the same wire lines —
+    nothing lost, nothing double-counted, no stage recomputing another
+    stage's work."""
     import os
 
-    from postgres_cdc_example_spark.operators import dedup
+    from postgres_cdc_example_spark.operators import bloom, dedup
     from postgres_cdc_example_spark.sources.changelog import (
         decode_change_lines,
         drift_split,
@@ -1298,6 +1301,10 @@ def test_curation_pipeline_matches_batch_members_across_restart(
         DOC_DECLARED,
         StreamingCurationPipeline,
         document_change_json,
+    )
+    from postgres_cdc_example_spark.streaming.gates import (
+        decontamination_gate,
+        gram8_array,
     )
 
     docs = sorted(
@@ -1363,8 +1370,21 @@ def test_curation_pipeline_matches_batch_members_across_restart(
     store = str(tmp_path / "cur_store")
     os.makedirs(src)
 
+    # frozen benchmark bitmap: the grams of ONE corpus doc (docs[3] plays
+    # the held-out benchmark) — its stream twin must fall at the decontam
+    # gate; bloom false positives may drop more, identically in the batch
+    # composition below (same gate fn, same bitmap)
+    bench_grams = spark.createDataFrame(
+        [(docs[3].text,)], "text string"
+    ).select(F.explode(gram8_array(F.col("text"))).alias("g"))
+    bitmap = bloom.bitmap_from_grams(bench_grams)
+    budget = 300  # binds per source on this 120-doc slice (~6k quality tokens)
+
     def drain():
-        p = StreamingCurationPipeline(spark, src, store, ckpt)
+        p = StreamingCurationPipeline(
+            spark, src, store, ckpt,
+            decontam_bitmap_words=bitmap, quota_tokens=budget,
+        )
         q = p.start(available_now=True)
         q.awaitTermination()
         return p
@@ -1428,7 +1448,7 @@ def test_curation_pipeline_matches_batch_members_across_restart(
     ).collect()[0]
 
     got = {int(r.stage_no): r for r in pipe.totals().collect()}
-    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 7, 8}
     assert got[0].n_units == len(all_lines)
     assert got[1].n_units == n_corrupt == len(garbage)
     assert got[2].n_units == n_drifted
@@ -1445,21 +1465,65 @@ def test_curation_pipeline_matches_batch_members_across_restart(
         (r.doc_a, r.doc_b) for r in pipe.candidate_pairs().collect()
     } == want_pairs
 
-    # stage 6: the registered quality gate over the keeper corpus
+    # stages 6-8: decontam gate -> quality gate -> quota rule, each the
+    # registered member composed over the keeper corpus
     from postgres_cdc_example_spark.operators.text import quality_score
     from postgres_cdc_example_spark.streaming.curation import QUALITY_GATE
 
     kdocs = keepers.select("doc_id", "n_toks").join(
         bdocs.select("doc_id", "text"), "doc_id"
     )
-    qrow = (
-        kdocs.join(quality_score(kdocs).select("doc_id", "quality"), "doc_id")
+    # source column: re-derive from the decoded lines like the pipeline
+    ksrc = flatten_changes(
+        clean, "documents", DOC_COLUMNS, key="doc_id", key_type="long"
+    ).select("doc_id", "source")
+    dgate = decontamination_gate(kdocs, bitmap)
+    drow = dgate.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("t")
+    ).collect()[0]
+    assert (got[6].n_units, got[6].total_tokens) == (int(drow.n), int(drow.t))
+    assert got[6].n_units < got[4].n_units, "planted benchmark doc must fall"
+
+    qdocs = (
+        dgate.join(quality_score(dgate).select("doc_id", "quality"), "doc_id")
         .filter(F.col("quality") >= QUALITY_GATE)
+        .select("doc_id", "n_toks")
+    )
+    qrow = qdocs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("t")
+    ).collect()[0]
+    assert (got[7].n_units, got[7].total_tokens) == (int(qrow.n), int(qrow.t))
+    assert 0 < got[7].n_units <= got[6].n_units, "gate must bind, not erase"
+
+    # quota: the batch source_quota_admission rule (global per-source
+    # cumsum in doc_id order, admitted iff cum <= budget) over the
+    # quality survivors of the WHOLE replay
+    wq = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adm = (
+        qdocs.join(ksrc, "doc_id")
+        .select("source", "doc_id", "n_toks", F.sum("n_toks").over(wq).alias("cum"))
+        .filter(F.col("cum") <= budget)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("t"))
         .collect()[0]
     )
-    assert (got[6].n_units, got[6].total_tokens) == (int(qrow.n), int(qrow.t))
-    assert 0 < got[6].n_units <= got[4].n_units, "gate must bind, not erase"
+    assert (got[8].n_units, got[8].total_tokens) == (int(adm.n), int(adm.t))
+    assert 0 < got[8].n_units < got[7].n_units, "quota must bind, not erase"
+
+    # and the quota STATE equals the batch per-source input-token totals
+    want_state = {
+        (r.source, r.t)
+        for r in qdocs.join(ksrc, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("t"))
+        .collect()
+    }
+    assert {
+        (r.source, r.cum_tokens) for r in pipe.quota_state().collect()
+    } == want_state
 
     # non-vacuous: every stage actually exercised
     assert n_drifted > 0, "drift injection must dead-letter some events"
