@@ -20,6 +20,18 @@ its purpose is round-over-round visibility for the queries outside
 BENCH_QUERIES (they were each timed once at registration but otherwise
 had no committed tracking); single samples are noisier than the headline's
 interleaved best-of-2, so treat --full deltas as leads, not verdicts.
+
+Headline membership rule (r10 verdict #4): a query enters BENCH_QUERIES
+when it is registered as a headline operator OR when its --full pass time
+exceeds 2 s — expensive queries get interleaved round-over-round tracking
+regardless of how they entered the registry. Apply the rule when reading
+each round's BENCH_FULL artifact.
+
+Every artifact carries env_before/env_after machine-load stamps
+(load1/5/15, MemAvailable; r10 verdict #1) and self-declares
+`load_contaminated` when load1 exceeds 1.5x the cpu count at either stamp;
+flags raised under load are annotated (`flags_raised_under_load`), never
+suppressed.
 """
 
 from __future__ import annotations
@@ -304,10 +316,18 @@ BENCH_QUERIES = [
     "event_hour_dow_heatmap",  # 0.48 s (one agg onto <=168 cells + grid math)
     "purchase_asof_after_error",  # 0.80 s (one user-keyed DESC window, no range join)
     "priority_mix_monthly_drift",  # 0.73 s (month x 5 grid, cleared chi-square)
-    # corpus_dedup_summary is deliberately NOT benched: it composes seven
-    # already-benched pipelines into one dashboard row set (6.9 s steady at
-    # sf0.1 = the sum of its members), so benching it would double-charge
-    # the window for numbers the per-family rows already carry.
+    # r11 cost-based promotions (r10 verdict #4): every registered query
+    # with a --full pass time > 2 s gets headline (interleaved) tracking —
+    # selection by cost, not just history. corpus_dedup_summary was
+    # previously excluded as double-charging its already-benched members;
+    # the 6.75 s full-pass lead earned it round-over-round adjudication
+    # anyway (the members' sum is 9.1 s — composition beats rerunning, and
+    # the count-only aggregation cannot prune the verification joins).
+    "corpus_dedup_summary",  # 7.35 s best-of-3 idle (7 member pair pipelines)
+    "event_reach_approx_error",  # 3.07 s (exact-distinct audit join vs HLL)
+    "text_fingerprint",  # 2.47 s (per-doc rolling-hash winnowing projection)
+    # r11 additions
+    "dedup_oph_calibration",  # 2.51 s (full OPH collision curve + exact-J verify)
 ]
 
 

@@ -1783,7 +1783,12 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle/band layers, so the marginal cost is aggregation, not
     recomputation), and the oracle interpolates the members' registered
     oracle SQL — drift between the dashboard and the families is
-    impossible by construction."""
+    impossible by construction. Cost justification (r10 verdict #3,
+    profiled r11): 7.35 s best-of-3 idle at sf0.1 vs a 9.1 s member sum —
+    the seven families' verification joins are the floor (a COUNT cannot
+    prune a pair-predicate filter), the one-job union overlaps them, and
+    the shared layers already de-duplicate every shingle/band/gram scan;
+    headline-tracked since r11 under the >2 s cost rule."""
     from postgres_cdc_example_spark.queries import REGISTRY
 
     def cnt(name: str, df: DataFrame) -> DataFrame:

@@ -121,3 +121,23 @@ def test_forward_asof_duplicate_ts_purchases_deterministic(
     assert got[100].recovery_us == 3_600_000_000
     assert got[200].purchase_value == 55.0 and got[200].recovery_us == 0
     assert got[300].purchase_ts is None and got[300].recovery_us is None
+
+
+def test_oph_calibration_operating_point_consistency(spark, sf_dir):
+    """The calibration table's threshold accounting must agree with the
+    production `dedup_minhash_oph` output on the same corpus: the admitted
+    ∧ true count across levels equals the pair query's row count (that
+    query IS adaptive-threshold + exact-J >= 0.5), and the per-level
+    counters nest (admitted_true <= min(admitted, true) <= n_pairs)."""
+    rows = REGISTRY["dedup_oph_calibration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_admitted <= r.n_pairs
+        assert 0 <= r.n_true <= r.n_pairs
+        assert r.n_admitted_true <= min(r.n_admitted, r.n_true)
+        assert 0 <= r.min_jac_micro <= r.mean_jac_micro <= r.max_jac_micro
+        assert r.mean_predicted_micro >= 0
+    n_production = REGISTRY["dedup_minhash_oph"].fn(spark, sf_dir).count()
+    assert sum(r.n_admitted_true for r in rows) == n_production
+    # the curve must include sub-threshold noise the pair query never shows
+    assert any(r.n_admitted == 0 and r.n_pairs > 0 for r in rows)
