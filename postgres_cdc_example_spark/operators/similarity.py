@@ -409,14 +409,47 @@ def assign_to_literal_centroids(cent_rows: list[tuple[int, list[float]]]) -> Col
     summation order as the engine's in-order fold, so the doubles are
     bit-identical to the DuckDB oracle's ``sqrt(list_dot_product(cv, cv))``.
     """
+    best = _best_literal_centroid(cent_rows)
+    return (-best["n"]).cast("int").alias("cluster_id")
+
+
+def _best_literal_centroid(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """The (max round-6 cosine, -cluster_id) struct behind
+    :func:`assign_to_literal_centroids` — exposed separately so callers
+    needing BOTH the winning cluster and its cosine (the streaming
+    assignment/drift monitor) evaluate the centroid scan once."""
     structs = []
     for cid, cv in cent_rows:
         cn = math.sqrt(sum(x * x for x in cv))  # left-to-right, like dot()
         lit_v = F.array(*[F.lit(float(x)) for x in cv])
         ccos = F.round(dot(F.col("v"), lit_v) / (F.col("nrm") * F.lit(cn)), 6)
         structs.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("n")))
-    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
-    return (-best["n"]).cast("int").alias("cluster_id")
+    return F.greatest(*structs) if len(structs) > 1 else structs[0]
+
+
+def ivf_assign_projection(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STATELESS argmax-cosine assignment against frozen (rounded) literal
+    centroids, plus the per-vector drift evidence: ``ccos_micro`` (round-6
+    cosine to the OWN centroid on the micro grid — exact, the rounded
+    double times 1e6 is integral) and ``drift_micro = 1e6 - ccos_micro``
+    (0 = on-centroid). Works identically on a batch frame and a streaming
+    frame (pure projection, no shuffle, no state) — the ingest-path twin
+    of the assignment stage inside :func:`ivf_topk_learned`, which is the
+    equality the streaming test pins."""
+    base = _normed(df, id_col, vec_col)
+    best = _best_literal_centroid(cent_rows)
+    return base.select(
+        F.col(id_col),
+        (-best["n"]).cast("int").alias("cluster_id"),
+        F.floor(best["c"] * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ccos_micro"),
+    ).withColumn("drift_micro", F.lit(1_000_000) - F.col("ccos_micro"))
 
 
 def train_kmeans(

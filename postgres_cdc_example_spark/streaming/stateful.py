@@ -1435,3 +1435,87 @@ def rank_sample_stream(events: DataFrame) -> DataFrame:
 
 
 rank_sample_stream.__doc__ = rank_sample_stream.__doc__.replace("{K}", "512")
+
+
+# --- streaming IVF assignment maintenance (frozen codebook + drift state) -----
+
+IVF_ASSIGN_OUTPUT_SCHEMA = (
+    "cluster_id int, n_total long, batch_n long, sum_drift_micro long,"
+    " mean_drift_micro long"
+)
+IVF_ASSIGN_STATE_SCHEMA = "n long, sum_drift long"
+
+
+def _ivf_assign_group(key, pdfs, state: GroupState):
+    """Fold a batch of per-vector drift_micro values into the cluster's
+    (count, drift-sum) pair. Addition is commutative and associative, so
+    any batch slicing or arrival order yields the same totals (NOT
+    idempotent — counters lean on the file source's exactly-once replay,
+    the running_totals_stream contract); emits the updated cluster
+    snapshot each batch (monitoring-style)."""
+    (cid,) = key
+    n, sdrift = (
+        (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+    )
+    batch = pd.concat(list(pdfs))
+    bn = len(batch)
+    n += bn
+    sdrift += int(batch["drift_micro"].sum())
+    state.update((n, sdrift))
+    yield pd.DataFrame(
+        {
+            "cluster_id": [int(cid)],
+            "n_total": [n],
+            "batch_n": [bn],
+            "sum_drift_micro": [sdrift],
+            "mean_drift_micro": [sdrift // n if n else 0],
+        }
+    )
+
+
+def ivf_assign_stream(
+    vecs: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming IVF ASSIGNMENT MAINTENANCE (r10 verdict #6) — how a
+    production vector pipeline actually ingests: the coarse quantizer is
+    trained ONCE offline (``similarity.train_kmeans``, memoized by
+    ``extensions._trained_centroids``), every ARRIVING vector is assigned
+    to its max-cosine centroid by a stateless literal-codebook projection
+    (``similarity.ivf_assign_projection`` — zero shuffle, pure codegen,
+    the ``pq_encode_gate`` shape), and per-cluster (count, drift-sum)
+    keyed state tracks how far new traffic sits from the frozen centroids
+    — the retraining trigger: a cluster whose ``mean_drift_micro`` climbs
+    is receiving vectors its centroid no longer represents (the batch
+    ``ann_staleness_audit`` measures the same decay retrospectively; this
+    is its at-ingest twin).
+
+    Scale shape: assignment never enters Python (codegen projection
+    against a k x dim literal codebook); the Arrow hop carries
+    (cluster_id, drift_micro) pairs only — never embeddings; state is TWO
+    longs per cluster, PERIOD (k rows total, however many vectors ever
+    arrive). Drift is integer micro (1e6 − round-6 cosine·1e6 — exact, no
+    float accumulation), so totals are bit-stable across batchings.
+
+    Contract (pinned in tests/test_stateful_streaming.py): over a
+    replayed corpus, across a restart, (a) the stateless assignment
+    stream equals the batch ``ivf_topk_learned`` bucketing (same memoized
+    centroids) row-for-row, and (b) each cluster's FINAL emitted snapshot
+    equals the batch groupBy over ``ivf_assign_projection`` of the full
+    corpus."""
+    from postgres_cdc_example_spark.operators.similarity import (
+        ivf_assign_projection,
+    )
+
+    assigned = ivf_assign_projection(vecs, cent_rows, id_col, vec_col)
+    return assigned.select("cluster_id", "drift_micro").groupBy(
+        "cluster_id"
+    ).applyInPandasWithState(
+        _ivf_assign_group,
+        outputStructType=IVF_ASSIGN_OUTPUT_SCHEMA,
+        stateStructType=IVF_ASSIGN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
