@@ -328,6 +328,13 @@ BENCH_QUERIES = [
     "text_fingerprint",  # 2.47 s (per-doc rolling-hash winnowing projection)
     # r11 additions
     "dedup_oph_calibration",  # 2.51 s (full OPH collision curve + exact-J verify)
+    "source_hapax_profile",  # 0.39 s (two keyed counts off the shared occ layer)
+    "supplier_nation_hhi",  # 0.58 s (supplier cents agg + 25-row rollup)
+    "cdc_tombstone_retention",  # 0.51 s (one key-shuffle, two windows, wm bcast)
+    "dedup_quality_interaction",  # 2.20 s (cluster + quality members, 15-row tab)
+    "token_budget_frontier",  # 1.63 s (two-pass token cumsum x 5-budget grid)
+    "ann_pq_distortion_by_cluster",  # 2.98 s (PQ encode + d2 + literal assign)
+    "dedup_mixture_shift",  # 2.04 s (exact+cluster members, source rollup)
 ]
 
 

@@ -606,3 +606,138 @@ cdc_schema_drift_audit.__doc__ = cdc_schema_drift_audit.__doc__.replace(
 _drifted_wire_lines.__doc__ = _drifted_wire_lines.__doc__.replace(
     "{ADD}", str(DRIFT_ADD_MOD)
 ).replace("{DROP}", str(DRIFT_DROP_MOD))
+
+
+# --- tombstone retention audit (delete lifecycle + purge safety) ---------------
+
+# purge line = 1% of the observed log span (a replay-window-proportional
+# retention: the slowest reader is assumed to lag by at most span/100 —
+# an absolute wall-clock line would silently stop biting as event density
+# grows with SF, the vacuous-verdict failure mode the honest-NULL policy
+# exists to avoid)
+TOMBSTONE_RETENTION_DIV = 100
+
+
+@register(
+    "cdc_tombstone_retention",
+    oracle=f"""
+    WITH ch AS ({_CHANGES_SQL}),
+    wm AS (SELECT max(created_at) AS w,
+                  CAST(date_diff('microsecond', min(created_at),
+                                 max(created_at)) AS BIGINT)
+                    // {TOMBSTONE_RETENTION_DIV} AS ret_us FROM ch),
+    flag AS (
+      SELECT id, seq, action, created_at,
+             row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn_desc,
+             lead(seq) OVER (PARTITION BY id ORDER BY seq) AS next_seq
+      FROM ch
+    ),
+    per AS (
+      SELECT id,
+             CAST(count(*) AS BIGINT) AS n_changes,
+             CAST(sum(CASE WHEN action = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deletes,
+             CAST(sum(CASE WHEN action = 'D' AND next_seq IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_superseded,
+             max(CASE WHEN rn_desc = 1 THEN action END) AS final_action,
+             max(CASE WHEN rn_desc = 1 AND action = 'D' THEN created_at END)
+               AS tombstone_ts
+      FROM flag GROUP BY id
+    )
+    SELECT p.id, p.n_changes, p.n_deletes, p.n_superseded, p.final_action,
+           CASE WHEN p.final_action = 'D'
+                THEN CAST(date_diff('microsecond', p.tombstone_ts, wm.w)
+                          AS BIGINT) END AS tombstone_age_us,
+           wm.ret_us AS retention_us,
+           CAST(CASE WHEN p.final_action != 'D' THEN NULL
+                WHEN date_diff('microsecond', p.tombstone_ts, wm.w)
+                     > wm.ret_us THEN 1 ELSE 0 END AS BIGINT)
+             AS purgable
+    FROM per p, wm
+    """,
+)
+def cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE RETENTION AUDIT — the delete-lifecycle question every
+    log-compacted CDC store (Kafka compaction, Debezium sinks, the
+    reference's replicated table under DELETE traffic) must answer before
+    purging: which keys END as tombstones, how long have they been dead
+    relative to the log's high watermark, and which deletes were
+    SUPERSEDED by later traffic on the same key (purging those early
+    would have been safe precisely because they no longer terminate the
+    key's history — the classic compaction-correctness distinction).
+    ``purgable`` applies a retention line of 1/{DIV} of the observed log
+    span (the wal2json consumer's safe-to-forget rule: a tombstone must
+    outlive the slowest reader's replay window, stated in LOG time so the
+    line keeps biting however dense the traffic — a wall-clock constant
+    silently stops firing as event rate grows); the verdict is NULL for keys that are currently live —
+    emitting 0 would claim "checked, keep" about a tombstone that does
+    not exist. Age arithmetic is exact integer microseconds
+    (``date_diff``/``timestampdiff`` on the fixture's nanos-derived
+    timestamps), no calendar rounding. Scale shape: ONE shuffle keyed on
+    the table key feeding both windows (the DESC row_number and the
+    ``lead`` share the same partitioning; Catalyst plans one exchange +
+    one sort), a key-bounded rollup, and a 1-row watermark broadcast —
+    never a self-join on the log."""
+    ch = _changes(spark, sf_dir)
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("id").orderBy("seq")
+    wkd = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    flag = ch.select(
+        "id",
+        "seq",
+        "action",
+        "created_at",
+        F.row_number().over(wkd).alias("rn_desc"),
+        F.lead("seq").over(wk).alias("next_seq"),
+    )
+    per = flag.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum(F.expr("CASE WHEN action = 'D' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_deletes"),
+        F.sum(
+            F.expr(
+                "CASE WHEN action = 'D' AND next_seq IS NOT NULL"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_superseded"),
+        F.max(F.expr("CASE WHEN rn_desc = 1 THEN action END")).alias(
+            "final_action"
+        ),
+        F.max(
+            F.expr("CASE WHEN rn_desc = 1 AND action = 'D' THEN created_at END")
+        ).alias("tombstone_ts"),
+    )
+    wm = ch.agg(
+        F.max("created_at").alias("w"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, min(created_at),"
+            f" max(created_at)) div {TOMBSTONE_RETENTION_DIV} AS BIGINT)"
+        ).alias("ret_us"),
+    )
+    return per.crossJoin(F.broadcast(wm)).select(
+        "id",
+        "n_changes",
+        "n_deletes",
+        "n_superseded",
+        "final_action",
+        F.expr(
+            "CASE WHEN final_action = 'D'"
+            " THEN CAST(timestampdiff(MICROSECOND, tombstone_ts, w)"
+            " AS BIGINT) END"
+        ).alias("tombstone_age_us"),
+        F.col("ret_us").alias("retention_us"),
+        F.expr(
+            "CAST(CASE WHEN final_action != 'D' THEN NULL"
+            " WHEN timestampdiff(MICROSECOND, tombstone_ts, w)"
+            " > ret_us THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("purgable"),
+    )
+
+
+cdc_tombstone_retention.__doc__ = cdc_tombstone_retention.__doc__.replace(
+    "{DIV}", str(TOMBSTONE_RETENTION_DIV)
+)

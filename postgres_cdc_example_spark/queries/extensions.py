@@ -6867,3 +6867,378 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_shingle_df_profile.__doc__ = dedup_shingle_df_profile.__doc__.replace(
     "{CUT}", str(DF_CUTOFF_AUDIT)
 )
+
+
+# ---------------------------------------------------------------------------
+# dup x quality interaction — does duplicated content differ in quality?
+# ---------------------------------------------------------------------------
+
+
+def _dup_quality_oracle() -> str:
+    """Compose from the REGISTERED member oracles (the capstone pattern):
+    dedup_exact supplies the group/keeper rule, text_quality the score —
+    drift between this cross-tab and the members is impossible."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    return f"""
+    WITH cl AS (SELECT doc_id, component
+                FROM ({REGISTRY["dedup_clusters"].oracle})),
+    q AS (SELECT doc_id, quality FROM ({REGISTRY["text_quality"].oracle})),
+    t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    cls AS (
+      SELECT t.doc_id, t.n_toks,
+             CASE WHEN cl.doc_id IS NULL THEN 'unique'
+                  WHEN cl.component = t.doc_id THEN 'keeper'
+                  ELSE 'duplicate' END AS dup_class,
+             CAST(least(floor(q.quality * 5), 4) AS BIGINT) AS q_bucket,
+             CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS q_micro
+      FROM t
+      LEFT JOIN cl ON cl.doc_id = t.doc_id
+      JOIN q ON q.doc_id = t.doc_id
+    )
+    SELECT dup_class, q_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_quality_micro
+    FROM cls GROUP BY dup_class, q_bucket
+    """
+
+
+@register("dedup_quality_interaction", oracle=_dup_quality_oracle())
+def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION × QUALITY cross-tab — the curation-policy question the
+    isolated families can't answer: is duplicated content systematically
+    lower-quality (boilerplate, spam mirrors) or HIGHER (popular reference
+    text copied everywhere)? The answer decides whether dedup and the
+    quality gate are redundant or complementary filters — if every
+    duplicate already fails quality, dedup's marginal token savings is
+    near zero and the cheap gate can run FIRST (gate order is a real cost
+    lever when one filter is a projection and the other builds an index).
+    Rows are (dup_class × quality quintile): `unique` (not in any
+    near-dup component), `keeper` (the component survivor — min doc_id,
+    the pipeline's stage-2 rule), `duplicate` (the removed members;
+    near-dups are NOT byte-identical, so keeper/duplicate quality really
+    can differ — exactly the asymmetry `dedup_keeper_by_quality` exists
+    to exploit, here measured instead of assumed). Classification uses
+    the NEAR-dup clusters, not exact groups: this corpus (like most
+    curated fixtures) has zero byte-identical pairs, and a cross-tab
+    whose interesting classes are structurally empty would be a vacuous
+    operator. Composes BOTH registered members (engine calls the member
+    fns over the shared band layers, oracle interpolates their SQL — the
+    capstone discipline). Mean quality is exact micro (floor(q·10⁶+0.5)
+    of the round-6 double, summed as bigints, ONE floor division); the
+    quintile edge floor(q·5) evaluates the same IEEE product in both
+    engines. Scale shape: one hash-keyed join onto the bounded group
+    table, one doc-keyed quality join, a ≤15-row rollup — all broadcast
+    or map-side-combined; no windows."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    docs = load_table(spark, "documents", sf_dir)
+    cl = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    q = REGISTRY["text_quality"].fn(spark, sf_dir).select("doc_id", "quality")
+    t = docs.select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    cls = (
+        t.join(cl, "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "n_toks",
+            F.expr(
+                "CASE WHEN component IS NULL THEN 'unique'"
+                " WHEN component = doc_id THEN 'keeper'"
+                " ELSE 'duplicate' END"
+            ).alias("dup_class"),
+            F.expr("CAST(least(floor(quality * 5), 4) AS BIGINT)").alias(
+                "q_bucket"
+            ),
+            F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)").alias(
+                "q_micro"
+            ),
+        )
+    )
+    return cls.groupBy("dup_class", "q_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.expr("CAST(sum(q_micro) div count(*) AS BIGINT)").alias(
+            "mean_quality_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion by coarse cluster — WHERE the codebook hurts
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    """Coarse k-means training (shared `_kmeans_cte` prefix) + the PQ
+    Lloyd/encode chain (prefixed `pq` so the two trainings' a{t}/m{t}
+    stage names coexist) + per-vector reconstruction error joined onto
+    the rounded-centroid assignment."""
+    D = similarity.PQ_D
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {D}),"
+        " d -> (x.sv[d] - b.cv[d]) * (x.sv[d] - b.cv[d])))"
+    )
+    M = similarity.PQ_M
+    pq_parts = [
+        _PQ_EM_CTE,
+        f"""sv AS MATERIALIZED (
+      SELECT vec_id, u.s AS s, vm[u.s * {D} + 1 : u.s * {D} + {D}] AS sv
+      FROM em, unnest(generate_series(0, {M - 1})) AS u(s)
+    )""",
+    ] + _pq_lloyd_parts("sv", pre="pq")
+    return (
+        _kmeans_cte()
+        + ",\n    "
+        + ",\n    ".join(pq_parts)
+        + f""",
+    cr AS (
+      SELECT cluster_id, list_transform(cv, x -> round(x, 6)) AS cv2 FROM c3
+    ),
+    cent AS (
+      SELECT cluster_id, cv2, sqrt(list_dot_product(cv2, cv2)) AS cn2 FROM cr
+    ),
+    asg0 AS (
+      SELECT n.vec_id, c.cluster_id,
+             round(list_dot_product(n.v, c.cv2) / (n.nrm * c.cn2), 6) AS ccos
+      FROM n, cent c
+    ),
+    asg AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cluster_id) AS r
+        FROM asg0)
+      WHERE r = 1
+    ),
+    dist AS (
+      SELECT c.vec_id, CAST(sum({d2}) AS BIGINT) AS distortion
+      FROM sv x
+      JOIN pqcodes c ON c.vec_id = x.vec_id AND c.s = x.s
+      JOIN pqcbF b ON b.s = c.s AND b.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT a.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d.distortion) AS BIGINT) AS total_distortion,
+           CAST(sum(d.distortion) // count(*) AS BIGINT) AS mean_distortion,
+           CAST(max(d.distortion) AS BIGINT) AS max_distortion
+    FROM dist d JOIN asg a ON a.vec_id = d.vec_id
+    GROUP BY a.cluster_id
+    """
+    )
+
+
+@register("ann_pq_distortion_by_cluster", oracle=_pq_distortion_oracle())
+def ann_pq_distortion_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ DISTORTION PROFILE by coarse cluster — the recall audits say
+    WHETHER quantization hurts; this says WHERE: per learned-IVF cluster,
+    the exact integer reconstruction error Σ‖sv − codeword‖² (micro² grid)
+    of the trained PQ codebook over that cluster's vectors. A cluster
+    whose mean distortion towers over the rest is the one whose traffic
+    the shared codebook underfits — the signal that decides between
+    per-cluster codebooks (IVF-PQ with local tables) and a global retrain,
+    and the batch complement of `ivf_assign_stream`'s at-ingest drift
+    counters. Composes THREE memoized layers (coarse centroids, PQ
+    codebook, subvector table) — zero new training. Scale shape: encode
+    and assignment are zero-shuffle literal-codebook projections; the
+    distortion is one vec-keyed aggregate (8 rows/vector) joined onto the
+    assignment by vec_id; output is ≤ k rows. The oracle replays BOTH
+    trainings as unrolled CTEs (`pq` prefix keeps the two Lloyd chains'
+    stage names disjoint)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = _trained_pq(spark, sf_dir)
+    cents = _trained_centroids(spark, sf_dir)
+    if not cb or not cents:  # empty corpus: nothing trained
+        vid = F.col("vec_id").cast("long")
+        return emb.limit(0).select(
+            vid.cast("int").alias("cluster_id"),
+            vid.alias("n_vectors"),
+            vid.alias("total_distortion"),
+            vid.alias("mean_distortion"),
+            vid.alias("max_distortion"),
+        )
+    base = similarity._with_subvecs(emb)
+    codes = similarity.pq_encode_base(base, cb)
+    K = similarity.PQ_K
+    j = base.join(codes, "vec_id")
+    terms = []
+    for s in range(similarity.PQ_M):
+        cw = F.element_at(
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)) for x in cb[s][k]])
+                    for k in range(K)
+                ]
+            ),
+            (F.col(f"c{s}") + 1).cast("int"),
+        )
+        terms.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(f"sv{s}"), cw, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    dist = j.select(
+        "vec_id",
+        sum(terms[1:], terms[0]).cast("long").alias("distortion"),
+    )
+    rounded = similarity.rounded_centroids(spark, cents)
+    asg = similarity._normed(emb, "vec_id", "embedding").select(
+        "vec_id", similarity.assign_to_literal_centroids(rounded)
+    )
+    return (
+        dist.join(asg, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("distortion").cast("long").alias("total_distortion"),
+            F.expr("CAST(sum(distortion) div count(*) AS BIGINT)").alias(
+                "mean_distortion"
+            ),
+            F.max("distortion").cast("long").alias("max_distortion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture shift under dedup — does dedup silently re-weight the corpus?
+# ---------------------------------------------------------------------------
+
+MIX_SHIFT_FLAG_MICRO = 10_000  # flag a source whose token share moves > 1pp
+
+
+def _mixture_shift_oracle() -> str:
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    return f"""
+    WITH ex AS (SELECT keeper_id AS doc_id
+                FROM ({REGISTRY["dedup_exact"].oracle})),
+    cl AS (SELECT doc_id, component FROM ({REGISTRY["dedup_clusters"].oracle})),
+    t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    kept AS (
+      SELECT t.* FROM t
+      JOIN ex ON ex.doc_id = t.doc_id
+      LEFT JOIN cl ON cl.doc_id = t.doc_id
+      WHERE cl.doc_id IS NULL OR cl.component = t.doc_id
+    ),
+    bt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tb FROM t),
+    at AS (SELECT CAST(sum(n_toks) AS BIGINT) AS ta FROM kept),
+    per AS (
+      SELECT t.source,
+             CAST(sum(t.n_toks) AS BIGINT) AS tokens_before,
+             CAST(coalesce(sum(t.n_toks) FILTER (WHERE k.doc_id IS NOT NULL),
+                           0) AS BIGINT) AS tokens_after
+      FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      GROUP BY t.source
+    )
+    SELECT p.source, p.tokens_before, p.tokens_after,
+           CAST(p.tokens_before * 1000000 // bt.tb AS BIGINT)
+             AS share_before_micro,
+           CAST(p.tokens_after * 1000000 // at.ta AS BIGINT)
+             AS share_after_micro,
+           CAST(p.tokens_after * 1000000 // at.ta
+                - p.tokens_before * 1000000 // bt.tb AS BIGINT)
+             AS shift_micro,
+           CAST(CASE WHEN abs(p.tokens_after * 1000000 // at.ta
+                              - p.tokens_before * 1000000 // bt.tb)
+                          > {MIX_SHIFT_FLAG_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS shift_flag
+    FROM per p, bt, at
+    """
+
+
+@register("dedup_mixture_shift", oracle=_mixture_shift_oracle())
+def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE SHIFT UNDER DEDUP — the production surprise this table
+    exists to catch: dedup removes tokens NON-uniformly (mirror-heavy web
+    sources lose far more than curated books), so the post-dedup source
+    mixture silently diverges from the one the mixing plan
+    (`source_mixture_weights`, `mixture_epoch_plan`) was tuned on. Per
+    source: token mass before, after the pipeline's keeper rule (exact
+    keepers ∩ near-dup component keepers — stage s1∧s2 of
+    `pipeline_end_to_end`, composed from the SAME registered members),
+    both shares on the micro grid, the signed share shift (a difference
+    of two already-floored non-negative micros — no signed-division
+    engine trap), and a flag at > 1 percentage point. Scale shape: two
+    doc-keyed member joins, one source rollup, two 1-row total
+    broadcasts; the members come off the shared band/shingle layers."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    t = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    ex = (
+        REGISTRY["dedup_exact"]
+        .fn(spark, sf_dir)
+        .select(F.col("keeper_id").alias("doc_id"), F.lit(1).alias("exk"))
+    )
+    cl = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    flagged = (
+        t.join(ex, "doc_id", "left")
+        .join(cl, "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            (
+                F.col("exk").isNotNull()
+                & (
+                    F.col("component").isNull()
+                    | (F.col("component") == F.col("doc_id"))
+                )
+            ).alias("kept"),
+        )
+    )
+    per = flagged.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("tokens_before"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN kept THEN n_toks END")), F.lit(0)
+        )
+        .cast("long")
+        .alias("tokens_after"),
+    )
+    tots = flagged.agg(
+        F.sum("n_toks").cast("long").alias("tb"),
+        F.coalesce(F.sum(F.expr("CASE WHEN kept THEN n_toks END")), F.lit(0))
+        .cast("long")
+        .alias("ta"),
+    )
+    return per.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "tokens_before",
+        "tokens_after",
+        F.expr("CAST(tokens_before * 1000000 div tb AS BIGINT)").alias(
+            "share_before_micro"
+        ),
+        F.expr("CAST(tokens_after * 1000000 div ta AS BIGINT)").alias(
+            "share_after_micro"
+        ),
+        F.expr(
+            "CAST(tokens_after * 1000000 div ta"
+            " - tokens_before * 1000000 div tb AS BIGINT)"
+        ).alias("shift_micro"),
+        F.expr(
+            f"CAST(CASE WHEN abs(tokens_after * 1000000 div ta"
+            f" - tokens_before * 1000000 div tb) > {MIX_SHIFT_FLAG_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("shift_flag"),
+    )

@@ -6658,3 +6658,225 @@ def benchmark_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("majority_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hapax profile — lexical-richness / noise diagnostics per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_hapax_profile",
+    oracle=f"""
+    WITH {_OCC_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    so AS (SELECT s.source, o.doc_id, o.tok FROM occ o
+           JOIN src s ON s.doc_id = o.doc_id),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+    loc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS lc
+      FROM so GROUP BY source, tok
+    ),
+    per AS (
+      SELECT l.source,
+             CAST(sum(l.lc) AS BIGINT) AS n_occurrences,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN t.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corpus_hapax,
+             CAST(sum(CASE WHEN l.lc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_local_hapax
+      FROM loc l JOIN tf t ON t.tok = l.tok
+      GROUP BY l.source
+    )
+    SELECT source, n_occurrences, n_distinct, n_corpus_hapax, n_local_hapax,
+           CAST(n_corpus_hapax * 1000000 // n_distinct AS BIGINT)
+             AS corpus_hapax_micro,
+           CAST(n_local_hapax * 1000000 // n_distinct AS BIGINT)
+             AS local_hapax_micro
+    FROM per
+    """,
+)
+def source_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX-LEGOMENA PROFILE per source — the cheap lexical-noise
+    diagnostic a corpus triage runs before the expensive LM statistics: a
+    source whose corpus-hapax share spikes is contributing tokens nothing
+    else ever says (OCR garbage, random ids, genuinely novel vocabulary —
+    `gram_novelty_curve` tells WHICH by position, this tells WHERE by
+    source), while the local-vs-corpus hapax GAP separates "rare here,
+    common elsewhere" (topical skew) from "rare everywhere" (noise).
+    Both ratios are over the source's distinct vocabulary, the standard
+    hapax normalization (`vocab_heaps_law` owns the growth curve).
+    Scale shape: the shared persisted occurrence layer feeds one
+    token-keyed corpus count and one (source, token)-keyed local count —
+    both map-side combined; the join back is token-keyed onto the local
+    aggregate (distinct tokens x sources, far below occurrences); the
+    final rollup lands on ~sources rows. No windows, no driver data."""
+    occ = _doc_occurrences(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    so = occ.join(src, "doc_id")
+    tf = occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    loc = so.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("lc")
+    )
+    per = (
+        loc.join(tf, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("lc").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_corpus_hapax"),
+            F.sum(F.expr("CASE WHEN lc = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_local_hapax"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_occurrences",
+        "n_distinct",
+        "n_corpus_hapax",
+        "n_local_hapax",
+        F.expr("CAST(n_corpus_hapax * 1000000 div n_distinct AS BIGINT)").alias(
+            "corpus_hapax_micro"
+        ),
+        F.expr("CAST(n_local_hapax * 1000000 div n_distinct AS BIGINT)").alias(
+            "local_hapax_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget frontier — what the best-first corpus buys at each budget
+# ---------------------------------------------------------------------------
+
+FRONTIER_PCTS = (1, 5, 10, 25, 50)  # budgets as % of total corpus tokens
+
+
+@register(
+    "token_budget_frontier",
+    oracle=f"""
+    WITH {_QC_SCORED_CTES},
+    c AS (
+      SELECT q.doc_id, d.source, q.n_tokens, q.quality_micro,
+             CAST(sum(q.n_tokens) OVER (
+               ORDER BY q.quality_micro DESC, q.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM qscored q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM c),
+    g AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in FRONTIER_PCTS)})
+          gg(pct)),
+    j AS (
+      SELECT g.pct, tot.t, c.n_tokens, c.source, c.quality_micro,
+             c.cum <= tot.t * g.pct // 100 AS adm
+      FROM c, tot, g
+    )
+    SELECT CAST(pct AS BIGINT) AS budget_pct,
+           CAST(t * pct // 100 AS BIGINT) AS budget_tokens,
+           CAST(sum(CASE WHEN adm THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN adm THEN n_tokens END), 0) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT CASE WHEN adm THEN source END) AS BIGINT)
+             AS n_sources,
+           CAST(CASE WHEN sum(CASE WHEN adm THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE sum(CASE WHEN adm THEN quality_micro END)
+                     // sum(CASE WHEN adm THEN 1 ELSE 0 END) END AS BIGINT)
+             AS mean_quality_micro,
+           CAST(min(CASE WHEN adm THEN quality_micro END) AS BIGINT)
+             AS frontier_quality_micro
+    FROM j GROUP BY pct, t
+    """,
+)
+def token_budget_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET FRONTIER — the planning curve a compute-bound run
+    reads before `quality_curriculum` schedules batches: if only B tokens
+    can be trained on, fill best-quality-first and report what each
+    budget buys (docs, tokens, source diversity, mean quality) and what
+    it COSTS at the margin (`frontier_quality_micro` — the worst score
+    admitted; where that drops off a cliff is where extra budget stops
+    paying). Budgets are {PCTS}% of total corpus tokens — self-scaling,
+    so the curve bites at every SF instead of saturating. Collapsing
+    source diversity at small budgets is the classic quality-filter
+    failure (one clean source crowds out the rest) — `n_sources` makes it
+    visible per budget. The oracle states the spec as one global token
+    cumsum in (quality DESC, doc_id) order; the ENGINE computes the
+    identical cumsum with the curriculum's two-pass distributed shape:
+    per-bucket token cumsums keyed on the monotone range bucket
+    floor(q/4096), plus broadcast per-bucket token offsets from the
+    ≤245-row histogram — the corpus never crosses one reducer. The grid
+    join is a broadcast of a 5-row literal × 1-row total (BNLJ-allowlist
+    shape); every budget ALWAYS emits its row — a budget too small for
+    even one document reports n_docs 0 with NULL quality stats (honest
+    accounting), never a silently missing row."""
+    scored = _quality_scored(load_table(spark, "documents", sf_dir))
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    t = scored.join(src, "doc_id").withColumn(
+        "qb", F.floor(F.col("quality_micro") / F.lit(QC_RANGE_BUCKET))
+    )
+    wb = (
+        Window.partitionBy("qb")
+        .orderBy(F.col("quality_micro").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = t.withColumn("cum_b", F.sum("n_tokens").over(wb))
+    btoks = t.groupBy("qb").agg(F.sum("n_tokens").alias("t_b"))
+    wo = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = btoks.select(
+        "qb", (F.sum("t_b").over(wo) - F.col("t_b")).alias("offset")
+    ).crossJoin(F.broadcast(btoks.agg(F.sum("t_b").cast("long").alias("t"))))
+    c = ranked.join(F.broadcast(offsets), "qb").select(
+        "source",
+        "n_tokens",
+        "quality_micro",
+        (F.col("offset") + F.col("cum_b")).cast("long").alias("cum"),
+        "t",
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in FRONTIER_PCTS], "pct long"
+    )
+    return (
+        c.crossJoin(F.broadcast(grid))
+        .withColumn("adm", F.expr("cum <= t * pct div 100"))
+        .groupBy("pct", "t")
+        .agg(
+            F.sum(F.expr("CASE WHEN adm THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN adm THEN n_tokens END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.countDistinct(F.expr("CASE WHEN adm THEN source END"))
+            .cast("long")
+            .alias("n_sources"),
+            F.expr(
+                "CAST(CASE WHEN sum(CASE WHEN adm THEN 1 ELSE 0 END) = 0"
+                " THEN NULL"
+                " ELSE sum(CASE WHEN adm THEN quality_micro END)"
+                " div sum(CASE WHEN adm THEN 1 ELSE 0 END) END AS BIGINT)"
+            ).alias("mean_quality_micro"),
+            F.min(F.expr("CASE WHEN adm THEN quality_micro END"))
+            .cast("long")
+            .alias("frontier_quality_micro"),
+        )
+        .select(
+            F.col("pct").alias("budget_pct"),
+            F.expr("CAST(t * pct div 100 AS BIGINT)").alias("budget_tokens"),
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "mean_quality_micro",
+            "frontier_quality_micro",
+        )
+    )
+
+
+token_budget_frontier.__doc__ = token_budget_frontier.__doc__.replace(
+    "{PCTS}", "/".join(str(p) for p in FRONTIER_PCTS)
+)

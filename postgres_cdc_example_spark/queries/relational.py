@@ -6419,3 +6419,94 @@ def priority_mix_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("mon").alias("month"), "n_orders", "chi2_micro", "drift_flag"
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl supplier concentration — market-structure audit per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_nation_hhi",
+    oracle="""
+    WITH sc AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT nk,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+                  // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT)
+               AS hhi_micro,
+             CAST(max(cents) * 1000000 // sum(cents) AS BIGINT)
+               AS top_share_micro
+      FROM sc GROUP BY nk
+    )
+    SELECT n.n_name AS nation, p.n_suppliers, p.total_cents, p.hhi_micro,
+           p.top_share_micro,
+           CAST(1000000000 // p.hhi_micro AS BIGINT)
+             AS effective_suppliers_milli
+    FROM per p JOIN nation n ON n.n_nationkey = p.nk
+    """,
+)
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN supplier concentration per nation — the
+    market-structure audit behind sourcing risk: `q11_revenue_concentration`
+    finds the heavy PARTS, `orders_pareto_concentration` the aggregate
+    curve; this scores each nation's supplier base on the antitrust scale
+    (HHI = Σ share², 10⁶ = monopoly, micro grid) plus the interpretable
+    inverse (effective number of equal suppliers = 1/HHI, milli grid) and
+    the single-largest share. All exact: line revenue on the integer cents
+    grid (floor(price·(1−disc)·100 + 0.5) — both engines compute the same
+    IEEE product before the one floor), HHI as Σcents² · 10⁶ // (Σcents)²
+    — multiply before ONE division by the squared total (HUGEINT/
+    DECIMAL(38) intermediates; Σcents² ≤ 10²⁸ at SF10⁵, far under either
+    bound). Scale shape: one (nation, supplier)-keyed cents aggregate off
+    lineitem (map-side combined; the supplier dim broadcasts), one
+    nation-keyed rollup (≤ 25 rows), one broadcast nation-name join. No
+    windows, no driver data."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    sc = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    per = sc.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) * 1000000"
+            " div (CAST(sum(cents) AS DECIMAL(38,0)) * sum(cents))"
+            " AS BIGINT)"
+        ).alias("hhi_micro"),
+        F.expr("CAST(max(cents) * 1000000 div sum(cents) AS BIGINT)").alias(
+            "top_share_micro"
+        ),
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return per.join(
+        F.broadcast(n), per.s_nationkey == n.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "total_cents",
+        "hhi_micro",
+        "top_share_micro",
+        F.expr("CAST(1000000000 div hhi_micro AS BIGINT)").alias(
+            "effective_suppliers_milli"
+        ),
+    )

@@ -149,6 +149,14 @@ NOTES = {
     "event_hour_dow_heatmap": "Heatmap: one map-side-combined aggregate onto <=168 cells; chi-square and intensity are grid arithmetic plus 1-row broadcasts.",
     "purchase_asof_after_error": "Forward as-of as union + DESC window with last(ignorenulls): one exchange on user_id, per-partition sort, NO range-condition BNLJ - the mirror of clicks_asof_errors.",
     "priority_mix_monthly_drift": "Mix drift: one (month, priority) map-side-combined aggregate; the 5-row priority margin and 1-row total broadcast into the bounded month grid; chi-square terms are cleared integer arithmetic.",
+    "dedup_oph_calibration": "OPH calibration: same collision equi-join + keyed verification joins as dedup_minhash_oph minus the threshold filter; <=17-row final rollup; never all-pairs.",
+    "source_hapax_profile": "Hapax: token-keyed corpus count + (source, token)-keyed local count off the shared occurrence layer, token-keyed join onto the smaller local aggregate, ~sources-row rollup.",
+    "supplier_nation_hhi": "HHI: broadcast supplier dim into lineitem, (nation, supplier) map-side-combined cents aggregate, <=25-row nation rollup with DECIMAL(38) squared-share arithmetic, broadcast name join.",
+    "cdc_tombstone_retention": "Tombstones: ONE exchange on the table key feeds both the DESC row_number and the lead() window (shared sort), key-bounded rollup, 1-row watermark/span broadcast.",
+    "dedup_quality_interaction": "Dup x quality: near-dup cluster member (shared band layers) LEFT-joined doc-keyed onto the quality member, <=15-cell rollup - both members run once.",
+    "token_budget_frontier": "Frontier: the curriculum two-pass token cumsum (range-bucket windows + broadcast <=245-row offsets), broadcast 5-row budget grid, conditional aggregation so every budget emits.",
+    "ann_pq_distortion_by_cluster": "PQ distortion: encode and coarse assignment are zero-shuffle literal-codebook projections off the memoized layers; one vec-keyed d2 aggregate; <=k-row rollup.",
+    "dedup_mixture_shift": "Mixture shift: exact + cluster members joined doc-keyed, one source rollup, 1-row before/after totals broadcast; shares floored before the signed difference.",
 }
 
 

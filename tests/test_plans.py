@@ -544,6 +544,10 @@ _BNLJ_ALLOWED = {
     "vocab_heaps_law",  # 1-row max-id + 10-row decile grid + 1-row OLS scalars
     "shipping_latency_by_priority",  # 2-row rank-probe grid over the (priority, day) histogram
     "dedup_transitivity_audit",  # three 1-row graph-count scalars merged via broadcast
+    # r11 additions
+    "cdc_tombstone_retention",  # 1-row watermark/span broadcast into the key-bounded rollup
+    "dedup_mixture_shift",  # 1-row before/after token-total broadcast into the source rollup
+    "token_budget_frontier",  # 1-row token-total + broadcast 5-row budget grid over the cumsum
 }
 
 

@@ -141,3 +141,191 @@ def test_oph_calibration_operating_point_consistency(spark, sf_dir):
     assert sum(r.n_admitted_true for r in rows) == n_production
     # the curve must include sub-threshold noise the pair query never shows
     assert any(r.n_admitted == 0 and r.n_pairs > 0 for r in rows)
+
+
+def test_hapax_profile_nesting_invariants(spark, sf_dir, tmp_path):
+    """Counter nesting per source: a corpus-wide hapax occurrence is
+    necessarily a local hapax, locals are distinct tokens, distincts are
+    occurrences; shares are consistent with the counts. The synthetic
+    corpus draws from a closed vocabulary (zero natural corpus hapaxes —
+    itself asserted), so corpus-hapax coverage comes from a PLANTED doc
+    carrying nonce tokens: they must surface as exactly its source's
+    corpus-hapax count, in both engines."""
+    from tests.oracle_utils import compare_to_oracle
+
+    rows = REGISTRY["source_hapax_profile"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            0
+            <= r.n_corpus_hapax
+            <= r.n_local_hapax
+            <= r.n_distinct
+            <= r.n_occurrences
+        )
+        assert r.corpus_hapax_micro == r.n_corpus_hapax * 1_000_000 // r.n_distinct
+        assert r.local_hapax_micro == r.n_local_hapax * 1_000_000 // r.n_distinct
+    assert all(r.n_corpus_hapax == 0 for r in rows), "closed-vocab fixture"
+    assert any(r.n_local_hapax > 0 for r in rows)
+
+    mini = _mini(sf_dir, tmp_path, "sf_hapax")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    extra = spark.createDataFrame(
+        [(800_001, "zqxv wqzk zqxv pflm", "en", "noncesrc", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        base.unionByName(extra), tmp_path, mini, "documents", "hapax_st"
+    )
+    e = REGISTRY["source_hapax_profile"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.source: r for r in e.fn(spark, str(mini)).collect()}
+    # wqzk/pflm occur once corpus-wide; zqxv twice (local but not corpus)
+    assert got["noncesrc"].n_corpus_hapax == 2
+    assert got["noncesrc"].n_local_hapax == 2
+    assert got["noncesrc"].n_distinct == 3
+
+
+def test_hhi_bounds_and_two_supplier_geometry(spark, sf_dir):
+    """HHI sits in [1e6/n, 1e6]; the top share bounds it from both sides
+    (top² ≤ HHI ≤ top·1e6); the effective-supplier inverse is consistent."""
+    rows = REGISTRY["supplier_nation_hhi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1_000_000 // r.n_suppliers <= r.hhi_micro <= 1_000_000
+        # sum of squared shares is at least the top share squared and at
+        # most top_share * 1 (all mass at-or-below the top share)
+        assert r.hhi_micro >= r.top_share_micro**2 // 1_000_000
+        assert r.hhi_micro <= r.top_share_micro + r.n_suppliers  # + floor slack
+        assert r.effective_suppliers_milli == 1_000_000_000 // r.hhi_micro
+        assert 1_000 <= r.effective_suppliers_milli <= r.n_suppliers * 1000 + 1000
+
+
+def test_tombstone_retention_planted_lifecycle(spark, sf_dir, tmp_path):
+    """Planted change log exercising every verdict arm: key 1 deleted at
+    10% of the span (old tombstone -> purgable 1), key 2 deleted at the
+    watermark (fresh tombstone -> purgable 0), key 3 deleted then
+    re-inserted (live -> NULL verdict, the delete counted superseded).
+    Both engines agree on the planted corpus."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_tomb")
+    # _changes maps: signup->I, error->D, else U; key = event_id % 120.
+    # event_ids chosen so ids mod 120 give keys 1, 2, 3; span = 100 days.
+    rows = [
+        # key 1: insert day 0, delete day 10 -> tombstone age 90d > 1d line
+        (1, "2024-01-01 00:00:00", 7, "signup", 1.0, "{}"),
+        (121, "2024-01-11 00:00:00", 7, "error", 1.0, "{}"),
+        # key 2: insert day 0, delete at the very watermark (age 0)
+        (2, "2024-01-01 00:00:00", 8, "signup", 1.0, "{}"),
+        (242, "2024-04-10 00:00:00", 8, "error", 1.0, "{}"),
+        # key 3: delete day 20, re-insert day 30 -> live, superseded delete
+        (3, "2024-01-01 00:00:00", 9, "signup", 1.0, "{}"),
+        (123, "2024-01-21 00:00:00", 9, "error", 1.0, "{}"),
+        (243, "2024-01-31 00:00:00", 9, "signup", 1.0, "{}"),
+    ]
+    _stage_single_parquet(
+        _events_df(spark, rows), tmp_path, mini, "events", "tomb_st"
+    )
+    e = REGISTRY["cdc_tombstone_retention"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.id: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[1].final_action == "D" and got[1].purgable == 1
+    assert got[2].final_action == "D" and got[2].purgable == 0
+    assert got[2].tombstone_age_us == 0
+    assert got[3].final_action == "I" and got[3].purgable is None
+    assert got[3].n_superseded == 1 and got[3].n_deletes == 1
+    assert got[1].n_superseded == 0  # terminal delete, nothing after it
+
+
+def test_dup_quality_interaction_partitions_corpus(spark, sf_dir):
+    """The cross-tab partitions the corpus exactly (every doc in exactly
+    one (class, bucket) cell), keeper count equals the number of near-dup
+    components, and all three classes appear on the fixture."""
+    rows = REGISTRY["dedup_quality_interaction"].fn(spark, sf_dir).collect()
+    docs_total = REGISTRY["text_quality"].fn(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == docs_total
+    classes = {r.dup_class for r in rows}
+    assert classes == {"unique", "keeper", "duplicate"}
+    n_keepers = sum(r.n_docs for r in rows if r.dup_class == "keeper")
+    comp = (
+        REGISTRY["dedup_clusters"]
+        .fn(spark, sf_dir)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    assert n_keepers == comp
+    for r in rows:
+        assert 0 <= r.q_bucket <= 4
+        assert 0 <= r.mean_quality_micro <= 1_000_000
+
+
+def test_token_budget_frontier_monotone_curve(spark, sf_dir):
+    """All budgets emit rows; the curve is monotone (bigger budget ->
+    more docs/tokens, never-better marginal quality) and each budget
+    respects its token ceiling."""
+    rows = sorted(
+        REGISTRY["token_budget_frontier"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.budget_pct,
+    )
+    assert [r.budget_pct for r in rows] == [1, 5, 10, 25, 50]
+    for r in rows:
+        assert r.n_tokens <= r.budget_tokens
+        if r.n_docs == 0:
+            assert r.mean_quality_micro is None
+            assert r.frontier_quality_micro is None
+    filled = [r for r in rows if r.n_docs > 0]
+    assert filled, "fixture must fill at least one budget"
+    for a, b in zip(filled, filled[1:]):
+        assert a.n_docs <= b.n_docs and a.n_tokens <= b.n_tokens
+        assert a.mean_quality_micro >= b.mean_quality_micro
+        assert a.frontier_quality_micro >= b.frontier_quality_micro
+        assert a.n_sources <= b.n_sources
+
+
+def test_pq_distortion_covers_corpus_and_is_nontrivial(spark, sf_dir):
+    """Every vector lands in exactly one cluster row; distortion is
+    positive (the codebook is lossy) and mean <= max per cluster."""
+    from postgres_cdc_example_spark.sources.tables import load_table
+
+    rows = REGISTRY["ann_pq_distortion_by_cluster"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert 0 < r.mean_distortion <= r.max_distortion
+        assert r.mean_distortion == r.total_distortion // r.n_vectors
+
+
+def test_mixture_shift_flags_planted_dup_heavy_source(spark, sf_dir, tmp_path):
+    """POSITIVE control: a planted 'mirror' source that is 30 exact
+    copies of one document must lose nearly all its token share under
+    the keeper rule (flag 1, negative shift), while the survivors' shares
+    rise; shares stay a partition of ~1e6 on both sides. Both engines
+    agree on the planted corpus."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_mix_shift")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    text = base.orderBy("doc_id").first().text
+    extra = spark.createDataFrame(
+        [
+            (800_000 + i, text, "en", "mirror", len(text))
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage_single_parquet(
+        base.unionByName(extra), tmp_path, mini, "documents", "mixsh_st"
+    )
+    e = REGISTRY["dedup_mixture_shift"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.source: r for r in e.fn(spark, str(mini)).collect()}
+    m = got["mirror"]
+    assert m.shift_flag == 1 and m.shift_micro < 0
+    # the 30 copies collapse to at most one kept mirror doc's tokens
+    assert m.tokens_after <= m.tokens_before // 30 + m.tokens_before % 30
+    assert sum(r.shift_flag for r in got.values()) >= 1
+    for side in ("share_before_micro", "share_after_micro"):
+        s = sum(getattr(r, side) for r in got.values())
+        assert 1_000_000 - len(got) <= s <= 1_000_000
