@@ -335,6 +335,10 @@ BENCH_QUERIES = [
     "token_budget_frontier",  # 1.63 s (two-pass token cumsum x 5-budget grid)
     "ann_pq_distortion_by_cluster",  # 2.98 s (PQ encode + d2 + literal assign)
     "dedup_mixture_shift",  # 2.04 s (exact+cluster members, source rollup)
+    "dedup_simhash_calibration",  # 3.86 s (dense band collisions on the
+    # closed-vocab corpus — measured + documented; verification stratified)
+    "contamination_by_source",  # 0.67 s (member doc set + source rollup)
+    "split_temporal_leakage",  # 0.71 s (one (cut, user) keyed aggregate)
 ]
 
 

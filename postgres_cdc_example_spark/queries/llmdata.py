@@ -6880,3 +6880,98 @@ def token_budget_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 token_budget_frontier.__doc__ = token_budget_frontier.__doc__.replace(
     "{PCTS}", "/".join(str(p) for p in FRONTIER_PCTS)
 )
+
+
+# ---------------------------------------------------------------------------
+# contamination by source — WHICH source leaks eval data
+# ---------------------------------------------------------------------------
+
+
+def _contam_by_source_oracle() -> str:
+    return f"""
+    WITH contam AS (SELECT doc_id FROM ({REGISTRY["benchmark_contamination"].oracle})),
+    corpus AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+      FROM documents WHERE doc_id % {BENCH_MOD} != 0
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(c.n_toks) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(c.n_toks)
+                         FILTER (WHERE k.doc_id IS NOT NULL), 0) AS BIGINT)
+             AS contaminated_tokens,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS doc_rate_micro,
+           CAST(coalesce(sum(c.n_toks)
+                         FILTER (WHERE k.doc_id IS NOT NULL), 0)
+                * 1000000 // sum(c.n_toks) AS BIGINT) AS token_rate_micro
+    FROM corpus c LEFT JOIN contam k ON k.doc_id = c.doc_id
+    GROUP BY c.source
+    """
+
+
+@register("contamination_by_source", oracle=_contam_by_source_oracle())
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAMINATION ATTRIBUTION — `benchmark_contamination` lists the
+    leaked docs; this answers the procurement question: WHICH source is
+    doing the leaking, by doc rate and (the one that matters for training
+    mix) token rate. A source with a high token rate is scraping the eval
+    suites' provenance — the fix is upstream (drop or re-filter the
+    source), not per-doc; a uniform low rate is benchmark text diffusing
+    everywhere and argues for the n-gram gate staying on the ingest path
+    (`contamination_bloom_prefilter` / the capstone's decontam stage).
+    Benchmark docs themselves (the {MOD}-modulo split) are excluded from
+    every denominator — a source hosting the benchmark is not
+    "contaminated by" it. Composes the registered member (engine calls
+    it off the shared gram layer, oracle interpolates its SQL). Scale
+    shape: one doc-keyed LEFT join of the corpus projection onto the
+    member's matched-doc set, one source rollup; rates are multiply-
+    before-one-floor-division micros."""
+    from postgres_cdc_example_spark.operators.dedup import word_tokens
+
+    corpus = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+    )
+    contam = (
+        REGISTRY["benchmark_contamination"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.lit(1).alias("ct"))
+    )
+    return (
+        corpus.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN ct IS NOT NULL THEN n_toks END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("contaminated_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("doc_rate_micro"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN ct IS NOT NULL THEN n_toks END),"
+                " 0) * 1000000 div sum(n_toks) AS BIGINT)"
+            ).alias("token_rate_micro"),
+        )
+    )
+
+
+contamination_by_source.__doc__ = contamination_by_source.__doc__.replace(
+    "{MOD}", str(BENCH_MOD)
+)

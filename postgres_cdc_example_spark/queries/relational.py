@@ -6510,3 +6510,128 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_suppliers_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal split leakage — the time-series cousin of split_leakage_safe
+# ---------------------------------------------------------------------------
+
+TEMPORAL_CUT_PCTS = (25, 50, 75)  # candidate cuts as % of the event span
+
+
+@register(
+    "split_temporal_leakage",
+    oracle=f"""
+    WITH span AS (
+      SELECT min(ts) AS lo, max(ts) AS hi,
+             CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS w
+      FROM events
+    ),
+    g AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in TEMPORAL_CUT_PCTS)})
+          gg(pct)),
+    tagged AS (
+      SELECT g.pct, e.user_id,
+             CASE WHEN date_diff('microsecond', span.lo, e.ts)
+                       < span.w * g.pct // 100
+                  THEN 1 ELSE 0 END AS in_train
+      FROM events e, span, g
+    ),
+    per_user AS (
+      SELECT pct, user_id,
+             max(in_train) AS any_train,
+             max(1 - in_train) AS any_test,
+             CAST(sum(in_train) AS BIGINT) AS n_train_ev,
+             CAST(sum(1 - in_train) AS BIGINT) AS n_test_ev
+      FROM tagged GROUP BY pct, user_id
+    )
+    SELECT CAST(pct AS BIGINT) AS cut_pct,
+           CAST(sum(n_train_ev) AS BIGINT) AS n_train_events,
+           CAST(sum(n_test_ev) AS BIGINT) AS n_test_events,
+           CAST(sum(any_train) AS BIGINT) AS n_users_train,
+           CAST(sum(any_test) AS BIGINT) AS n_users_test,
+           CAST(sum(any_train * any_test) AS BIGINT) AS n_users_both,
+           CAST(CASE WHEN sum(any_test) = 0 THEN NULL
+                ELSE sum(any_train * any_test) * 1000000 // sum(any_test)
+                END AS BIGINT) AS user_leakage_micro,
+           CAST(CASE WHEN sum(n_test_ev) = 0 THEN NULL
+                ELSE sum(CASE WHEN any_train = 1 THEN n_test_ev ELSE 0 END)
+                     * 1000000 // sum(n_test_ev) END AS BIGINT)
+             AS test_events_seen_user_micro
+    FROM per_user GROUP BY pct
+    """,
+)
+def split_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL SPLIT LEAKAGE AUDIT — `split_leakage_safe` keeps near-dup
+    documents out of opposing folds; this is the time-series counterpart
+    for event data: a train/test cut at time T leaks at the USER level
+    whenever the same user appears on both sides (per-user behavioral
+    models memorize the user, not the time period — the classic inflated
+    -offline-metric failure). For each candidate cut ({PCTS}% of the
+    observed span — self-scaling like the tombstone retention line):
+    split sizes, per-side distinct users, the overlap, `user_leakage_micro`
+    (share of test users already seen in train) and
+    `test_events_seen_user_micro` (share of test EVENTS carrying a seen
+    user — the number an evaluation actually inflates by). Verdicts go
+    honest-NULL when a side is empty. Scale shape: one 1-row span
+    broadcast, a 3-row literal grid fanout, ONE (cut, user)-keyed
+    aggregate (map-side combined) then a 3-row rollup — the event table
+    never self-joins."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    span = ev.agg(
+        F.min("ts").alias("lo"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, min(ts), max(ts)) AS BIGINT)"
+        ).alias("w"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in TEMPORAL_CUT_PCTS], "pct long"
+    )
+    tagged = (
+        ev.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "pct",
+            "user_id",
+            F.expr(
+                "CASE WHEN CAST(timestampdiff(MICROSECOND, lo, ts) AS BIGINT)"
+                " < w * pct div 100 THEN 1 ELSE 0 END"
+            ).alias("in_train"),
+        )
+    )
+    per_user = tagged.groupBy("pct", "user_id").agg(
+        F.max("in_train").alias("any_train"),
+        F.max(F.expr("1 - in_train")).alias("any_test"),
+        F.sum("in_train").cast("long").alias("n_train_ev"),
+        F.sum(F.expr("1 - in_train")).cast("long").alias("n_test_ev"),
+    )
+    return per_user.groupBy("pct").agg(
+        F.sum("n_train_ev").cast("long").alias("n_train_events"),
+        F.sum("n_test_ev").cast("long").alias("n_test_events"),
+        F.sum("any_train").cast("long").alias("n_users_train"),
+        F.sum("any_test").cast("long").alias("n_users_test"),
+        F.sum(F.expr("any_train * any_test")).cast("long").alias("n_users_both"),
+        F.expr(
+            "CAST(CASE WHEN sum(any_test) = 0 THEN NULL"
+            " ELSE sum(any_train * any_test) * 1000000 div sum(any_test)"
+            " END AS BIGINT)"
+        ).alias("user_leakage_micro"),
+        F.expr(
+            "CAST(CASE WHEN sum(n_test_ev) = 0 THEN NULL"
+            " ELSE sum(CASE WHEN any_train = 1 THEN n_test_ev ELSE 0 END)"
+            " * 1000000 div sum(n_test_ev) END AS BIGINT)"
+        ).alias("test_events_seen_user_micro"),
+    ).select(
+        F.col("pct").alias("cut_pct"),
+        "n_train_events",
+        "n_test_events",
+        "n_users_train",
+        "n_users_test",
+        "n_users_both",
+        "user_leakage_micro",
+        "test_events_seen_user_micro",
+    )
+
+
+split_temporal_leakage.__doc__ = split_temporal_leakage.__doc__.replace(
+    "{PCTS}", "/".join(str(p) for p in TEMPORAL_CUT_PCTS)
+)

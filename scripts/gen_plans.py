@@ -157,6 +157,9 @@ NOTES = {
     "token_budget_frontier": "Frontier: the curriculum two-pass token cumsum (range-bucket windows + broadcast <=245-row offsets), broadcast 5-row budget grid, conditional aggregation so every budget emits.",
     "ann_pq_distortion_by_cluster": "PQ distortion: encode and coarse assignment are zero-shuffle literal-codebook projections off the memoized layers; one vec-keyed d2 aggregate; <=k-row rollup.",
     "dedup_mixture_shift": "Mixture shift: exact + cluster members joined doc-keyed, one source rollup, 1-row before/after totals broadcast; shares floored before the signed difference.",
+    "dedup_simhash_calibration": "SimHash calibration: occurrence-layer 32-sum simhash aggregate, byte-band bucket self-join (collision volume ~ sum bucket^2 - dense on this closed-vocab corpus, measured), exact hamming counts + stratified Jaccard verification (full at h<=3, deterministic 1/16 sample above).",
+    "contamination_by_source": "Contamination attribution: one doc-keyed LEFT join of the corpus projection onto the member's matched set, source rollup; benchmark split excluded from denominators.",
+    "split_temporal_leakage": "Temporal leakage: 1-row span + 3-row cut grid broadcast, ONE (cut, user) map-side-combined aggregate, 3-row rollup; events never self-join.",
 }
 
 

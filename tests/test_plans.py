@@ -548,6 +548,7 @@ _BNLJ_ALLOWED = {
     "cdc_tombstone_retention",  # 1-row watermark/span broadcast into the key-bounded rollup
     "dedup_mixture_shift",  # 1-row before/after token-total broadcast into the source rollup
     "token_budget_frontier",  # 1-row token-total + broadcast 5-row budget grid over the cumsum
+    "split_temporal_leakage",  # 1-row span + 3-row cut grid broadcast into one (cut, user) aggregate
 }
 
 

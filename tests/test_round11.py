@@ -329,3 +329,92 @@ def test_mixture_shift_flags_planted_dup_heavy_source(spark, sf_dir, tmp_path):
     for side in ("share_before_micro", "share_after_micro"):
         s = sum(getattr(r, side) for r in got.values())
         assert 1_000_000 - len(got) <= s <= 1_000_000
+
+
+def test_simhash_calibration_curve_shape(spark, sf_dir):
+    """Calibration invariants: hamming levels stay in [0, 32]; the full
+    stratum (h <= 3) verifies every pair while higher levels carry the
+    deterministic sample; true pairs concentrate at low hamming; the
+    fixture produces both true pairs and noise."""
+    from postgres_cdc_example_spark.queries.extensions import (
+        SIMHASH_CAL_FULL_H,
+    )
+
+    rows = sorted(
+        REGISTRY["dedup_simhash_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.hamming,
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 32
+        assert 0 <= r.n_true_sampled <= r.n_verified <= r.n_pairs
+        if r.hamming <= SIMHASH_CAL_FULL_H:
+            assert r.n_verified == r.n_pairs, "full stratum verifies all"
+        if r.n_verified:
+            assert 0 <= r.min_jac_micro <= r.mean_jac_micro <= r.max_jac_micro
+        else:
+            assert r.mean_jac_micro is None
+    assert any(r.n_true_sampled > 0 for r in rows), "fixture has near-dups"
+    assert any(
+        r.n_true_sampled == 0 and r.n_pairs > 0 for r in rows
+    ), "and noise"
+    top_true = max(r.hamming for r in rows if r.n_true_sampled > 0)
+    assert top_true <= 4, "true pairs must sit at low hamming on this corpus"
+
+
+def test_contamination_by_source_reconciles_with_member(spark, sf_dir):
+    """The per-source rollup must reconcile exactly with the registered
+    member (same matched-doc set) and the corpus excluding the benchmark
+    split; rates are consistent with the counts."""
+    from postgres_cdc_example_spark.queries.llmdata import BENCH_MOD
+    from postgres_cdc_example_spark.sources.tables import load_table
+
+    rows = REGISTRY["contamination_by_source"].fn(spark, sf_dir).collect()
+    n_corpus = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .count()
+    )
+    n_contam = REGISTRY["benchmark_contamination"].fn(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    assert sum(r.n_contaminated for r in rows) == n_contam
+    for r in rows:
+        assert r.doc_rate_micro == r.n_contaminated * 1_000_000 // r.n_docs
+        assert (
+            r.token_rate_micro
+            == r.contaminated_tokens * 1_000_000 // r.total_tokens
+        )
+
+
+def test_temporal_leakage_planted_disjoint_eras(spark, sf_dir, tmp_path):
+    """NEGATIVE control: users split into disjoint eras (1-5 only before
+    mid-span, 6-10 only after) must show ZERO user leakage at the 50% cut
+    while a straddling user makes the 25% cut leak; both engines agree."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_leak")
+    rows, eid = [], 0
+    # era 1: users 1-5, days 1-9; era 2: users 6-10, days 12-20
+    for day in range(1, 10):
+        for u in range(1, 6):
+            eid += 1
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", u, "view", 1.0, "{}"))
+    for day in range(12, 21):
+        for u in range(6, 11):
+            eid += 1
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", u, "view", 1.0, "{}"))
+    # one straddler active on both sides of the 25% cut (day ~5.75) but
+    # wholly inside era 1, so the 50% cut stays clean
+    eid += 1
+    rows.append((eid, "2024-03-02 10:00:00", 99, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-03-08 10:00:00", 99, "view", 1.0, "{}"))
+    _stage_single_parquet(
+        _events_df(spark, rows), tmp_path, mini, "events", "leak_st"
+    )
+    e = REGISTRY["split_temporal_leakage"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.cut_pct: r for r in e.fn(spark, str(mini)).collect()}
+    assert got[50].n_users_both == 0 and got[50].user_leakage_micro == 0
+    assert got[50].test_events_seen_user_micro == 0
+    assert got[25].n_users_both >= 1 and got[25].user_leakage_micro > 0
