@@ -1494,6 +1494,11 @@ _BENFORD_MICRO = {
     d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5))
     for d in range(1, 10)
 }
+# chi-square 0.95 critical value at df = 8 (9 digits - 1), micro grid —
+# documented literal, identical in both engines (r11: the audit gained a
+# significance VERDICT; a deviation table without a decision line was the
+# same half-an-audit shape as the pre-fix hour/dow heatmap)
+CHI2_95_8_MICRO = 15_507_313
 
 
 @register(
@@ -1511,13 +1516,35 @@ _BENFORD_MICRO = {
       FROM unnest([{",".join(
           f"struct_pack(d := CAST({d} AS BIGINT), m := CAST({m} AS BIGINT))"
           for d, m in _BENFORD_MICRO.items())}]) AS un(u)
+    ),
+    f AS (
+      SELECT e.digit, e.benford_micro,
+             coalesce(o.n_orders, 0) AS n_orders
+      FROM e LEFT JOIN o ON o.digit = e.digit
+    ),
+    chi AS (
+      -- cleared per-term form (the r11 heatmap recipe): each term is
+      -- (obs*1e6 - n*p)^2 // (n*p) = chi2_term * 1e6 (the 1e12 from the
+      -- squared numerator, divided by p's own 1e6 scale, leaves micro);
+      -- the per-digit denominator cannot hoist past the sum, and each
+      -- floor discards < 1 micro-unit
+      SELECT CAST(sum((CAST(f.n_orders AS HUGEINT) * 1000000
+                       - n.n * f.benford_micro)
+                      * (CAST(f.n_orders AS HUGEINT) * 1000000
+                         - n.n * f.benford_micro)
+                      // (CAST(n.n AS HUGEINT) * f.benford_micro))
+                  AS BIGINT) AS chi2_micro
+      FROM f, n
     )
-    SELECT e.digit, coalesce(o.n_orders, 0) AS n_orders,
-           coalesce(o.n_orders, 0) * 1000000 // n.n AS share_micro,
-           e.benford_micro,
-           abs(coalesce(o.n_orders, 0) * 1000000 // n.n - e.benford_micro)
-             AS dev_micro
-    FROM e LEFT JOIN o ON o.digit = e.digit, n
+    SELECT f.digit, f.n_orders,
+           f.n_orders * 1000000 // n.n AS share_micro,
+           f.benford_micro,
+           abs(f.n_orders * 1000000 // n.n - f.benford_micro) AS dev_micro,
+           chi.chi2_micro,
+           CAST(CASE WHEN n.n = 0 THEN NULL
+                WHEN chi.chi2_micro > {CHI2_95_8_MICRO} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_benford
+    FROM f, n, chi
     """,
 )
 def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,8 +1558,16 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected into both engines as literals, so no engine libm reaches a
     value. All 9 digits always emit (absent digits as 0 with full
     deviation) — a digit with zero mass is the loudest possible signal,
-    and dropping it would hide exactly the fraud the audit hunts. One
-    map-side-combined 9-group aggregate + a broadcast 9-row expected
+    and dropping it would hide exactly the fraud the audit hunts. r11:
+    the audit gained the DECISION line — a goodness-of-fit chi² in the
+    cleared per-term integer form ((obs·10⁶ − n·p_micro)² // (n·p_micro)
+    summed — that IS chi²·10⁶, the squared numerator's 10¹² net of
+    p_micro's own 10⁶; the per-digit denominator cannot hoist past the
+    sum, each floor discards < 1 micro-unit) judged against the
+    χ²₀.₉₅(8) literal, with an honest-NULL verdict on an empty table.
+    TPC-H's uniform price generator genuinely violates Benford, so the
+    fixture is a built-in positive control (reject fires at every SF).
+    One map-side-combined 9-group aggregate + a broadcast 9-row expected
     table; the 1-row total broadcasts like every scalar in this file."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     c = load_table(spark, "orders", sf_dir).select(
@@ -1553,16 +1588,37 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.digit", "t.benford_micro")
-    share = F.expr("coalesce(n_orders, 0L) * 1000000 div n")
+    f = e.join(o, "digit", "left").select(
+        "digit",
+        "benford_micro",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+    chi = f.crossJoin(F.broadcast(n)).agg(
+        F.expr(
+            "CAST(sum((CAST(n_orders AS DECIMAL(38,0)) * 1000000"
+            " - n * benford_micro)"
+            " * (CAST(n_orders AS DECIMAL(38,0)) * 1000000"
+            " - n * benford_micro)"
+            " div (CAST(n AS DECIMAL(38,0)) * benford_micro))"
+            " AS BIGINT)"
+        ).alias("chi2_micro")
+    )
+    share = F.expr("n_orders * 1000000 div n")
     return (
-        e.join(o, "digit", "left")
-        .crossJoin(F.broadcast(n))
+        f.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(chi))
         .select(
             "digit",
-            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            "n_orders",
             share.alias("share_micro"),
             "benford_micro",
             F.abs(share - F.col("benford_micro")).alias("dev_micro"),
+            "chi2_micro",
+            F.expr(
+                f"CAST(CASE WHEN n = 0 THEN NULL"
+                f" WHEN chi2_micro > {CHI2_95_8_MICRO} THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("reject_benford"),
         )
     )
 

@@ -418,3 +418,46 @@ def test_temporal_leakage_planted_disjoint_eras(spark, sf_dir, tmp_path):
     assert got[50].n_users_both == 0 and got[50].user_leakage_micro == 0
     assert got[50].test_events_seen_user_micro == 0
     assert got[25].n_users_both >= 1 and got[25].user_leakage_micro > 0
+
+
+def test_benford_verdict_both_arms(spark, sf_dir, tmp_path):
+    """r11: the Benford audit gained a chi2 significance verdict. TPC-H's
+    uniform price generator violates Benford, so the stock fixture is the
+    positive control (reject 1). NEGATIVE control: a planted order table
+    whose first-digit counts follow Benford's law exactly (round(n*p_d)
+    orders at price d*100) must NOT reject. Both engines agree on both."""
+    from tests.oracle_utils import compare_to_oracle
+
+    e = REGISTRY["orders_benford_audit"]
+    stock = e.fn(spark, sf_dir).collect()
+    assert stock[0].reject_benford == 1, "uniform TPC-H prices violate Benford"
+
+    from postgres_cdc_example_spark.queries.relational import _BENFORD_MICRO
+
+    mini = _mini(sf_dir, tmp_path, "sf_benford")
+    n = 5000
+    rows, ok = [], 0
+    for d, p in _BENFORD_MICRO.items():
+        for _ in range(round(n * p / 1_000_000)):
+            ok += 1
+            rows.append(
+                (ok, 1 + ok % 50, "O", float(d * 100), "2024-03-01 00:00:00",
+                 "3-MEDIUM")
+            )
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    _stage_single_parquet(odf, tmp_path, mini, "orders", "benford_st")
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = e.fn(spark, str(mini)).collect()
+    assert got[0].reject_benford == 0, f"Benford-exact corpus must accept"
+    assert got[0].chi2_micro < 1_000_000  # chi2 < 1 on the exact-fit corpus
