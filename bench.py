@@ -259,7 +259,7 @@ BENCH_QUERIES = [
     "value_location_friedman",  # 0.65 s best-of-3 idle at sf0.1
     "value_cochran_q",  # 0.95 s best-of-3 idle at sf0.1
     "dedup_snm_multipass",  # 3.61 s best-of-3 idle at sf0.1 (two full SNM passes by design)
-    "pipeline_end_to_end",  # 3.12 s best-of-3 idle at sf0.1 (chains 4 member queries)
+    "pipeline_end_to_end",  # 2.55 s best-of-5 idle at sf0.1 r11 (chains 5 member queries; +0.6 s vs r10 = the added quota member, adjudicated real)
     "semantic_dedup_incremental",  # 1.96 s best-of-3 idle at sf0.1 (delta x cluster join)
     "perplexity_bucket_plan",  # 1.16 s best-of-3 idle at sf0.1 (per-lang two-pass rank)
     "doc_chunk_plan",  # 0.48 s best-of-3 idle at sf0.1 (one scan + sequence explode)

@@ -124,6 +124,17 @@ QUERIES = [
     "quality_filter_funnel",
     "lm_dirichlet_ranking",
     "dedup_minhash_calibration",
+    # round-11 (documents/embeddings-based; the orders/events-keyed HHI,
+    # tombstone, leakage and Benford queries would measure nothing here)
+    "dedup_oph_calibration",
+    "dedup_simhash_calibration",
+    "source_hapax_profile",
+    "dedup_quality_interaction",
+    "token_budget_frontier",
+    "ann_pq_distortion_by_cluster",
+    "dedup_mixture_shift",
+    "contamination_by_source",
+    "corpus_dedup_summary",
 ]
 
 
