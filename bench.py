@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     # closed-vocab corpus — measured + documented; verification stratified)
     "contamination_by_source",  # 0.67 s (member doc set + source rollup)
     "split_temporal_leakage",  # 0.71 s (one (cut, user) keyed aggregate)
+    "event_markov_nll",  # 0.64 s (one user window + vocab-bounded count joins)
+    "text_jm_lambda_grid",  # 1.11 s (train counts + held bigrams x 5-lambda grid)
 ]
 
 

@@ -6975,3 +6975,179 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 contamination_by_source.__doc__ = contamination_by_source.__doc__.replace(
     "{MOD}", str(BENCH_MOD)
 )
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer lambda grid — held-out smoothing selection
+# ---------------------------------------------------------------------------
+
+JM_HELD_MOD = 5  # doc_id % 5 == 0 -> held-out split for lambda selection
+JM_LAMBDAS = ((100000, "0.1"), (300000, "0.3"), (500000, "0.5"),
+              (700000, "0.7"), (900000, "0.9"))
+
+
+@register(
+    "text_jm_lambda_grid",
+    oracle=f"""
+    WITH occ_all AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM occ_all),
+    cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ_all
+           WHERE doc_id % {JM_HELD_MOD} != 0 GROUP BY tok),
+    tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM cu),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+           unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS u(i)
+    ),
+    cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg
+            WHERE doc_id % {JM_HELD_MOD} != 0 GROUP BY w1, w2),
+    ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY w1),
+    g AS (SELECT * FROM (VALUES {", ".join(
+        f"(CAST({m} AS BIGINT), CAST({lit} AS DOUBLE))"
+        for m, lit in JM_LAMBDAS)}) gg(lam_micro, lam)),
+    held AS (
+      SELECT b.w1, b.w2,
+             CASE WHEN ca.c_a IS NULL THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(coalesce(cab.c_ab, 0) AS DOUBLE) / ca.c_a
+             END AS pb,
+             CAST(coalesce(cu.c, 0) + 1 AS DOUBLE) / (tt.t + v.v) AS pu
+      FROM bg b
+      LEFT JOIN cab ON cab.w1 = b.w1 AND cab.w2 = b.w2
+      LEFT JOIN ca ON ca.w1 = b.w1
+      LEFT JOIN cu ON cu.tok = b.w2
+      CROSS JOIN tt CROSS JOIN v
+      WHERE b.doc_id % {JM_HELD_MOD} = 0
+    ),
+    scored AS (
+      SELECT g.lam_micro,
+             CAST(floor(ln(1.0 / (g.lam * h.pb + (1.0 - g.lam) * h.pu))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM held h, g
+    ),
+    per AS (
+      SELECT lam_micro,
+             CAST(count(*) AS BIGINT) AS n_held_bigrams,
+             CAST(sum(lp_micro) AS BIGINT) AS nll_micro_sum,
+             CAST(floor(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mean_nll_micro
+      FROM scored GROUP BY lam_micro
+    )
+    SELECT lam_micro AS lambda_micro, n_held_bigrams, nll_micro_sum,
+           mean_nll_micro,
+           CAST(CASE WHEN row_number() OVER (ORDER BY mean_nll_micro,
+                                             lam_micro) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM per
+    """,
+)
+def text_jm_lambda_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JELINEK-MERCER SMOOTHING SELECTION on a held-out split — completes
+    the LM-smoothing family (add-one unigram/bigram, Kneser-Ney,
+    Dirichlet QL are all FIXED policies; JM's interpolation weight is the
+    one knob that must be FIT, and fitting it on training perplexity
+    silently picks λ=1): per λ in the {NL}-point grid, the held-out
+    (doc_id % {HM} == 0) bigram NLL under λ·P_bigram + (1−λ)·P_unigram
+    trained on the REST, with `is_best` marking the argmin — the number a
+    retrieval/filter stack should copy instead of defaulting to 0.5.
+    P_bigram is the train MLE (0 for unseen histories — exactly what
+    interpolation exists to rescue); P_unigram is add-one over the full
+    vocabulary so every target token has mass. The interpolated
+    probability is evaluated in IEEE doubles identically in both engines
+    and the log micro-rounds BEFORE the sums (the `text_unigram_nll`
+    recipe). Scale shape: two (token[-pair])-keyed map-side-combined
+    train counts (vocab-bounded — they broadcast), the held bigrams join
+    them keyed, a 5-row literal λ grid fanout, a 5-row rollup + rank
+    window. Never a self-join."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ_all = _doc_occurrences(spark, sf_dir)
+    v = occ_all.agg(F.countDistinct("tok").cast("long").alias("v"))
+    cu = (
+        occ_all.filter(F.col("doc_id") % JM_HELD_MOD != 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tt = cu.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
+    bg = (
+        docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    cab = (
+        bg.filter(F.col("doc_id") % JM_HELD_MOD != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    held = (
+        bg.filter(F.col("doc_id") % JM_HELD_MOD == 0)
+        .join(cab, ["w1", "w2"], "left")
+        .join(ca, "w1", "left")
+        .join(cu.withColumnRenamed("tok", "w2").withColumnRenamed("c", "cu_c"),
+              "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.expr(
+                "CASE WHEN c_a IS NULL THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(coalesce(c_ab, 0) AS DOUBLE) / c_a END"
+            ).alias("pb"),
+            F.expr(
+                "CAST(coalesce(cu_c, 0) + 1 AS DOUBLE) / (t + v)"
+            ).alias("pu"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(m, float(lit)) for m, lit in JM_LAMBDAS],
+        "lam_micro long, lam double",
+    )
+    scored = held.crossJoin(F.broadcast(grid)).select(
+        "lam_micro",
+        F.floor(
+            F.log(1.0 / (F.col("lam") * F.col("pb")
+                         + (F.lit(1.0) - F.col("lam")) * F.col("pu")))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    per = scored.groupBy("lam_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("n_held_bigrams"),
+        F.sum("lp_micro").cast("long").alias("nll_micro_sum"),
+    ).select(
+        "lam_micro",
+        "n_held_bigrams",
+        "nll_micro_sum",
+        F.floor(
+            F.col("nll_micro_sum").cast("double") / F.col("n_held_bigrams")
+        )
+        .cast("long")
+        .alias("mean_nll_micro"),
+    )
+    wr = Window.orderBy("mean_nll_micro", "lam_micro")
+    return (
+        per.withColumn("rn", F.row_number().over(wr))
+        .select(
+            F.col("lam_micro").alias("lambda_micro"),
+            "n_held_bigrams",
+            "nll_micro_sum",
+            "mean_nll_micro",
+            F.expr("CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "is_best"
+            ),
+        )
+    )
+
+
+text_jm_lambda_grid.__doc__ = text_jm_lambda_grid.__doc__.replace(
+    "{NL}", str(len(JM_LAMBDAS))
+).replace("{HM}", str(JM_HELD_MOD))

@@ -6691,3 +6691,133 @@ def split_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 split_temporal_leakage.__doc__ = split_temporal_leakage.__doc__.replace(
     "{PCTS}", "/".join(str(p) for p in TEMPORAL_CUT_PCTS)
 )
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov NLL — held-out sequence-model baseline over event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_markov_nll",
+    oracle="""
+    WITH span AS (
+      SELECT min(ts) AS lo,
+             CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS w
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS a, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS b_ts
+      FROM events
+    ),
+    trans AS (
+      SELECT s.a, s.b,
+             CASE WHEN date_diff('microsecond', span.lo, s.b_ts)
+                       >= span.w * 50 // 100 THEN 1 ELSE 0 END AS is_test
+      FROM seq s, span WHERE s.b IS NOT NULL
+    ),
+    v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM events),
+    cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM trans WHERE is_test = 0 GROUP BY a, b),
+    ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+    scored AS (
+      SELECT t.a,
+             CAST(floor(ln(CAST(coalesce(ca.c_a, 0) + v.v AS DOUBLE)
+                           / (coalesce(cab.c_ab, 0) + 1))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM trans t
+      LEFT JOIN cab ON cab.a = t.a AND cab.b = t.b
+      LEFT JOIN ca ON ca.a = t.a
+      CROSS JOIN v
+      WHERE t.is_test = 1
+    )
+    SELECT a AS prev_type,
+           CAST(count(*) AS BIGINT) AS n_test_transitions,
+           CAST(sum(lp_micro) AS BIGINT) AS nll_micro_sum,
+           CAST(floor(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_nll_micro
+    FROM scored GROUP BY a
+    """,
+)
+def event_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV NLL on a held-out temporal split — the
+    sequence-model baseline the behavioral queries imply but never
+    evaluate: `event_transition_matrix` DESCRIBES the dynamics; this
+    scores how well the first-half-trained transition model PREDICTS the
+    second half (per previous-state mean NLL, add-one smoothing over the
+    full event-type vocabulary so unseen transitions stay finite; a state
+    whose held-out NLL towers over the rest is where the process is
+    non-stationary — the drift signal a monitoring stack wants per state,
+    not globally). The split is the `split_temporal_leakage` 50%-of-span
+    rule (a transition belongs to the side of its TARGET event, so train
+    never peeks across the cut). The per-transition log is micro-rounded
+    BEFORE the sums (the `text_unigram_nll` recipe — aggregates are pure
+    integer addition, order-independent across engines/partitionings).
+    Scale shape: ONE user-keyed window builds transitions (same exchange
+    the sessionization family uses), two (a[,b])-keyed map-side-combined
+    train counts (≤ |types|² rows — they broadcast), a 1-row span and a
+    1-row vocabulary broadcast, a ≤ |types|-row rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    span = ev.agg(
+        F.min("ts").alias("lo"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, min(ts), max(ts)) AS BIGINT)"
+        ).alias("w"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w_seq).alias("b"),
+        F.lead("ts").over(w_seq).alias("b_ts"),
+    ).filter(F.col("b").isNotNull())
+    trans = seq.crossJoin(F.broadcast(span)).select(
+        "a",
+        "b",
+        F.expr(
+            "CASE WHEN CAST(timestampdiff(MICROSECOND, lo, b_ts) AS BIGINT)"
+            " >= w * 50 div 100 THEN 1 ELSE 0 END"
+        ).alias("is_test"),
+    )
+    v = ev.agg(F.countDistinct("event_type").cast("long").alias("v"))
+    cab = (
+        trans.filter("is_test = 0")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    scored = (
+        trans.filter("is_test = 1")
+        .join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            F.floor(
+                F.log(
+                    (F.coalesce("c_a", F.lit(0)) + F.col("v")).cast("double")
+                    / (F.coalesce("c_ab", F.lit(0)) + 1)
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_transitions"),
+        F.sum("lp_micro").cast("long").alias("nll_micro_sum"),
+    ).select(
+        F.col("a").alias("prev_type"),
+        "n_test_transitions",
+        "nll_micro_sum",
+        F.floor(
+            F.col("nll_micro_sum").cast("double") / F.col("n_test_transitions")
+        )
+        .cast("long")
+        .alias("mean_nll_micro"),
+    )

@@ -160,6 +160,8 @@ NOTES = {
     "dedup_simhash_calibration": "SimHash calibration: occurrence-layer 32-sum simhash aggregate, byte-band bucket self-join (collision volume ~ sum bucket^2 - dense on this closed-vocab corpus, measured), exact hamming counts + stratified Jaccard verification (full at h<=3, deterministic 1/16 sample above).",
     "contamination_by_source": "Contamination attribution: one doc-keyed LEFT join of the corpus projection onto the member's matched set, source rollup; benchmark split excluded from denominators.",
     "split_temporal_leakage": "Temporal leakage: 1-row span + 3-row cut grid broadcast, ONE (cut, user) map-side-combined aggregate, 3-row rollup; events never self-join.",
+    "event_markov_nll": "Markov NLL: one user-keyed window builds transitions, |types|^2-bounded train counts broadcast, per-transition log micro-rounds before the per-state integer sums.",
+    "text_jm_lambda_grid": "JM grid: vocab-bounded train counts broadcast into the held bigrams, 5-row lambda grid fanout, 5-row rollup + rank window; logs micro-round before sums.",
 }
 
 

@@ -549,6 +549,8 @@ _BNLJ_ALLOWED = {
     "dedup_mixture_shift",  # 1-row before/after token-total broadcast into the source rollup
     "token_budget_frontier",  # 1-row token-total + broadcast 5-row budget grid over the cumsum
     "split_temporal_leakage",  # 1-row span + 3-row cut grid broadcast into one (cut, user) aggregate
+    "event_markov_nll",  # 1-row span + 1-row vocabulary broadcasts into the transition stream
+    "text_jm_lambda_grid",  # 1-row totals + 5-row lambda grid broadcast over the held bigrams
 }
 
 

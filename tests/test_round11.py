@@ -461,3 +461,62 @@ def test_benford_verdict_both_arms(spark, sf_dir, tmp_path):
     got = e.fn(spark, str(mini)).collect()
     assert got[0].reject_benford == 0, f"Benford-exact corpus must accept"
     assert got[0].chi2_micro < 1_000_000  # chi2 < 1 on the exact-fit corpus
+
+
+def test_markov_nll_planted_seen_vs_unseen_transitions(spark, sf_dir, tmp_path):
+    """Planted control: train half teaches view<->purchase alternation;
+    the test half replays it for one user (seen transitions, low NLL) and
+    plays a never-trained error<->signup alternation for another (unseen
+    history -> uniform-smoothed, high NLL). The per-state table must rank
+    them accordingly, and both engines agree."""
+    from tests.oracle_utils import compare_to_oracle
+
+    mini = _mini(sf_dir, tmp_path, "sf_markov")
+    rows, eid = [], 0
+    # train: days 1-5, user 1 alternates view/purchase (40 events)
+    for i in range(40):
+        eid += 1
+        day = 1 + i // 10
+        t = "view" if i % 2 == 0 else "purchase"
+        rows.append((eid, f"2024-03-0{day} {i % 10:02d}:10:00", 1, t, 1.0, "{}"))
+    # test: days 8-9 (past the 50% cut of the 1..9 span)
+    for i in range(6):
+        eid += 1
+        t = "view" if i % 2 == 0 else "purchase"
+        rows.append((eid, f"2024-03-08 {i:02d}:00:00", 2, t, 1.0, "{}"))
+    for i in range(6):
+        eid += 1
+        t = "error" if i % 2 == 0 else "signup"
+        rows.append((eid, f"2024-03-09 {i:02d}:00:00", 3, t, 1.0, "{}"))
+    _stage_single_parquet(
+        _events_df(spark, rows), tmp_path, mini, "events", "markov_st"
+    )
+    e = REGISTRY["event_markov_nll"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.prev_type: r for r in e.fn(spark, str(mini)).collect()}
+    assert got["view"].mean_nll_micro < got["error"].mean_nll_micro
+    # seen alternation: ln((20+4)/(20+1)) ~ 0.1335; unseen state: ln 4
+    assert got["view"].mean_nll_micro < 200_000
+    assert got["error"].mean_nll_micro == got["signup"].mean_nll_micro
+    assert abs(got["error"].mean_nll_micro - 1_386_294) < 2
+
+
+def test_jm_lambda_grid_selects_interior_minimum(spark, sf_dir):
+    """Grid invariants: all five lambdas emit with identical held-out
+    bigram counts; exactly one is_best and it attains the minimum mean
+    NLL; the curve is non-degenerate (not all equal)."""
+    rows = sorted(
+        REGISTRY["text_jm_lambda_grid"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.lambda_micro,
+    )
+    assert [r.lambda_micro for r in rows] == [
+        100000, 300000, 500000, 700000, 900000
+    ]
+    assert len({r.n_held_bigrams for r in rows}) == 1
+    assert sum(r.is_best for r in rows) == 1
+    best = next(r for r in rows if r.is_best)
+    assert best.mean_nll_micro == min(r.mean_nll_micro for r in rows)
+    assert len({r.mean_nll_micro for r in rows}) > 1
+    for r in rows:
+        assert r.mean_nll_micro > 0
+        assert r.nll_micro_sum >= r.mean_nll_micro * r.n_held_bigrams
