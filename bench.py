@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "split_temporal_leakage",  # 0.71 s (one (cut, user) keyed aggregate)
     "event_markov_nll",  # 0.64 s (one user window + vocab-bounded count joins)
     "text_jm_lambda_grid",  # 1.11 s (train counts + held bigrams x 5-lambda grid)
+    "dedup_embedding_cosine",  # 2.12 s in the r11 --full pass -> headline by the
+    # >2s rule (the LABELED exact all-pairs baseline; scale path = semantic_dedup)
 ]
 
 
