@@ -520,3 +520,66 @@ def test_jm_lambda_grid_selects_interior_minimum(spark, sf_dir):
     for r in rows:
         assert r.mean_nll_micro > 0
         assert r.nll_micro_sum >= r.mean_nll_micro * r.n_held_bigrams
+
+
+def test_heatmap_chi2_cleared_form_is_exact():
+    """Hypothesis proof of the r11 chi2 clearing (the ADVICE-high fix):
+    for any complete grid of counts, sum((c*k - n)^2) * 1e6 // (n*k)
+    equals floor(chi2 * 1e6) computed with exact Fractions — the single
+    division makes the integer form EXACT, not just close (the broken
+    r10 per-cell form loses up to k units per cell and a factor n)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 10_000), min_size=2, max_size=168))
+    def prove(counts):
+        n = sum(counts)
+        if n == 0:
+            return
+        k = len(counts)
+        cleared = sum((c * k - n) ** 2 for c in counts) * 1_000_000 // (n * k)
+        exact = Fraction(0)
+        for c in counts:
+            e = Fraction(n, k)
+            exact += (Fraction(c) - e) ** 2 / e
+        assert cleared == (exact * 1_000_000).__floor__()
+
+    prove()
+
+
+def test_benford_chi2_cleared_form_within_floor_budget():
+    """Hypothesis proof of the Benford per-term clearing: each term
+    (obs*1e6 - n*p)^2 // (n*p) floors away < 1 micro-unit, so the summed
+    integer statistic sits within 9 micro-units BELOW the Fraction-exact
+    chi2*1e6 (never above — floors only discard); with expectations on
+    the micro grid the reference chi2 uses p_micro/1e6 itself."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from postgres_cdc_example_spark.queries.relational import _BENFORD_MICRO
+
+    ps = list(_BENFORD_MICRO.values())
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 100_000), min_size=9, max_size=9))
+    def prove(obs):
+        n = sum(obs)
+        if n == 0:
+            return
+        cleared = sum(
+            (o * 1_000_000 - n * p) ** 2 // (n * p) for o, p in zip(obs, ps)
+        )
+        exact = Fraction(0)
+        for o, p in zip(obs, ps):
+            e = Fraction(n * p, 1_000_000)
+            exact += (Fraction(o) - e) ** 2 / e
+        exact_micro = exact * 1_000_000
+        assert Fraction(cleared) <= exact_micro
+        assert exact_micro - cleared < 9
+
+    prove()
