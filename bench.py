@@ -21,15 +21,26 @@ BENCH_QUERIES (they were each timed once at registration but otherwise
 had no committed tracking); single samples are noisier than the headline's
 interleaved best-of-2, so treat --full deltas as leads, not verdicts.
 
-Headline membership rule (r10 verdict #4): a query enters BENCH_QUERIES
-when it is registered as a headline operator OR when its --full pass time
-exceeds 2 s — expensive queries get interleaved round-over-round tracking
-regardless of how they entered the registry. Apply the rule when reading
-each round's BENCH_FULL artifact.
+Headline membership rule (r10 verdict #4, re-keyed r12): a query enters
+BENCH_QUERIES when it is registered as a headline operator OR when its
+--full WARM sample exceeds 2 s. The r12 gap adjudication (verdict #4)
+found the --full single sample runs up to ~2x the interleaved number for
+two mechanical reasons: (a) first-run-at-SF overhead — codegen/JIT for
+the sf0.1-shaped AQE plan that the sf0.001 warm-up does not compile
+(measured: dedup_substring_removal 4.87 s run-0 vs 2.80 s steady state in
+ONE session) and (b) a formerly leaked in-query persist whose
+CacheManager plan-match served the interleaved pass's second sample from
+the first's cache (dedup_simhash_calibration — now the governed
+simhash_cand layer, so both passes see the same warm state). To keep the
+promotion rule honest, the --full pass re-times any query whose first
+sample exceeds 2 s and records it under `second_sample`; the rule keys
+off that warm number, and the cold number stays visible for the
+first-run-latency story.
 
 Every artifact carries env_before/env_after machine-load stamps
 (load1/5/15, MemAvailable; r10 verdict #1) and self-declares
-`load_contaminated` when load1 exceeds 1.5x the cpu count at either stamp;
+`load_contaminated` when load1 exceeds LOAD_CONTAMINATION_LINE (= 18, 2x
+the bench's observed self-load ceiling; recalibrated r12) at either stamp;
 flags raised under load are annotated (`flags_raised_under_load`), never
 suppressed.
 """
@@ -107,7 +118,11 @@ def _load_contaminated(*stamps: dict) -> bool:
 # committed build (the PQ trio fused into one pass); exceeding it flags the
 # JSON artifact and fails the exit code AFTER the line is emitted. Adding a
 # genuinely new layer means re-measuring and consciously re-setting this.
-LAYER_BUILD_BUDGET_SEC = 18.0
+# r12 re-set: +simhash_cand (2.6 s measured — the formerly leaked in-query
+# persist, now governed; r11 committed build 11.6 s -> expected ~14.2 s) and
+# the r12 container's slower sub-second baseline (BENCH_ADJUDICATION_r12)
+# push the old 18 s line; 22 = ~1.5x the expected build, same margin as r9.
+LAYER_BUILD_BUDGET_SEC = 22.0
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -424,6 +439,7 @@ def _build_layers(spark) -> dict[str, float]:
         _doc_bands,
         _doc_ngrams,
         _pca_fit,
+        _simhash_cand,
         _trained_centroids,
         _trained_pq,
         _trained_pq_retrained,
@@ -446,6 +462,13 @@ def _build_layers(spark) -> dict[str, float]:
         ("doc_bands", lambda: _doc_bands(spark, SF_DIR).count()),
         ("doc_grams8", lambda: _doc_grams8(spark, SF_DIR).count()),
         ("doc_winnow_fps", lambda: _doc_winnow_fps(spark, SF_DIR).count()),
+        # r12: the simhash band-collision pair table, formerly a leaked
+        # in-query persist whose CacheManager plan-match silently served
+        # the second best-of-2 sample from the first sample's cache (the
+        # --full-vs-headline 2x gap's largest term). Now a governed memo
+        # layer; its build cost is THIS line item, and both passes see the
+        # same warm steady state.
+        ("simhash_cand", lambda: _simhash_cand(spark, SF_DIR).count()),
         ("kmeans_centroids", lambda: _trained_centroids(spark, SF_DIR)),
         ("pca_fit", lambda: _pca_fit(spark, SF_DIR)),
         ("pq_trio", lambda: _trained_pq(spark, SF_DIR)),
@@ -480,6 +503,7 @@ def full_registry_pass() -> None:
     layer_times = _build_layers(spark)
     env0 = _env_stamp()
     per: dict[str, float] = {}
+    second: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -495,6 +519,21 @@ def full_registry_pass() -> None:
             continue
         per[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {per[name]:.3f}s", file=sys.stderr)
+        if per[name] > 2.0:
+            # r12 (verdict #4): the >2 s headline-promotion rule keys off a
+            # WARM second sample, not the cold first one — the single-pass
+            # number includes first-run-at-SF codegen/JIT that best-of-N
+            # sheds, and promoting on the inflated sample made the rule
+            # conservative-noisy. Cold stays in `queries`, warm goes to
+            # `second_sample`.
+            t1 = time.perf_counter()
+            try:
+                _force(registry[name](spark, SF_DIR))
+                second[name] = round(time.perf_counter() - t1, 3)
+                print(f"#   warm re-sample {name}: {second[name]:.3f}s",
+                      file=sys.stderr)
+            except Exception as e:  # pragma: no cover - env-specific
+                print(f"# warm re-sample failed {name}: {e}", file=sys.stderr)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     out = {
         "metric": "full_registry_total",
@@ -520,6 +559,7 @@ def full_registry_pass() -> None:
     detail = dict(out)
     detail["layers"] = layer_times
     detail["queries"] = per
+    detail["second_sample"] = second
     detail["failures"] = failures
     detail["env_before"] = env0
     detail["env_after"] = _env_stamp()
