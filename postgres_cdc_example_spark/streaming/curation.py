@@ -70,6 +70,8 @@ site follows.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -131,6 +133,15 @@ QUOTA_SCHEMA = StructType(
     [
         StructField("source", StringType(), False),
         StructField("cum_tokens", LongType(), False),
+        # ordering sentinel (r11 ADVICE low): equality with the batch
+        # source_quota_admission rule depends on micro-batches arriving in
+        # ascending doc_id order per source. The store remembers the
+        # high-water doc_id and a cumulative count of docs that arrived at
+        # or below it, so an ordering violation SURFACES in state (and via
+        # quota_order_violations()) instead of silently admitting against
+        # the wrong cumulative.
+        StructField("max_doc_id", LongType(), False),
+        StructField("order_violations", LongType(), False),
     ]
 )
 
@@ -291,8 +302,11 @@ class StreamingCurationPipeline:
         # tokens, exactly like the batch window ranges over every row.
         from pyspark.sql import Window
 
-        quota_prev = self.quota_store.read().withColumnRenamed(
-            "cum_tokens", "prev_cum"
+        quota_prev = (
+            self.quota_store.read()
+            .withColumnRenamed("cum_tokens", "prev_cum")
+            .withColumnRenamed("max_doc_id", "prev_max_doc_id")
+            .withColumnRenamed("order_violations", "prev_violations")
         )
         wq = (
             Window.partitionBy("source")
@@ -315,8 +329,30 @@ class StreamingCurationPipeline:
             F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
         ).collect()[0]
         n_admit, tok_admit = int(row.n), int(row.t)
-        batch_src = qual_docs.groupBy("source").agg(
-            F.sum("n_toks").cast("long").alias("add_toks")
+        # per-source batch rollup + the ordering sentinel: a doc at or
+        # below the committed high-water doc_id would be admitted against
+        # the wrong cumulative, so it is COUNTED (state + property), never
+        # silently folded in as if ordered.
+        batch_src = (
+            qual_docs.join(
+                quota_prev.select("source", "prev_max_doc_id"),
+                "source",
+                "left",
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("n_toks").cast("long").alias("add_toks"),
+                F.max("doc_id").cast("long").alias("batch_max_doc_id"),
+                F.sum(
+                    F.when(
+                        F.col("doc_id")
+                        <= F.coalesce(F.col("prev_max_doc_id"), F.lit(-1)),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("batch_violations"),
+            )
         )
         quota_next = (
             quota_prev.join(batch_src, "source", "full")
@@ -328,9 +364,31 @@ class StreamingCurationPipeline:
                 )
                 .cast("long")
                 .alias("cum_tokens"),
+                F.greatest(
+                    F.coalesce(F.col("prev_max_doc_id"), F.lit(-1)),
+                    F.coalesce(F.col("batch_max_doc_id"), F.lit(-1)),
+                )
+                .cast("long")
+                .alias("max_doc_id"),
+                (
+                    F.coalesce(F.col("prev_violations"), F.lit(0))
+                    + F.coalesce(F.col("batch_violations"), F.lit(0))
+                )
+                .cast("long")
+                .alias("order_violations"),
             )
             .persist()
         )
+        n_viol = quota_next.agg(
+            F.coalesce(F.sum("order_violations"), F.lit(0))
+        ).collect()[0][0]
+        if n_viol:
+            print(
+                f"# quota gate: {n_viol} cumulative doc_id ordering"
+                " violation(s) — stream/batch quota equality is no longer"
+                " guaranteed for the affected sources",
+                file=sys.stderr,
+            )
 
         # --- stage 4: near-dup candidates over the novel survivors --------
         novel_docs = novel.select(F.col("keeper_id").alias("doc_id")).join(
@@ -437,6 +495,18 @@ class StreamingCurationPipeline:
 
     def quota_state(self) -> DataFrame:
         return self.quota_store.read()
+
+    def quota_order_violations(self) -> int:
+        """Cumulative count of quality-surviving docs that arrived at or
+        below their source's committed high-water doc_id — nonzero means
+        the ascending-doc_id assumption the batch-equality proof rests on
+        was violated and the affected sources' cumulatives are suspect."""
+        row = (
+            self.quota_store.read()
+            .agg(F.coalesce(F.sum("order_violations"), F.lit(0)))
+            .collect()[0]
+        )
+        return int(row[0])
 
 
 def document_change_json(

@@ -966,9 +966,28 @@ def test_pair_scale_work_never_inherits_one_partition(spark, sf_dir):
     h = ev.groupBy("user_id").count()
     # Assert the PRECONDITION itself (r10 ADVICE: the old
     # `h.repartition(par).getNumPartitions() == par` was a tautology of
-    # repartition): AQE really does coalesce this small aggregate to ONE
-    # shuffle partition, so without the explicit repartition before the
-    # checkpoint every downstream probe join serializes onto one task.
-    assert h.rdd.getNumPartitions() == 1
+    # repartition): AQE coalesces this small aggregate far below the
+    # session parallelism, so without the explicit repartition before the
+    # checkpoint every downstream probe join serializes onto few tasks.
+    # Guarded (r11 ADVICE low): the exact coalesce target depends on AQE
+    # advisory-size confs and Spark version — pin `== 1` only when the
+    # coalesce knobs carry their default values, and otherwise assert the
+    # version-robust bound (a small fraction of the parallelism), so a
+    # config/version bump can't fail the test without a real regression.
+    n = h.rdd.getNumPartitions()
+    conf = spark.conf
+    defaults = (
+        conf.get("spark.sql.adaptive.enabled") == "true"
+        and conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+        and conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        )
+        in ("64MB", "67108864b", "67108864")
+    )
+    if defaults:
+        assert n == 1, n
+    else:  # pragma: no cover - non-default session config
+        assert n <= max(2, par // 4), n
     assert h.repartition(par).rdd.getNumPartitions() == par
     del REGISTRY
