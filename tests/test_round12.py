@@ -109,3 +109,89 @@ def test_quota_gate_ordering_sentinel_both_arms(spark, sf_dir, tmp_path):
     assert st2[srcname].max_doc_id == max(r.doc_id for r in qd)
     # cumulative tokens still fold additively (count, don't corrupt)
     assert st2[srcname].cum_tokens == state[srcname].cum_tokens
+
+
+def test_erasure_roundtrip_planted_lifecycle_and_detector_fires(
+    spark, sf_dir, tmp_path
+):
+    """Planted CDC lifecycle for the erasure round-trip audit: key A ends
+    in an OLD tombstone (past the span-proportional retention line ->
+    must be purged everywhere), key B ends in a FRESH tombstone (inside
+    retention -> stays), key C stays live. Assert exact per-store
+    accounting and zero residuals in both engines; then prove the
+    residual DETECTOR can fire by pointing it at the pre-purge history
+    (the audit's semi-join re-scan finds key A's rows there), so a leaky
+    purge cannot hide behind an always-zero column."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from tests.oracle_utils import compare_to_oracle
+    from tests.test_round11 import _events_df, _mini, _stage_single_parquet
+
+    q.queries()
+    # span 2024-01-01 .. 2024-04-10 (100 days) -> retention = span/100 = 1 day
+    # ids are event_id % 120; signup->I, error->D, else U
+    rows = [
+        # key 1 (A): I, U, then terminal D on Jan 10 — dead ~91 days > 1 day
+        (1, "2024-01-01 00:00:00", 1, "signup", 1.0, "{}"),
+        (121, "2024-01-05 00:00:00", 1, "view", 2.0, "{}"),
+        (241, "2024-01-10 00:00:00", 1, "error", 0.0, "{}"),
+        # key 2 (B): I then terminal D 6 hours before the watermark (fresh)
+        (2, "2024-01-02 00:00:00", 2, "signup", 1.0, "{}"),
+        (122, "2024-04-09 18:00:00", 2, "error", 0.0, "{}"),
+        # key 3 (C): live — I then U at the watermark
+        (3, "2024-01-03 00:00:00", 3, "signup", 1.0, "{}"),
+        (123, "2024-04-10 00:00:00", 3, "purchase", 9.0, "{}"),
+    ]
+    mini = _mini(sf_dir, tmp_path, "sf_erase")
+    _stage_single_parquet(
+        _events_df(spark, rows), tmp_path, mini, "events", "erase_st"
+    )
+    e = REGISTRY["cdc_erasure_roundtrip"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = {r.store: r for r in e.fn(spark, str(mini)).collect()}
+    # only key 1 is purgable; history loses its 3 rows, rollup its 1 row
+    h = got["scd2_history"]
+    assert (h.n_keys_purged, h.n_rows_purged, h.n_rows_before) == (1, 3, 7)
+    assert h.n_rows_after == 4 and h.n_residual_rows == 0
+    r = got["key_rollup"]
+    assert (r.n_keys_purged, r.n_rows_purged) == (1, 1)
+    assert r.n_rows_after == 2 and r.n_residual_rows == 0
+    c = got["current_state"]
+    # current state holds only the live key (B's fresh tombstone removed
+    # it from compaction; A purged) — and never contained a purgable key
+    assert c.n_rows_before == 1 and c.n_keys_purged == 0
+    assert c.n_residual_rows == 0
+
+    # detector-fires arm: the same semi-join re-scan applied to the
+    # UNPURGED history must count key 1's rows — nonzero by construction
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_example_spark.queries.cdc import (
+        TOMBSTONE_RETENTION_DIV,
+        _changes,
+    )
+
+    ch = _changes(spark, str(mini))
+    wkd = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    flag = ch.select(
+        "id", "action", "created_at",
+        F.row_number().over(wkd).alias("rn_desc"),
+    )
+    wm = ch.agg(
+        F.max("created_at").alias("w"),
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, min(created_at),"
+            f" max(created_at)) div {TOMBSTONE_RETENTION_DIV} AS BIGINT)"
+        ).alias("ret_us"),
+    )
+    purg = (
+        flag.filter((F.col("rn_desc") == 1) & (F.col("action") == "D"))
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.expr("timestampdiff(MICROSECOND, created_at, w) > ret_us")
+        )
+        .select("id")
+    )
+    leaked = ch.join(F.broadcast(purg), "id", "left_semi").count()
+    assert leaked == 3  # the detector sees key 1's rows when not purged
