@@ -45,13 +45,29 @@ rescan. Stages, in order, each delegating to the registered member:
    table instead of executor-memory state.
 8. **per-stage survivor/token totals** — the capstone's output table
    (stage_no, stage, n_units, total_tokens), folded incrementally.
+9. **planning snapshot** (r11 verdict next-round #5) — the batch
+   capstone's PLANNING stages made incremental off bounded state: a
+   per-source mixture table (admitted docs/tokens; one row per source)
+   from which :meth:`planning_snapshot` derives the exact per-source
+   share and the ``mixture_temperature_resample`` α=0.5 keep-ratio, and
+   a per-bucket packing table (16 md5-hex buckets × 4 longs) maintaining
+   the capstone's bucketed next-fit pack plan (cum tokens, pack count,
+   last pack id) under the same ascending-doc_id contract the quota gate
+   already carries (violations surface via the stage-7 sentinel). FFD
+   (``pack_documents_ffd``) itself is NOT incrementally maintainable —
+   it re-sorts the full multiset — so the snapshot emits the capstone's
+   arrival-order pack plan (``pipeline_end_to_end`` stage 7 semantics),
+   the online analogue, and the restart test pins stream ≡ batch on
+   exactly those formulas.
 
 Crash consistency follows the :class:`streaming.materialized_view`
 discipline — every store versions at ``batch_id + 1`` with per-store
 replay guards, and commit order runs DEPENDENTS-FIRST (totals → pairs →
-bands → quota → seen): each store's delta derives only from stores
-committed AFTER it (the quota delta derives from quota pre-state and
-from ``novel``, which derives from the later-committed ``seen``), so at
+bands → mixture → packs → quota → seen): each store's delta derives only
+from stores committed AFTER it (the quota delta derives from quota
+pre-state and from ``novel``, which derives from the later-committed
+``seen``; the mixture/packs deltas derive from the ADMITTED set, which
+derives from quota pre-state, so they commit before quota), so at
 any crash point a replayed batch recomputes its deltas from untouched
 pre-state and version checks skip the stores already written. The one ordering that would corrupt (a pre-state that already
 contains the batch, yielding an empty delta) is impossible by
@@ -144,6 +160,26 @@ QUOTA_SCHEMA = StructType(
         StructField("order_violations", LongType(), False),
     ]
 )
+MIX_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("tokens", LongType(), False),
+    ]
+)
+PACKS_SCHEMA = StructType(
+    [
+        StructField("bucket", StringType(), False),
+        StructField("cum_tokens", LongType(), False),
+        StructField("n_packs", LongType(), False),
+        StructField("last_pack_id", LongType(), False),
+    ]
+)
+
+# the batch capstone's pack budget (queries/windows.PIPE_PACK_TOKENS —
+# duplicated literal to avoid a streaming->queries import cycle; a sync
+# test pins the two equal)
+PLAN_PACK_TOKENS = 2048
 
 STAGES = (
     (0, "wire_lines"),
@@ -193,6 +229,12 @@ class StreamingCurationPipeline:
         )
         self.quota_store = VersionedStateStore(
             spark, store_root + "/quota", QUOTA_SCHEMA
+        )
+        self.mixture_store = VersionedStateStore(
+            spark, store_root + "/mixture", MIX_SCHEMA
+        )
+        self.packs_store = VersionedStateStore(
+            spark, store_root + "/packs", PACKS_SCHEMA
         )
         self.seen_store = VersionedStateStore(
             spark, store_root + "/seen", SEEN_SCHEMA
@@ -322,9 +364,10 @@ class StreamingCurationPipeline:
                 + F.sum("n_toks").over(wq)
             ).alias("cum_tokens"),
         )
-        row = quota_eval.filter(
+        admitted = quota_eval.filter(
             F.col("cum_tokens") <= self.quota_tokens
-        ).agg(
+        ).persist()
+        row = admitted.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t"),
         ).collect()[0]
@@ -389,6 +432,120 @@ class StreamingCurationPipeline:
                 " guaranteed for the affected sources",
                 file=sys.stderr,
             )
+
+        # --- stage 9: planning snapshot state (mixture + pack plan) -------
+        # deltas derive from `admitted` (quota PRE-state), so both stores
+        # commit BEFORE quota in the dependents-first order
+        mix_prev = (
+            self.mixture_store.read()
+            .withColumnRenamed("n_docs", "prev_docs")
+            .withColumnRenamed("tokens", "prev_toks")
+        )
+        mix_add = admitted.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("add_docs"),
+            F.sum("n_toks").cast("long").alias("add_toks"),
+        )
+        mixture_next = (
+            mix_prev.join(mix_add, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce(F.col("prev_docs"), F.lit(0))
+                    + F.coalesce(F.col("add_docs"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_docs"),
+                (
+                    F.coalesce(F.col("prev_toks"), F.lit(0))
+                    + F.coalesce(F.col("add_toks"), F.lit(0))
+                )
+                .cast("long")
+                .alias("tokens"),
+            )
+            .persist()
+        )
+
+        packs_prev = (
+            self.packs_store.read()
+            .withColumnRenamed("cum_tokens", "prev_cum")
+            .withColumnRenamed("n_packs", "prev_packs")
+            .withColumnRenamed("last_pack_id", "prev_last")
+        )
+        wpk = (
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        batch_pk = (
+            admitted.select(
+                "doc_id",
+                "n_toks",
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 1
+                ).alias("bucket"),
+            )
+            .join(
+                packs_prev.select("bucket", "prev_cum", "prev_last"),
+                "bucket",
+                "left",
+            )
+            .select(
+                "bucket",
+                "n_toks",
+                F.floor(
+                    (
+                        F.coalesce(F.col("prev_cum"), F.lit(0))
+                        + F.sum("n_toks").over(wpk)
+                        - F.col("n_toks")
+                    )
+                    / F.lit(PLAN_PACK_TOKENS)
+                )
+                .cast("long")
+                .alias("pack_id"),
+                F.coalesce(F.col("prev_last"), F.lit(-1)).alias("prev_last"),
+            )
+        )
+        pk_add = batch_pk.groupBy("bucket").agg(
+            F.sum("n_toks").cast("long").alias("add_toks"),
+            F.max("pack_id").cast("long").alias("max_pack"),
+            # packs newly OPENED this batch: distinct pack ids minus the
+            # one continuing the bucket's previously-open pack (pack ids
+            # are monotone in doc_id, so only the minimum can coincide)
+            (
+                F.countDistinct("pack_id")
+                - F.max(
+                    F.when(F.col("pack_id") == F.col("prev_last"), 1)
+                    .otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("new_packs"),
+        )
+        packs_next = (
+            packs_prev.join(pk_add, "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("prev_cum"), F.lit(0))
+                    + F.coalesce(F.col("add_toks"), F.lit(0))
+                )
+                .cast("long")
+                .alias("cum_tokens"),
+                (
+                    F.coalesce(F.col("prev_packs"), F.lit(0))
+                    + F.coalesce(F.col("new_packs"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_packs"),
+                F.greatest(
+                    F.coalesce(F.col("prev_last"), F.lit(-1)),
+                    F.coalesce(F.col("max_pack"), F.lit(-1)),
+                )
+                .cast("long")
+                .alias("last_pack_id"),
+            )
+            .persist()
+        )
 
         # --- stage 4: near-dup candidates over the novel survivors --------
         novel_docs = novel.select(F.col("keeper_id").alias("doc_id")).join(
@@ -458,12 +615,17 @@ class StreamingCurationPipeline:
             self.bands_store.commit(
                 self.bands_store.read().unionByName(bands_new), version=v_next
             )
+        if (self.mixture_store.latest_version() or -1) < v_next:
+            self.mixture_store.commit(mixture_next, version=v_next)
+        if (self.packs_store.latest_version() or -1) < v_next:
+            self.packs_store.commit(packs_next, version=v_next)
         if (self.quota_store.latest_version() or -1) < v_next:
             self.quota_store.commit(quota_next, version=v_next)
         self.seen_store.commit(
             seen_prev.unionByName(novel), version=v_next
         )
-        for df in (quota_next, qual_docs, decon, pairs_next, bands_new,
+        for df in (quota_next, mixture_next, packs_next, admitted,
+                   qual_docs, decon, pairs_next, bands_new,
                    novel, docs, decoded):
             df.unpersist()
 
@@ -495,6 +657,69 @@ class StreamingCurationPipeline:
 
     def quota_state(self) -> DataFrame:
         return self.quota_store.read()
+
+    def mixture_state(self) -> DataFrame:
+        return self.mixture_store.read()
+
+    def packs_state(self) -> DataFrame:
+        return self.packs_store.read()
+
+    def planning_snapshot(self) -> DataFrame:
+        """The per-batch PLANNING table (r11 verdict #5): one row per
+        source — admitted docs/tokens, exact corpus share, and the
+        ``mixture_temperature_resample`` α=0.5 keep-ratio (identical
+        parenthesization, so the IEEE doubles match the batch member
+        bit-for-bit) — plus one 'packing'/'packs' row carrying the
+        bucketed next-fit pack plan (``pipeline_end_to_end`` stage-7
+        semantics: n_units = Σ per-bucket open packs, total_tokens =
+        Σ admitted tokens). Derived entirely from the two bounded state
+        tables, so the snapshot is restart-equivalent by construction."""
+        mix = self.mixture_store.read().filter(F.col("tokens") > 0)
+        per = mix.withColumn(
+            "w",
+            F.floor(
+                F.sqrt(F.col("tokens").cast("double")) * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        tot = per.agg(
+            F.sum("tokens").cast("long").alias("t"),
+            F.sum("w").cast("long").alias("ws"),
+        )
+        mixture = per.crossJoin(F.broadcast(tot)).select(
+            F.lit("mixture").alias("kind"),
+            F.col("source").alias("unit"),
+            F.col("n_docs").alias("n_units"),
+            F.col("tokens").alias("total_tokens"),
+            F.expr("CAST(tokens * 1000000 div t AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    (F.col("t").cast("double") * F.col("w").cast("double"))
+                    * F.lit(1_000_000.0)
+                    / (
+                        F.col("ws").cast("double")
+                        * F.col("tokens").cast("double")
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("keep_ratio_micro"),
+        )
+        packing = self.packs_store.read().agg(
+            F.lit("packing").alias("kind"),
+            F.lit("packs").alias("unit"),
+            F.coalesce(F.sum("n_packs"), F.lit(0))
+            .cast("long")
+            .alias("n_units"),
+            F.coalesce(F.sum("cum_tokens"), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+            F.lit(None).cast("long").alias("share_micro"),
+            F.lit(None).cast("long").alias("keep_ratio_micro"),
+        )
+        return mixture.unionByName(packing)
 
     def quota_order_violations(self) -> int:
         """Cumulative count of quality-surviving docs that arrived at or
