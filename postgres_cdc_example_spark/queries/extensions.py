@@ -7516,3 +7516,125 @@ def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_simhash_calibration.__doc__ = dedup_simhash_calibration.__doc__.replace(
     "{FH}", str(SIMHASH_CAL_FULL_H)
 ).replace("{DIV}", str(SIMHASH_CAL_SAMPLE_DIV))
+
+
+# ---------------------------------------------------------------------------
+# packing-strategy efficiency audit (r12)
+# ---------------------------------------------------------------------------
+
+
+def _pack_efficiency_oracle() -> str:
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    return f"""
+    WITH ffd_asg AS ({REGISTRY["pack_documents_ffd"].oracle}),
+    nf_packs AS ({REGISTRY["pack_documents"].oracle}),
+    tot AS (
+      SELECT CAST(sum(pack_tokens) AS BIGINT) AS t,
+             CAST((sum(pack_tokens) + {FFD_CAP} - 1) // {FFD_CAP} AS BIGINT)
+               AS lb
+      FROM nf_packs
+    ),
+    rows_ AS (
+      SELECT 'lower_bound' AS strategy, lb AS n_bins, t AS packed_tokens,
+             lb AS lb2
+      FROM tot
+      UNION ALL
+      SELECT 'ffd', (SELECT CAST(count(DISTINCT bin_id) AS BIGINT)
+                     FROM ffd_asg), t, lb
+      FROM tot
+      UNION ALL
+      SELECT 'bucketed_nextfit',
+             (SELECT CAST(count(*) AS BIGINT) FROM nf_packs), t, lb
+      FROM tot
+    )
+    SELECT strategy, n_bins, packed_tokens,
+           CAST(n_bins * {FFD_CAP} - packed_tokens AS BIGINT)
+             AS slack_tokens,
+           CAST((n_bins * {FFD_CAP} - packed_tokens) * 1000000
+                // (n_bins * {FFD_CAP}) AS BIGINT) AS slack_share_micro,
+           CAST(n_bins * 1000000 // lb2 AS BIGINT) AS bins_vs_lb_micro
+    FROM rows_
+    ORDER BY strategy
+    """
+
+
+@register("pack_efficiency_audit", oracle=_pack_efficiency_oracle())
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-STRATEGY EFFICIENCY AUDIT — the planner's cost sheet for
+    the r12 planning story: how many {CAP}-token bins does each strategy
+    spend on the same corpus, versus the information-theoretic floor
+    ceil(Σtokens/{CAP})? Three rows: the LOWER BOUND itself, FFD (the
+    offline near-optimal the batch planner ships —
+    ``pack_documents_ffd``), and the BUCKETED NEXT-FIT arrival-order
+    plan (``pack_documents`` — what the streaming planning snapshot can
+    maintain incrementally; its overhead versus FFD is exactly the price
+    of online packing, now measured instead of argued). Both strategies
+    come from the REGISTERED members (engine composes the fns, oracle
+    interpolates their SQL — the capstone discipline, zero drift
+    possible), the audit itself is three 1-row aggregates: slack =
+    n_bins·{CAP} − Σtokens, micro-floored shares (non-negative operands,
+    ``div`` ≡ ``//``), and n_bins/LB on the micro grid. Scale shape: the
+    members' own cost dominates; the audit adds bounded rollups only."""
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    nf = REGISTRY["pack_documents"].fn(spark, sf_dir)
+    ffd = REGISTRY["pack_documents_ffd"].fn(spark, sf_dir)
+    tot = nf.agg(
+        F.sum("pack_tokens").cast("long").alias("t"),
+        F.expr(
+            f"CAST((sum(pack_tokens) + {FFD_CAP} - 1) div {FFD_CAP}"
+            " AS BIGINT)"
+        ).alias("lb"),
+    )
+    lb_row = tot.select(
+        F.lit("lower_bound").alias("strategy"),
+        F.col("lb").alias("n_bins"),
+        F.col("t").alias("packed_tokens"),
+        F.col("lb").alias("lb2"),
+    )
+    ffd_row = (
+        ffd.agg(F.countDistinct("bin_id").cast("long").alias("n_bins"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("ffd").alias("strategy"),
+            "n_bins",
+            F.col("t").alias("packed_tokens"),
+            F.col("lb").alias("lb2"),
+        )
+    )
+    nf_row = (
+        nf.agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("bucketed_nextfit").alias("strategy"),
+            "n_bins",
+            F.col("t").alias("packed_tokens"),
+            F.col("lb").alias("lb2"),
+        )
+    )
+    return (
+        lb_row.unionByName(ffd_row)
+        .unionByName(nf_row)
+        .select(
+            "strategy",
+            "n_bins",
+            "packed_tokens",
+            F.expr(
+                f"CAST(n_bins * {FFD_CAP} - packed_tokens AS BIGINT)"
+            ).alias("slack_tokens"),
+            F.expr(
+                f"CAST((n_bins * {FFD_CAP} - packed_tokens) * 1000000"
+                f" div (n_bins * {FFD_CAP}) AS BIGINT)"
+            ).alias("slack_share_micro"),
+            F.expr("CAST(n_bins * 1000000 div lb2 AS BIGINT)").alias(
+                "bins_vs_lb_micro"
+            ),
+        )
+        .orderBy("strategy")
+    )
+
+
+pack_efficiency_audit.__doc__ = pack_efficiency_audit.__doc__.replace(
+    "{CAP}", str(FFD_CAP)
+)

@@ -7151,3 +7151,123 @@ def text_jm_lambda_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_jm_lambda_grid.__doc__ = text_jm_lambda_grid.__doc__.replace(
     "{NL}", str(len(JM_LAMBDAS))
 ).replace("{HM}", str(JM_HELD_MOD))
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity outlier fences (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_nll_outlier_fences",
+    oracle=f"""
+    WITH nll AS ({{NLL}}),
+    s AS (
+      SELECT d.source, nll.mean_nll_micro AS v
+      FROM nll JOIN documents d ON d.doc_id = nll.doc_id
+    ),
+    h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY source, v),
+    cumh AS (
+      SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h
+    ),
+    q1 AS (SELECT source, CAST(min(v) AS BIGINT) AS q1
+           FROM cumh WHERE cum * 4 >= n GROUP BY source),
+    q3 AS (SELECT source, CAST(min(v) AS BIGINT) AS q3
+           FROM cumh WHERE cum * 4 >= 3 * n GROUP BY source),
+    f AS (
+      SELECT q1.source, q1.q1, q3.q3,
+             5 * q1.q1 - 3 * q3.q3 AS lo_x2,
+             5 * q3.q3 - 3 * q1.q1 AS hi_x2
+      FROM q1 JOIN q3 ON q1.source = q3.source
+    )
+    SELECT f.source, CAST(max(cumh.n) AS BIGINT) AS n_docs,
+           f.q1 AS q1_nll_micro, f.q3 AS q3_nll_micro, f.lo_x2, f.hi_x2,
+           CAST(sum(CASE WHEN 2 * cumh.v < f.lo_x2
+                         THEN cumh.c ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * cumh.v > f.hi_x2
+                         THEN cumh.c ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN 2 * cumh.v > f.hi_x2
+                         THEN cumh.c ELSE 0 END) * 1000000
+                // max(cumh.n) AS BIGINT) AS high_share_micro
+    FROM cumh JOIN f ON f.source = cumh.source
+    GROUP BY f.source, f.q1, f.q3, f.lo_x2, f.hi_x2
+    """.replace("{NLL}", REGISTRY["text_unigram_nll"].oracle),
+)
+def doc_nll_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-PERPLEXITY OUTLIER FENCES per source — the robust companion to
+    ``perplexity_bucket_plan`` (CCNet partitions the middle of the NLL
+    distribution; production filters also want the TAILS: docs whose
+    unigram NLL sits above the Tukey upper fence are the
+    gibberish/boilerplate candidates, below the lower fence the
+    suspiciously-templated ones). Composes the REGISTERED
+    ``text_unigram_nll`` member (engine calls the fn off the shared
+    occurrence layer; oracle interpolates its SQL — the capstone
+    discipline, so the two can never drift) and applies the
+    ``supplier_acctbal_outlier_fences`` integer recipe keyed by source:
+    quartiles from a per-source cumulative histogram (q = min value with
+    4·cum ≥ k·n — exact order statistics, no interpolation), fences
+    DOUBLED so 1.5·IQR stays integer (lo_x2 = 5q1−3q3, hi_x2 = 5q3−3q1),
+    tail counts by histogram weight, share micro-floored (non-negative,
+    ``div`` ≡ ``//``). Scale shape: the member's two corpus passes, then
+    everything on the per-source distinct-NLL histogram (≤ docs rows);
+    one source-keyed window pair sharing a single exchange."""
+    nll = REGISTRY["text_unigram_nll"].fn(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    s = nll.join(docs, "doc_id").select(
+        "source", F.col("mean_nll_micro").alias("v")
+    )
+    h = s.groupBy("source", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("source").orderBy("v")
+    wn = Window.partitionBy("source")
+    cumh = h.select(
+        "source", "v", "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    q1 = cumh.filter(F.col("cum") * 4 >= F.col("n")).groupBy("source").agg(
+        F.min("v").cast("long").alias("q1")
+    )
+    q3 = (
+        cumh.filter(F.col("cum") * 4 >= 3 * F.col("n"))
+        .groupBy("source")
+        .agg(F.min("v").cast("long").alias("q3"))
+    )
+    f = q1.join(q3, "source").select(
+        "source", "q1", "q3",
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo_x2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi_x2"),
+    )
+    return (
+        cumh.join(F.broadcast(f), "source")
+        .groupBy("source", "q1", "q3", "lo_x2", "hi_x2")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(2 * F.col("v") < F.col("lo_x2"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("v") > F.col("hi_x2"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("q1").alias("q1_nll_micro"),
+            F.col("q3").alias("q3_nll_micro"),
+            "lo_x2",
+            "hi_x2",
+            "n_low",
+            "n_high",
+            F.expr(
+                "CAST(n_high * 1000000 div n_docs AS BIGINT)"
+            ).alias("high_share_micro"),
+        )
+    )

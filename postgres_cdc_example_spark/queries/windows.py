@@ -2053,3 +2053,124 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_end_to_end.__doc__ = pipeline_end_to_end.__doc__.replace(
     "{GATE}", str(PIPE_QUALITY_GATE)
 )
+
+
+# ---------------------------------------------------------------------------
+# session-gap sensitivity curve (r12)
+# ---------------------------------------------------------------------------
+
+# gap thresholds in seconds: 15 min .. 3 days — brackets the 6-hour
+# production constant (SESSION_GAP) so the curve shows what moving it buys
+SESSION_GAP_GRID_S = (900, 1800, 3600, 21600, 86400, 259200)
+
+
+@register(
+    "event_session_gap_curve",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM e
+    ),
+    gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+    tot AS (
+      SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e)
+               AS n_users,
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_events,
+             (SELECT CAST(count(*) AS BIGINT) FROM gg) AS n_gaps
+    ),
+    grid AS (SELECT unnest(ARRAY{list(SESSION_GAP_GRID_S)}) AS gap_s),
+    curve AS (
+      SELECT grid.gap_s,
+             CAST(sum(CASE WHEN gg.gap_us > CAST(grid.gap_s AS BIGINT)
+                                            * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+      FROM grid, gg GROUP BY grid.gap_s
+    )
+    SELECT CAST(c.gap_s AS BIGINT) AS gap_s,
+           t.n_users + c.n_breaks AS n_sessions,
+           t.n_users, t.n_events,
+           CAST(t.n_events * 1000000 // (t.n_users + c.n_breaks) AS BIGINT)
+             AS avg_events_per_session_micro,
+           CAST(CASE WHEN t.n_gaps = 0 THEN 0
+                ELSE c.n_breaks * 1000000 // t.n_gaps END AS BIGINT)
+             AS break_share_micro
+    FROM curve c, tot t
+    ORDER BY gap_s
+    """,
+)
+def event_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-GAP SENSITIVITY CURVE — the tuning table behind every
+    sessionization constant (this repo ships {GAP}): for each candidate
+    inactivity threshold, how many sessions does the corpus split into,
+    how big is the average session, and what share of inter-event gaps
+    break a session?  The identity doing the work: sessions(T) =
+    n_users + |{{gaps > T}}| — the session count is a pure function of
+    the per-user gap MULTISET, so the whole curve costs ONE user-keyed
+    lag window (the sequence shuffle every behavioral query shares) plus
+    one conditional aggregate against the broadcast literal grid — the
+    sessionization operator itself never re-runs per threshold (naively
+    re-running ``event_sessionization`` six times would shuffle the
+    corpus six times for numbers this derives from one pass).  All
+    integers: epoch-microsecond gaps, threshold compare on the exact
+    grid, micro-floored shares (non-negative operands, so Spark ``div``
+    ≡ DuckDB ``//``).  Scale shape: window + map-side-combined grid
+    aggregate; the 6-row grid broadcast is the audited-BNLJ literal-grid
+    class.  Ref parity: the reference has no event-time processing at
+    all (SURVEY §2.7) — this is extension surface for the behavioral
+    family."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gaps = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).crossJoin(
+        F.broadcast(
+            gaps.agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        )
+    )
+    grid = spark.createDataFrame(
+        [(int(s),) for s in SESSION_GAP_GRID_S], "gap_s long"
+    )
+    curve = (
+        gaps.crossJoin(F.broadcast(grid))
+        .groupBy("gap_s")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_us") > F.col("gap_s") * 1_000_000, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_breaks")
+        )
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "gap_s",
+            (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+            "n_users",
+            "n_events",
+            F.expr(
+                "CAST(n_events * 1000000 div (n_users + n_breaks)"
+                " AS BIGINT)"
+            ).alias("avg_events_per_session_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_gaps = 0 THEN 0"
+                " ELSE n_breaks * 1000000 div n_gaps END AS BIGINT)"
+            ).alias("break_share_micro"),
+        )
+        .orderBy("gap_s")
+    )
+
+
+event_session_gap_curve.__doc__ = event_session_gap_curve.__doc__.replace(
+    "{GAP}", SESSION_GAP
+)

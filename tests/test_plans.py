@@ -551,6 +551,12 @@ _BNLJ_ALLOWED = {
     "split_temporal_leakage",  # 1-row span + 3-row cut grid broadcast into one (cut, user) aggregate
     "event_markov_nll",  # 1-row span + 1-row vocabulary broadcasts into the transition stream
     "text_jm_lambda_grid",  # 1-row totals + 5-row lambda grid broadcast over the held bigrams
+    # r12 additions
+    "cdc_erasure_roundtrip",  # 1-row watermark broadcast + three 1-row per-store audit scalars
+    "event_session_gap_curve",  # 6-row threshold grid + 1-row totals over the gap stream
+    "doc_nll_outlier_fences",  # member's 1-row (t, v) smoothing-total broadcast resurfaces
+    #   as a BNLJ once the fences rollup sits above it (bounded build side)
+    "pack_efficiency_audit",  # 1-row token-total/LB broadcast into three 1-row strategy rows
 }
 
 
