@@ -384,6 +384,10 @@ BENCH_QUERIES = [
     "text_jm_lambda_grid",  # 1.11 s (train counts + held bigrams x 5-lambda grid)
     "dedup_embedding_cosine",  # 2.12 s in the r11 --full pass -> headline by the
     # >2s rule (the LABELED exact all-pairs baseline; scale path = semantic_dedup)
+    # r12 additions (>2 s warm best-of-3 at registration -> headline)
+    "embedding_intrinsic_dim",  # 2.46 s (TwoNN all-pairs 2-NN baseline, repartitioned)
+    "ann_probe_recall_curve",  # 2.56 s (4-probe candidate scoring + brute truth)
+    "retrieval_rank_agreement",  # 2.84 s (BM25 + QL members + bounded pair rollup)
 ]
 
 

@@ -7638,3 +7638,471 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 pack_efficiency_audit.__doc__ = pack_efficiency_audit.__doc__.replace(
     "{CAP}", str(FFD_CAP)
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-count recall curve (r12)
+# ---------------------------------------------------------------------------
+
+IVF_PROBE_GRID = (1, 2, 4, 8)  # nprobe candidates; 8 = every cluster (exact)
+
+
+def _probe_recall_oracle(k: int = 8, iterations: int = 3) -> str:
+    cf = f"c{iterations}"
+    return (
+        _kmeans_cte(k, iterations)
+        + f"""
+    , cr AS (
+      SELECT cluster_id, list_transform(cv, x -> round(x, 6)) AS cv2 FROM {cf}
+    ),
+    cent AS (
+      SELECT cluster_id, cv2, sqrt(list_dot_product(cv2, cv2)) AS cn2 FROM cr
+    ),
+    asg0 AS (
+      SELECT n.vec_id, n.v, n.nrm, c.cluster_id,
+             round(list_dot_product(n.v, c.cv2) / (n.nrm * c.cn2), 6) AS ccos
+      FROM n, cent c
+    ),
+    asg AS (
+      SELECT vec_id, v, nrm, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster_id) AS r
+        FROM asg0)
+      WHERE r = 1
+    ),
+    qr AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cluster_id, ccos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cluster_id) AS probe_rank
+      FROM asg0 WHERE vec_id < 10
+    ),
+    grid AS (SELECT unnest(ARRAY{list(IVF_PROBE_GRID)}) AS n_probe),
+    cand AS (
+      SELECT grid.n_probe, qr.q_id, qr.qv, qr.qn, qr.cluster_id
+      FROM qr JOIN grid ON qr.probe_rank <= grid.n_probe
+    ),
+    scored AS (
+      SELECT cand.n_probe, cand.q_id, c.vec_id AS nbr_id,
+             round(list_dot_product(cand.qv, c.v) / (cand.qn * c.nrm), 6)
+               AS cos_r
+      FROM cand JOIN asg c
+        ON c.cluster_id = cand.cluster_id AND c.vec_id != cand.q_id
+    ),
+    approx AS (
+      SELECT n_probe, q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_probe, q_id
+                                     ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+    ),
+    tscored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r
+      FROM n a JOIN n b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    truth AS (
+      SELECT q_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_r DESC, nbr_id) AS rnk
+        FROM tscored)
+      WHERE rnk <= 5
+    ),
+    nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS q FROM truth),
+    hits AS (
+      SELECT ap.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+      FROM approx ap JOIN truth t
+        ON t.q_id = ap.q_id AND t.nbr_id = ap.nbr_id
+      GROUP BY ap.n_probe
+    ),
+    vol AS (
+      SELECT n_probe, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM scored GROUP BY n_probe
+    )
+    SELECT CAST(v.n_probe AS BIGINT) AS n_probe, v.n_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           nq.q * 5 AS n_truth,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // (nq.q * 5) AS BIGINT)
+             AS recall_micro
+    FROM vol v LEFT JOIN hits h ON h.n_probe = v.n_probe, nq
+    ORDER BY n_probe
+    """
+    )
+
+
+@register("ann_probe_recall_curve", oracle=_probe_recall_oracle())
+def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF PROBE-COUNT RECALL CURVE — the operating table every IVF
+    deployment tunes against: for nprobe ∈ {GRID}, recall@5 of probing
+    the query's nprobe nearest learned clusters versus brute-force
+    ground truth, NEXT TO the candidate volume each probe level scans
+    (the latency proxy) — "how much recall does the next probe buy, and
+    at what scan cost". Completes the ANN calibration story the way the
+    minhash/OPH/simhash trio completes dedup: the single-operating-point
+    audits (``ann_recall_audit`` family) become a measured CURVE, with
+    nprobe = 8 (= k, exhaustive) pinned at recall 1.0 as the built-in
+    positive control and nprobe = 1 reproducing ``ann_ivf_kmeans_topk``'s
+    operating point. Training reuses the memoized session centroids
+    (zero new Lloyd iterations); probe ranks are a 10×8 broadcast
+    product; candidate scoring stays cluster-keyed (never all-pairs);
+    recall is integer micro-floored. Scale shape: the fixed audit query
+    sample bounds the exact side exactly as the recall audits do."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    import math as _math
+
+    rounded = similarity.rounded_centroids(
+        spark, _trained_centroids(spark, sf_dir)
+    )
+    base = similarity._normed(emb, "vec_id", "embedding")
+    # repartition the corpus side (the ``embedding_near_dup_pairs``
+    # lesson): the broadcast-join's streamed side is otherwise the single
+    # scan partition and every interpreted cosine runs in one task
+    assigned = base.select(
+        F.col("vec_id"), "v", "nrm",
+        similarity.assign_to_literal_centroids(rounded),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    cent = spark.createDataFrame(
+        [
+            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
+            for cid, cv in rounded
+        ],
+        "c_cluster int, cv array<double>, cn double",
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qr = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id", "qv", "qn", F.col("c_cluster").alias("cluster_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0D,"
+                    " (a, b) -> a + b)"
+                )
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("ccos"),
+        )
+        .select(
+            "q_id", "qv", "qn", "cluster_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("ccos").desc(), "cluster_id"
+                )
+            )
+            .alias("probe_rank"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(int(p),) for p in IVF_PROBE_GRID], "n_probe int"
+    )
+    cand = qr.crossJoin(F.broadcast(grid)).filter(
+        F.col("probe_rank") <= F.col("n_probe")
+    )
+    scored = (
+        cand.join(
+            assigned.select(
+                F.col("vec_id").alias("nbr_id"), F.col("v").alias("cv_"),
+                F.col("nrm").alias("cn_"), F.col("cluster_id").alias("cc"),
+            ),
+            (F.col("cc") == F.col("cluster_id"))
+            & (F.col("nbr_id") != F.col("q_id")),
+        )
+        .select(
+            "n_probe", "q_id", "nbr_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv_, (x, y) -> x * y), 0.0D,"
+                    " (a, b) -> a + b)"
+                )
+                / (F.col("qn") * F.col("cn_")),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    approx = (
+        scored.select(
+            "n_probe", "q_id", "nbr_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("n_probe", "q_id").orderBy(
+                    F.col("cos_r").desc(), "nbr_id"
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    truth = similarity.brute_force_topk(emb).select("q_id", "nbr_id")
+    nq = truth.agg(
+        F.countDistinct("q_id").cast("long").alias("q")
+    )
+    hits = (
+        approx.join(
+            truth.select(
+                F.col("q_id").alias("t_qid"), F.col("nbr_id").alias("t_nbr")
+            ),
+            (F.col("q_id") == F.col("t_qid"))
+            & (F.col("nbr_id") == F.col("t_nbr")),
+        )
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    vol = scored.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        vol.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.col("q") * 5).cast("long").alias("n_truth"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 div (q * 5) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+ann_probe_recall_curve.__doc__ = ann_probe_recall_curve.__doc__.replace(
+    "{GRID}", str(IVF_PROBE_GRID)
+)
+
+
+# ---------------------------------------------------------------------------
+# intrinsic dimensionality (TwoNN) of the embedding space (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_intrinsic_dim",
+    oracle=_VEC_BASE
+    + """
+    , pc AS (
+      SELECT a.vec_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_r,
+             b.vec_id AS nbr
+      FROM n a JOIN n b ON b.vec_id != a.vec_id
+    ),
+    top2 AS (
+      SELECT vec_id, cos_r, rn FROM (
+        SELECT vec_id, cos_r,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_r DESC, nbr) AS rn
+        FROM pc)
+      WHERE rn <= 2
+    ),
+    pair2 AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cos_r END) AS c1,
+             max(CASE WHEN rn = 2 THEN cos_r END) AS c2
+      FROM top2 GROUP BY vec_id
+    ),
+    mu AS (
+      SELECT vec_id,
+             CAST(floor(ln((1.0 - c2) / (1.0 - c1)) * 1000000 + 0.5)
+                  AS BIGINT) AS lnmu_micro
+      FROM pair2 WHERE 1.0 - c1 > 0 AND c2 IS NOT NULL
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_used,
+           CAST(sum(lnmu_micro) AS BIGINT) AS sum_lnmu_micro,
+           CAST(CASE WHEN sum(lnmu_micro) = 0 THEN NULL
+                ELSE count(*) * 1000000000000 // sum(lnmu_micro) END
+                AS BIGINT) AS id_micro
+    FROM mu
+    """,
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRINSIC DIMENSIONALITY of the embedding space via the TwoNN
+    estimator (Facco et al. 2017): with d1, d2 each point's distances to
+    its two nearest neighbors, μ = d2/d1 is Pareto(1/ID)-distributed on a
+    manifold of dimension ID, so the MLE is ID = n / Σ ln μ — the ONE
+    number that says whether a 64-dim embedding column really spans 64
+    dimensions or lives on a ~10-dim manifold (governs how hard IVF/PQ
+    compression can squeeze it, and explains the recall curves measured
+    beside it). Exactness: cosine distance on the round-6 grid every ANN
+    oracle shares, per-point ln μ micro-rounded BEFORE the sum (integer
+    addition — order-independent across engines/partitionings, the NLL
+    recipe), final MLE one integer division; exact-duplicate points
+    (d1 = 0) are excluded the way the estimator's derivation requires,
+    and the all-μ=1 degenerate corpus reports an honest NULL. Scale
+    shape: all-pairs 2-NN is the LABELED EXACT BASELINE class
+    (``dedup_embedding_cosine``'s audited-BNLJ family); ID is a corpus
+    STATISTIC, so at 100 TB the estimator runs on a fixed sample — the
+    number converges at thousands of points (Facco §2), not corpus
+    scale."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = similarity._normed(emb, "vec_id", "embedding")
+    # repartition the STREAMED side (the ``embedding_near_dup_pairs``
+    # lesson): the fixture is one parquet file -> one scan partition, and
+    # a BNLJ parallelizes over streamed-side partitions only — without
+    # this every one of the N^2 interpreted cosine evaluations runs in a
+    # single task (measured 46.6 s at sf0.1; 2.9 s after)
+    a = n.select(
+        F.col("vec_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = n.select(
+        F.col("vec_id").alias("nbr"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pc = a.join(b, F.col("nbr") != F.col("vec_id")).select(
+        "vec_id",
+        "nbr",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(av, bv, (x, y) -> x * y), 0.0D,"
+                " (p, q) -> p + q)"
+            )
+            / (F.col("an") * F.col("bn")),
+            6,
+        ).alias("cos_r"),
+    )
+    top2 = pc.select(
+        "vec_id",
+        "cos_r",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), "nbr")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    pair2 = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cos_r"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos_r"))).alias("c2"),
+    )
+    mu = pair2.filter(
+        (F.lit(1.0) - F.col("c1") > 0) & F.col("c2").isNotNull()
+    ).select(
+        F.floor(
+            F.log((F.lit(1.0) - F.col("c2")) / (F.lit(1.0) - F.col("c1")))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lnmu_micro")
+    )
+    tot = n.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("lnmu_micro").cast("long").alias("sum_lnmu_micro"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "n_vectors",
+        "n_used",
+        "sum_lnmu_micro",
+        F.expr(
+            "CAST(CASE WHEN sum_lnmu_micro = 0 THEN NULL"
+            " ELSE n_used * 1000000000000 div sum_lnmu_micro END AS BIGINT)"
+        ).alias("id_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language x source association (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_source_association",
+    oracle="""
+    WITH d AS (SELECT lang, source FROM documents),
+    cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+             FROM d GROUP BY lang, source),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rn FROM cell GROUP BY lang),
+    c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS cn
+          FROM cell GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    x AS (
+      SELECT CAST((CAST(cell.obs AS HUGEINT) * n.n
+                   - CAST(r.rn AS HUGEINT) * c.cn)
+                  * (CAST(cell.obs AS HUGEINT) * n.n
+                     - CAST(r.rn AS HUGEINT) * c.cn)
+                  * 1000000
+                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+               AS chi2_cell_micro
+      FROM cell JOIN r ON r.lang = cell.lang
+                JOIN c ON c.source = cell.source
+                CROSS JOIN n
+    ),
+    t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro
+          FROM x),
+    dim AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT source) AS BIGINT) AS nc
+            FROM cell)
+    SELECT n.n AS n_docs, dim.nr AS n_langs, dim.nc AS n_sources,
+           t.chi2_total_micro,
+           CAST((dim.nr - 1) * (dim.nc - 1) AS BIGINT) AS dof,
+           CAST(CASE WHEN least(dim.nr - 1, dim.nc - 1) = 0 THEN 0
+                ELSE t.chi2_total_micro
+                     // (n.n * least(dim.nr - 1, dim.nc - 1))
+                END AS BIGINT) AS cramers_v2_micro
+    FROM t, n, dim
+    """,
+)
+def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE × SOURCE association strength (Cramér's V², the
+    ``priority_status_cramers_v`` integer recipe on the corpus planning
+    axes): a mixture planner that balances per-source token budgets
+    implicitly assumes language composition is roughly independent of
+    source — V² near 0 says per-source quotas also balance languages,
+    V² near 1 says the two axes are aliased and the planner must
+    stratify on (lang, source) jointly (``mixture_epoch_plan`` per cell,
+    not per source). Same cleared-denominator exactness: per-cell
+    (obs·n − r·c)²·10⁶ // (n·r·c·n) summed as integers, effect size
+    χ²/(n·min(r−1, c−1)) on the micro grid — no expected-count float
+    ever materializes. The reported EFFECT SIZE carries the planning
+    decision; the df here (dozens of sources) sits far beyond the
+    χ² literal table, so no reject flag is emitted (the honest-NULL
+    rule would make one vacuous). Scale shape: one (lang, source)
+    map-side-combined aggregate; everything after lives on the bounded
+    grid."""
+    d = load_table(spark, "documents", sf_dir).select("lang", "source")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    r = cell.groupBy("lang").agg(F.sum("obs").cast("long").alias("rn"))
+    c = cell.groupBy("source").agg(F.sum("obs").cast("long").alias("cn"))
+    n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    x = (
+        cell.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST((CAST(obs AS DECIMAL(38,0)) * n"
+                " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * (CAST(obs AS DECIMAL(38,0)) * n"
+                "    - CAST(rn AS DECIMAL(38,0)) * cn)"
+                " * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+            ).alias("chi2_cell_micro")
+        )
+    )
+    t = x.agg(
+        F.sum("chi2_cell_micro").cast("long").alias("chi2_total_micro")
+    )
+    dim = cell.agg(
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    )
+    return (
+        n.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(dim))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("nr").alias("n_langs"),
+            F.col("nc").alias("n_sources"),
+            "chi2_total_micro",
+            F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("dof"),
+            F.expr(
+                "CAST(CASE WHEN least(nr - 1, nc - 1) = 0 THEN 0"
+                " ELSE chi2_total_micro"
+                " div (n * least(nr - 1, nc - 1)) END AS BIGINT)"
+            ).alias("cramers_v2_micro"),
+        )
+    )

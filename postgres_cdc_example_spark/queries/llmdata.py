@@ -7271,3 +7271,139 @@ def doc_nll_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("high_share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical-ranker agreement audit (r12)
+# ---------------------------------------------------------------------------
+
+
+def _rank_agreement_oracle() -> str:
+    return f"""
+    WITH b AS (SELECT tok, doc_id, rank AS rb
+               FROM ({REGISTRY["bm25_doc_ranking"].oracle})),
+    q AS (SELECT tok, doc_id, rank AS rq
+          FROM ({REGISTRY["lm_dirichlet_ranking"].oracle})),
+    common AS (
+      SELECT b.tok, b.doc_id, b.rb, q.rq
+      FROM b JOIN q ON q.tok = b.tok AND q.doc_id = b.doc_id
+    ),
+    m AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_common
+          FROM common GROUP BY tok),
+    pairs AS (
+      SELECT x.tok,
+             CAST(sum(CASE WHEN (x.rb - y.rb) * (x.rq - y.rq) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_pairs,
+             CAST(sum(CASE WHEN (x.rb - y.rb) * (x.rq - y.rq) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d_pairs
+      FROM common x JOIN common y
+        ON y.tok = x.tok AND x.doc_id < y.doc_id
+      GROUP BY x.tok
+    ),
+    toks AS (SELECT DISTINCT tok FROM b)
+    SELECT toks.tok,
+           COALESCE(m.n_common, 0) AS n_common,
+           CAST(COALESCE(m.n_common, 0) * 100000 AS BIGINT)
+             AS overlap_micro,
+           COALESCE(p.c_pairs, 0) AS c_pairs,
+           COALESCE(p.d_pairs, 0) AS d_pairs,
+           CAST(CASE WHEN COALESCE(m.n_common, 0) < 2 THEN NULL
+                ELSE floor(CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+                           / (m.n_common * (m.n_common - 1) / 2)
+                           * 1000000 + 0.5) END AS BIGINT) AS tau_micro
+    FROM toks LEFT JOIN m ON m.tok = toks.tok
+              LEFT JOIN pairs p ON p.tok = toks.tok
+    ORDER BY toks.tok
+    """
+
+
+@register("retrieval_rank_agreement", oracle=_rank_agreement_oracle())
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL-RANKER AGREEMENT audit — per query term, how much do the
+    two classical rankers (BM25 and Dirichlet query likelihood) agree on
+    the head? Top-10 overlap plus Kendall τ over the docs BOTH rank
+    (τ from the common set's two rank columns: row_number ranks are
+    tie-free, so τ = (C−D)/(m(m−1)/2) exactly) — the measurement that
+    decides whether hybrid fusion (``hybrid_rank_fusion``) can add
+    anything: τ → 1 means the rankers are redundant, low τ with decent
+    overlap is exactly where RRF earns its keep. Composes the two
+    REGISTERED members (engine calls the fns, oracle interpolates their
+    SQL — zero drift possible); the pair enumeration is bounded by
+    construction (m ≤ 10 ⇒ ≤ 45 pairs per term, an equi-join on tok).
+    τ uses the sign-safe one-IEEE-division micro rounding (C−D may be
+    negative; ``div``/``//`` diverge on negatives — the
+    ``value_location_mannwhitney`` recipe), and m < 2 reports an honest
+    NULL. Overlap is exact micro (n_common/10). Scale shape: the
+    members' shared-layer cost dominates; the audit adds one bounded
+    join + one ≤45-row-per-term pair rollup."""
+    b = REGISTRY["bm25_doc_ranking"].fn(spark, sf_dir).select(
+        "tok", "doc_id", F.col("rank").alias("rb")
+    )
+    qq = REGISTRY["lm_dirichlet_ranking"].fn(spark, sf_dir).select(
+        "tok", "doc_id", F.col("rank").alias("rq")
+    )
+    common = b.join(
+        qq.withColumnRenamed("tok", "q_tok").withColumnRenamed(
+            "doc_id", "q_doc"
+        ),
+        (F.col("tok") == F.col("q_tok")) & (F.col("doc_id") == F.col("q_doc")),
+    ).select("tok", "doc_id", "rb", "rq")
+    m = common.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    x = common.select(
+        F.col("tok").alias("p_tok"), F.col("doc_id").alias("da"),
+        F.col("rb").alias("rba"), F.col("rq").alias("rqa"),
+    )
+    y = common.select(
+        F.col("tok").alias("p_tok"), F.col("doc_id").alias("db"),
+        F.col("rb").alias("rbb"), F.col("rq").alias("rqb"),
+    )
+    pairs = (
+        x.join(y, "p_tok")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("p_tok")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rba") - F.col("rbb"))
+                    * (F.col("rqa") - F.col("rqb"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("rba") - F.col("rbb"))
+                    * (F.col("rqa") - F.col("rqb"))
+                    < 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d_pairs"),
+        )
+    )
+    toks = b.select("tok").distinct()
+    return (
+        toks.join(m, "tok", "left")
+        .join(pairs, F.col("tok") == F.col("p_tok"), "left")
+        .select(
+            "tok",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)) * 100_000)
+            .cast("long")
+            .alias("overlap_micro"),
+            F.coalesce("c_pairs", F.lit(0)).cast("long").alias("c_pairs"),
+            F.coalesce("d_pairs", F.lit(0)).cast("long").alias("d_pairs"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_common, 0) < 2 THEN NULL"
+                " ELSE floor(CAST(c_pairs - d_pairs AS DOUBLE)"
+                " / (n_common * (n_common - 1) / 2)"
+                " * 1000000 + 0.5) END AS BIGINT)"
+            ).alias("tau_micro"),
+        )
+        .orderBy("tok")
+    )

@@ -556,6 +556,13 @@ _BNLJ_ALLOWED = {
     "event_session_gap_curve",  # 6-row threshold grid + 1-row totals over the gap stream
     "doc_nll_outlier_fences",  # member's 1-row (t, v) smoothing-total broadcast resurfaces
     #   as a BNLJ once the fences rollup sits above it (bounded build side)
+    "embedding_intrinsic_dim",  # labeled all-pairs exact 2-NN baseline (TwoNN is a
+    #   sampled statistic at scale); streamed side repartitioned
+    "ann_probe_recall_curve",  # 10-query x 8-centroid + 4-probe grid broadcasts +
+    #   the brute-truth exact side (the recall-audit class)
+    "lang_source_association",  # 1-row grand-total broadcast into the bounded grid
+    "retrieval_rank_agreement",  # members' 1-row stats broadcasts resurface under
+    #   the composed agreement rollup (bounded build sides)
     "pack_efficiency_audit",  # 1-row token-total/LB broadcast into three 1-row strategy rows
 }
 
