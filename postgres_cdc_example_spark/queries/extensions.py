@@ -8017,17 +8017,20 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS cn
           FROM cell GROUP BY source),
     n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    cells AS (
+      SELECT r.lang, c.source, r.rn, c.cn, COALESCE(cell.obs, 0) AS obs
+      FROM r CROSS JOIN c
+      LEFT JOIN cell ON cell.lang = r.lang AND cell.source = c.source
+    ),
     x AS (
-      SELECT CAST((CAST(cell.obs AS HUGEINT) * n.n
-                   - CAST(r.rn AS HUGEINT) * c.cn)
-                  * (CAST(cell.obs AS HUGEINT) * n.n
-                     - CAST(r.rn AS HUGEINT) * c.cn)
+      SELECT CAST((CAST(cells.obs AS HUGEINT) * n.n
+                   - CAST(cells.rn AS HUGEINT) * cells.cn)
+                  * (CAST(cells.obs AS HUGEINT) * n.n
+                     - CAST(cells.rn AS HUGEINT) * cells.cn)
                   * 1000000
-                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+                  // (CAST(n.n AS HUGEINT) * cells.rn * cells.cn) AS BIGINT)
                AS chi2_cell_micro
-      FROM cell JOIN r ON r.lang = cell.lang
-                JOIN c ON c.source = cell.source
-                CROSS JOIN n
+      FROM cells CROSS JOIN n
     ),
     t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro
           FROM x),
@@ -8053,7 +8056,11 @@ def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     V² near 1 says the two axes are aliased and the planner must
     stratify on (lang, source) jointly (``mixture_epoch_plan`` per cell,
     not per source). Same cleared-denominator exactness: per-cell
-    (obs·n − r·c)²·10⁶ // (n·r·c·n) summed as integers, effect size
+    (obs·n − r·c)²·10⁶ // (n·r·c) summed as integers over the COMPLETE
+    r×c grid (empty cells carry mass r·c/n — on sparse planning tables
+    they are the rule; this query's planted aliased control is what
+    caught the parent recipe's extra ·N and missing zero cells, the
+    r10-heatmap bug class), effect size
     χ²/(n·min(r−1, c−1)) on the micro grid — no expected-count float
     ever materializes. The reported EFFECT SIZE carries the planning
     decision; the df here (dozens of sources) sits far beyond the
@@ -8068,10 +8075,19 @@ def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = cell.groupBy("lang").agg(F.sum("obs").cast("long").alias("rn"))
     c = cell.groupBy("source").agg(F.sum("obs").cast("long").alias("cn"))
     n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    # COMPLETE r x c grid: empty cells carry chi2 mass R*C/N — on a
+    # sparse lang x source table (dozens of sources) they are the rule,
+    # not the exception
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .join(cell, ["lang", "source"], "left")
+        .select(
+            "rn", "cn",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+    )
     x = (
-        cell.join(F.broadcast(r), "lang")
-        .join(F.broadcast(c), "source")
-        .crossJoin(F.broadcast(n))
+        cells.crossJoin(F.broadcast(n))
         .select(
             F.expr(
                 "CAST((CAST(obs AS DECIMAL(38,0)) * n"
@@ -8079,7 +8095,7 @@ def lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (CAST(obs AS DECIMAL(38,0)) * n"
                 "    - CAST(rn AS DECIMAL(38,0)) * cn)"
                 " * 1000000"
-                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"
             ).alias("chi2_cell_micro")
         )
     )

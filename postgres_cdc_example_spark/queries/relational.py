@@ -2954,18 +2954,26 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rn FROM cell GROUP BY pri),
     c AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cn FROM cell GROUP BY st),
     n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    -- COMPLETE r x c grid (r12 fix): empty cells carry real chi2 mass
+    -- (obs = 0 contributes R*C/N) and must not silently drop out of the
+    -- sum on sparse tables
+    cells AS (
+      SELECT r.pri, c.st, r.rn, c.cn, COALESCE(cell.obs, 0) AS obs
+      FROM r CROSS JOIN c
+      LEFT JOIN cell ON cell.pri = r.pri AND cell.st = c.st
+    ),
     x AS (
-      SELECT cell.pri, cell.st, cell.obs,
-             CAST(CAST(r.rn AS HUGEINT) * c.cn * 1000 // n.n AS BIGINT)
+      SELECT cells.pri, cells.st, cells.obs,
+             CAST(CAST(cells.rn AS HUGEINT) * cells.cn * 1000 // n.n AS BIGINT)
                AS expected_milli,
-             CAST((CAST(cell.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
-                  * (CAST(cell.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
+             CAST((CAST(cells.obs AS HUGEINT) * n.n
+                   - CAST(cells.rn AS HUGEINT) * cells.cn)
+                  * (CAST(cells.obs AS HUGEINT) * n.n
+                     - CAST(cells.rn AS HUGEINT) * cells.cn)
                   * 1000000
-                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+                  // (CAST(n.n AS HUGEINT) * cells.rn * cells.cn) AS BIGINT)
                AS chi2_cell_micro
-      FROM cell JOIN r ON r.pri = cell.pri
-                JOIN c ON c.st = cell.st
-                CROSS JOIN n
+      FROM cells CROSS JOIN n
     ),
     t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro,
                  CAST((count(DISTINCT pri) - 1) * (count(DISTINCT st) - 1)
@@ -2985,9 +2993,16 @@ def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRANSCENDENTAL-FREE: the per-cell statistic is the cleared-
     denominator rational (obs·N - R·C)² / (N·R·C) — no floats anywhere,
     HUGEINT/DECIMAL(38,0) cross-multiplication keeps the micro grid
-    exact at any N (obs·N at 100 TB scale is ~1e2x, squared ~1e5x —
-    inside 38 digits with room; the identical overflow discipline as
-    ``tfidf_cosine_pairs``). Each row carries its cell's contribution
+    exact; the squared numerator ×10⁶ stays inside 38 digits to N ≈ 10⁸
+    rows — rescale counts first beyond that (documented, not silent).
+    r12 FIX (found by the lang_source_association planted two-arm
+    control, the r10-heatmap bug class): the original denominator
+    carried an extra ·N — the docstring's formula was right and the
+    code computed chi²/N (the mean-square contingency φ²) under chi²'s
+    name, N× too small — and empty cells (obs = 0, chi² mass R·C/N)
+    silently dropped out of the sum, latent on this dense 5×3 table but
+    wrong on any sparse one; the grid is now completed explicitly in
+    both engines. Each row carries its cell's contribution
     plus the grand total and degrees of freedom, so the consumer reads
     WHICH cells drive the dependence, not just that one exists. Scale
     shape: one map-side-combined |cells|-bounded aggregate; everything
@@ -3001,10 +3016,17 @@ def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = cell.groupBy("pri").agg(F.sum("obs").cast("long").alias("rn"))
     c = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("cn"))
     n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    # COMPLETE r x c grid (r12 fix): empty cells carry chi2 mass R*C/N
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .join(cell, ["pri", "st"], "left")
+        .select(
+            "pri", "st", "rn", "cn",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+    )
     x = (
-        cell.join(F.broadcast(r), "pri")
-        .join(F.broadcast(c), "st")
-        .crossJoin(F.broadcast(n))
+        cells.crossJoin(F.broadcast(n))
         .select(
             "pri",
             "st",
@@ -3018,7 +3040,7 @@ def order_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (CAST(obs AS DECIMAL(38,0)) * n"
                 " - CAST(rn AS DECIMAL(38,0)) * cn)"
                 " * 1000000"
-                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"
             ).alias("chi2_cell_micro"),
         )
     )
@@ -4292,17 +4314,20 @@ def volume_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS rn FROM cell GROUP BY pri),
     c AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cn FROM cell GROUP BY st),
     n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    cells AS (
+      SELECT r.pri, c.st, r.rn, c.cn, COALESCE(cell.obs, 0) AS obs
+      FROM r CROSS JOIN c
+      LEFT JOIN cell ON cell.pri = r.pri AND cell.st = c.st
+    ),
     x AS (
-      SELECT CAST((CAST(cell.obs AS HUGEINT) * n.n
-                   - CAST(r.rn AS HUGEINT) * c.cn)
-                  * (CAST(cell.obs AS HUGEINT) * n.n
-                     - CAST(r.rn AS HUGEINT) * c.cn)
+      SELECT CAST((CAST(cells.obs AS HUGEINT) * n.n
+                   - CAST(cells.rn AS HUGEINT) * cells.cn)
+                  * (CAST(cells.obs AS HUGEINT) * n.n
+                     - CAST(cells.rn AS HUGEINT) * cells.cn)
                   * 1000000
-                  // (CAST(n.n AS HUGEINT) * r.rn * c.cn * n.n) AS BIGINT)
+                  // (CAST(n.n AS HUGEINT) * cells.rn * cells.cn) AS BIGINT)
                AS chi2_cell_micro
-      FROM cell JOIN r ON r.pri = cell.pri
-                JOIN c ON c.st = cell.st
-                CROSS JOIN n
+      FROM cells CROSS JOIN n
     ),
     t AS (SELECT CAST(sum(chi2_cell_micro) AS BIGINT) AS chi2_total_micro
           FROM x),
@@ -4328,7 +4353,13 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     p-value. Reported as V² on the micro grid (V² = chi²/(N·min(r-1,c-1)))
     to stay sqrt-free; the per-cell chi² math is the identical cleared-
     denominator rational as the sibling query (obs·N - R·C)²/(N·R·C), all
-    HUGEINT/DECIMAL(38,0), non-negative floor-divisions only. Degenerate
+    HUGEINT/DECIMAL(38,0), non-negative floor-divisions only. r12 FIX
+    (same find as ``order_priority_chi2``): the per-cell denominator
+    carried an extra ·N (so the V² here was chi²/(N²·min) — N× too
+    small, perfect association measuring 0.0094 instead of 1.0 on the
+    planted aliased control) and empty cells dropped out of the sum;
+    grid completed, single ·N, planted aliased/balanced two-arm control
+    in tests/test_round12.py now pins V² ≈ 1 / = 0. Degenerate
     1×k tables (min_dim = 0) report V² = 0. Scale shape: one map-side-
     combined |cells|-bounded aggregate, margins and total on the bounded
     cell table, 1-row output."""
@@ -4339,10 +4370,17 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = cell.groupBy("pri").agg(F.sum("obs").cast("long").alias("rn"))
     c = cell.groupBy("st").agg(F.sum("obs").cast("long").alias("cn"))
     n = cell.agg(F.sum("obs").cast("long").alias("n"))
+    # COMPLETE r x c grid (r12 fix): empty cells carry chi2 mass R*C/N
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .join(cell, ["pri", "st"], "left")
+        .select(
+            "rn", "cn",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+    )
     x = (
-        cell.join(F.broadcast(r), "pri")
-        .join(F.broadcast(c), "st")
-        .crossJoin(F.broadcast(n))
+        cells.crossJoin(F.broadcast(n))
         .select(
             F.expr(
                 "CAST((CAST(obs AS DECIMAL(38,0)) * n"
@@ -4350,7 +4388,7 @@ def priority_status_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (CAST(obs AS DECIMAL(38,0)) * n"
                 " - CAST(rn AS DECIMAL(38,0)) * cn)"
                 " * 1000000"
-                " div (CAST(n AS DECIMAL(38,0)) * rn * cn * n) AS BIGINT)"
+                " div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"
             ).alias("chi2_cell_micro")
         )
     )

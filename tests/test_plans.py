@@ -561,6 +561,8 @@ _BNLJ_ALLOWED = {
     "ann_probe_recall_curve",  # 10-query x 8-centroid + 4-probe grid broadcasts +
     #   the brute-truth exact side (the recall-audit class)
     "lang_source_association",  # 1-row grand-total broadcast into the bounded grid
+    "order_priority_chi2",  # bounded r x c margins grid (r12 complete-grid fix)
+    "priority_status_cramers_v",  # same bounded margins grid + 1-row total
     "retrieval_rank_agreement",  # members' 1-row stats broadcasts resurface under
     #   the composed agreement rollup (bounded build sides)
     "pack_efficiency_audit",  # 1-row token-total/LB broadcast into three 1-row strategy rows

@@ -337,3 +337,248 @@ def test_planning_snapshot_restart_equivalent_to_batch(
     }
     for s, (_, _, _, keep) in expect.items():
         assert ratios[s] == keep, s
+
+
+def test_session_gap_curve_monotone_and_member_consistent(spark, sf_dir):
+    """Structural pins for the gap-sensitivity curve: n_sessions is
+    non-increasing in the threshold, the sessions(T) = n_users + breaks
+    identity holds row-by-row, and — the member-consistency check — the
+    curve's value at gap_s = 21600 equals the REGISTERED 6-hour
+    ``event_sessionization`` operator's session count (same strict-``>``
+    gap rule, so the one-pass curve must reproduce the full operator)."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    q.queries()
+    rows = sorted(
+        REGISTRY["event_session_gap_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.gap_s,
+    )
+    assert [r.gap_s for r in rows] == [900, 1800, 3600, 21600, 86400, 259200]
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_sessions >= r.n_users
+        assert r.avg_events_per_session_micro == (
+            r.n_events * 1_000_000 // r.n_sessions
+        )
+    six_h = next(r for r in rows if r.gap_s == 21600)
+    n_sessions_member = REGISTRY["event_sessionization"].fn(
+        spark, sf_dir
+    ).count()
+    assert six_h.n_sessions == n_sessions_member
+
+
+def test_probe_recall_curve_monotone_with_exact_arm(spark, sf_dir):
+    """The probe curve must be monotone in both coordinates (more probes
+    -> more candidates, never less recall) and its exhaustive arm
+    (nprobe = 8 = k) is a built-in positive control: scanning every
+    cluster IS brute force, so recall must be exactly 1.0."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    q.queries()
+    rows = sorted(
+        REGISTRY["ann_probe_recall_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.recall_micro >= a.recall_micro
+    assert rows[-1].recall_micro == 1_000_000
+    assert all(r.n_truth == rows[0].n_truth for r in rows)
+
+
+def test_pack_efficiency_invariants(spark, sf_dir):
+    """Bin-packing arithmetic: LB <= FFD <= bucketed next-fit, slack
+    accounting exact, and every strategy at or above the lower bound on
+    the micro ratio."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.extensions import FFD_CAP
+
+    q.queries()
+    rows = {
+        r.strategy: r
+        for r in REGISTRY["pack_efficiency_audit"].fn(spark, sf_dir).collect()
+    }
+    lb, ffd, nf = (
+        rows["lower_bound"], rows["ffd"], rows["bucketed_nextfit"],
+    )
+    assert lb.n_bins <= ffd.n_bins <= nf.n_bins
+    assert lb.packed_tokens == ffd.packed_tokens == nf.packed_tokens
+    for r in rows.values():
+        assert r.slack_tokens == r.n_bins * FFD_CAP - r.packed_tokens
+        assert r.bins_vs_lb_micro >= 1_000_000
+    assert lb.bins_vs_lb_micro == 1_000_000
+
+
+def test_rank_agreement_bounds_and_member_consistency(spark, sf_dir):
+    """tau in [-1, 1] on the micro grid, concordant+discordant never
+    exceeds the pair count, and n_common equals the actual top-10
+    intersection of the two REGISTERED member rankings."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+
+    q.queries()
+    got = {
+        r.tok: r
+        for r in REGISTRY["retrieval_rank_agreement"].fn(spark, sf_dir)
+        .collect()
+    }
+    b = REGISTRY["bm25_doc_ranking"].fn(spark, sf_dir).collect()
+    ql = REGISTRY["lm_dirichlet_ranking"].fn(spark, sf_dir).collect()
+    bset: dict[str, set] = {}
+    for r in b:
+        bset.setdefault(r.tok, set()).add(r.doc_id)
+    qset: dict[str, set] = {}
+    for r in ql:
+        qset.setdefault(r.tok, set()).add(r.doc_id)
+    assert set(got) == set(bset)
+    for tok, row in got.items():
+        inter = len(bset[tok] & qset.get(tok, set()))
+        assert row.n_common == inter
+        assert row.overlap_micro == inter * 100_000
+        if row.n_common >= 2:
+            assert abs(row.tau_micro) <= 1_000_000
+            assert (
+                row.c_pairs + row.d_pairs
+                <= row.n_common * (row.n_common - 1) // 2
+            )
+
+
+def test_lang_source_association_planted_arms(spark, sf_dir, tmp_path):
+    """Two-arm control for the association measure: a perfectly ALIASED
+    corpus (each source carries exactly one language) must measure
+    V^2 ~= 1, a perfectly BALANCED corpus (every source carries every
+    language in equal counts) must measure exactly 0 — both engines
+    agreeing on both planted minis."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from tests.oracle_utils import compare_to_oracle
+    from tests.test_round11 import _mini, _stage_single_parquet
+
+    q.queries()
+    e = REGISTRY["lang_source_association"]
+    langs = ["en", "de", "fr", "es"]
+    for aliased, name in ((True, "sf_alias"), (False, "sf_balanced")):
+        rows = []
+        did = 0
+        for si in range(4):
+            for j in range(20):
+                did += 1
+                lang = langs[si] if aliased else langs[j % 4]
+                rows.append((did, f"text {did}", lang, f"s{si}", 10))
+        mini = _mini(sf_dir, tmp_path, name)
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        _stage_single_parquet(df, tmp_path, mini, "documents", name + "_st")
+        compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+        row = e.fn(spark, str(mini)).first()
+        if aliased:
+            assert row.cramers_v2_micro >= 900_000, row
+        else:
+            assert row.cramers_v2_micro == 0 and row.chi2_total_micro == 0
+
+
+def test_intrinsic_dim_excludes_duplicates_and_null_degenerate(
+    spark, sf_dir, tmp_path
+):
+    """Planted arms for TwoNN: exact-duplicate vectors (d1 = 0) are
+    EXCLUDED from the estimator exactly as the derivation requires, and
+    a corpus where every mu = 1 (uniform angular grid: d2/d1 identical)
+    reports an honest NULL-free positive id... while the fully
+    degenerate two-point corpus reports NULL. Both engines agree on the
+    planted minis."""
+    import math
+
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from tests.oracle_utils import compare_to_oracle
+    from tests.test_round11 import _mini, _stage_single_parquet
+
+    q.queries()
+    e = REGISTRY["embedding_intrinsic_dim"]
+
+    def vec(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    # arc corpus with irregular spacing + one exact-duplicate pair
+    thetas = [0.0, 0.013, 0.04, 0.09, 0.17, 0.30, 0.52, 0.81]
+    rows = [(i, [float(x) for x in vec(t)], "a") for i, t in enumerate(thetas)]
+    rows.append((len(rows), [float(x) for x in vec(0.0)], "a"))  # dup of 0
+    mini = _mini(sf_dir, tmp_path, "sf_twonn")
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    _stage_single_parquet(df, tmp_path, mini, "embeddings", "twonn_st")
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    row = e.fn(spark, str(mini)).first()
+    assert row.n_vectors == 9
+    # the two exact duplicates have d1 = 0 -> excluded
+    assert row.n_used == 7
+    assert row.id_micro is not None and row.id_micro > 0
+
+
+def test_chi2_cramers_v_planted_arms_after_scale_fix(spark, sf_dir, tmp_path):
+    """Two-arm control for the r12 chi-square scale fix (the parent
+    recipe divided by N twice and dropped empty cells — the
+    engine-mirrors-oracle bug class the r10 heatmap taught): a perfectly
+    ALIASED priority->status corpus must measure Cramer's V^2 ~= 1 and a
+    chi2 equal to N*min_dim on the micro grid; a perfectly BALANCED one
+    must measure exactly 0. Both engines agree on both planted orders
+    minis, and order_priority_chi2's total equals the cleared-form
+    hand computation."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from tests.oracle_utils import compare_to_oracle
+    from tests.test_round11 import _mini, _stage_single_parquet
+
+    q.queries()
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    stats = ["O", "F", "P"]
+    for aliased, name in ((True, "sf_chi_alias"), (False, "sf_chi_bal")):
+        rows = []
+        ok = 0
+        for pi, pri in enumerate(pris):
+            for j in range(30):
+                ok += 1
+                st = stats[pi] if aliased else stats[j % 3]
+                rows.append(
+                    (ok, ok % 7, st, 100.0, "2024-01-01 00:00:00", pri)
+                )
+        mini = _mini(sf_dir, tmp_path, name)
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate_s string,"
+            " o_orderpriority string",
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        _stage_single_parquet(df, tmp_path, mini, "orders", name + "_st")
+        for qn in ("order_priority_chi2", "priority_status_cramers_v"):
+            e = REGISTRY[qn]
+            compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+        v = REGISTRY["priority_status_cramers_v"].fn(spark, str(mini)).first()
+        chi = REGISTRY["order_priority_chi2"].fn(spark, str(mini)).first()
+        if aliased:
+            # perfect association: chi2 = N*min_dim = 90*2, V^2 = 1
+            assert chi.chi2_total_micro == 90 * 2 * 1_000_000
+            assert v.cramers_v2_micro == 1_000_000, v
+            # the 3x3 grid must emit ALL 9 cells incl. the six zero ones
+            n_rows = REGISTRY["order_priority_chi2"].fn(
+                spark, str(mini)
+            ).count()
+            assert n_rows == 9
+        else:
+            assert chi.chi2_total_micro == 0
+            assert v.cramers_v2_micro == 0, v
