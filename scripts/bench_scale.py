@@ -140,6 +140,15 @@ QUERIES = [
     # 10x behavioral corpus
     "event_markov_nll",
     "text_jm_lambda_grid",
+    # round-12 additions (documents/embeddings/events-based)
+    "event_session_gap_curve",
+    "cdc_erasure_roundtrip",
+    "doc_nll_outlier_fences",
+    "pack_efficiency_audit",
+    "embedding_intrinsic_dim",
+    "ann_probe_recall_curve",
+    "retrieval_rank_agreement",
+    "lang_source_association",
 ]
 
 

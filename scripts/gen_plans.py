@@ -162,6 +162,15 @@ NOTES = {
     "split_temporal_leakage": "Temporal leakage: 1-row span + 3-row cut grid broadcast, ONE (cut, user) map-side-combined aggregate, 3-row rollup; events never self-join.",
     "event_markov_nll": "Markov NLL: one user-keyed window builds transitions, |types|^2-bounded train counts broadcast, per-transition log micro-rounds before the per-state integer sums.",
     "text_jm_lambda_grid": "JM grid: vocab-bounded train counts broadcast into the held bigrams, 5-row lambda grid fanout, 5-row rollup + rank window; logs micro-round before sums.",
+    # round-12
+    "event_session_gap_curve": "Gap curve: ONE user-keyed lag window yields the gap multiset; sessions(T) = n_users + breaks per 6-row broadcast grid — the sessionization operator never re-runs per threshold.",
+    "cdc_erasure_roundtrip": "Erasure round-trip: one key-partitioned window shared by all three derived stores; the purgable set is key-bounded + broadcast; per store one anti-join (the purge) + one semi-join (the residual re-scan).",
+    "doc_nll_outlier_fences": "NLL fences: the registered unigram-NLL member runs off the shared occurrence layer; quartiles from a per-source cumulative histogram (one exchange feeds both windows), doubled-IQR integer fences, bounded rollup.",
+    "pack_efficiency_audit": "Pack audit: registered FFD + next-fit members plus three 1-row strategy aggregates; the members' cost dominates, the audit adds bounded rollups only.",
+    "ann_probe_recall_curve": "Probe curve: memoized literal centroids (zero new training); 10x8 query-centroid broadcast product ranks probes; candidate scoring stays cluster-keyed; streamed corpus side repartitioned (the one-scan-partition BNLJ lesson).",
+    "embedding_intrinsic_dim": "TwoNN: labeled all-pairs exact 2-NN baseline (ID is a sampled statistic at scale); ln(mu) micro-rounds before the integer sum; streamed side repartitioned (46.6 s -> 2.5 s at sf0.1).",
+    "retrieval_rank_agreement": "Rank agreement: both registered rankers off the shared tf layers; the composed join is (tok, doc_id)-keyed and the Kendall pair rollup is bounded by construction (<= 45 pairs/term).",
+    "lang_source_association": "Lang x source V^2: one (lang, source) map-side-combined aggregate; margins grid COMPLETED (r x c cross of two bounded aggregates) so empty cells keep their chi2 mass; single-N cleared form.",
 }
 
 
