@@ -582,3 +582,63 @@ def test_chi2_cramers_v_planted_arms_after_scale_fix(spark, sf_dir, tmp_path):
         else:
             assert chi.chi2_total_micro == 0
             assert v.cramers_v2_micro == 0, v
+
+
+def test_contingency_chi2_cleared_form_within_floor_budget():
+    """Hypothesis proof of the r12 chi-square contingency fix: for ANY
+    table (zero cells included — the complete-grid part of the fix),
+    the per-cell cleared form floor((obs*n - r*c)^2 * 1e6 / (n*r*c))
+    summed over the COMPLETE r x c margins grid sits within |cells|
+    micro-units BELOW the Fraction-exact chi2 * 1e6 and never above
+    (each cell's floor discards < 1 micro-unit), and the derived
+    Cramer's V^2 floor stays inside its propagated budget. The broken
+    pre-r12 form (extra /n, observed-cells-only sum) violates this for
+    any table with n > 1 or an empty cell."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(2, 5),
+        st.integers(2, 5),
+        st.data(),
+    )
+    def prove(nr, nc, data):
+        counts = data.draw(
+            st.lists(
+                st.integers(0, 1000), min_size=nr * nc, max_size=nr * nc
+            )
+        )
+        grid = {
+            (i, j): counts[i * nc + j] for i in range(nr) for j in range(nc)
+        }
+        # mirror the query: rows/cols with zero margin do not exist in
+        # the data, so they are absent from the margins and the grid
+        rmarg = {i: sum(grid[(i, j)] for j in range(nc)) for i in range(nr)}
+        cmarg = {j: sum(grid[(i, j)] for i in range(nr)) for j in range(nc)}
+        rows = [i for i, v in rmarg.items() if v > 0]
+        cols = [j for j, v in cmarg.items() if v > 0]
+        n = sum(rmarg.values())
+        if n == 0 or len(rows) < 2 or len(cols) < 2:
+            return
+        cleared = 0
+        exact = Fraction(0)
+        for i in rows:
+            for j in cols:
+                o, r, c = grid[(i, j)], rmarg[i], cmarg[j]
+                cleared += (o * n - r * c) ** 2 * 1_000_000 // (n * r * c)
+                e = Fraction(r * c, n)
+                exact += (Fraction(o) - e) ** 2 / e
+        exact_micro = exact * 1_000_000
+        n_cells = len(rows) * len(cols)
+        assert cleared <= exact_micro.__floor__()
+        assert exact_micro - cleared <= n_cells
+        # Cramer's V^2 floor budget
+        min_dim = min(len(rows) - 1, len(cols) - 1)
+        v2 = cleared // (n * min_dim)
+        assert v2 <= (exact_micro / (n * min_dim)).__floor__()
+        assert v2 >= ((exact_micro - n_cells) / (n * min_dim)).__floor__()
+
+    prove()
