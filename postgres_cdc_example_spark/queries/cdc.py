@@ -913,3 +913,146 @@ def cdc_erasure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("key_rollup", roll))
         .orderBy("store")
     )
+
+
+# ---------------------------------------------------------------------------
+# apply idempotence audit (r12 — T2 delivery semantics as a batch query)
+# ---------------------------------------------------------------------------
+
+
+def _apply_fold_sql(state_src: str, p: str) -> str:
+    """The reference apply fold as a parametrizable CTE chain: applies
+    the (already-defined) ``changes`` CTE onto ``state_src``, with every
+    intermediate CTE prefixed by ``p`` so the fold can nest."""
+    return f"""
+    {p}summary AS (
+        SELECT id,
+               max(CASE WHEN action = 'D' THEN seq END) AS d_max,
+               max(CASE WHEN action IN ('I','U') THEN seq END) AS iu_last
+        FROM changes GROUP BY id
+    ),
+    {p}ifirst AS (
+        SELECT c.id, min(c.seq) AS i_first
+        FROM changes c JOIN {p}summary s ON c.id = s.id
+        WHERE c.action = 'I' AND c.seq > COALESCE(s.d_max, -1)
+        GROUP BY c.id
+    ),
+    {p}lastvals AS (
+        SELECT c.id, c.status, c.amount
+        FROM changes c JOIN {p}summary s ON c.id = s.id AND c.seq = s.iu_last
+    ),
+    {p}created AS (
+        SELECT c.id, c.created_at
+        FROM changes c JOIN {p}ifirst f ON c.id = f.id AND c.seq = f.i_first
+    ),
+    {p}applied AS (
+    SELECT COALESCE(s.id, st.id) AS id,
+           CASE WHEN s.id IS NULL THEN st.status
+                WHEN lv.id IS NOT NULL THEN lv.status
+                ELSE st.status END AS status,
+           CASE WHEN s.id IS NULL THEN st.amount
+                WHEN lv.id IS NOT NULL THEN lv.amount
+                ELSE st.amount END AS amount,
+           CASE WHEN s.id IS NULL THEN st.created_at
+                WHEN s.d_max IS NULL AND st.id IS NOT NULL THEN st.created_at
+                ELSE cr.created_at END AS created_at
+    FROM {p}summary s
+    FULL OUTER JOIN {state_src} st ON s.id = st.id
+    LEFT JOIN {p}lastvals lv ON s.id = lv.id
+    LEFT JOIN {p}ifirst f ON s.id = f.id
+    LEFT JOIN {p}created cr ON s.id = cr.id
+    WHERE (s.id IS NULL AND st.id IS NOT NULL)
+       OR (s.id IS NOT NULL
+           AND ((s.d_max IS NULL AND st.id IS NOT NULL)
+                OR f.i_first IS NOT NULL))
+    )"""
+
+
+@register(
+    "cdc_apply_idempotence",
+    oracle=f"""
+    WITH state AS ({_STATE_SQL}),
+    changes AS ({_CHANGES_SQL}),
+    {_apply_fold_sql("state", "a_")[5:]},
+    {_apply_fold_sql("a_applied", "b_")[5:]},
+    diff AS (
+      SELECT COALESCE(o.id, t.id) AS id
+      FROM a_applied o FULL OUTER JOIN b_applied t ON o.id = t.id
+      WHERE o.id IS NULL OR t.id IS NULL
+         OR o.status IS DISTINCT FROM t.status
+         OR o.amount IS DISTINCT FROM t.amount
+         OR o.created_at IS DISTINCT FROM t.created_at
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM state) AS n_state,
+           (SELECT CAST(count(*) AS BIGINT) FROM changes) AS n_changes,
+           (SELECT CAST(count(*) AS BIGINT) FROM a_applied) AS n_once,
+           (SELECT CAST(count(*) AS BIGINT) FROM b_applied) AS n_twice,
+           CAST(0 AS BIGINT) AS n_diff_rows
+    """,
+)
+def cdc_apply_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY IDEMPOTENCE AUDIT — the reference's delivery-semantics
+    question (replicator/main.go replays the WAL from the confirmed LSN
+    on restart; pubsub delivery is at-least-once) stated as a provable
+    batch property: applying the SAME change batch twice must equal
+    applying it once, apply(apply(S, C), C) = apply(S, C), because the
+    fold is a pure function of (terminal state, change summary) — the
+    set-based formulation is idempotent BY CONSTRUCTION where the
+    row-at-a-time loop has to be careful. The audit runs the registered
+    fold twice (engine: :func:`operators.cdc_apply.apply_changes`
+    composed with itself; oracle: the same fold SQL nested with
+    prefixed CTEs) and RE-SCANS for any row differing between the two
+    states via symmetric exceptAll — reported against a literal-zero
+    oracle column, so a non-idempotent regression (e.g. created_at
+    re-stamping on replayed inserts) hash-mismatches instead of passing
+    quietly. Scale shape: two key-bounded folds + one key-keyed
+    anti-diff; the change-summary aggregates are map-side combined; no
+    row-at-a-time anything. Ref parity: replicator/main.go:98-101
+    (restart from confirmed LSN) + 175-270 (per-event apply)."""
+    state = _state(spark, sf_dir)
+    ch = _changes(spark, sf_dir)
+    kw = dict(
+        key="id", seq="seq", action="action",
+        value_cols=["status", "amount"], created_col="created_at",
+    )
+    once = apply_changes(state, ch, **kw).select(
+        "id", "status", "amount", "created_at"
+    )
+    twice = apply_changes(once, ch, **kw).select(
+        "id", "status", "amount", "created_at"
+    )
+    d1 = once.exceptAll(twice).agg(
+        F.count(F.lit(1)).cast("long").alias("d_fwd")
+    )
+    d2 = twice.exceptAll(once).agg(
+        F.count(F.lit(1)).cast("long").alias("d_bwd")
+    )
+    return (
+        state.agg(F.count(F.lit(1)).cast("long").alias("n_state"))
+        .crossJoin(
+            F.broadcast(
+                ch.agg(F.count(F.lit(1)).cast("long").alias("n_changes"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                once.agg(F.count(F.lit(1)).cast("long").alias("n_once"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                twice.agg(F.count(F.lit(1)).cast("long").alias("n_twice"))
+            )
+        )
+        .crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            "n_state",
+            "n_changes",
+            "n_once",
+            "n_twice",
+            (F.col("d_fwd") + F.col("d_bwd"))
+            .cast("long")
+            .alias("n_diff_rows"),
+        )
+    )

@@ -149,6 +149,7 @@ QUERIES = [
     "ann_probe_recall_curve",
     "retrieval_rank_agreement",
     "lang_source_association",
+    "cdc_apply_idempotence",
 ]
 
 

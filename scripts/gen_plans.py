@@ -171,6 +171,7 @@ NOTES = {
     "embedding_intrinsic_dim": "TwoNN: labeled all-pairs exact 2-NN baseline (ID is a sampled statistic at scale); ln(mu) micro-rounds before the integer sum; streamed side repartitioned (46.6 s -> 2.5 s at sf0.1).",
     "retrieval_rank_agreement": "Rank agreement: both registered rankers off the shared tf layers; the composed join is (tok, doc_id)-keyed and the Kendall pair rollup is bounded by construction (<= 45 pairs/term).",
     "lang_source_association": "Lang x source V^2: one (lang, source) map-side-combined aggregate; margins grid COMPLETED (r x c cross of two bounded aggregates) so empty cells keep their chi2 mass; single-N cleared form.",
+    "cdc_apply_idempotence": "Idempotence audit: the registered apply fold composed with itself (key-bounded both times) + a symmetric exceptAll diff against a literal-zero oracle column; change summaries combine map-side.",
 }
 
 

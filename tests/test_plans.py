@@ -565,6 +565,8 @@ _BNLJ_ALLOWED = {
     "priority_status_cramers_v",  # same bounded margins grid + 1-row total
     "retrieval_rank_agreement",  # members' 1-row stats broadcasts resurface under
     #   the composed agreement rollup (bounded build sides)
+    "cdc_apply_idempotence",  # five 1-row audit-count broadcasts (the
+    #   user_erasure_audit class); both folds and the diff stay id-keyed
     "pack_efficiency_audit",  # 1-row token-total/LB broadcast into three 1-row strategy rows
 }
 

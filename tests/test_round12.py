@@ -642,3 +642,59 @@ def test_contingency_chi2_cleared_form_within_floor_budget():
         assert v2 >= ((exact_micro - n_cells) / (n * min_dim)).__floor__()
 
     prove()
+
+
+def test_apply_idempotence_planted_lifecycle_and_detector_fires(
+    spark, sf_dir, tmp_path
+):
+    """Planted I/U/D lifecycle for the idempotence audit (insert-new,
+    update-existing, delete-existing, insert-after-delete) — assert the
+    once-applied state is exactly right, both engines agree, and the
+    symmetric-diff DETECTOR fires when fed the classic non-idempotence
+    bug (created_at re-stamped on a replayed insert)."""
+    import postgres_cdc_example_spark.queries as q
+    from postgres_cdc_example_spark.operators.cdc_apply import apply_changes
+    from postgres_cdc_example_spark.queries import REGISTRY
+    from postgres_cdc_example_spark.queries.cdc import _changes, _state
+    from tests.oracle_utils import compare_to_oracle
+    from tests.test_round11 import _events_df, _mini, _stage_single_parquet
+
+    q.queries()
+    # ids are event_id % 120; signup->I, error->D, else U
+    rows = [
+        (130, "2024-01-01 00:00:00", 1, "signup", 5.0, "{}"),   # id 10: I (new)
+        (250, "2024-01-02 00:00:00", 1, "view", 7.0, "{}"),     # id 10: U
+        (11, "2024-01-03 00:00:00", 1, "view", 3.0, "{}"),      # id 11: U (existing state id 11)
+        (12, "2024-01-04 00:00:00", 1, "error", 0.0, "{}"),     # id 12: D (existing)
+        (13, "2024-01-05 00:00:00", 1, "error", 0.0, "{}"),     # id 13: D then...
+        (133, "2024-01-06 00:00:00", 1, "signup", 9.0, "{}"),   # id 13: I after D
+    ]
+    mini = _mini(sf_dir, tmp_path, "sf_idem")
+    _stage_single_parquet(
+        _events_df(spark, rows), tmp_path, mini, "events", "idem_st"
+    )
+    e = REGISTRY["cdc_apply_idempotence"]
+    compare_to_oracle(spark, str(mini), e.fn, e.oracle)
+    got = e.fn(spark, str(mini)).first()
+    # state ids 0..99 (all planted ids pre-exist): id 10's I is an
+    # upsert, id 11 updates, id 12 deletes (-1), id 13 delete+recreate
+    assert got.n_state == 100 and got.n_changes == 6
+    assert got.n_once == got.n_twice == 99
+    assert got.n_diff_rows == 0
+
+    # detector-fires arm: re-stamp one replayed insert's created_at
+    st, ch = _state(spark, str(mini)), _changes(spark, str(mini))
+    kw = dict(key="id", seq="seq", action="action",
+              value_cols=["status", "amount"], created_col="created_at")
+    once = apply_changes(st, ch, **kw).select(
+        "id", "status", "amount", "created_at"
+    )
+    bad = once.withColumn(
+        "created_at",
+        F.when(F.col("id") == 10,
+               F.expr("created_at + INTERVAL 1 DAY")).otherwise(
+            F.col("created_at")
+        ),
+    )
+    n_diff = once.exceptAll(bad).count() + bad.exceptAll(once).count()
+    assert n_diff == 2  # the detector sees the re-stamped row both ways
