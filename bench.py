@@ -388,6 +388,8 @@ BENCH_QUERIES = [
     "embedding_intrinsic_dim",  # 2.46 s (TwoNN all-pairs 2-NN baseline, repartitioned)
     "ann_probe_recall_curve",  # 2.56 s (4-probe candidate scoring + brute truth)
     "retrieval_rank_agreement",  # 2.84 s (BM25 + QL members + bounded pair rollup)
+    "cdc_apply_idempotence",  # 2.18 s warm at bench config (two localCheckpointed
+    # key-bounded folds + symmetric diff) -> headline by the >2 s warm rule
 ]
 
 

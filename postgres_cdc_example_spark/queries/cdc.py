@@ -1015,11 +1015,21 @@ def cdc_apply_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="id", seq="seq", action="action",
         value_cols=["status", "amount"], created_col="created_at",
     )
-    once = apply_changes(state, ch, **kw).select(
-        "id", "status", "amount", "created_at"
+    # localCheckpoint (the capstone pattern): `once` feeds FOUR consumers
+    # (the second fold, both exceptAll sides, its own count) and `twice`
+    # three — without truncation each consumer recomputes the whole
+    # key-bounded fold over the full change log (measured 4.9 s warm in
+    # the --full shape vs 1.3 s after); checkpoint blocks release when
+    # the RDD is unreachable, so nothing leaks across a registry pass
+    once = (
+        apply_changes(state, ch, **kw)
+        .select("id", "status", "amount", "created_at")
+        .localCheckpoint(eager=False)
     )
-    twice = apply_changes(once, ch, **kw).select(
-        "id", "status", "amount", "created_at"
+    twice = (
+        apply_changes(once, ch, **kw)
+        .select("id", "status", "amount", "created_at")
+        .localCheckpoint(eager=False)
     )
     d1 = once.exceptAll(twice).agg(
         F.count(F.lit(1)).cast("long").alias("d_fwd")
