@@ -83,6 +83,16 @@ INVARIANCE_QUERIES = [
     "gram_novelty_curve",  # min-bucket first-occurrence attribution off the shared gram layer
     "packing_waste_curve",  # integer ceil grid x literal granularity table
     "dedup_minhash_calibration",  # signature-agreement counts + jaccard floor off shared layers
+    # round-12 representatives
+    "event_session_gap_curve",  # user-keyed lag gap multiset vs broadcast grid
+    "doc_nll_outlier_fences",  # per-source cum-histogram quartiles + doubled fences
+    "pack_efficiency_audit",  # composes the serial FFD fold + bucketed next-fit window
+    "ann_probe_recall_curve",  # probe-rank windows + round-6 cosine + micro recall
+    "embedding_intrinsic_dim",  # anchor-gate hash + micro-ln before the integer sum
+    "retrieval_rank_agreement",  # two ranker windows + bounded signed pair counts
+    "lang_source_association",  # COMPLETE-grid cleared chi2 (r12 fix) + micro V^2
+    "cdc_erasure_roundtrip",  # key-window terminal flags + anti/semi-join counts
+    "cdc_apply_idempotence",  # double checkpointed fold + symmetric exceptAll
     # cube/rollup stay out: grouping-set NULL markers are unsortable in this
     # harness's tuple canon; their exactness is the integer-cents policy and
     # the oracle hash already compares them order-insensitively
