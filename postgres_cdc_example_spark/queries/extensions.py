@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_cdc_example_spark.memo import memo_get
-from postgres_cdc_example_spark.operators import dedup, multimodal, similarity, skew, text
+from postgres_cdc_example_spark.operators import (
+    dedup,
+    hints,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 from postgres_cdc_example_spark.queries import register
 from postgres_cdc_example_spark.sources.tables import load_table
 
@@ -367,8 +374,15 @@ mixed_language_injection_audit.__doc__ = (
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: content md5 + extremal shingle
-    hashes (order-invariant locality signature)."""
-    return text.fingerprint(load_table(spark, "documents", sf_dir))
+    hashes (order-invariant locality signature). Scan parallelism healed
+    before the projection (r12, guide §2.5 input skew): ~1 md5 per
+    CHARACTER of corpus makes this the heaviest per-row projection in
+    the registry, and the single-row-group bench scan is one task —
+    measured 2.0 s single-threaded vs ~0.3 s healed; a no-op at scale
+    where the scan already splits (``hints.heal_scan_parallelism``)."""
+    return text.fingerprint(
+        hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6238,12 +6252,21 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
     )
+    # heal scan parallelism before the ×{BOOT_REPS} weight projection
+    # (r12, guide §2.5 input skew): the bench fixture is ONE single-row-
+    # group parquet file -> one scan task, and the broadcast-grid BNLJ
+    # inherits it, so all B·N md5 draws ran single-threaded (measured:
+    # 1.9 s of the query's 2.1 s was the one-task weight projection).
+    # A 2.4 MB (k, cents) shuffle buys 32-way hash parallelism; a no-op
+    # at scale where the scan already splits. Weights are per-(k, b)
+    # deterministic so results are partitioning-invariant.
+    ow = hints.heal_scan_parallelism(o)
     reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("b"))
     u = (
         "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':',"
         " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
     )
-    w = o.crossJoin(F.broadcast(reps)).select(
+    w = ow.crossJoin(F.broadcast(reps)).select(
         "b", "cents", F.expr(_boot_weight_case(u)).alias("wt")
     )
     per = w.groupBy(F.col("b").alias("replicate")).agg(

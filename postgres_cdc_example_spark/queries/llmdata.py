@@ -55,10 +55,17 @@ def _doc_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extensions._doc_ngrams``: the explode is the family's common floor,
     and ``text_unigram_nll`` alone consumes it twice (count pass + scoring
     join)."""
+    # heal scan parallelism BEFORE the explode+persist (r12, guide §2.5):
+    # the single-row-group bench scan is one task, so this layer cached as
+    # ONE partition and every consumer's first stage (partial aggregates,
+    # join probes over 270k cached rows) ran single-threaded; a no-op at
+    # scale where the scan already splits.
     return memo_get(
         _OCC_SHARE,
         (spark.sparkContext.applicationId, sf_dir),
-        lambda: _occurrences(load_table(spark, "documents", sf_dir)).persist(),
+        lambda: _occurrences(
+            hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
+        ).persist(),
     )
 
 
@@ -501,7 +508,10 @@ def _doc_grams8(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         n = CONTAM_NGRAM
         gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
-        docs = load_table(spark, "documents", sf_dir)
+        # heal scan parallelism before the gram explode (r12, guide §2.5):
+        # without it the layer cached as ONE partition off the single-row-
+        # group bench scan and every consumer started single-threaded.
+        docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
         return (
             docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
             .filter(F.size("tk") >= n)
@@ -2353,7 +2363,14 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted token stream is pinned by an md5 fingerprint over the
     US-joined tokens, so the oracle's list_reduce replay value-checks
     every merged symbol, not just the counts."""
-    docs = load_table(spark, "documents", sf_dir)
+    # heal scan parallelism in front of the rewrite chain (r12, guide
+    # §2.5): ten chained array folds per row are the heaviest part of
+    # this query and the single-row-group bench scan is one task —
+    # measured 1.9 s single-threaded vs ~0.3 s healed. At scale the scan
+    # already splits and the plan keeps its zero-extra-Exchange shape
+    # (the conditional never fires); the rewrites are per-row
+    # deterministic, so partitioning cannot change results.
+    docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
     cur = docs.select(
         "doc_id",
         dedup.word_tokens(F.col("text")).alias("s0"),
@@ -3782,7 +3799,13 @@ def _doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
 
     def build() -> DataFrame:
-        docs = load_table(spark, "documents", sf_dir)
+        # heal scan parallelism before the gram-hash + window-min chain
+        # (r12, guide §2.5): one md5 per word + a W-wide window scan per
+        # gram is real per-row compute, and the single-row-group bench
+        # scan is one task — the layer built single-threaded (1.7 s) AND
+        # cached as one partition, serializing every consumer's first
+        # stage. No-op at scale where the scan already splits.
+        docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
         tk = dedup.word_tokens(F.col("text"))
         K, W = WIN_K, WIN_W
         gram = (

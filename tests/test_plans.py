@@ -647,11 +647,15 @@ def test_pca_projection_is_zero_shuffle_literal_dot(spark, sf_dir):
 
 def test_bpe_apply_is_single_pass_zero_shuffle(spark, sf_dir):
     """The frozen-merge-table bulk apply must stay one corpus scan of
-    chained per-row rewrites: no Exchange, no joins, no Python eval —
-    merge literals are constant-folded, barriers are 1-element Generates."""
+    chained per-row rewrites: no KEYED Exchange, no joins, no Python eval —
+    merge literals are constant-folded, barriers are 1-element Generates.
+    The one allowed Exchange is the round-robin scan-parallelism heal
+    (``hints.heal_scan_parallelism``), which fires only on the single-
+    row-group test fixtures and is a no-op at scale; a hash/range
+    exchange would mean a join or aggregate crept into the apply path."""
     df = q.queries()["bpe_apply_tokens"](spark, sf_dir)
     plan = explain_str(df)
-    assert not has_exchange(df), plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # formatted explain prints each node twice (tree + details section)
