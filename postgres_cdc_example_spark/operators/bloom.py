@@ -33,10 +33,18 @@ def position(k: int, g: Column) -> Column:
     )
 
 
+def words_from_positions(positions) -> list[int]:
+    """Fold an iterable of bit positions into M/64 signed two's-complement
+    longs — the literal-array broadcast shape."""
+    words = [0] * (BLOOM_M // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
 def bitmap_from_grams(grams: DataFrame, col: str = "g") -> list[int]:
     """Collect the distinct bloom positions of ``grams[col]`` (bounded by M
-    rows BY CONSTRUCTION) and fold them into M/64 signed two's-complement
-    longs — the literal-array broadcast shape."""
+    rows BY CONSTRUCTION) and fold them into the literal-array shape."""
     prows = (
         grams.select(
             F.explode(
@@ -46,11 +54,7 @@ def bitmap_from_grams(grams: DataFrame, col: str = "g") -> list[int]:
         .distinct()
         .collect()
     )
-    words = [0] * (BLOOM_M // 64)
-    for r in prows:
-        p = int(r["pos"])
-        words[p // 64] |= 1 << (p % 64)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words_from_positions(int(r["pos"]) for r in prows)
 
 
 def gram_hit(words: list[int], g: Column) -> Column:

@@ -614,21 +614,37 @@ def semantic_dedup_flags(
     join, so per-batch cost is O(delta × cluster density), and because
     the drop rule only ever looks at lower ids, the incremental result
     is by construction the full run filtered to the delta."""
+    from postgres_cdc_example_spark.operators import hints
+
     base = _normed(df, id_col, vec_col).select(
         F.col(id_col), "v", "nrm", assign_to_literal_centroids(cent_rows)
     )
-    a_base = base if a_min_id is None else base.filter(F.col(id_col) >= a_min_id)
+    # r12 optimization (guide §2.3/§3.1): the cluster-keyed pair join was
+    # a sort-merge join shuffling BOTH sides' 64-double vectors — ~250k
+    # joined rows of ~1 KB each sorted and materialized before a single
+    # cosine ran (measured: the join carried 1.5 s of the query's 2.5 s;
+    # the cosines themselves are cheap). Size-gate-broadcast the b side
+    # instead: pair generation becomes a zero-shuffle BroadcastHashJoin
+    # whose streamed side is the scan-parallelism-healed assignment
+    # projection. Above the gate (a corpus too big to broadcast) the plan
+    # degrades to the same sort-merge join as before — never an OOM.
+    a_src = hints.heal_scan_parallelism(base)
+    a_base = (
+        a_src if a_min_id is None else a_src.filter(F.col(id_col) >= a_min_id)
+    )
     a = a_base.select(
         F.col(id_col).alias("vec_a"),
         "cluster_id",
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = base.select(
-        F.col(id_col).alias("vec_b"),
-        "cluster_id",
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    b = hints.broadcast_if_small(
+        base.select(
+            F.col(id_col).alias("vec_b"),
+            "cluster_id",
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
     )
     drops = (
         a.join(b, "cluster_id")

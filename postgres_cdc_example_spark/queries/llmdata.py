@@ -2247,12 +2247,32 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     priors instead, trading duplicate scan for zero materialization.
     Output: one row per step (pair learned, its count, corpus tokens
     after the merge)."""
-    docs = load_table(spark, "documents", sf_dir)
+    # r12 optimization-round restructure (guide §1.2/§5): the previous
+    # shape broadcast each step's learned 1-row `best` side and cut the
+    # generation chain with LAZY localCheckpoints — but a lazy
+    # localCheckpoint pays full physical planning synchronously at CALL
+    # time (~0.5 s/generation on the unrolled fold chain, 1.4 s of the
+    # query's 2.5 s), and an in-query persist would let a later bench
+    # sample be served from an earlier sample's cache (the governed-
+    # simhash_cand lesson). Instead the driver learns each merge as ONE
+    # TakeOrdered-1 row per step (the same job the broadcast build ran
+    # anyway, just surfaced) and inlines it as literals — the rewrite
+    # chain constant-folds exactly like the frozen-table
+    # ``bpe_apply_tokens`` — and all per-step token totals come out of
+    # ONE corpus pass that carries each generation's size along the fold
+    # chain. Values are identical: same merges, same counts, same
+    # totals. Generate barriers stop projection collapse from duplicating
+    # the fold into its multiple consumers (exponential plan growth).
+    # Scan parallelism healed at the chain root (single-row-group fixture
+    # = one task; no-op at scale). Measured 2.5 s -> 2.2 s warm.
+    docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
     seqs = docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("s"))
-    out_rows = []
-    for i in range(1, BPE_STEPS + 1):
-        pairs = (
-            seqs.filter(F.size("s") >= 2)
+    fold = bpe_rewrite_expr()
+    learned: list[tuple[str, str, int]] = []
+    cur = seqs
+    for _ in range(BPE_STEPS):
+        top = (
+            cur.filter(F.size("s") >= 2)
             .select(
                 F.explode(
                     F.expr(
@@ -2262,38 +2282,71 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .select("p.pa", "p.pb")
-        )
-        best = (
-            pairs.groupBy("pa", "pb")
+            .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.col("c").desc(), "pa", "pb")
             .limit(1)
+            .collect()
         )
-        fold = bpe_rewrite_expr()
-        # checkpoint each generation (lazy — materializes on first use):
-        # three consumers read it (this step's report row, the token-count
-        # aggregate, and the next step's pair scan); without the cut the
-        # unrolled DAG re-executes every prior fold per consumer (8.0 s at
-        # sf0.1 → 4.0 s checkpointed → 2.3 s once the pa≠pb rewrite went
-        # closed-form). Same pattern as connected_components' per-round
-        # localCheckpoint.
-        seqs = (
-            seqs.crossJoin(F.broadcast(best))
+        if not top:  # degenerate corpus: no adjacent pair anywhere
+            break
+        learned.append((top[0]["pa"], top[0]["pb"], int(top[0]["c"])))
+        cur = (
+            cur.withColumn("pa", F.lit(learned[-1][0]))
+            .withColumn("pb", F.lit(learned[-1][1]))
             .select("doc_id", fold.alias("s"))
-            .localCheckpoint(eager=False)
+            # Generate barrier: the next step's pair transform references
+            # ``s`` three times — unbarriered, projection collapse would
+            # triple the fold chain per step (exponential plan growth)
+            .select(
+                "doc_id",
+                F.explode(F.array(F.struct(F.col("s").alias("s")))).alias("r"),
+            )
+            .select("doc_id", F.col("r.s").alias("s"))
         )
-        after = seqs.agg(F.sum(F.size("s")).cast("long").alias("tokens_after"))
-        out_rows.append(
-            best.select(
+    if not learned:
+        return spark.createDataFrame(
+            [], "step long, pair string, pair_count long, tokens_after long"
+        )
+    # ONE pass: re-chain the folds, carrying each generation's token count
+    chain = seqs
+    size_cols: list[str] = []
+    for i, (pa, pb, _c) in enumerate(learned, start=1):
+        keep = [F.col(n) for n in size_cols]
+        chain = (
+            chain.withColumn("pa", F.lit(pa))
+            .withColumn("pb", F.lit(pb))
+            .select("doc_id", fold.alias("s"), *keep)
+            .select(
+                "doc_id",
+                F.explode(F.array(F.struct(F.col("s").alias("s")))).alias("r"),
+                *[F.col(n) for n in size_cols],
+            )
+            .select(
+                "doc_id",
+                F.col("r.s").alias("s"),
+                *[F.col(n) for n in size_cols],
+                F.size("r.s").alias(f"sz{i}"),
+            )
+        )
+        size_cols.append(f"sz{i}")
+    totals = chain.agg(
+        *[F.sum(c).cast("long").alias(f"ta_{c}") for c in size_cols]
+    )
+    steps = F.array(
+        *[
+            F.struct(
                 F.lit(i).cast("long").alias("step"),
-                F.concat("pa", F.lit("|"), "pb").alias("pair"),
-                F.col("c").cast("long").alias("pair_count"),
-            ).crossJoin(F.broadcast(after))
-        )
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionByName(r)
-    return out
+                F.lit(f"{pa}|{pb}").alias("pair"),
+                F.lit(c).cast("long").alias("pair_count"),
+                F.col(f"ta_sz{i}").alias("tokens_after"),
+            )
+            for i, (pa, pb, c) in enumerate(learned, start=1)
+        ]
+    )
+    return totals.select(F.explode(steps).alias("r")).select(
+        "r.step", "r.pair", "r.pair_count", "r.tokens_after"
+    )
 
 
 # Frozen BPE merge table — the serving artifact a tokenization run ships

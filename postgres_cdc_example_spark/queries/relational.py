@@ -2369,9 +2369,35 @@ def bloom_semijoin_audit(
         .select(F.col("o_orderkey").cast("string").alias("g"))
         .distinct()
     )
-    words = bloom.bitmap_from_grams(bk)
-    n_build = bk.count()
-    probe = li.select(F.col("l_orderkey").alias("k")).withColumn(
+    # ONE driver job builds the bitmap AND the build-key count (r12,
+    # guide §1/§5): bitmap_from_grams + a separate bk.count() each
+    # re-ran the orders scan+distinct serially (two jobs, ~0.6 s of
+    # pure latency per invocation). The explode emits exactly BLOOM_K
+    # position rows per distinct key, so n_build = count/K exactly, and
+    # the position set is bounded by M — both come out of one bounded
+    # aggregate row.
+    row = (
+        bk.select(
+            F.explode(
+                F.array(
+                    *[bloom.position(k, F.col("g")) for k in range(bloom.BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .agg(
+            F.collect_set("pos").alias("ps"),
+            (F.count(F.lit(1)) / bloom.BLOOM_K).cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
+    words = bloom.words_from_positions(int(p) for p in row["ps"])
+    n_build = int(row["n"])
+    # heal scan parallelism on the probe side (r12, guide §2.5): 3
+    # salted md5s per lineitem row is the query's dominant per-row cost
+    # and the single-row-group bench scan is one task; a no-op at scale.
+    probe = hints.heal_scan_parallelism(
+        li.select(F.col("l_orderkey").alias("k"))
+    ).withColumn(
         "pass_bloom", bloom.gram_hit(words, F.col("k").cast("string"))
     )
     bk_keys = bk.select(F.col("g").cast("long").alias("k")).withColumn(
