@@ -39,6 +39,24 @@ def as_double(vec: Column) -> Column:
 EMB_DIM = 64  # fixture embedding dimension
 
 
+def double_array_sql(vals) -> Column:
+    """Literal ``array<double>`` built as ONE parsed SQL string (r12):
+    ``F.array(*[F.lit(x) ...])`` pays a py4j round-trip per element —
+    ~1 ms each, so a k×dim literal centroid table costs ~0.5 s of pure
+    driver chatter PER QUERY CALL. ``repr`` round-trips a double exactly
+    and ``CAST(string AS DOUBLE)`` parses correctly rounded, so the
+    resulting literals are bit-identical to the ``F.lit`` form."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")"
+    )
+
+
+def long_array_sql(vals) -> Column:
+    """Literal ``array<bigint>`` as one parsed SQL string (see
+    :func:`double_array_sql`)."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """In-order elementwise-product sum — deterministic double summation.
 
@@ -270,7 +288,10 @@ def hyperplane_bucket(v: Column, weights: list[list[float]]) -> Column:
     the sign test (same guard as every cosine comparison here)."""
     bits = []
     for j, row in enumerate(weights):
-        hp = F.array(*[F.lit(x) for x in row])
+        # one parsed SQL string per plane (r12): element-wise F.lit cost a
+        # py4j round-trip per weight (~0.4 s/call at planes×dim); values
+        # bit-identical (repr round-trips, CAST is correctly rounded)
+        hp = double_array_sql(row)
         bits.append(
             F.when(F.round(dot(v, hp), 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         )
@@ -421,7 +442,12 @@ def _best_literal_centroid(cent_rows: list[tuple[int, list[float]]]) -> Column:
     structs = []
     for cid, cv in cent_rows:
         cn = math.sqrt(sum(x * x for x in cv))  # left-to-right, like dot()
-        lit_v = F.array(*[F.lit(float(x)) for x in cv])
+        # ONE parsed SQL string per centroid vector (r12): element-wise
+        # F.lit is a py4j round-trip per element (~0.5 s of driver chatter
+        # per call at k×dim = 512); repr() round-trips doubles exactly and
+        # CAST(string AS DOUBLE) is correctly rounded, so the literal
+        # array is bit-identical to the F.lit form.
+        lit_v = double_array_sql(cv)
         ccos = F.round(dot(F.col("v"), lit_v) / (F.col("nrm") * F.lit(cn)), 6)
         structs.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("n")))
     return F.greatest(*structs) if len(structs) > 1 else structs[0]

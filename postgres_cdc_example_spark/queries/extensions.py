@@ -3644,9 +3644,11 @@ def _pca_fit(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 def _pca_projection(direction: list[int], mu: list[int]) -> "F.Column":
-    """Zero-shuffle literal-dot projection: direction . (x_micro - mu)."""
-    dir_arr = F.array(*[F.lit(int(x)).cast("long") for x in direction])
-    mu_arr = F.array(*[F.lit(int(x)).cast("long") for x in mu])
+    """Zero-shuffle literal-dot projection: direction . (x_micro - mu).
+    Literal arrays parse as ONE SQL string each (r12): the F.lit-per-
+    element form cost ~256 py4j round-trips per call; values identical."""
+    dir_arr = similarity.long_array_sql(direction)
+    mu_arr = similarity.long_array_sql(mu)
     prods = F.zip_with(
         F.zip_with(_micro_vec(), mu_arr, lambda a, b: a - b),
         dir_arr,
@@ -7095,12 +7097,17 @@ def ann_pq_distortion_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = base.join(codes, "vec_id")
     terms = []
     for s in range(similarity.PQ_M):
+        # one parsed SQL string per subspace table (r12, the
+        # _codebook_sql lesson): the nested-F.lit form cost ~1000 py4j
+        # round-trips per call (~1 s of driver chatter); values identical
         cw = F.element_at(
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)) for x in cb[s][k]])
+            F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{int(x)}L" for x in cb[s][k]) + ")"
                     for k in range(K)
-                ]
+                )
+                + ")"
             ),
             (F.col(f"c{s}") + 1).cast("int"),
         )

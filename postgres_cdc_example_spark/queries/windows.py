@@ -641,6 +641,12 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("contrib")
             )
         )
+        # no per-iteration checkpoint (r12): the rank vector is bounded
+        # and referenced ONCE per following iteration, so the unrolled
+        # plan grows linearly, not exponentially — while each lazy
+        # localCheckpoint paid full physical planning synchronously at
+        # call time (~0.3 s × {PR_STEPS} of the query's build). The edge
+        # table keeps its checkpoint: it feeds every iteration.
         r = (
             nodes.crossJoin(F.broadcast(nn))
             .join(contrib, "node", "left")
@@ -648,7 +654,6 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (base + F.coalesce(F.col("contrib"), F.lit(0))).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
     return (
         r.join(outd.withColumnRenamed("ef", "node"), "node", "left")
