@@ -225,28 +225,54 @@ def minhash_lsh_pairs(
     ).withColumnRenamed("g", "s")
     cand = lsh_candidate_pairs(sh, id_col, bands=bands)
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col(id_col).alias("doc_b2"), F.col("s").alias("s_b"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("s_a") == F.col("s_b")) & (F.col("doc_b2") == F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # r12 optimization (guide §2.3): verification used to join RAW SHINGLE
+    # ROWS twice (candidates × per-doc shingles on doc_a, then an equi-join
+    # on (shingle, doc_b)) and re-aggregate — three shuffles proportional
+    # to the shingle layer per invocation, and ~10 registered queries
+    # invoke this operator. One (doc, shingle-array, size) aggregate now
+    # feeds two doc-keyed joins onto the collision-bounded candidate list
+    # and the common count is a per-pair ``array_intersect`` (shingle rows
+    # are distinct by construction, so set-intersect size == the old
+    # match-count) — measured 0.41 → 0.30 s at sf0.1, values identical.
+    # ``common >= 1`` keeps the old inner-join semantics exactly (a
+    # zero-overlap candidate never surfaced) for ANY threshold.
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("s").alias("ss"), F.count(F.lit(1)).alias("sz")
+    )
+    scored = (
+        cand.join(
+            arrs.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ss_a", "ss_b")).alias("common"),
+            "size_a",
+            "size_b",
+        )
+        .filter(F.col("common") >= 1)
     )
     jac_micro = F.floor(
         F.col("common").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("common"))
         * F.lit(1000000.0)
     ).cast("long")
-    return (
-        common.join(
-            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a"
-        )
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
-        .select("doc_a", "doc_b", "common", "size_a", "size_b", jac_micro.alias("jac_micro"))
-        .filter(F.col("jac_micro") >= int(threshold * 1_000_000))
-    )
+    return scored.select(
+        "doc_a", "doc_b", "common", "size_a", "size_b", jac_micro.alias("jac_micro")
+    ).filter(F.col("jac_micro") >= int(threshold * 1_000_000))
 
 
 DRIVER_CC_THRESHOLD = 100_000  # pairs; below this, union-find on the driver

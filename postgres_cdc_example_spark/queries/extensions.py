@@ -5921,31 +5921,44 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("2 * matches >= least(nb_a, nb_b)"))
         .select("doc_a", "doc_b", "matches")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    gb = sh.select(F.col("doc_id").alias("gb_doc"), F.col("s").alias("sb"))
-    common = (
-        cand.join(ga, "doc_a")
-        .join(
-            gb,
-            (F.col("doc_b") == F.col("gb_doc")) & (F.col("sa") == F.col("sb")),
-        )
-        .groupBy("doc_a", "doc_b", "matches")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    # r12: per-pair array_intersect verification off ONE (doc, shingle-
+    # array, size) aggregate — replaces two shingle-ROW joins + re-agg +
+    # two size joins (the minhash_lsh_pairs lesson; shingle rows are
+    # distinct so set-intersect size == the old match count; common >= 1
+    # preserves the old inner-join semantics exactly)
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("ss"), F.count(F.lit(1)).cast("long").alias("sz")
     )
     jac = (
         "CAST(floor(CAST(common AS DOUBLE) / (size_a + size_b - common)"
         " * 1000000.0) AS BIGINT)"
     )
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("sz").alias("size_a"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("sz").alias("size_b"),
+            ),
             "doc_b",
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            F.size(F.array_intersect("ss_a", "ss_b")).cast("long").alias("common"),
+            "size_a",
+            "size_b",
+        )
+        .filter(F.col("common") >= 1)
         .select(
             "doc_a",
             "doc_b",
@@ -6101,29 +6114,32 @@ def dedup_oph_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("admitted"),
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    gb = sh.select(F.col("doc_id").alias("gb_doc"), F.col("s").alias("sb"))
-    common = (
-        pairs.select("doc_a", "doc_b")
-        .join(ga, "doc_a")
-        .join(
-            gb,
-            (F.col("doc_b") == F.col("gb_doc")) & (F.col("sa") == F.col("sb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    # r12: array_intersect verification off one (doc, array, size)
+    # aggregate (the minhash_lsh_pairs lesson). OPH collision pairs always
+    # share >= 1 shingle (equal bucket-min md5 => equal shingle), so the
+    # common >= 1 filter preserves the old inner-join semantics exactly.
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("ss"), F.count(F.lit(1)).cast("long").alias("sz")
     )
     jacs = (
-        pairs.join(common, ["doc_a", "doc_b"])
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        pairs.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("sz").alias("size_a"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("sz").alias("size_b"),
+            ),
             "doc_b",
         )
+        .withColumn("common", F.size(F.array_intersect("ss_a", "ss_b")).cast("long"))
+        .filter(F.col("common") >= 1)
         .select(
             "matches",
             "locc",
@@ -6517,29 +6533,34 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", agree.alias("est"))
     )
     sh = _doc_ngrams(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("sa_g"))
-    gb = sh.select(F.col("doc_id").alias("gb_doc"), F.col("g").alias("sb_g"))
-    common = (
-        cand.join(ga, "doc_a")
-        .join(
-            gb,
-            (F.col("doc_b") == F.col("gb_doc"))
-            & (F.col("sa_g") == F.col("sb_g")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    # r12: array_intersect verification off one (doc, array, size)
+    # aggregate (the minhash_lsh_pairs lesson); band collisions always
+    # share >= 1 shingle (equal band key => equal minhashes => a shared
+    # argmin shingle), so common >= 1 mirrors the old inner join exactly.
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("g").alias("ss"), F.count(F.lit(1)).cast("long").alias("sz")
     )
     jacs = (
-        est.join(common, ["doc_a", "doc_b"])
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        est.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("sz").alias("size_a"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("sz").alias("size_b"),
+            ),
             "doc_b",
         )
+        .withColumn(
+            "common", F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+        )
+        .filter(F.col("common") >= 1)
         .select(
             "est",
             F.expr(
@@ -7481,33 +7502,34 @@ def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh_rows = _doc_ngrams(spark, sf_dir)
-    sizes = sh_rows.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
-    )
-    ga = sh_rows.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("sa_g"))
-    gb = sh_rows.select(F.col("doc_id").alias("gb_doc"), F.col("g").alias("sb_g"))
-    common = (
-        picked.select("doc_a", "doc_b")
-        .join(ga, "doc_a")
-        .join(
-            gb,
-            (F.col("doc_b") == F.col("gb_doc"))
-            & (F.col("sa_g") == F.col("sb_g")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    # r12: array_intersect verification off one (doc, array, size)
+    # aggregate (the minhash_lsh_pairs lesson). The doc-keyed joins always
+    # match, and size(array_intersect) is 0 for zero-overlap pairs — the
+    # exact values the old LEFT-join + coalesce(common, 0) produced
+    # (sampled candidates with zero shared shingles are real calibration
+    # points, not rows to drop).
+    arrs = sh_rows.groupBy("doc_id").agg(
+        F.collect_list("g").alias("ss"), F.count(F.lit(1)).cast("long").alias("sz")
     )
     jacs = (
-        # LEFT join: sampled candidates with ZERO shared shingles are real
-        # calibration points (jac = 0), not rows to drop
-        picked.join(common, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        picked.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("ss_a"),
+                F.col("sz").alias("size_a"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("ss_b"),
+                F.col("sz").alias("size_b"),
+            ),
             "doc_b",
+        )
+        .withColumn(
+            "common", F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
         )
         .select(
             "hamming",

@@ -1995,20 +1995,59 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    s1 = flags.filter("k1")
-    s2 = s1.filter("k2")
-    s3 = s2.filter("k3")
-    s4 = s3.filter("k4")
-    s5 = s4.filter("k5")
+    s5 = flags.filter("k1").filter("k2").filter("k3").filter("k4").filter("k5")
 
-    def stage_row(no: int, stage: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(no).cast("long").alias("stage_no"),
-            F.lit(stage).alias("stage"),
-            F.lit("docs").alias("unit"),
-            F.count(F.lit(1)).cast("long").alias("n_units"),
-            F.sum("n_toks").cast("long").alias("total_tokens"),
-        )
+    # r12 optimization (guide §1.2/§2.6): the six survivor-funnel rows were
+    # six SEPARATE aggregate jobs over the checkpointed flag table, run
+    # serially by the union sink; each stage is a conditional count/sum
+    # (stage i = docs passing k1..ki), so ONE aggregate pass computes all
+    # six and an explode unpivots the row — same values, 8 jobs -> 3.
+    stage_names = [
+        (0, "ingest"),
+        (1, "exact_dedup"),
+        (2, "near_dedup"),
+        (3, "decontam"),
+        (4, "quality_gate"),
+        (5, "quota"),
+    ]
+    conds = {
+        0: F.lit(True),
+        1: F.col("k1"),
+        2: F.col("k1") & F.col("k2"),
+        3: F.col("k1") & F.col("k2") & F.col("k3"),
+        4: F.col("k1") & F.col("k2") & F.col("k3") & F.col("k4"),
+        5: F.col("k1") & F.col("k2") & F.col("k3") & F.col("k4") & F.col("k5"),
+    }
+    funnel_agg = flags.agg(
+        *[
+            a
+            for no, _ in stage_names
+            for a in (
+                F.sum(F.when(conds[no], 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{no}"),
+                F.sum(F.when(conds[no], F.col("n_toks")).otherwise(0))
+                .cast("long")
+                .alias(f"t{no}"),
+            )
+        ]
+    )
+    funnel = funnel_agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(no).cast("long").alias("stage_no"),
+                        F.lit(stage).alias("stage"),
+                        F.lit("docs").alias("unit"),
+                        F.col(f"n{no}").alias("n_units"),
+                        F.col(f"t{no}").alias("total_tokens"),
+                    )
+                    for no, stage in stage_names
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage_no", "r.stage", "r.unit", "r.n_units", "r.total_tokens")
 
     mixture = s5.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
@@ -2043,16 +2082,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bucket", "pack_id").cast("long").alias("n_units"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
-    return (
-        stage_row(0, "ingest", flags)
-        .unionByName(stage_row(1, "exact_dedup", s1))
-        .unionByName(stage_row(2, "near_dedup", s2))
-        .unionByName(stage_row(3, "decontam", s3))
-        .unionByName(stage_row(4, "quality_gate", s4))
-        .unionByName(stage_row(5, "quota", s5))
-        .unionByName(mixture)
-        .unionByName(packing)
-    )
+    return funnel.unionByName(mixture).unionByName(packing)
 
 
 pipeline_end_to_end.__doc__ = pipeline_end_to_end.__doc__.replace(
