@@ -7412,18 +7412,31 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL. Overlap is exact micro (n_common/10). Scale shape: the
     members' shared-layer cost dominates; the audit adds one bounded
     join + one ≤45-row-per-term pair rollup."""
-    b = REGISTRY["bm25_doc_ranking"].fn(spark, sf_dir).select(
-        "tok", "doc_id", F.col("rank").alias("rb")
+    # r12: materialize both bounded intermediates ONCE (eager checkpoint,
+    # ≤ 10 docs × |terms| rows each). ``b`` feeds two consumers and
+    # ``common`` three; without the cut each consumer re-executed the full
+    # BM25/QL member DAGs — the profiler measured 94 AQE stage jobs per
+    # run and up to ~2× run-to-run swings from the re-executed members.
+    b = (
+        REGISTRY["bm25_doc_ranking"]
+        .fn(spark, sf_dir)
+        .select("tok", "doc_id", F.col("rank").alias("rb"))
+        .localCheckpoint(eager=False)
     )
     qq = REGISTRY["lm_dirichlet_ranking"].fn(spark, sf_dir).select(
         "tok", "doc_id", F.col("rank").alias("rq")
     )
-    common = b.join(
-        qq.withColumnRenamed("tok", "q_tok").withColumnRenamed(
-            "doc_id", "q_doc"
-        ),
-        (F.col("tok") == F.col("q_tok")) & (F.col("doc_id") == F.col("q_doc")),
-    ).select("tok", "doc_id", "rb", "rq")
+    common = (
+        b.join(
+            qq.withColumnRenamed("tok", "q_tok").withColumnRenamed(
+                "doc_id", "q_doc"
+            ),
+            (F.col("tok") == F.col("q_tok"))
+            & (F.col("doc_id") == F.col("q_doc")),
+        )
+        .select("tok", "doc_id", "rb", "rq")
+        .localCheckpoint(eager=False)
+    )
     m = common.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("n_common")
     )
