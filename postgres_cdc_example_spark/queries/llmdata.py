@@ -55,17 +55,19 @@ def _doc_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extensions._doc_ngrams``: the explode is the family's common floor,
     and ``text_unigram_nll`` alone consumes it twice (count pass + scoring
     join)."""
-    # heal scan parallelism BEFORE the explode+persist (r12, guide §2.5):
-    # the single-row-group bench scan is one task, so this layer cached as
-    # ONE partition and every consumer's first stage (partial aggregates,
-    # join probes over 270k cached rows) ran single-threaded; a no-op at
-    # scale where the scan already splits.
+    # NOTE (r12 optimization round): deliberately NOT scan-parallelism-
+    # healed. The heal was tried and REVERTED with measurements: this
+    # layer's consumers all re-aggregate by token, and tokens appear in
+    # every partition, so a 32-partition cached layer makes each partial
+    # aggregate emit ~32x the vocabulary into its exchange — map-side
+    # combining stops combining (token_good_turing 0.22 -> 0.67 s,
+    # bm25/QL/source_token_* regressed 1.5-3x in the bench's stable-flag
+    # compare). The single cached partition IS the efficient shape for
+    # high-duplication aggregation consumers at fixture scale.
     return memo_get(
         _OCC_SHARE,
         (spark.sparkContext.applicationId, sf_dir),
-        lambda: _occurrences(
-            hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
-        ).persist(),
+        lambda: _occurrences(load_table(spark, "documents", sf_dir)).persist(),
     )
 
 
@@ -508,10 +510,12 @@ def _doc_grams8(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         n = CONTAM_NGRAM
         gram_cat = ", ".join(f"tk[i+{j}]" for j in range(n))
-        # heal scan parallelism before the gram explode (r12, guide §2.5):
-        # without it the layer cached as ONE partition off the single-row-
-        # group bench scan and every consumer started single-threaded.
-        docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
+        # NOTE (r12 optimization round): deliberately NOT scan-parallelism-
+        # healed — same reverted experiment as _doc_occurrences: gram-keyed
+        # consumers (coverage 0.53 -> 0.71 s, novelty 0.64 -> 0.81 s)
+        # re-aggregate by gram, and a multi-partition cached layer dilutes
+        # their map-side combining.
+        docs = load_table(spark, "documents", sf_dir)
         return (
             docs.select("doc_id", dedup.word_tokens(F.col("text")).alias("tk"))
             .filter(F.size("tk") >= n)
@@ -3852,13 +3856,15 @@ def _doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
 
     def build() -> DataFrame:
-        # heal scan parallelism before the gram-hash + window-min chain
-        # (r12, guide §2.5): one md5 per word + a W-wide window scan per
-        # gram is real per-row compute, and the single-row-group bench
-        # scan is one task — the layer built single-threaded (1.7 s) AND
-        # cached as one partition, serializing every consumer's first
-        # stage. No-op at scale where the scan already splits.
-        docs = hints.heal_scan_parallelism(load_table(spark, "documents", sf_dir))
+        # NOTE (r12 optimization round): deliberately NOT scan-parallelism-
+        # healed — tried and REVERTED with measurements, like
+        # _doc_occurrences: the pair consumers explode fingerprints and
+        # re-aggregate by fingerprint hash, and a 32-partition cached
+        # layer diluted their map-side combining (dedup_winnowing_pairs
+        # 0.49 -> 1.00 s, incremental 0.64 -> 1.08 s in the bench's
+        # stable-flag compare) for a ~0.5 s one-time build saving that the
+        # untimed prebuild absorbs anyway.
+        docs = load_table(spark, "documents", sf_dir)
         tk = dedup.word_tokens(F.col("text"))
         K, W = WIN_K, WIN_W
         gram = (
