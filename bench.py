@@ -489,6 +489,32 @@ def _build_layers(spark) -> dict[str, float]:
     return layer_times
 
 
+def _clear_layer_memos() -> None:
+    """Forget every memoized shared layer (unpersisting cached frames) so
+    ``_build_layers`` can re-measure a steady-state build. Only used on a
+    layer-budget breach (see main): the next ``memo_get`` rebuilds each
+    layer through the exact same code path."""
+    from postgres_cdc_example_spark.queries import (
+        cdc as _cdc,
+        extensions as _ext,
+        llmdata as _llm,
+    )
+
+    for mod in (_cdc, _ext, _llm):
+        for attr in dir(mod):
+            if not attr.endswith("_SHARE"):
+                continue
+            memo = getattr(mod, attr)
+            if not isinstance(memo, dict):
+                continue
+            for val in memo.values():
+                try:
+                    val.unpersist()  # DataFrame layers; driver values lack it
+                except Exception:
+                    pass
+            memo.clear()
+
+
 def full_registry_pass() -> None:
     """--full: one warm-up at sf0.001 + ONE timed sample per REGISTERED
     query at SF_DIR, written to BENCH_FULL_last.json. Excluded from the
@@ -620,6 +646,27 @@ def main() -> None:
     # r10+: the layer list lives in _build_layers (shared with --full).
     layer_times = _build_layers(spark)
     layer_build = round(sum(layer_times.values()), 3)
+    if layer_build > LAYER_BUILD_BUDGET_SEC:
+        # Cold-container adjudication (r12 verdict #2): the r12 driver
+        # container's FIRST run measured the build at 31.4 s where the
+        # immediately-following run on the same box measured 12.5 s —
+        # first-run cold state (page cache / JIT warm-up), not a layer
+        # regression, yet it failed the exit code and emptied PERF's
+        # per-query block. Re-measure ONCE from cleared memos before
+        # judging: a real layer regression reproduces warm; a cold-start
+        # artifact does not. Both numbers go into the artifact
+        # (layer_build_cold_sec keeps the cold-start story visible).
+        cold_build = layer_build
+        _clear_layer_memos()
+        layer_times = _build_layers(spark)
+        layer_build = round(sum(layer_times.values()), 3)
+        _RUN_STATE["layer_build_cold"] = cold_build
+        print(
+            f"# layer build {cold_build:.1f}s exceeded the"
+            f" {LAYER_BUILD_BUDGET_SEC:.1f}s budget; steady-state rebuild"
+            f" measured {layer_build:.1f}s",
+            file=sys.stderr,
+        )
     if layer_build > LAYER_BUILD_BUDGET_SEC:
         # Loud governance (r8 verdict #1): the untimed prebuild grew 51% in
         # one round before the per-layer map existed. Exceeding the budget
@@ -821,6 +868,8 @@ def main() -> None:
     }
     if median_drift_alert:
         detail["median_drift_alert"] = True
+    if _RUN_STATE.get("layer_build_cold") is not None:
+        detail["layer_build_cold_sec"] = _RUN_STATE["layer_build_cold"]
     if contaminated:
         # annotate, never suppress (r10 verdict #1): flags raised on a
         # loaded box stay in the artifact but self-identify as suspect

@@ -236,8 +236,24 @@ def minhash_lsh_pairs(
     # match-count) — measured 0.41 → 0.30 s at sf0.1, values identical.
     # ``common >= 1`` keeps the old inner-join semantics exactly (a
     # zero-overlap candidate never surfaced) for ANY threshold.
-    arrs = sh.groupBy(id_col).agg(
-        F.collect_list("s").alias("ss"), F.count(F.lit(1)).alias("sz")
+    # r13 (ADVICE r12): semi-join the shingle rows down to docs appearing
+    # in at least one candidate pair BEFORE the array aggregate, so the
+    # per-doc full-shingle-set array row only ever materializes/shuffles
+    # for COLLIDING docs — collision-bounded again at corpus scale, like
+    # the row-join shape it replaced. Values unchanged: the semi-join
+    # keeps every shingle row of a kept doc, so both ``ss`` and ``sz``
+    # are identical for every doc the candidate joins can reach. The
+    # duplicated candidate subtree re-reads the (persisted) band layer
+    # and its distinct exchange is reused by AQE.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    arrs = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("ss"), F.count(F.lit(1)).alias("sz"))
     )
     scored = (
         cand.join(

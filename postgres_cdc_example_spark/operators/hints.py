@@ -65,9 +65,15 @@ def heal_scan_parallelism(df: DataFrame) -> DataFrame:
     the plan keeps its no-extra-Exchange shape — this never taxes the
     100 TB path with a corpus-wide shuffle.
 
-    The partition probe reads plan metadata (file splits) on the driver;
-    it launches no job. Row-level results cannot depend on it: callers
-    apply it only in front of per-row deterministic projections."""
+    The partition probe (``df.rdd.getNumPartitions()``) reads plan
+    metadata (file splits) on the driver and launches no job ONLY while
+    the plan upstream of it is exchange-free (scan/project/filter-rooted)
+    — under AQE, converting a plan that contains an Exchange to an RDD
+    materializes its query stages, i.e. submits real jobs. Every call
+    site keeps the heal directly on a scan-rooted projection; a derived
+    plan with joins/aggregates underneath must not be passed here.
+    Row-level results cannot depend on it: callers apply it only in
+    front of per-row deterministic projections."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

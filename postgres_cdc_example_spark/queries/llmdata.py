@@ -7418,7 +7418,8 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL. Overlap is exact micro (n_common/10). Scale shape: the
     members' shared-layer cost dominates; the audit adds one bounded
     join + one ≤45-row-per-term pair rollup."""
-    # r12: materialize both bounded intermediates ONCE (eager checkpoint,
+    # r12: cut both bounded intermediates ONCE (lazy localCheckpoint —
+    # materialized on first use, then shared by every later consumer;
     # ≤ 10 docs × |terms| rows each). ``b`` feeds two consumers and
     # ``common`` three; without the cut each consumer re-executed the full
     # BM25/QL member DAGs — the profiler measured 94 AQE stage jobs per

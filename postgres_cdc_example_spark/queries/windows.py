@@ -1917,6 +1917,32 @@ def _pipeline_oracle() -> str:
     """
 
 
+def _funnel_conditional_agg(flags, stage_names, conds):
+    """One conditional aggregate computing every funnel stage's
+    (survivor count, token sum) in a single pass (r12, guide §2.6).
+
+    Empty-stage semantics must match the oracle's per-stage CTEs exactly
+    (r12 verdict #10): ``count(*)`` over an empty survivor set is 0
+    (coalesce — the whole-frame aggregate yields NULL on an empty
+    documents table), while ``sum(n_toks)`` over it is NULL (no
+    ``otherwise(0)``: sum ignores the NULLs of non-surviving rows and
+    returns NULL when nothing survives a stage)."""
+    return flags.agg(
+        *[
+            a
+            for no, _ in stage_names
+            for a in (
+                F.coalesce(F.sum(F.when(conds[no], 1)), F.lit(0))
+                .cast("long")
+                .alias(f"n{no}"),
+                F.sum(F.when(conds[no], F.col("n_toks")))
+                .cast("long")
+                .alias(f"t{no}"),
+            )
+        ]
+    )
+
+
 @register("pipeline_end_to_end", oracle=_pipeline_oracle())
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation capstone: every stage a pretraining data run
@@ -2018,20 +2044,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         4: F.col("k1") & F.col("k2") & F.col("k3") & F.col("k4"),
         5: F.col("k1") & F.col("k2") & F.col("k3") & F.col("k4") & F.col("k5"),
     }
-    funnel_agg = flags.agg(
-        *[
-            a
-            for no, _ in stage_names
-            for a in (
-                F.sum(F.when(conds[no], 1).otherwise(0))
-                .cast("long")
-                .alias(f"n{no}"),
-                F.sum(F.when(conds[no], F.col("n_toks")).otherwise(0))
-                .cast("long")
-                .alias(f"t{no}"),
-            )
-        ]
-    )
+    funnel_agg = _funnel_conditional_agg(flags, stage_names, conds)
     funnel = funnel_agg.select(
         F.explode(
             F.array(

@@ -99,7 +99,7 @@ def main() -> None:
             flush=True,
         )
         if plans_tag:
-            out_dir = os.path.join(ROOT, "plans", "r12")
+            out_dir = os.path.join(ROOT, "plans", os.environ.get("PLANS_DIR", "r13"))
             os.makedirs(out_dir, exist_ok=True)
             df = registry[name](spark, SF_DIR)
             txt = df._jdf.queryExecution().explainString(
