@@ -443,6 +443,7 @@ def _build_layers(spark) -> dict[str, float]:
     build seconds (see the methodology comment in main())."""
     from postgres_cdc_example_spark.queries.extensions import (
         _doc_bands,
+        _doc_gram_df,
         _doc_ngrams,
         _pca_fit,
         _simhash_cand,
@@ -464,6 +465,11 @@ def _build_layers(spark) -> dict[str, float]:
         # gate's batch twin; the decode itself stays inside the timed query.
         ("drift_wire_lines", lambda: _drifted_wire_lines(spark, SF_DIR).count()),
         ("doc_ngrams", lambda: _doc_ngrams(spark, SF_DIR).count()),
+        # r13: df-annotated shingle rows — the inverted-index family's df
+        # aggregate + join-back, formerly re-derived inline per invocation
+        # by the symmetric-Jaccard / containment / prefix-filter /
+        # recall-audit queries (guide §2.2).
+        ("doc_gram_df", lambda: _doc_gram_df(spark, SF_DIR).count()),
         ("doc_occurrences", lambda: _doc_occurrences(spark, SF_DIR).count()),
         ("doc_bands", lambda: _doc_bands(spark, SF_DIR).count()),
         ("doc_grams8", lambda: _doc_grams8(spark, SF_DIR).count()),

@@ -224,6 +224,8 @@ def minhash_lsh_pairs(
         else ngram_rows(df, text_col, id_col)
     ).withColumnRenamed("g", "s")
     cand = lsh_candidate_pairs(sh, id_col, bands=bands)
+    if not cand.isStreaming:
+        cand = cand.localCheckpoint(eager=False)
 
     # r12 optimization (guide §2.3): verification used to join RAW SHINGLE
     # ROWS twice (candidates × per-doc shingles on doc_a, then an equi-join
@@ -242,9 +244,15 @@ def minhash_lsh_pairs(
     # for COLLIDING docs — collision-bounded again at corpus scale, like
     # the row-join shape it replaced. Values unchanged: the semi-join
     # keeps every shingle row of a kept doc, so both ``ss`` and ``sz``
-    # are identical for every doc the candidate joins can reach. The
-    # duplicated candidate subtree re-reads the (persisted) band layer
-    # and its distinct exchange is reused by AQE.
+    # are identical for every doc the candidate joins can reach.
+    # ``cand`` is lazily localCheckpoint'ed above so the band self-join
+    # materializes ONCE and both ``cand_ids`` and the pair join read the
+    # (tiny, collision-bounded) result: re-deriving the id set from a
+    # DUPLICATED candidate subtree measured 1.9 -> 4.4 s / 44 -> 124 AQE
+    # stage jobs on dedup_transitivity_audit at sf0.1, and a hot-bucket
+    # count over the band table (4 extra exchanges per invocation)
+    # measured 0.43 -> 0.82 s on dedup_minhash_lsh — the checkpoint is
+    # the only shape whose id-set derivation costs no re-execution.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
@@ -473,6 +481,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = MAX_DOC_FREQ,
     shingles: DataFrame | None = None,
+    kept: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs via an inverted-index self-join.
 
@@ -481,10 +490,21 @@ def ngram_jaccard_pairs(
     quadratic-blowup / skew risk at 100 TB, and they carry no dedup signal).
     Sizes and intersections are computed over the *filtered* universe so
     Jaccard stays internally consistent.
+
+    ``kept``: optionally pass the df-filtered shingle rows directly (e.g.
+    a persisted df-annotated layer already cut at ``max_df``) — skips the
+    in-plan df aggregate + join-back, the same share-the-derived-table
+    pattern as ``shingles``. Caller contract: ``kept`` must equal
+    ``shingles`` filtered to grams in <= ``max_df`` docs.
     """
-    ex = shingles if shingles is not None else ngram_rows(df, text_col, id_col)
-    rare = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
-    kept = ex.join(rare.select("g"), "g")
+    if kept is None:
+        ex = (
+            shingles if shingles is not None else ngram_rows(df, text_col, id_col)
+        )
+        rare = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        kept = ex.join(rare.select("g"), "g")
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select(F.col(id_col).alias("doc_a"), F.col("g").alias("ga"))
     b = kept.select(F.col(id_col).alias("doc_b"), F.col("g").alias("gb"))
@@ -650,6 +670,14 @@ def substring_removal(
     matching the oracle exactly; production reruns the pass to fixpoint if
     desired. All joins are keyed on (doc_id, pos) — never doc x doc."""
     spans = exact_substring_spans(df, text_col, id_col, n, max_df, grams=grams)
+    # r13 (guide §5): the span table feeds TWO consumers below (covered
+    # positions and the per-doc span count) — without the checkpoint the
+    # whole gram/self-join/island pipeline executes twice per run. Spans
+    # are maximal-run PAIR rows (collision-bounded by the df cutoff), so
+    # the materialization is tiny; streaming inputs never reach this
+    # operator (positional grams explode is batch-only).
+    if not spans.isStreaming:
+        spans = spans.localCheckpoint(eager=False)
     covered = spans.select(
         F.col("doc_b").alias(id_col),
         F.explode(

@@ -1784,14 +1784,21 @@ def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % CMS_W
     )
-    cells = (
-        occ.select("tok")
-        .select(F.explode(js).alias("j"), "tok")
-        .select("j", bucket.alias("bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # r13 (guide §2.2/§4-adjacent: do the cheap aggregate BEFORE the
+    # expensive per-row work): the bucket md5 depends only on (j, tok),
+    # so hashing per OCCURRENCE did vocabulary-ratio times more md5 work
+    # than needed. Count occurrences per distinct token first (the same
+    # aggregate the top-20 probe already needs), then hash once per
+    # (j, distinct token) and SUM counts into cells — cell values are
+    # identical integers (sum of per-token counts per bucket == count of
+    # occurrence rows per bucket).
     cnt = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        cnt.select(F.explode(js).alias("j"), "tok", "n")
+        .select("j", bucket.alias("bucket"), "n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("c"))
+    )
     top = cnt.orderBy(F.col("n").desc(), "tok").limit(20)
     probes = top.select("tok", "n", F.explode(js).alias("j")).select(
         "tok", "n", "j", bucket.alias("bucket")
@@ -4487,12 +4494,17 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed sort-and-slice + a prefix-gram equi-join whose volume
     collision-bounds like LSH, but with a proof instead of a
     probability — and the volume-stats twin PRICES it before it runs."""
-    from postgres_cdc_example_spark.queries.extensions import _doc_ngrams
+    from postgres_cdc_example_spark.queries.extensions import (
+        _doc_gram_df,
+        _doc_ngrams,
+    )
 
     sh = _doc_ngrams(spark, sf_dir)
-    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # r13: the persisted df-annotated layer IS `sh join df_` — the
+    # rarest-first ordering reads it directly instead of re-running the
+    # df aggregate + join-back per invocation
     ordered = (
-        sh.join(df_, "g")
+        _doc_gram_df(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.expr(

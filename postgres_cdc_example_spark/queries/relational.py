@@ -1212,10 +1212,18 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # r13 (guide §5): the basket table feeds THREE consumers (order count,
+    # per-part frequencies, the pair expansion) — the distinct + grouped
+    # collect_list over the fact table otherwise executes three times
+    # (exchange reuse shares only the shuffle, not the array aggregate).
+    # One lazy localCheckpoint = one aggregate + three cheap reads; at
+    # 100 TB this is the basket table a production run would persist
+    # anyway (MEMORY_AND_DISK, spills instead of OOM).
     baskets = (
         b.groupBy("o")
         .agg(F.array_sort(F.collect_list("p")).alias("items"))
         .filter(F.size("items") <= BASKET_CAP)
+        .localCheckpoint(eager=False)
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     ca = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
