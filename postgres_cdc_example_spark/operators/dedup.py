@@ -424,6 +424,14 @@ def simhash_buckets(
             F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
         )
     )
+    # NOTE (r13, measured, rejected): hashing once per DISTINCT token into
+    # a vocabulary-bounded ±1 vote table joined back (the dictionary
+    # trick; fixture vocabulary is 31 tokens vs 270k occurrence rows)
+    # measured a WASH at best — 1.16 s min-of-6 with a forced broadcast vs
+    # 1.20 s for this per-row form — and a 5× blowup (6.4 s in the full
+    # bench) when the planner picked a shuffle join on the 31-value key
+    # (extreme skew). The md5+nibble arithmetic is codegen-fused off the
+    # cached occurrence scan and is NOT the bottleneck; kept as is.
     h = F.md5("tok")
     sums = []
     for b in range(SIMHASH_BITS):

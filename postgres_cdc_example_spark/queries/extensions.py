@@ -5363,7 +5363,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("qb", F.substring(F.col("sk"), 1, SNM_BUCKET_LEN))
     wb = Window.partitionBy("qb").orderBy("sk", "doc_id")
     ranked = d.withColumn("rk", F.row_number().over(wb))
-    counts = d.groupBy("qb").agg(F.count(F.lit(1)).alias("n_b"))
+    # r13 (guide §2.1, the _snm_pairs fix): counts off the window OUTPUT
+    # (already partitioned by qb) — max(row_number) == count, no second
+    # shuffle of the key table
+    counts = ranked.groupBy("qb").agg(F.max("rk").alias("n_b"))
     wo = Window.orderBy("qb").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5384,12 +5387,25 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", (F.col("rn") - F.col("rn_a")).alias("window_dist")
     )
     sh = _doc_ngrams(spark, sf_dir)
-    arrs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("ss"))
+    # two consumers (a-side and b-side) — the multipass checkpoint rule
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("g").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
     ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    # r13 (guide §2.3): J >= 0.5 is impossible unless 3*least(na, nb) >=
+    # na + nb — test sizes BEFORE the quadratic array_intersect; dropped
+    # rows could never pass the exact filter below (see dedup_snm_multipass)
+    sz_ok = (
+        F.lit(3) * F.least(F.size("sa"), F.size("sb")).cast("long")
+        >= F.size("sa").cast("long") + F.size("sb").cast("long")
+    )
     v = (
         p.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(sz_ok)
         .select(
             "doc_a",
             "doc_b",
@@ -5568,9 +5584,20 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    # r13 (guide §2.3): inter <= least(na, nb), so the J >= 0.5 filter
+    # below is IMPOSSIBLE unless 3*least(na, nb) >= na + nb — a pure size
+    # test. SNM window pairs are sort-adjacency, mostly NON-duplicates,
+    # so testing sizes BEFORE array_intersect skips the quadratic
+    # intersect for most of the ~2×W×N candidate pairs; dropped rows
+    # could never pass the exact filter, output identical.
+    sz_ok = (
+        F.lit(3) * F.least(F.size("sa"), F.size("sb")).cast("long")
+        >= F.size("sa").cast("long") + F.size("sb").cast("long")
+    )
     v = (
         u.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(sz_ok)
         .select(
             "doc_a",
             "doc_b",
@@ -5643,15 +5670,21 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _snm_pairs(d)
     sa = d.select(F.col("doc_id").alias("x"), F.col("sk").alias("sa"))
     sb = d.select(F.col("doc_id").alias("y"), F.col("sk").alias("sb"))
+    # r13 (guide §4-adjacent — cut per-row compute): the 3-arg bounded
+    # levenshtein runs the banded O(len·k) DP with early exit instead of
+    # the full O(len²) table, returning -1 above the bound. Kept rows'
+    # distances are EXACTLY the unbounded values (the band only prunes
+    # rows the <= LEV_MAX filter discarded anyway); the >= 0 guard
+    # excludes the -1 sentinel the old filter never saw.
     return (
         pairs.join(sa, "x")
         .join(sb, "y")
         .select(
             F.col("x").alias("doc_a"),
             F.col("y").alias("doc_b"),
-            F.levenshtein("sa", "sb").cast("long").alias("edit_dist"),
+            F.levenshtein("sa", "sb", LEV_MAX).cast("long").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= LEV_MAX)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= LEV_MAX))
     )
 
 

@@ -379,7 +379,15 @@ def text_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2", "p.b")
     )
-    cb = bg.groupBy("w1", "w2", "b").agg(F.count(F.lit(1)).alias("c"))
+    # r13 (guide §5): the bigram-type count table feeds FOUR consumers
+    # (n1, ne, the type total, the probability join) — checkpoint the
+    # type-bounded aggregate once so the bigram explode + count runs once,
+    # not per consumer (exchange reuse shared only the map side).
+    cb = (
+        bg.groupBy("w1", "w2", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cpre"))
     n1 = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
     ne = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("nend"))
@@ -4533,9 +4541,26 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("toks"))
     ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    # r13 (guide §2.3, the positional-filter idea from the same PPJoin
+    # family): inter <= least(na, nb), so J >= 0.9 is IMPOSSIBLE unless
+    # least*1e6 >= 0.9*(na+nb-least) — a pure size test. Applying it
+    # BEFORE array_intersect skips the expensive intersect for the vast
+    # majority of the prefix-collision candidates (~48k candidates, ~250
+    # survivors at 0.9 on this corpus); dropped rows could never pass the
+    # exact filter below, so the output is identical.
+    sz_ok = (
+        F.least(F.size("ta"), F.size("tb")).cast("long") * 1_000_000
+        >= F.lit(PREFIX_JACCARD_MIN_MICRO)
+        * (
+            F.size("ta").cast("long")
+            + F.size("tb").cast("long")
+            - F.least(F.size("ta"), F.size("tb")).cast("long")
+        )
+    )
     v = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(sz_ok)
         .select(
             "doc_a",
             "doc_b",

@@ -1454,8 +1454,19 @@ def watermark_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is bounded work."""
     late = _injected_lateness(spark, sf_dir)
     c = late.select(F.expr("(late_us + 999999) div 1000000").alias("csec"))
-    n = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    hist = c.groupBy("csec").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # r13 (guide §5): the bounded (≤ ~3600-row) lateness histogram feeds
+    # THREE consumers (the event total, the candidate grid, the suffix
+    # counts) — checkpoint it once so the corpus-sized two-pass lateness
+    # pipeline runs once; the total is sum(cnt) OF the histogram (identical
+    # integer), not a second corpus pass.
+    hist = (
+        c.groupBy("csec")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n")
+    )
     cand = hist.select(F.col("csec").alias("d")).union(
         hist.sparkSession.range(1).select(F.lit(0).cast("long").alias("d"))
     ).distinct()
