@@ -7374,6 +7374,12 @@ def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+    # r13 (guide §5): the corpus totals are COLUMN SUMS of the per-source
+    # rollup (identical integers — sum of per-group sums; the per-group
+    # coalesce makes group-level ta 0 exactly where the flat sum skipped
+    # NULLs), so deriving them from `per` instead of from `flagged` stops
+    # the member-join subtree from executing twice; the ≤|sources|-row
+    # rollup is checkpointed for its two consumers.
     per = flagged.groupBy("source").agg(
         F.sum("n_toks").cast("long").alias("tokens_before"),
         F.coalesce(
@@ -7381,12 +7387,10 @@ def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("tokens_after"),
-    )
-    tots = flagged.agg(
-        F.sum("n_toks").cast("long").alias("tb"),
-        F.coalesce(F.sum(F.expr("CASE WHEN kept THEN n_toks END")), F.lit(0))
-        .cast("long")
-        .alias("ta"),
+    ).localCheckpoint(eager=False)
+    tots = per.agg(
+        F.sum("tokens_before").cast("long").alias("tb"),
+        F.coalesce(F.sum("tokens_after"), F.lit(0)).cast("long").alias("ta"),
     )
     return per.crossJoin(F.broadcast(tots)).select(
         "source",

@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r13 (guide §3, measured): prefer shuffled-hash over sort-merge
+        # when a join side's ESTIMATED size fits the local-map threshold —
+        # the planner's per-join size gate, not an unconditional switch:
+        # fact-fact joins whose sides exceed the threshold stay SMJ at any
+        # scale, small-side joins skip both sorts. Interleaved A/B over
+        # all 227 bench queries: 132.6 -> 127.0 s at 32 cores (-4.2%) and
+        # 52.7 -> 51.8 s on the top-40 at 8 cores (-1.7%) — a win at BOTH
+        # core counts (individual queries swing both ways; totals decide).
+        # Env-overridable so a memory-tight deployment can restore the
+        # sort-merge default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
